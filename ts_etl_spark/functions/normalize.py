@@ -1,0 +1,160 @@
+"""Field normalizers — the semantic core of the reference pipeline.
+
+Re-expresses reference ``src/utils/normalization.ts:21-114`` (operators
+O8-O15 in SURVEY.md §2.1) as pure ``Column -> Column`` expressions. All of
+these stay JVM-side inside whole-stage codegen — no Python UDFs.
+
+Semantics preserved exactly:
+- JS ``String.trim`` trims Unicode whitespace incl. NBSP/BOM (→ ``js_trim``).
+- Phone keeps a leading ``+`` and strips every other non-digit
+  (normalization.ts:50-56).
+- Postcode strips all whitespace and uppercases (normalization.ts:46-49).
+- Credit Limit mirrors JS ``parseFloat(v.replace(',', '.')).toFixed(2)``:
+  only the FIRST comma becomes a dot, a leading numeric prefix is parsed
+  (trailing garbage ignored), NaN → ``"0.00"`` (normalization.ts:57-63).
+  Known divergence: exact half-cent values round HALF_UP here while JS
+  ``toFixed`` rounds on the binary double (e.g. 1.005 → "1.01" vs "1.00");
+  no reference fixture exercises this.
+- Birthday is digit-rearranging string surgery with NO calendar validation,
+  unknown formats pass through verbatim (normalization.ts:64-93) — so the
+  parity path must NOT use ``to_date`` (which nulls impossible dates,
+  SURVEY.md §7.4).
+- null/missing → ``"0.00"`` for Credit Limit else ``""``
+  (normalization.ts:25-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ts_etl_spark.schema import (
+    DEFAULTS,
+    EXPECTED_HEADERS,
+    H_ADDRESS,
+    H_BIRTHDAY,
+    H_CREDIT_LIMIT,
+    H_NAME,
+    H_PHONE,
+    H_POSTCODE,
+)
+
+# JS String.prototype.trim strips Unicode whitespace + BOM; Java \s is
+# ASCII-only, so NBSP/BOM are added explicitly.
+_JS_WS = "[\\s\u00a0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\ufeff]"
+
+# JS parseFloat: optional sign, then either digits[.digits] or .digits, with
+# an optional exponent; trailing garbage is ignored; empty match → NaN.
+_FLOAT_PREFIX = r"^[+-]?(?:\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)"
+
+
+def js_trim(c: Column) -> Column:
+    """JS ``String.trim`` (reference normalization.ts:44)."""
+    return F.regexp_replace(c, f"^{_JS_WS}+|{_JS_WS}+$", "")
+
+
+def normalize_postcode(c: Column) -> Column:
+    """Strip all whitespace, uppercase (normalization.ts:46-49)."""
+    return F.upper(F.regexp_replace(js_trim(c), _JS_WS + "+", ""))
+
+
+def normalize_phone(c: Column) -> Column:
+    """Digits only; a leading ``+`` survives (normalization.ts:50-56)."""
+    t = js_trim(c)
+    digits = F.regexp_replace(t, "[^0-9]", "")
+    return F.when(t.startswith("+"), F.concat(F.lit("+"), digits)).otherwise(digits)
+
+
+def normalize_money(c: Column) -> Column:
+    """JS ``parseFloat(v.replace(',', '.')).toFixed(2)``; NaN → "0.00"
+    (normalization.ts:57-63). Returns the 2-decimal *string*."""
+    t = js_trim(c)
+    # JS String.replace with a string pattern replaces only the FIRST match.
+    first_comma_dotted = F.regexp_replace(t, "^([^,]*),", "$1.")
+    prefix = F.regexp_extract(first_comma_dotted, _FLOAT_PREFIX, 0)
+    as_dec = F.when(prefix != "", prefix.cast(T.DecimalType(18, 2)))
+    return F.coalesce(as_dec.cast(T.StringType()), F.lit("0.00"))
+
+
+def normalize_birthday(c: Column) -> Column:
+    """3-dialect date rearrangement → ``YYYY-MM-DD``; no calendar validation;
+    unknown formats pass through verbatim (normalization.ts:64-93)."""
+    t = js_trim(c)
+    ddmmyyyy = r"^(\d{1,2})/(\d{1,2})/(\d{4})$"
+    yyyymmdd = r"^(\d{4})(\d{2})(\d{2})$"
+    iso_loose = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
+    pad2 = lambda col: F.lpad(col, 2, "0")  # noqa: E731
+    return (
+        F.when(
+            t.rlike(ddmmyyyy),
+            F.concat_ws(
+                "-",
+                F.regexp_extract(t, ddmmyyyy, 3),
+                pad2(F.regexp_extract(t, ddmmyyyy, 2)),
+                pad2(F.regexp_extract(t, ddmmyyyy, 1)),
+            ),
+        )
+        .when(
+            t.rlike(yyyymmdd),
+            F.concat_ws(
+                "-",
+                F.regexp_extract(t, yyyymmdd, 1),
+                F.regexp_extract(t, yyyymmdd, 2),
+                F.regexp_extract(t, yyyymmdd, 3),
+            ),
+        )
+        .when(
+            t.rlike(iso_loose),
+            F.concat_ws(
+                "-",
+                F.regexp_extract(t, iso_loose, 1),
+                pad2(F.regexp_extract(t, iso_loose, 2)),
+                pad2(F.regexp_extract(t, iso_loose, 3)),
+            ),
+        )
+        .otherwise(t)
+    )
+
+
+_RULES = {
+    H_POSTCODE: normalize_postcode,
+    H_PHONE: normalize_phone,
+    H_CREDIT_LIMIT: normalize_money,
+    H_BIRTHDAY: normalize_birthday,
+    H_NAME: js_trim,
+    H_ADDRESS: js_trim,
+}
+
+
+def normalize_field(header: str, c: Column) -> Column:
+    """``normalizeFieldValue`` (normalization.ts:21-101): dispatch by
+    canonical header (case-insensitive), null → per-column default."""
+    rule, default = js_trim, DEFAULTS.get(header, "")
+    for expected in EXPECTED_HEADERS:
+        if expected.lower() == header.lower():
+            rule, default = _RULES[expected], DEFAULTS[expected]
+            break
+    return F.when(c.isNull(), F.lit(default)).otherwise(rule(c))
+
+
+def default_for(header: str) -> Column:
+    """Constant column for an absent input field (normalization.ts:25-35)."""
+    return F.lit(DEFAULTS.get(header, ""))
+
+
+def normalize_row_exprs(present: dict[str, Column]) -> list[Column]:
+    """``normalizeRow`` (normalization.ts:103-114): one expression per
+    canonical header, in canonical order; absent headers get defaults.
+
+    ``present`` maps canonical header -> raw string Column from the source.
+    Returns a list ready for a single ``df.select(...)`` — the whole
+    canonicalization is one narrow projection, fully codegen'd, no shuffle.
+    """
+    exprs = []
+    for h in EXPECTED_HEADERS:
+        if h in present:
+            exprs.append(normalize_field(h, present[h]).alias(h))
+        else:
+            exprs.append(default_for(h).alias(h))
+    return exprs
