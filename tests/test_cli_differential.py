@@ -1,0 +1,63 @@
+"""End-to-end differential acceptance (the reference's true acceptance test,
+README.md:35-44): the same logical dataset in CSV and PRN dialects must
+produce BYTE-IDENTICAL JSON and HTML output. Also CLI arg validation
+(E20/E21)."""
+
+import io
+import json
+
+import pytest
+
+from tests.golden import CSV_FIXTURE, GOLDEN_ROWS, PRN_FIXTURE
+from ts_etl_spark.cli import main, run_conversion
+from ts_etl_spark.schema import EXPECTED_HEADERS
+
+
+@pytest.fixture(scope="module")
+def outputs(spark):
+    out = {}
+    for in_type, path in (("csv", CSV_FIXTURE), ("prn", PRN_FIXTURE)):
+        data = open(path, "rb").read()
+        for out_type in ("json", "html"):
+            buf = io.StringIO()
+            run_conversion(in_type, out_type, data, buf, spark=spark)
+            out[(in_type, out_type)] = buf.getvalue()
+    return out
+
+
+def test_differencing_property_json(outputs):
+    assert outputs[("csv", "json")] == outputs[("prn", "json")]
+
+
+def test_differencing_property_html(outputs):
+    assert outputs[("csv", "html")] == outputs[("prn", "html")]
+
+
+def test_json_matches_golden(outputs):
+    rows = [
+        json.dumps(dict(zip(EXPECTED_HEADERS, r)), separators=(",", ":"), ensure_ascii=False)
+        for r in GOLDEN_ROWS
+    ]
+    expected = "[\n  " + ",\n  ".join(rows) + "\n]\n"
+    assert outputs[("csv", "json")] == expected
+
+
+def test_html_contains_golden_in_order(outputs):
+    html = outputs[("csv", "html")]
+    names = [r[0] for r in GOLDEN_ROWS]
+    positions = [html.index(f"<td>{n}</td>") for n in names]
+    assert positions == sorted(positions)
+    assert "Børkestraße 32" in html
+
+
+def test_cli_rejects_invalid_types(capsys):  # E21
+    assert main(["xml", "json"]) == 1
+    assert "Invalid input type" in capsys.readouterr().err
+    assert main(["csv", "pdf"]) == 1
+    assert "Invalid output type" in capsys.readouterr().err
+
+
+def test_malformed_csv_errors(spark):  # E7 end-to-end
+    buf = io.StringIO()
+    with pytest.raises(ValueError, match="CSV parsing error"):
+        run_conversion("csv", "json", b'Name,Address\n"Unclosed,B\n', buf, spark=spark)

@@ -1,0 +1,98 @@
+"""CLI front end (reference O21/O22/O23): ``python -m ts_etl_spark <in> <out>``.
+
+Reads latin1 bytes from stdin, writes UTF-8 data to stdout; all diagnostics
+go to stderr (reference src/index.ts:79,85,93-94 — stdout is exclusively
+data). Input/output types are validated case-insensitively against the
+registries; invalid args exit 1 (index.ts:22-40,134-137).
+
+stdin is not a Spark source, so the blob is materialized to a temp file
+first (SURVEY.md §7.4 hard part 3) — inherent to the single-pipe contract,
+irrelevant to the file/parquet scale path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+from ts_etl_spark import sinks, sources
+from ts_etl_spark.session import get_spark
+from ts_etl_spark.sources.csv_source import validate_csv_text
+
+
+def debug_log(*args) -> None:
+    """DEBUG-gated stderr tracing (reference index.ts:11-19)."""
+    if os.environ.get("DEBUG"):
+        print("[DEBUG]", *args, file=sys.stderr)
+
+
+def run_conversion(
+    input_type: str,
+    output_type: str,
+    in_bytes: bytes,
+    out,
+    csv_delimiter: str = ",",
+    spark=None,
+) -> None:
+    """Programmatic engine API (reference runConversion, index.ts:42-103)."""
+    input_type = input_type.lower()
+    output_type = output_type.lower()
+    if input_type not in sources.SOURCES:
+        raise ValueError(f"Invalid input type: {input_type}")
+    sink = sinks.create_sink(output_type)
+
+    text = in_bytes.decode("latin1")
+    if input_type == "csv":
+        validate_csv_text(text, csv_delimiter)
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-cli")
+    tmp = tempfile.NamedTemporaryFile(
+        mode="wb", suffix=f".{input_type}", delete=False
+    )
+    try:
+        tmp.write(in_bytes)
+        tmp.close()
+        debug_log(f"materialized stdin -> {tmp.name}")
+        kwargs = {"delimiter": csv_delimiter} if input_type == "csv" else {}
+        df = sources.create_source(input_type, spark, tmp.name, **kwargs)
+        print(f"Starting conversion: {input_type} -> {output_type}", file=sys.stderr)
+        sink(df, out)
+        print("Conversion completed successfully.", file=sys.stderr)
+    finally:
+        os.unlink(tmp.name)
+        if own_session:
+            spark.stop()
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark",
+        description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
+    )
+    parser.add_argument("input_type", help="input format: csv | prn")
+    parser.add_argument("output_type", help="output format: json | html")
+    parser.add_argument("-d", "--delimiter", default=",", help="CSV delimiter")
+    args = parser.parse_args(argv)
+
+    if args.input_type.lower() not in sources.SOURCES:
+        print(f"Invalid input type: {args.input_type}", file=sys.stderr)
+        return 1
+    if args.output_type.lower() not in sinks.SINKS:
+        print(f"Invalid output type: {args.output_type}", file=sys.stderr)
+        return 1
+    try:
+        run_conversion(
+            args.input_type,
+            args.output_type,
+            sys.stdin.buffer.read(),
+            sys.stdout,
+            csv_delimiter=args.delimiter,
+        )
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during conversion: {exc}", file=sys.stderr)
+        return 1
+    return 0

@@ -1,0 +1,31 @@
+"""Loader for the driver-generated scale-out parquet tables (TESTDATA.md).
+
+These back the extension surface (SURVEY.md §2.4): TPC-H-ish relational
+queries, event-time streaming, dedup/similarity/text operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ts_etl_spark.schema import SCALE_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain ``spark.read.parquet`` — predicate pushdown,
+    column pruning and partition pruning all reach this scan for free."""
+    if name not in SCALE_TABLES:
+        raise ValueError(f"Unknown table {name!r}; expected one of {SCALE_TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or SCALE_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for n in SCALE_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
