@@ -1,0 +1,76 @@
+"""Local mirror of the driver's correctness gate: run every ``queries()``
+entry on Spark at sf0.01 and its ``oracle_sql()`` on DuckDB over the same
+parquet files; compare row count, column names, and the full order-
+insensitive multiset of values (exact equality — the engine is designed so
+results are bit-identical, see operators/relational.py docstring)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+QUERIES = entry_mod.queries()
+ORACLE = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def _rows(rows, cols):
+    # order-insensitive multiset compare: sort columns by name, count tuples
+    from collections import Counter
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_match(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(ORACLE[name])
+    ddb_cols = [d[0] for d in res.description]
+    ddb_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(ddb_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(ddb_rows), f"{name}: row count differs"
+    sn, dn = _rows(spark_rows, spark_cols), _rows(ddb_rows, ddb_cols)
+    only_s = list((sn - dn).keys())[:3]
+    only_d = list((dn - sn).keys())[:3]
+    assert sn == dn, f"{name}: mismatch; spark-only={only_s} ddb-only={only_d}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,269 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2.4; core
+training-data-pipeline surface).
+
+- exact dedup: hash groupBy on the full text — one partial-agg shuffle.
+- n-gram Jaccard: word-3-gram shingles, exact pairwise similarity via a
+  shingle-equality self-join. Quadratic in docs-per-shingle, so it is the
+  *oracle baseline*; the scale path is MinHash-LSH below.
+- MinHash-LSH: 64 permutations (xxhash64 with seed literals — deterministic
+  across engines and partitionings), banded 32×2, candidate pairs from
+  band-bucket self-join, then EXACT Jaccard verification of candidates.
+  Output = verified pairs ≥ 0.4, which equals the exact-Jaccard answer
+  whenever LSH recall holds (P[miss] ≤ 0.4% at J=0.4, ≤0.01% at J=0.5 for
+  b=32, r=2) — so it shares the exact-SQL oracle.
+  At 100 TB: shingle explode + 2 shuffles (signature groupBy, band
+  self-join); no quadratic blowup because banding localizes comparisons.
+- SimHash: 63-bit signatures from token hashes, pigeonhole-banded (4 chunks,
+  Hamming ≤ 3 ⇒ ≥1 chunk equal), ``bit_count(xor)`` verification. Not
+  SQL-oracle-expressible (DuckDB lacks xxhash64) → rows-only check.
+
+All tokenization is ``split(lower(trim(text)), '\\s+')`` — mirrored exactly
+in the DuckDB oracle SQL. Docs with < 3 tokens produce no shingles in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.sources.tables import load_table
+
+N_MINHASH = 64
+LSH_BANDS = 32
+LSH_ROWS = 2  # N_MINHASH = LSH_BANDS * LSH_ROWS
+JACCARD_THRESHOLD = 0.4
+
+
+def tokens_col(c=None):
+    c = F.col("text") if c is None else c
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(sh).alias("sh"))
+    )
+
+
+def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for every pair sharing ≥1 shingle. Integer set sizes →
+    a single double division → bit-identical across engines."""
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return pairs.join(ca, "id_a").join(cb, "id_b").select(
+        "id_a",
+        "id_b",
+        (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
+            "jaccard"
+        ),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: representative = min(doc_id) per text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies")
+    ).select("rep_doc_id", "n_copies", "text")
+
+
+def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar pairs by exact word-3-gram Jaccard (deterministic
+    tiebreak on ids; Jaccard values are exact rationals in both engines)."""
+    jac = _exact_jaccard_pairs(shingles_df(spark, sf_dir))
+    return jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD."""
+    sh = shingles_df(spark, sf_dir).cache()
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bh"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    ea = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    eb = sh.select(F.col("doc_id").alias("id_b2"), F.col("sh").alias("sh_b"))
+    common = (
+        cands.join(ea, "id_a")
+        .join(eb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 63-bit signatures).
+    Rows-only check: DuckDB cannot reproduce xxhash64 token hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    th = F.xxhash64(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(th, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(63)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sig_expr = None
+    for i in range(63):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig_expr = bit if sig_expr is None else sig_expr + bit
+    sigs = votes.select("doc_id", sig_expr.alias("sig"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk"),
+                F.shiftright(F.col("sig"), j * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cv"),
+            )
+            for j in range(4)
+        ]
+    )
+    banded = sigs.select("doc_id", "sig", F.explode(chunks).alias("c")).select(
+        "doc_id", "sig", F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_topk": q_dedup_ngram_topk,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_SHINGLES_CTE = r"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        FROM documents
+    ),
+    positions AS (
+        SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(1, len(t))) AS i
+        FROM toks
+    ),
+    shingled AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS sh
+        FROM positions
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, sh FROM shingled WHERE sh IS NOT NULL
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT id_a, id_b,
+               CAST(common AS DOUBLE) / (ca.n + cb.n - common) AS jaccard
+        FROM pairs
+        JOIN counts ca ON ca.doc_id = id_a
+        JOIN counts cb ON cb.doc_id = id_b
+    )
+"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies, text
+        FROM documents GROUP BY text
+    """,
+    "dedup_ngram_topk": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT * FROM jac ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+    # LSH output == exact answer at the threshold (recall ≥ 99.6%)
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE}
+        SELECT * FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    # dedup_simhash: rows-only (xxhash64 not reproducible in DuckDB)
+}

@@ -1,0 +1,138 @@
+"""Event-time operators over the ``events`` table (SURVEY.md §2.4): tumbling,
+sliding and session windows, batch-checkable against the DuckDB oracle. The
+same transformations run unchanged under Structured Streaming — see
+``ts_etl_spark.streaming.events`` for the ``readStream`` + watermark wrappers
+(streaming semantics cannot be SQL-oracled, so the batch equivalents here
+carry the correctness gate; reference has no event-time semantics at all,
+SURVEY.md §2.3).
+
+Scale notes: windowed groupBys shuffle on (window, key) — at 100 TB the
+tumbling aggregation is one partial-agg shuffle exactly like any groupBy.
+``session_window`` is Spark's native gap-based sessionization (no per-user
+collect); the oracle reproduces it with a lag/cumulative-flag reformulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.relational import DEC, dec, money_sum
+from ts_etl_spark.sources.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_STRF = "%Y-%m-%d %H:%M:%S"
+
+
+def ts_str(c) -> F.Column:
+    return F.date_format(c, TS_FMT)
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), money_sum(dec("value")).alias("total_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(ts_str(F.col("w.start")).alias("window_start"), "event_type", "n")
+    )
+
+
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), money_sum(dec("value")).alias("session_value"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def q_events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + window-over-aggregate: share of total per event type."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("share"),
+    )
+
+
+QUERIES = {
+    "events_tumbling": q_events_tumbling,
+    "events_sliding": q_events_sliding,
+    "events_session": q_events_session,
+    "events_type_share": q_events_type_share,
+}
+
+ORACLE = {
+    "events_tumbling": f"""
+        SELECT strftime(date_trunc('hour', ts), '{_STRF}') AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding": f"""
+        WITH buckets AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
+                   event_type FROM events
+        )
+        SELECT strftime(ws, '{_STRF}') AS window_start, event_type, COUNT(*) AS n
+        FROM buckets GROUP BY 1, 2
+    """,
+    "events_session": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   -- Spark's session_window starts a NEW session when the gap
+                   -- is >= the gap duration (windows are [ts, ts+gap))
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, strftime(MIN(ts), '{_STRF}') AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "events_type_share": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,92 @@
+"""Multimodal-column plumbing (SURVEY.md §2.4): image/audio/video payloads
+as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
+pandas functions over ``mapInPandas``.
+
+The container ships no image/audio libraries, so the actual decode step is
+STUBBED (``decode_image`` raises NotImplementedError unless given the
+deterministic fake decoder). Everything Spark-side is real and tested:
+binary schema, mapInPandas batch shape, partition-preserving plumbing, and
+a deterministic metadata extraction whose arithmetic the DuckDB oracle
+reproduces — so the plumbing itself sits behind the correctness gate.
+
+At 100 TB: mapInPandas streams Arrow record batches per partition — no
+driver involvement, no row-at-a-time Python, memory bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.sources.tables import load_table
+
+META_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, sha256 STRING, width INT, height INT"
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """STUB: real image decoding needs PIL/opencv, absent in this container.
+
+    The Spark-side contract (binary in, (width, height, channels) out) is
+    exercised through ``fake_decode`` below.
+    """
+    raise NotImplementedError(
+        "image decoding requires an imaging library not present in this "
+        "environment; use fake_decode for the deterministic test path"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decoder: pseudo-dimensions from the byte length.
+    Mirrored by the DuckDB oracle arithmetic."""
+    n = len(payload)
+    return n % 640 + 1, (n * 7) % 480 + 1
+
+
+def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [bytes(p) for p in pdf["payload"]]
+        dims = [fake_decode(p) for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "width": pd.Series([d[0] for d in dims], dtype="int32"),
+                "height": pd.Series([d[1] for d in dims], dtype="int32"),
+            }
+        )
+
+
+def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model multimodal blobs: utf-8 bytes of ``documents.text`` stand in
+    for image payloads (binary column + id), keeping the pipeline honest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched metadata extraction over binary payloads."""
+    return binary_payloads(spark, sf_dir).mapInPandas(_meta_batches, META_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha256,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
+        FROM documents
+    """,
+}

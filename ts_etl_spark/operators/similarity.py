@@ -1,0 +1,185 @@
+"""Similarity search over ``embeddings`` (SURVEY.md §2.4).
+
+- ``embed_topk``: brute-force cosine top-k for a fixed query set — the
+  oracle-checked baseline. Dot products run JVM-side via
+  ``zip_with``/``aggregate`` over double-cast arrays (sequential
+  left-to-right summation, matching DuckDB's list_cosine_similarity on
+  DOUBLE[]); results rounded to 6 decimals to absorb any last-ulp
+  summation-order difference.
+- ``embed_neardup_label``: all-pairs cosine ≥ threshold *blocked by label*
+  (the natural blocking key) — oracle-checked.
+- ``embed_ann_ivf``: IVF-style approximate top-k — deterministic coarse
+  quantizer (seed vectors as centroids), nprobe=2 — the 100 TB scale path
+  where brute force is quadratic. Accuracy is judged by a recall test
+  against ``embed_topk`` (tests/), not a SQL oracle (rows-only check).
+
+Scale notes: brute force is O(Q·N) with Q small (broadcast the query set —
+no shuffle of the big side); IVF assigns each vector to its nearest seed
+centroid in one broadcast-join pass, then probes only 2/8 cells per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.sources.tables import load_table
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+NEARDUP_THRESHOLD = 0.5
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double summation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return e.select("vec_id", "label", v.alias("v"), norm(v).alias("nrm"))
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector (vec_id < N_QUERIES)."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    # broadcast the tiny query side; the big side streams through unshuffled
+    pairs = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold), blocked by label."""
+    vecs = _vectors(spark, sf_dir)
+    a = vecs.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = vecs.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("label", "id_a", "id_b", cos.alias("c"))
+        .filter(F.col("c") >= NEARDUP_THRESHOLD)
+        .select("label", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+    )
+
+
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: deterministic seed centroids (vec_id in
+    [100, 100+IVF_CENTROIDS)), nprobe=2. Rows-only check; recall vs
+    brute force is asserted in tests."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+
+    # assign every vector to its nearest centroid (broadcast join, 1 pass)
+    sim_c = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    assigned = (
+        vecs.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "label", "v", "nrm", "c_id", sim_c.alias("csim"))
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
+    )
+
+    # queries probe their IVF_NPROBE nearest cells
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id"))
+    probes = (
+        q.join(F.broadcast(cents), F.lit(True))
+        .select("q_id", "qv", "qn", "c_id", (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("qsim"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("q_id", "qv", "qn", F.col("c_id").alias("cell"))
+    )
+
+    cand = assigned.join(probes, "cell").filter(F.col("vec_id") != F.col("q_id"))
+    cos = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    topk_w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", cos.alias("cosine_raw"))
+        .withColumn("rn", F.row_number().over(topk_w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round("cosine_raw", 6).alias("cosine"), "rn")
+    )
+
+
+QUERIES = {
+    "embed_topk": q_embed_topk,
+    "embed_neardup_label": q_embed_neardup_label,
+    "embed_ann_ivf": q_embed_ann_ivf,
+}
+
+ORACLE = {
+    "embed_topk": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT q.q_id, v.vec_id AS neighbor_id,
+                   list_cosine_similarity(v.v, q.qv) AS cosine_raw
+            FROM v, q WHERE v.vec_id != q.q_id
+        ), ranked AS (
+            SELECT q_id, neighbor_id, cosine_raw,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cosine_raw DESC, neighbor_id) AS INT) AS rn
+            FROM scored
+        )
+        SELECT q_id, neighbor_id, round(cosine_raw, 6) AS cosine, rn
+        FROM ranked WHERE rn <= {TOP_K}
+    """,
+    "embed_neardup_label": f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_THRESHOLD}
+    """,
+    # embed_ann_ivf: rows-only (approximate; recall asserted in tests)
+}

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the driver's events.parquet stores TIMESTAMP(NANOS) which the
+        # vectorized reader rejects; read as long and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -9,16 +9,27 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ts_etl_spark.schema import SCALE_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` — predicate pushdown,
-    column pruning and partition pruning all reach this scan for free."""
+    column pruning and partition pruning all reach this scan for free.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader only accepts as a raw long (``nanosAsLong``, set in session.py);
+    it is converted to a micros timestamp here — same truncation DuckDB
+    applies when reading nanos into its micros TIMESTAMP."""
     if name not in SCALE_TABLES:
         raise ValueError(f"Unknown table {name!r}; expected one of {SCALE_TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
