@@ -40,9 +40,17 @@ def tokens_col(c=None):
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): distinct word-3-gram shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
+def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shs): the distinct word-3-gram shingle SET per document as an
+    array column.
+
+    The raw table is repartitioned BEFORE the shingle projection: the
+    higher-order-function shingling is the compute-heavy step, and the local
+    test file is a single input split — the small early shuffle buys
+    cluster-wide parallelism for it (at real scale the scan already has many
+    splits and AQE coalesces this exchange away)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
     toks = tokens_col()
     sh = F.array_distinct(
         F.transform(
@@ -55,9 +63,14 @@ def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
-        docs.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(sh).alias("sh"))
+    return docs.filter(F.size(toks) >= 3).select("doc_id", sh.alias("shs"))
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): exploded distinct shingles — only needed when pairs are
+    DISCOVERED by shingle equality (the exact-Jaccard baseline)."""
+    return shingle_sets_df(spark, sf_dir).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -98,14 +111,33 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD."""
-    sh = shingles_df(spark, sf_dir).cache()
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-            for i in range(N_MINHASH)
-        ]
+    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD.
+
+    Plan shape (the one you'd want at 100 TB):
+    - signatures: ``array_min(transform(shingles, xxhash64(i, _)))`` per
+      permutation — ONE narrow projection over the scan, no explode, no
+      shuffle, no 64-way aggregation.
+    - banding: 32 rows per doc (vs one per shingle), one shuffle for the
+      band-bucket self-join; banding localizes comparisons so the join is
+      linear in bucket occupancy, never all-pairs.
+    - verification: candidates carry both shingle arrays; exact Jaccard is
+      ``size(array_intersect(...))`` — no third shuffle."""
+    sets = shingle_sets_df(spark, sf_dir)
+
+    # hash each shingle STRING once; the 64 permutations then hash cheap
+    # longs (seeded xxhash64) — ~an order of magnitude less string hashing
+    hashed = sets.select(
+        "doc_id", "shs", F.transform("shs", lambda s: F.xxhash64(s)).alias("hs")
     )
+
+    def _minhash(i: int):
+        # NB: a two-arg lambda would receive the ARRAY INDEX as its second
+        # argument; bind the permutation seed via closure instead.
+        return F.array_min(
+            F.transform(F.col("hs"), (lambda seed: lambda h: F.xxhash64(F.lit(seed), h))(i))
+        ).alias(f"h{i}")
+
+    sig = hashed.select("doc_id", *[_minhash(i) for i in range(N_MINHASH)])
     band_structs = F.array(
         *[
             F.struct(
@@ -117,43 +149,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(LSH_BANDS)
         ]
     )
+    # skinny (doc_id, band, bh) rows only — the shingle arrays do NOT travel
+    # through the band shuffle
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    x, y = bands.alias("x"), bands.alias("y")
+    x = bands.select("band", "bh", F.col("doc_id").alias("id_a"))
+    y = bands.select(
+        F.col("band").alias("band_y"), F.col("bh").alias("bh_y"), F.col("doc_id").alias("id_b")
+    )
     cands = (
         x.join(
             y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            (F.col("band") == F.col("band_y"))
+            & (F.col("bh") == F.col("bh_y"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification of candidates only
-    ea = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    eb = sh.select(F.col("doc_id").alias("id_b2"), F.col("sh").alias("sh_b"))
-    common = (
-        cands.join(ea, "id_a")
-        .join(eb, (F.col("id_b") == F.col("id_b2")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    # exact verification: join the (few) candidates back to the shingle sets
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - common
     return (
-        common.join(ca, "id_a")
-        .join(cb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common"))
-            ).alias("jaccard"),
-        )
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (common.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
