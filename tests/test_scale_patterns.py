@@ -1,0 +1,74 @@
+"""Scale-technique tests: partition pruning, bucketed co-located joins,
+skew salting — correctness AND plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.skew import salted_aggregate, salted_join
+from ts_etl_spark.plans.audit import num_exchanges, plan_str
+from ts_etl_spark.sinks.table_sink import write_bucketed, write_parquet
+from ts_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_partitioned_write_enables_pruning(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = plan_str(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    want = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
+
+
+def test_bucketed_join_no_shuffle(spark):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
+    write_bucketed(cust, "b_customer", ["c_custkey"], 8, sort_cols=["c_custkey"])
+    left = spark.table("b_orders")
+    right = spark.table("b_customer").withColumnRenamed("c_custkey", "o_custkey")
+    # disable broadcast so the join would normally shuffle both sides
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = left.join(right, "o_custkey")
+        assert num_exchanges(joined) == 0, plan_str(joined)
+        assert joined.count() == 15000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        (r.l_returnflag, r.count_l_orderkey, r.max_l_quantity)
+        for r in salted_aggregate(
+            li, ["l_returnflag"], {"l_orderkey": "count", "l_quantity": "max"}, 8
+        ).collect()
+    }
+    want = {
+        (r.l_returnflag, r.n, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("l_orderkey").alias("n"), F.max("l_quantity").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = load_table(spark, SF, "customer")
+    plain = orders.join(cust, "c_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(orders, cust, "c_custkey", n_salt=8).groupBy(
+        "c_mktsegment"
+    ).count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_aggregate_rejects_non_decomposable(spark):
+    li = load_table(spark, SF, "lineitem")
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(li, ["l_returnflag"], {"l_quantity": "avg"})

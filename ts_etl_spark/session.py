@@ -54,6 +54,11 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed-table home (saveAsTable); never inside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ts-etl-spark-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
