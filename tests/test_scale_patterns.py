@@ -24,6 +24,15 @@ def test_partitioned_write_enables_pruning(spark, tmp_path):
 
 
 def test_bucketed_join_no_shuffle(spark):
+    import shutil
+
+    # the in-memory catalog forgets tables across sessions but the warehouse
+    # directory persists — clear both
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
     orders = load_table(spark, SF, "orders")
     cust = load_table(spark, SF, "customer")
     write_bucketed(orders, "b_orders", ["o_custkey"], 8, sort_cols=["o_custkey"])
