@@ -36,6 +36,8 @@ def _norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 

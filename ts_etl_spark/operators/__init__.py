@@ -11,10 +11,17 @@ Each module exposes:
 
 from __future__ import annotations
 
-from ts_etl_spark.operators import dedup, events, multimodal, relational, similarity, textops
+from ts_etl_spark.operators import (
+    advanced,
+    dedup,
+    events,
+    multimodal,
+    relational,
+    similarity,
+    textops,
+)
 
-
-_MODULES = (relational, events, dedup, similarity, textops, multimodal)
+_MODULES = (relational, advanced, events, dedup, similarity, textops, multimodal)
 
 
 def all_queries():

@@ -1,0 +1,250 @@
+"""Advanced operators (SURVEY.md §2.4 custom-operator guidance): as-of join,
+pivot/unpivot, pandas grouped-map aggregation, subqueries, array aggregation.
+
+As-of join is the canonical "operator Spark lacks" — implemented as a
+composition of existing DataFrame ops (union + window last-non-null), NOT a
+per-key loop: one shuffle on the key, one window pass, linear at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ts_etl_spark.operators.relational import DEC, dec, money_sum
+from ts_etl_spark.sources.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the columns of the LATEST right row with
+    ``right_ts <= left_ts`` for the same key (ties: right wins — the
+    standard backward as-of).
+
+    Spark-first shape: union the two sides tagged by origin, sort within key
+    by (ts, origin), and carry the right columns forward with
+    ``last(..., ignorenulls=True)`` — one shuffle, one window, no per-key
+    driver loop, no range cross-join blowup.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # ties among right rows at the same ts resolve by the tiebreak column
+    # (highest wins) — keeps the result deterministic
+    order: list[Column] = [F.col("__ts"), F.col("__side")]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__r_{right_tiebreak}").asc_nulls_first())
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__a_{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the same user's most recent prior-or-equal
+    'view' event (classic attribution as-of join)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts", "ts", ["view_event_id"],
+        right_tiebreak="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "asof_view_event_id",
+    )
+
+
+def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by status × priority (priorities as columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{p[0]}" for p in prios}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()],
+    )
+
+
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per returnflag, (measure, total) long format."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money_sum(dec("l_quantity")).alias("qty"),
+        money_sum(dec("l_extendedprice")).alias("price"),
+        money_sum(dec("l_discount")).alias("discount"),
+    )
+    return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "total")
+
+
+def _median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "median_price": [pdf["l_extendedprice"].median()],
+            "n": [len(pdf)],
+        }
+    )
+
+
+def q_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas aggregation (applyInPandas): exact per-group
+    median — numpy's interpolated median matches DuckDB's quantile_cont.
+    Arrow-batched; each group processed vectorized in one worker."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(_median_fn, "l_returnflag STRING, median_price DOUBLE, n BIGINT")
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING: customers with ≥ 15 orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), money_sum(dec("o_totalprice")).alias("total"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (scalar subquery via SQL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM sq_orders
+        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                              AS DOUBLE) / COUNT(*)
+                                  FROM sq_orders)
+        """
+    )
+
+
+def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with deterministic order: per-nation sorted list of
+    supplier keys (sort_array makes collect_list order-insensitive)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    return sup.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "asof_purchase_view": q_asof_purchase_view,
+    "pivot_status_priority": q_pivot_status_priority,
+    "unpivot_measures": q_unpivot_lineitem_measures,
+    "pandas_median": q_pandas_median,
+    "having_agg": q_having,
+    "scalar_subquery": q_scalar_subquery,
+    "collect_sorted": q_collect_sorted,
+}
+
+ORACLE = {
+    "asof_purchase_view": """
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               (SELECT v.event_id FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_event_id
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    "pivot_status_priority": """
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+               COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+               COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+               COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+               COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "unpivot_measures": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
+        UNION ALL SELECT l_returnflag, 'price', price FROM wide
+        UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+    """,
+    "pandas_median": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "having_agg": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "scalar_subquery": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                              AS DOUBLE) / COUNT(*)
+                                  FROM orders)
+    """,
+    "collect_sorted": """
+        SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppkeys, COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey
+    """,
+}
