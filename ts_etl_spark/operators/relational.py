@@ -343,6 +343,134 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Further TPC-H shapes (adapted to the driver tables' columns)
+# --------------------------------------------------------------------------
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Two independent broadcast dim paths (supplier-nation, customer-nation)
+    off the same fact scan."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(money_sum(revenue).alias("revenue"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned revenue in a window."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer, then
+    customers per order count (including zero-order customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio (promo revenue %)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (F.lit(100.0) * money_sum(promo) / money_sum(revenue)).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, joined back to dims."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum(dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            day_str("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across a join (brand/size/qty bands)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 40))
+    )
+    return joined.filter(cond).agg(
+        money_sum(revenue).alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate / sketch operators
 # --------------------------------------------------------------------------
 
@@ -386,6 +514,12 @@ QUERIES = {
     "q3_segment_revenue": q3_segment_revenue,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "filter_project": q_filter_project,
     "join_broadcast_agg": q_join_broadcast,
     "join_left_agg": q_join_left,
@@ -457,6 +591,69 @@ ORACLE = {
           AND l_shipdate <  TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+    """,
+    "q7_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM({_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY CAST(SUM({_REV}) AS DOUBLE) DESC, c_custkey
+        LIMIT 20
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "q14_promo_revenue": f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive_predicates": f"""
+        SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity >= 20)
+           OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 30)
+           OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 40)
     """,
     "filter_project": f"""
         SELECT l_orderkey, l_linenumber, l_quantity,
