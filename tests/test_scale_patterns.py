@@ -81,3 +81,23 @@ def test_salted_aggregate_rejects_non_decomposable(spark):
     li = load_table(spark, SF, "lineitem")
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_aggregate(li, ["l_returnflag"], {"l_quantity": "avg"})
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    """IVF recall floor: the synthetic embeddings are UNIFORM random (no
+    cluster structure), where IVF recall converges to nprobe/K = 0.5 by
+    construction; assert we're in that regime, not collapsed below it.
+    On real (clustered) embeddings the same operator recalls far above the
+    probed fraction."""
+    from ts_etl_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        q_embed_ann_ivf,
+        q_embed_topk,
+    )
+
+    truth = {(r.q_id, r.neighbor_id) for r in q_embed_topk(spark, SF).collect()}
+    approx = {(r.q_id, r.neighbor_id) for r in q_embed_ann_ivf(spark, SF).collect()}
+    recall = len(truth & approx) / len(truth)
+    floor = 0.6 * IVF_NPROBE / IVF_CENTROIDS
+    assert recall >= floor, f"IVF recall collapsed: {recall} < {floor}"

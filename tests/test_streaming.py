@@ -159,3 +159,45 @@ def test_stateful_user_totals(spark, tmp_path):
     for r in rows:
         final[r.user_id] = max(final.get(r.user_id, 0), r.total_events)
     assert final == {7: 3, 8: 1}
+
+
+def test_streaming_dedup_by_event_id(spark, tmp_path):
+    """dropDuplicates on a stream: repeated event_ids across micro-batches
+    are emitted once."""
+    from ts_etl_spark.streaming.events import dedup_events
+
+    d = tmp_path / "dedup_in"
+    d.mkdir()
+    _write_events(
+        str(d / "a.parquet"),
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0), (2, "2024-01-01 10:01:00", 1, "view", 1.0)],
+    )
+    _write_events(
+        str(d / "b.parquet"),
+        [(2, "2024-01-01 10:01:00", 1, "view", 1.0), (3, "2024-01-01 10:02:00", 2, "click", 1.0)],
+    )
+    stream = stream_events(spark, str(d), max_files=1)
+    run_available_now(
+        dedup_events(stream).select("event_id"), "dedup_stream", "append",
+        str(tmp_path / "cp5"),
+    )
+    rows = [r.event_id for r in spark.sql("SELECT * FROM dedup_stream").collect()]
+    assert sorted(rows) == [1, 2, 3]  # id 2 emitted exactly once
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from ts_etl_spark.streaming.events import run_foreach_batch_to_parquet
+
+    d = tmp_path / "fb_in"
+    d.mkdir()
+    _write_events(
+        str(d / "a.parquet"),
+        [(1, "2024-01-01 10:00:00", 1, "click", 1.0), (2, "2024-01-01 10:01:00", 1, "view", 2.0)],
+    )
+    out = str(tmp_path / "fb_out")
+    run_foreach_batch_to_parquet(
+        stream_events(spark, str(d)), out, str(tmp_path / "cp6")
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {r.event_id for r in back.collect()} == {1, 2}

@@ -87,11 +87,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
 
 
+#: BPE-ish pretokenizer regex (GPT-2-style approximation): letter runs,
+#: digit runs, single non-alnum-non-space marks — shared with the oracle.
+BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: rolling-hash modulus (fits in a long at every intermediate step even
+#: under ANSI overflow checking: acc*31 + cp < 2^36)
+RH_MOD = 2147483647
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens AND a BPE-ish regex pretokenizer
+    count (the cheap proxy for LLM token budgeting at corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PAT))
+    return docs.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
+    )
+
+
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the character stream (mod 2^31-1) —
+    a seed-free content fingerprint reproducible in any engine. Pure
+    expression work (aggregate over split chars), shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    rhash = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(RH_MOD)),
+    )
+    return docs.select("doc_id", rhash.alias("rhash"))
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_tokens_bpe": q_text_tokens_bpe,
+    "text_rolling_hash": q_text_rolling_hash,
 }
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -143,6 +179,21 @@ ORACLE = {
     """,
     "text_fingerprint": r"""
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "text_tokens_bpe": rf"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "text_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                [CAST(unicode(x) AS BIGINT) for x in string_split(text, '')]),
+                   (acc, c) -> (acc * 31 + c) % {RH_MOD}
+               ) AS rhash
         FROM documents
     """,
 }

