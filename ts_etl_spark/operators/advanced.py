@@ -185,8 +185,91 @@ def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketized_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_seconds: int,
+) -> DataFrame:
+    """Range join (|left_ts - right_ts| <= gap, same key) WITHOUT the
+    nested-loop blowup: both sides bucket by floor(ts/gap); a row can only
+    match rows in its own or adjacent buckets, so the left explodes to 3
+    bucket probes and the join is a plain equi-join on (key, bucket) with a
+    residual range filter. Linear in matches, shuffle on (key, bucket)."""
+    gap = F.lit(max_gap_seconds)
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / gap)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / gap)
+    probes = F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket")
+    l = left.select("*", probes)
+    r = right.select("*", rb.alias("__bucket"))
+    out = l.join(r, [key, "__bucket"]).filter(
+        F.abs(
+            F.unix_timestamp(F.col(left_ts)).cast("long")
+            - F.unix_timestamp(F.col(right_ts)).cast("long")
+        )
+        <= gap
+    )
+    return out.drop("__bucket")
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error events within 5 minutes of a purchase by the same user
+    (bucketized range join — the scalable interval-join pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+    )
+    out = bucketized_range_join(purchases, errors, "user_id", "p_ts", "e_ts", 300)
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        (
+            F.unix_timestamp("e_ts").cast("long")
+            - F.unix_timestamp("p_ts").cast("long")
+        ).alias("gap_seconds"),
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the ``props`` column: extract, type-cast,
+    aggregate (the reference has no JSON *functions*, only a JSON sink —
+    SURVEY §2.3; this covers the category for the extension surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash (md5 — reproducible in any
+    engine, stable under repartitioning; the honest way to sample at scale
+    when downstream must be able to re-derive membership)."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_hex = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return orders.filter(first_hex.isin("0", "1")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 QUERIES = {
     "asof_purchase_view": q_asof_purchase_view,
+    "range_join_events": q_range_join_events,
+    "json_props": q_json_props,
+    "hash_sample": q_hash_sample,
     "pivot_status_priority": q_pivot_status_priority,
     "unpivot_measures": q_unpivot_lineitem_measures,
     "pandas_median": q_pandas_median,
@@ -196,6 +279,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    "range_join_events": """
+        -- floor to whole epoch seconds to mirror Spark's unix_timestamp
+        SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(p.ts)) AS BIGINT) AS gap_seconds
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND p.event_type = 'purchase' AND e.event_type = 'error'
+         AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 300
+    """,
+    "json_props": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "hash_sample": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
     "asof_purchase_view": """
         SELECT p.event_id, p.user_id,
                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
