@@ -61,3 +61,34 @@ def test_malformed_csv_errors(spark):  # E7 end-to-end
     buf = io.StringIO()
     with pytest.raises(ValueError, match="CSV parsing error"):
         run_conversion("csv", "json", b'Name,Address\n"Unclosed,B\n', buf, spark=spark)
+
+
+def test_json_order_preserved_across_partitions(spark, tmp_path):
+    """The rendered sinks must emit rows in input order even when the file
+    splits into multiple scan partitions (__row_id ordering)."""
+    import io
+
+    from ts_etl_spark.sinks.json_sink import write_json
+    from ts_etl_spark.sources.csv_source import read_csv
+
+    text = "Name,Credit Limit\n" + "".join(f"P{i:04d},{i}\n" for i in range(300))
+    path = tmp_path / "big.csv"
+    path.write_text(text)
+
+    def render(df):
+        buf = io.StringIO()
+        write_json(df, buf)
+        return buf.getvalue()
+
+    single = render(read_csv(spark, str(path)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+        multi_df = read_csv(spark, str(path))
+        assert multi_df.rdd.getNumPartitions() > 1
+        multi = render(multi_df)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert multi == single
+    names = [i["Name"] for i in __import__("json").loads(single)]
+    assert names == [f"P{i:04d}" for i in range(300)]

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the Column-expression normalizers must
+agree with a direct Python re-implementation of the reference's JS semantics
+on arbitrary inputs — not just the golden fixtures."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ts_etl_spark.functions.normalize import (
+    normalize_birthday,
+    normalize_phone,
+    normalize_postcode,
+)
+
+# printable-ish text incl. whitespace and latin1 chars
+TEXT = st.text(
+    alphabet=st.characters(
+        codec="latin-1", categories=("L", "N", "P", "S", "Z")
+    ),
+    max_size=30,
+)
+
+
+_WS = ' \t\n\r\x0b\x0c\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000\ufeff'
+_WS_CLASS = '[\\s\xa0\u1680\u2000-\u200a\u2028\u2029\u202f\u205f\u3000\ufeff]'
+
+
+def py_trim(s: str) -> str:
+    # JS String.trim: Unicode whitespace + BOM
+    return s.strip(_WS)
+
+
+def py_postcode(s: str) -> str:
+    return re.sub(_WS_CLASS + '+', '', py_trim(s)).upper()
+
+
+def py_phone(s: str) -> str:
+    t = py_trim(s)
+    digits = re.sub(r"[^0-9]", "", t)
+    return f"+{digits}" if t.startswith("+") else digits
+
+
+def py_birthday(s: str) -> str:
+    # [0-9] not \d: JS/Java \d is ASCII-only, Python regex \d is Unicode
+    t = py_trim(s)
+    m = re.match(r"^([0-9]{1,2})/([0-9]{1,2})/([0-9]{4})$", t)
+    if m:
+        return f"{m.group(3)}-{m.group(2).zfill(2)}-{m.group(1).zfill(2)}"
+    m = re.match(r"^([0-9]{4})([0-9]{2})([0-9]{2})$", t)
+    if m:
+        return f"{m.group(1)}-{m.group(2)}-{m.group(3)}"
+    m = re.match(r"^([0-9]{4})-([0-9]{1,2})-([0-9]{1,2})$", t)
+    if m:
+        return f"{m.group(1)}-{m.group(2).zfill(2)}-{m.group(3).zfill(2)}"
+    return t
+
+
+def _spark_apply(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r[0] for r in df.select(fn(F.col("v")).alias("o")).collect()]
+
+
+@given(vals=st.lists(TEXT, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_postcode_property(spark, vals):
+    assert _spark_apply(spark, normalize_postcode, vals) == [py_postcode(v) for v in vals]
+
+
+@given(vals=st.lists(TEXT, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_phone_property(spark, vals):
+    assert _spark_apply(spark, normalize_phone, vals) == [py_phone(v) for v in vals]
+
+
+DATEISH = st.one_of(
+    TEXT,
+    st.from_regex(r"\d{1,2}/\d{1,2}/\d{4}", fullmatch=True),
+    st.from_regex(r"\d{8}", fullmatch=True),
+    st.from_regex(r"\d{4}-\d{1,2}-\d{1,2}", fullmatch=True),
+)
+
+
+@given(vals=st.lists(DATEISH, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_birthday_property(spark, vals):
+    assert _spark_apply(spark, normalize_birthday, vals) == [py_birthday(v) for v in vals]

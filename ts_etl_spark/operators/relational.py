@@ -288,6 +288,22 @@ def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.union(p).distinct()
 
 
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: EXCEPT ALL (multiplicity-aware difference)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.exceptAll(f)
+
+
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag semantics: INTERSECT ALL (multiplicity-aware intersection)."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersectAll(f)
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -534,6 +550,8 @@ QUERIES = {
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
     "set_union": q_set_union,
+    "set_except_all": q_set_except_all,
+    "set_intersect_all": q_set_intersect_all,
     "window_rank": q_window_rank,
     "window_running_sum": q_window_running_sum,
     "window_lag": q_window_lag,
@@ -731,6 +749,16 @@ ORACLE = {
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         UNION
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "set_except_all": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "set_intersect_all": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     "window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (

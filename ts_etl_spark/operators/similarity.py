@@ -51,7 +51,10 @@ def norm(a: Column) -> Column:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # single small file → one input split; spread the HOF-heavy dot-product
+    # work (same rationale as dedup.shingle_sets_df)
+    par = spark.sparkContext.defaultParallelism
+    e = load_table(spark, sf_dir, "embeddings").repartition(par, "vec_id")
     v = as_double(F.col("embedding"))
     return e.select("vec_id", "label", v.alias("v"), norm(v).alias("nrm"))
 
