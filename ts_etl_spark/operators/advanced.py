@@ -129,25 +129,28 @@ def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "total")
 
 
-def _median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "median_price": [pdf["l_extendedprice"].median()],
-            "n": [len(pdf)],
-        }
-    )
-
-
 def q_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas aggregation (applyInPandas): exact per-group
     median — numpy's interpolated median matches DuckDB's quantile_cont.
-    Arrow-batched; each group processed vectorized in one worker."""
+    Arrow-batched; defined as a closure so it pickles by value (executors
+    don't need this package importable)."""
+
+    def median_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "median_price": [pdf["l_extendedprice"].median()],
+                "n": [len(pdf)],
+            }
+        )
+
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select("l_returnflag", "l_extendedprice")
         .groupBy("l_returnflag")
-        .applyInPandas(_median_fn, "l_returnflag STRING, median_price DOUBLE, n BIGINT")
+        .applyInPandas(median_fn, "l_returnflag STRING, median_price DOUBLE, n BIGINT")
     )
 
 

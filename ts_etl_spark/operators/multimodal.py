@@ -49,19 +49,30 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
     return n % 640 + 1, (n * 7) % 480 + 1
 
 
-def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        payloads = [bytes(p) for p in pdf["payload"]]
-        dims = [fake_decode(p) for p in payloads]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
-                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
-                "width": pd.Series([d[0] for d in dims], dtype="int32"),
-                "height": pd.Series([d[1] for d in dims], dtype="int32"),
-            }
-        )
+def _make_meta_batches():
+    """Build the batch function as a CLOSURE: cloudpickle then serializes it
+    by value, so executors never need ts_etl_spark importable on their own
+    sys.path (the driver's harness may run from any cwd)."""
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            dims = [(len(p) % 640 + 1, (len(p) * 7) % 480 + 1) for p in payloads]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": _pd.Series([len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hashlib.sha256(p).hexdigest() for p in payloads],
+                    "width": _pd.Series([d[0] for d in dims], dtype="int32"),
+                    "height": _pd.Series([d[1] for d in dims], dtype="int32"),
+                }
+            )
+
+    return meta_batches
 
 
 def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,8 +83,9 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads."""
-    return binary_payloads(spark, sf_dir).mapInPandas(_meta_batches, META_SCHEMA)
+    """Arrow-batched metadata extraction over binary payloads (the fake
+    dims mirror ``fake_decode``; the oracle reproduces the arithmetic)."""
+    return binary_payloads(spark, sf_dir).mapInPandas(_make_meta_batches(), META_SCHEMA)
 
 
 QUERIES = {

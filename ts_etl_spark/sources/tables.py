@@ -24,6 +24,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when reading nanos into its micros TIMESTAMP."""
     if name not in SCALE_TABLES:
         raise ValueError(f"Unknown table {name!r}; expected one of {SCALE_TABLES}")
+    if name == "events":
+        # defensive: callers may hand us a session built without this conf
+        # (it is runtime-settable); without it the scan rejects NANOS
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(

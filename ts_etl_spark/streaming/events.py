@@ -76,27 +76,29 @@ _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = "user_id BIGINT, total_events BIGINT"
 
 
-def _count_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Cumulative per-user event count with explicit state."""
-    total = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        total += len(pdf)
-    state.update((total,))
-    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
-
-
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user totals across micro-batches (Arrow-batched, state-store
     backed — the Spark-native replacement for hand-rolled stateful
-    Transform streams)."""
+    Transform streams). The state function is a closure so it pickles by
+    value (executors don't need this package importable)."""
+
+    def count_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield _pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
     return (
         events.select("user_id")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _count_fn,
+            count_fn,
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
