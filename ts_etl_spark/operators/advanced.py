@@ -268,11 +268,32 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date scalar-function surface: extraction, arithmetic, boundaries —
+    each expression mirrored exactly in the oracle (ISO weekday, month-end
+    clamping add_months, last_day)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + 1).alias("isodow"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+    )
+
+
 QUERIES = {
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_events": q_range_join_events,
     "json_props": q_json_props,
     "hash_sample": q_hash_sample,
+    "date_functions": q_date_functions,
     "pivot_status_priority": q_pivot_status_priority,
     "unpivot_measures": q_unpivot_lineitem_measures,
     "pandas_median": q_pandas_median,
@@ -303,6 +324,20 @@ ORACLE = {
     "hash_sample": """
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(isodow(o_orderdate) AS INT) AS isodow,
+               CAST(o_orderdate AS DATE) + 30 AS plus30,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0
+        FROM orders
     """,
     "asof_purchase_view": """
         SELECT p.event_id, p.user_id,

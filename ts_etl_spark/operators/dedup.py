@@ -122,7 +122,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       linear in bucket occupancy, never all-pairs.
     - verification: candidates carry both shingle arrays; exact Jaccard is
       ``size(array_intersect(...))`` — no third shuffle."""
-    sets = shingle_sets_df(spark, sf_dir)
+    # the shingle sets feed three consumers (signatures + both verification
+    # sides); persist so tokenization/shingling runs once. MEMORY_AND_DISK
+    # by default — at cluster scale this spills rather than OOMs.
+    sets = shingle_sets_df(spark, sf_dir).persist()
 
     # hash each shingle STRING once; the 64 permutations then hash cheap
     # longs (seeded xxhash64) — ~an order of magnitude less string hashing
