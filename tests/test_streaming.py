@@ -201,3 +201,28 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert {r.event_id for r in back.collect()} == {1, 2}
+
+
+def test_stream_csv_canonical_equals_batch(spark, tmp_path):
+    """The canonical normalization runs identically under readStream: a
+    landing directory of CSV files streams to the same rows the batch
+    source produces."""
+    from tests.golden import CSV_FIXTURE, GOLDEN_ROWS
+    from ts_etl_spark.schema import EXPECTED_HEADERS
+    from ts_etl_spark.streaming.canonical import stream_csv_canonical
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    raw = open(CSV_FIXTURE, "rb").read()
+    header, rows = raw.split(b"\n", 1)[0], raw.split(b"\n", 1)[1].splitlines(True)
+    # two files arriving in the landing dir, each with its own header row
+    (d / "part1.csv").write_bytes(header + b"\n" + b"".join(rows[:4]))
+    (d / "part2.csv").write_bytes(header + b"\n" + b"".join(rows[4:]))
+
+    stream = stream_csv_canonical(spark, str(d), header.decode("latin1"))
+    run_available_now(stream, "csv_canonical", "append", str(tmp_path / "cp7"))
+    got = {
+        tuple(r[h] for h in EXPECTED_HEADERS)
+        for r in spark.sql("SELECT * FROM csv_canonical").collect()
+    }
+    assert got == set(GOLDEN_ROWS)

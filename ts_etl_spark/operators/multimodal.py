@@ -88,11 +88,59 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_payloads(spark, sf_dir).mapInPandas(_make_meta_batches(), META_SCHEMA)
 
 
+FRAME_SIZE = 100  # "frame" = 100-char span of the payload text
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_hash STRING"
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: fan OUT multiple rows per input payload via
+    ``mapInPandas`` (the batch shape a video frame-sampler has). The real
+    frame decode is the stub above; the deterministic fake samples
+    fixed-size character spans and fingerprints each — arithmetic the
+    oracle reproduces with generate_series + substr + md5."""
+
+    def frame_batches(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_frames = len(text) // FRAME_SIZE
+                for i in range(n_frames):
+                    span = text[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(_hashlib.md5(span.encode("utf-8")).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int32"),
+                    "frame_hash": _pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
 }
 
 ORACLE = {
+    "multimodal_frames": f"""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) // {FRAME_SIZE} - 1)) AS i
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               md5(substr(text, CAST(i AS INT) * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_hash
+        FROM idx
+    """,
     "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
