@@ -109,3 +109,26 @@ def test_case_insensitive_header_dispatch(spark):
     df = spark.createDataFrame([("54.5",)], "v string")
     got = df.select(normalize_field("credit limit", F.col("v")).alias("o")).collect()[0][0]
     assert got == "54.50"
+
+
+def test_register_normalizer_extension(spark, capsys):
+    """User-defined scalar rule registry (extension of the reference's
+    O19/O20 registry idiom to normalization rules)."""
+    from pyspark.sql import functions as F2
+
+    from ts_etl_spark.functions import normalize as nz
+
+    nz.register_normalizer("Loyalty Tier", lambda c: F2.upper(nz.js_trim(c)), default="NONE")
+    try:
+        df = spark.createDataFrame([(" gold ",), (None,)], "v string")
+        got = [
+            r[0]
+            for r in df.select(nz.normalize_field("Loyalty Tier", F2.col("v")).alias("o")).collect()
+        ]
+        assert got == ["GOLD", "NONE"]
+        # overwrite warns, mirroring the reference registries
+        nz.register_normalizer("Loyalty Tier", nz.js_trim)
+        assert "Overwriting normalizer" in capsys.readouterr().err
+    finally:
+        nz._RULES.pop("Loyalty Tier", None)
+        nz.DEFAULTS.pop("Loyalty Tier", None)

@@ -86,3 +86,42 @@ DATEISH = st.one_of(
 @settings(max_examples=20, deadline=None)
 def test_birthday_property(spark, vals):
     assert _spark_apply(spark, normalize_birthday, vals) == [py_birthday(v) for v in vals]
+
+
+def py_money(s: str) -> str:
+    """JS parseFloat(v.replace(',', '.')).toFixed(2) with the engine's
+    documented HALF_UP-on-decimal-string divergence (normalize.py docstring)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = py_trim(s)
+    t = re.sub(r"^([^,]*),", r"\1.", t, count=1)
+    m = re.match(r"^[+-]?(?:[0-9]+\.?[0-9]*(?:[eE][+-]?[0-9]+)?|\.[0-9]+(?:[eE][+-]?[0-9]+)?)", t)
+    if not m:
+        return "0.00"
+    raw = Decimal(m.group(0))
+    if abs(raw) >= Decimal("1e17"):  # outside DECIMAL(18,2) -> engine nulls -> default
+        return "0.00"
+    d = raw.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    out = f"{d:f}"
+    # JS sign semantics: "-0.00" iff the parsed float is strictly negative
+    v = float(m.group(0))
+    if v < 0 and not out.startswith("-"):
+        out = "-" + out
+    if v >= 0 and out.startswith("-"):
+        out = out[1:]
+    return out
+
+
+MONEYISH = st.one_of(
+    TEXT,
+    st.from_regex(r"[+-]?[0-9]{1,10}([.,][0-9]{1,4})?", fullmatch=True),
+    st.from_regex(r"[0-9]{1,6}[eE][+-]?[0-9]{1,2}", fullmatch=True),
+)
+
+
+@given(vals=st.lists(MONEYISH, min_size=1, max_size=30))
+@settings(max_examples=20, deadline=None)
+def test_money_property(spark, vals):
+    from ts_etl_spark.functions.normalize import normalize_money
+
+    assert _spark_apply(spark, normalize_money, vals) == [py_money(v) for v in vals]

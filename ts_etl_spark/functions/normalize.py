@@ -68,13 +68,21 @@ def normalize_phone(c: Column) -> Column:
 
 def normalize_money(c: Column) -> Column:
     """JS ``parseFloat(v.replace(',', '.')).toFixed(2)``; NaN → "0.00"
-    (normalization.ts:57-63). Returns the 2-decimal *string*."""
+    (normalization.ts:57-63). Returns the 2-decimal *string*.
+
+    Robustness divergence: values outside DECIMAL(18,2) (|v| ≥ 1e16-ish)
+    yield the "0.00" default via ``try_cast`` instead of crashing the job
+    under ANSI mode or emitting 20-digit strings — one malformed record
+    must never kill a pipeline. JS's signed negative zero IS preserved:
+    ``(-0.001).toFixed(2) === "-0.00"``."""
     t = js_trim(c)
     # JS String.replace with a string pattern replaces only the FIRST match.
     first_comma_dotted = F.regexp_replace(t, "^([^,]*),", "$1.")
     prefix = F.regexp_extract(first_comma_dotted, _FLOAT_PREFIX, 0)
-    as_dec = F.when(prefix != "", prefix.cast(T.DecimalType(18, 2)))
-    return F.coalesce(as_dec.cast(T.StringType()), F.lit("0.00"))
+    as_dec = F.when(prefix != "", prefix.try_cast(T.DecimalType(18, 2)))
+    s = F.coalesce(as_dec.cast(T.StringType()), F.lit("0.00"))
+    neg_zero = (prefix.try_cast(T.DoubleType()) < 0) & (s == "0.00")
+    return F.when(neg_zero, F.lit("-0.00")).otherwise(s)
 
 
 def normalize_birthday(c: Column) -> Column:
@@ -127,10 +135,34 @@ _RULES = {
 }
 
 
+def register_normalizer(header: str, rule, default: str = "") -> None:
+    """User-defined scalar-normalizer extension point.
+
+    The reference hard-codes its normalization rules (normalization.ts:43-99)
+    and exposes registries only for parsers/renderers (O19/O20); this engine
+    extends the same registry idiom to the per-column rules: ``rule`` is any
+    ``Column -> Column`` function (keep it built-in-expression-based to stay
+    on the codegen hot path). Overwrites warn, like the reference registries
+    (parsers/index.ts:11-16)."""
+    import sys
+
+    key = None
+    for expected in EXPECTED_HEADERS:
+        if expected.lower() == header.lower():
+            key = expected
+            break
+    key = key or header
+    if key in _RULES:
+        print(f"Warning: Overwriting normalizer for header: {key}", file=sys.stderr)
+    _RULES[key] = rule
+    DEFAULTS[key] = default
+
+
 def normalize_field(header: str, c: Column) -> Column:
     """``normalizeFieldValue`` (normalization.ts:21-101): dispatch by
     canonical header (case-insensitive), null → per-column default."""
-    rule, default = js_trim, DEFAULTS.get(header, "")
+    # registered non-canonical rules are honored too (register_normalizer)
+    rule, default = _RULES.get(header, js_trim), DEFAULTS.get(header, "")
     for expected in EXPECTED_HEADERS:
         if expected.lower() == header.lower():
             rule, default = _RULES[expected], DEFAULTS[expected]
