@@ -32,6 +32,9 @@ HEADLINE = [
     "topk_orders",
     "events_tumbling",
     "events_session",
+    "asof_purchase_view",
+    "range_join_events",
+    "pandas_median",
     "dedup_minhash_lsh",
     "embed_topk",
     "text_stats",

@@ -49,7 +49,7 @@ def to_typed(df: DataFrame) -> DataFrame:
         c = F.col(f"`{h}`")
         out = _TYPED_NAMES[h]
         if h == H_CREDIT_LIMIT:
-            exprs.append(c.cast(T.DecimalType(18, 2)).alias(out))
+            exprs.append(c.try_cast(T.DecimalType(18, 2)).alias(out))
         elif h == H_BIRTHDAY:
             # strict parse; '' / pass-through garbage / impossible dates →
             # null (try_to_date never raises, even under ANSI mode)

@@ -96,8 +96,12 @@ def _prescale_cents(raw: Column) -> Column:
     ``parseInt`` (leading-integer prefix), /100, 2-decimal string; non-
     numeric -> '' so the shared money normalizer applies the default."""
     prefix = F.regexp_extract(raw, _INT_PREFIX, 0)
-    as_units = (prefix.cast(T.DecimalType(18, 0)) / 100).cast(T.DecimalType(18, 2))
-    return F.when(prefix == "", F.lit("")).otherwise(as_units.cast(T.StringType()))
+    # try_cast: an out-of-range cents value degrades to the default instead
+    # of an ANSI overflow error killing the job
+    as_units = (prefix.try_cast(T.DecimalType(18, 0)) / 100).cast(T.DecimalType(18, 2))
+    return F.when(prefix == "", F.lit("")).otherwise(
+        F.coalesce(as_units.cast(T.StringType()), F.lit(""))
+    )
 
 
 def _read_lines(spark: SparkSession, path: str, encoding: str) -> DataFrame:
