@@ -486,6 +486,74 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-style semi join + priority counts (orders with
+    at least one lineitem shipped after the order date)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue, keep the max (ties included)
+    via a scalar aggregate comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(money_sum(revenue).alias("total_revenue"))
+    max_rev = per_supp.agg(F.max("total_revenue").alias("m"))
+    return (
+        per_supp.join(F.broadcast(max_rev), per_supp.total_revenue == max_rev.m)
+        .join(F.broadcast(sup), per_supp.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile/percent_rank/cume_dist over a
+    unique ordering (deterministic; the rationals are exact in IEEE).
+
+    Scale note: an UNPARTITIONED ranking window is inherently a single-
+    partition sort — correct here as the semantic definition, but at 100 TB
+    you'd bucket by ``approx_quantiles`` boundaries instead (see
+    ``approx_quantiles``) or rank within partitions."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface over customer names — each expression
+    mirrored exactly in the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    n = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(n).alias("up"),
+        F.substring(n, 1, 8).alias("first8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(n).alias("rev"),
+        F.length(n).alias("len"),
+        F.translate(n, "#", "-").alias("translated"),
+        F.concat_ws("|", n, F.col("c_mktsegment")).alias("joined"),
+        F.instr(n, "#").alias("hash_pos"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Approximate / sketch operators
 # --------------------------------------------------------------------------
@@ -536,6 +604,10 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q4_order_priority": q4_order_priority,
+    "q15_top_supplier": q15_top_supplier,
+    "window_ntile": q_window_ntile,
+    "string_functions": q_string_functions,
     "filter_project": q_filter_project,
     "join_broadcast_agg": q_join_broadcast,
     "join_left_agg": q_join_left,
@@ -783,6 +855,43 @@ ORACLE = {
                                            ORDER BY o_orderdate, o_orderkey),
                     o_orderdate) AS INT) AS days_since_prev
         FROM orders
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    "q15_top_supplier": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey, CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+    """,
+    "window_ntile": """
+        SELECT o_orderkey,
+               CAST(NTILE(10) OVER w AS INT) AS decile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "string_functions": """
+        SELECT c_custkey,
+               upper(c_name) AS up,
+               substr(c_name, 1, 8) AS first8,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+               reverse(c_name) AS rev,
+               CAST(length(c_name) AS INT) AS len,
+               replace(c_name, '#', '-') AS translated,
+               c_name || '|' || c_mktsegment AS joined,
+               CAST(strpos(c_name, '#') AS INT) AS hash_pos
+        FROM customer
     """,
     "quantiles": """
         SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
