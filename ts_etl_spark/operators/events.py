@@ -85,14 +85,59 @@ def q_events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: the same measures
+    maintained at minute/hour/day granularity in one pass — expressed as a
+    GROUPING SETS aggregation over pre-computed bucket columns, so Spark
+    computes all three levels with a single scan + one shuffle (the
+    continuous-aggregate pattern of time-series stores, Spark-first)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.date_format(F.date_trunc("minute", "ts"), TS_FMT).alias("bucket_minute"),
+        F.date_format(F.date_trunc("hour", "ts"), TS_FMT).alias("bucket_hour"),
+        F.date_format(F.date_trunc("day", "ts"), TS_FMT).alias("bucket_day"),
+        dec("value").alias("v"),
+    ).createOrReplaceTempView("ht_events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN bucket_minute IS NOT NULL THEN 'minute'
+                    WHEN bucket_hour   IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS grain,
+               coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM ht_events
+        GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
+        """
+    )
+
+
 QUERIES = {
     "events_tumbling": q_events_tumbling,
+    "events_hypertable_rollup": q_events_hypertable_rollup,
     "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "events_type_share": q_events_type_share,
 }
 
 ORACLE = {
+    "events_hypertable_rollup": f"""
+        WITH b AS (
+            SELECT strftime(date_trunc('minute', ts), '{_STRF}') AS bucket_minute,
+                   strftime(date_trunc('hour', ts), '{_STRF}') AS bucket_hour,
+                   strftime(date_trunc('day', ts), '{_STRF}') AS bucket_day,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events
+        )
+        SELECT CASE WHEN bucket_minute IS NOT NULL THEN 'minute'
+                    WHEN bucket_hour   IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS grain,
+               coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM b
+        GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
+    """,
     "events_tumbling": f"""
         SELECT strftime(date_trunc('hour', ts), '{_STRF}') AS window_start,
                event_type, COUNT(*) AS n,
