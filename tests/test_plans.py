@@ -16,6 +16,7 @@ from ts_etl_spark.plans.audit import (
     count_nodes,
     has_whole_stage_codegen,
     num_exchanges,
+    plan_str,
     pushed_filters,
     read_schemas,
 )
@@ -90,3 +91,21 @@ def test_embed_topk_broadcasts_queries(spark):
     assert count_nodes(df, "BroadcastNestedLoopJoin") + count_nodes(
         df, "BroadcastHashJoin"
     ) >= 1
+
+
+def test_minhash_bounded_shuffles(spark):
+    """MinHash-LSH must stay at a handful of exchanges (signature
+    repartition, band self-join, verification joins) — a regression here
+    means the quadratic path snuck back in."""
+    from ts_etl_spark.operators.dedup import q_dedup_minhash_lsh
+
+    df = q_dedup_minhash_lsh(spark, SF)
+    assert num_exchanges(df) <= 8, plan_str(df)
+
+
+def test_asof_single_window_pass(spark):
+    from ts_etl_spark.operators.advanced import q_asof_purchase_view
+
+    df = q_asof_purchase_view(spark, SF)
+    assert count_nodes(df, "Window") == 1
+    assert num_exchanges(df) <= 3  # two scans union + one keyed shuffle

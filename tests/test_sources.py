@@ -179,3 +179,37 @@ def test_prn_data_wider_than_header(spark, tmp_path):  # E8
     text = "Name  Birthday\nJo    19870101EXTRA\n"
     df = read_prn(spark, write_tmp(tmp_path, "wdr.prn", text))
     assert rows_of(df)[0][5] == "1987-01-01"
+
+
+def test_source_sink_registries():
+    """Registry contracts (reference O19/O20): unknown types raise, custom
+    registrations resolve, overwrites warn."""
+    import io
+
+    import pytest as pt
+
+    from ts_etl_spark import sinks, sources
+
+    with pt.raises(ValueError, match="No parser registered"):
+        sources.create_source("xml", None, "/nope")
+    with pt.raises(ValueError, match="No renderer registered"):
+        sinks.create_sink("pdf")
+
+    calls = []
+    sources.register_source("fake", lambda spark, path: calls.append(path))
+    try:
+        sources.create_source("FAKE", None, "p1")  # case-insensitive
+        assert calls == ["p1"]
+    finally:
+        sources.SOURCES.pop("fake", None)
+
+    def fake_sink(df, out):
+        out.write("ok")
+
+    sinks.register_sink("txt", fake_sink)
+    try:
+        buf = io.StringIO()
+        sinks.create_sink("TXT")(None, buf)
+        assert buf.getvalue() == "ok"
+    finally:
+        sinks.SINKS.pop("txt", None)
