@@ -58,6 +58,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     run("q1_pricing_summary")  # warmup: JVM + codegen + parquet footer cache
+    run("pandas_median")  # warmup: Python/Arrow worker pool spin-up
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

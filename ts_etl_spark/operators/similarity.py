@@ -9,9 +9,19 @@
 - ``embed_neardup_label``: all-pairs cosine ≥ threshold *blocked by label*
   (the natural blocking key) — oracle-checked.
 - ``embed_ann_ivf``: IVF-style approximate top-k — deterministic coarse
-  quantizer (seed vectors as centroids), nprobe=2 — the 100 TB scale path
+  quantizer (seed vectors as centroids), nprobe=4 — the 100 TB scale path
   where brute force is quadratic. Accuracy is judged by a recall test
   against ``embed_topk`` (tests/), not a SQL oracle (rows-only check).
+
+Why IVF and not random-hyperplane LSH for the ANN scale path: hyperplane
+LSH bucket-collision probability is ``(1 - θ/π)^bits`` per band; on this
+corpus (uniform random 64-dim vectors, best-neighbor cosine ≈ 0.5 ⇒
+θ ≈ 60°) an 8-bit band collides at ~4%, so usable recall needs so many
+bands the candidate set degenerates toward all-pairs. IVF probes a fixed
+fraction of cells regardless of the similarity distribution, which is the
+defensible bound on uniform data and strictly better on clustered (real)
+embeddings. (SimHash banding IS used where it fits — text near-dup in
+operators/dedup.py, where true near-dups have Jaccard ≫ baseline.)
 
 Scale notes: brute force is O(Q·N) with Q small (broadcast the query set —
 no shuffle of the big side); IVF assigns each vector to its nearest seed
