@@ -24,6 +24,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when reading nanos into its micros TIMESTAMP."""
     if name not in SCALE_TABLES:
         raise ValueError(f"Unknown table {name!r}; expected one of {SCALE_TABLES}")
+    # defensive: timestamp rendering (date_format/strftime parity with the
+    # TZ-naive DuckDB oracle) assumes a UTC session; pin it at runtime in
+    # case the caller's session was built elsewhere
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # defensive: callers may hand us a session built without this conf
         # (it is runtime-settable); without it the scan rejects NANOS
