@@ -125,9 +125,49 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
+THUMB_SIZE = 64  # "thumbnail" = 64 evenly-strided samples of the payload
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing: each payload reduced to a fixed-size
+    "thumbnail" by strided sampling in a pandas batch (the batch shape an
+    image resizer has: payload in, smaller payload + metadata out). The
+    deterministic fake strides characters; a real resizer would swap in the
+    stubbed ``decode_image`` + interpolation."""
+
+    def resize_batches(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, strides, hashes, sizes = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                k = max(len(text) // THUMB_SIZE, 1)
+                thumb = text[::k][:THUMB_SIZE]
+                ids.append(doc_id)
+                strides.append(k)
+                hashes.append(_hashlib.md5(thumb.encode("utf-8")).hexdigest())
+                sizes.append(len(thumb))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "stride": _pd.Series(strides, dtype="int32"),
+                    "thumb_hash": _pd.Series(hashes, dtype="object"),
+                    "thumb_len": _pd.Series(sizes, dtype="int32"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        resize_batches, "doc_id BIGINT, stride INT, thumb_hash STRING, thumb_len INT"
+    )
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE = {
@@ -140,6 +180,22 @@ ORACLE = {
         SELECT doc_id, CAST(i AS INT) AS frame_idx,
                md5(substr(text, CAST(i AS INT) * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_hash
         FROM idx
+    """,
+    "multimodal_resize": f"""
+        WITH sized AS (
+            SELECT doc_id, text,
+                   greatest(length(text) // {THUMB_SIZE}, 1) AS k
+            FROM documents
+        ), thumbs AS (
+            SELECT doc_id, CAST(k AS INT) AS stride,
+                   array_to_string(
+                       [substr(text, 1 + i * k, 1)
+                        for i in generate_series(0, {THUMB_SIZE} - 1)], '') AS thumb
+            FROM sized
+        )
+        SELECT doc_id, stride, md5(thumb) AS thumb_hash,
+               CAST(length(thumb) AS INT) AS thumb_len
+        FROM thumbs
     """,
     "multimodal_meta": """
         SELECT doc_id,
