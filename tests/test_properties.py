@@ -125,3 +125,35 @@ def test_money_property(spark, vals):
     from ts_etl_spark.functions.normalize import normalize_money
 
     assert _spark_apply(spark, normalize_money, vals) == [py_money(v) for v in vals]
+
+
+@given(
+    widths=st.lists(st.integers(min_value=0, max_value=6), min_size=6, max_size=6),
+    drop=st.sets(st.integers(min_value=0, max_value=5), max_size=3),
+)
+@settings(max_examples=50, deadline=None)
+def test_prn_span_inference_property(widths, drop):
+    """For any padding widths and any subset of dropped headers, inferred
+    spans must start exactly at each present header's position, be
+    contiguous over present headers, and end at the trimmed line length."""
+    from ts_etl_spark.schema import EXPECTED_HEADERS
+    from ts_etl_spark.sources.prn_source import infer_specs
+
+    present = [h for i, h in enumerate(EXPECTED_HEADERS) if i not in drop]
+    if not present:
+        return
+    header = ""
+    expected_starts = {}
+    for i, h in enumerate(EXPECTED_HEADERS):
+        if i in drop:
+            continue
+        expected_starts[h] = len(header)
+        header += h + " " * widths[i]
+    specs = infer_specs(header, warn=False)
+    assert [s.name for s in specs] == present
+    for s in specs:
+        assert s.start == expected_starts[s.name]
+    trimmed_len = len(header.rstrip())
+    for a, b in zip(specs, specs[1:]):
+        assert a.end == b.start
+    assert specs[-1].end == trimmed_len
