@@ -26,9 +26,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"Unknown table {name!r}; expected one of {SCALE_TABLES}")
     # defensive: timestamp rendering (date_format/strftime parity with the
     # TZ-naive DuckDB oracle) assumes a UTC session; pin it at runtime in
-    # case the caller's session was built elsewhere
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # case the caller's session was built elsewhere. (Unconditional set —
+    # conf.get with a default VALIDATES the default as a timezone.)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # defensive: callers may hand us a session built without this conf
         # (it is runtime-settable); without it the scan rejects NANOS
