@@ -109,3 +109,48 @@ def test_asof_single_window_pass(spark):
     df = q_asof_purchase_view(spark, SF)
     assert count_nodes(df, "Window") == 1
     assert num_exchanges(df) <= 3  # two scans union + one keyed shuffle
+
+
+def test_no_forced_broadcast_on_scaling_tables(spark):
+    """Scale-safety of the join hints: with the size-based threshold disabled
+    every join against an SF-scaling table (customer/supplier/part) must
+    degrade to a shuffle join — proving no hard broadcast hint is attached
+    (a forced hint is honored regardless of runtime size and would OOM
+    materializing a multi-TB build side at 100 TB). Only fixed-cardinality
+    sides (region, nation, the 1-row max_rev aggregate) stay broadcast."""
+    from ts_etl_spark.operators.relational import (
+        q3_segment_revenue,
+        q7_volume_shipping,
+        q14_promo_revenue,
+        q15_top_supplier,
+        q19_disjunctive_predicates,
+    )
+
+    # (query, broadcast joins expected with threshold off = hinted
+    #  fixed-cardinality sides only, min shuffle joins = scaling-table joins)
+    cases = [
+        (q3_segment_revenue, 0, 2),  # li⋈orders, ⋈customer
+        (q5_local_supplier_volume, 2, 3),  # nation+region hinted; li⋈o,⋈cust,⋈sup
+        (q_join_broadcast, 0, 1),  # orders⋈customer
+        (q7_volume_shipping, 2, 3),  # sn+cn hinted; li⋈o,⋈cust,⋈sup
+        (q14_promo_revenue, 0, 1),  # li⋈part
+        (q19_disjunctive_predicates, 0, 1),  # li⋈part
+        (q15_top_supplier, 1, 1),  # max_rev hinted; ⋈supplier
+    ]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q, n_bhj, n_smj in cases:
+            df = q(spark, SF)
+            assert count_nodes(df, "BroadcastHashJoin") == n_bhj, (
+                q.__name__, plan_str(df))
+            assert count_nodes(df, "SortMergeJoin") >= n_smj, (
+                q.__name__, plan_str(df))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # ... and with the session defaults restored, the same joins DO broadcast
+    # at test scale (size-based static planning; AQE re-plans at runtime too)
+    for q, n_bhj, n_smj in cases:
+        df = q(spark, SF)
+        assert count_nodes(df, "BroadcastHashJoin") >= n_bhj + n_smj, (
+            q.__name__, plan_str(df))

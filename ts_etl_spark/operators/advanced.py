@@ -180,10 +180,15 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation with deterministic order: per-nation sorted list of
-    supplier keys (sort_array makes collect_list order-insensitive)."""
+    supplier keys (sort_array makes collect_list order-insensitive). The
+    numerically-sorted list is joined to a comma string so the result row is
+    all scalars (array columns break generic result hashers)."""
     sup = load_table(spark, sf_dir, "supplier")
+    keys = F.sort_array(F.collect_list("s_suppkey"))
     return sup.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.array_join(F.transform(keys, lambda k: k.cast("string")), ",").alias(
+            "suppkeys"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -387,7 +392,9 @@ ORACLE = {
                                   FROM orders)
     """,
     "collect_sorted": """
-        SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppkeys, COUNT(*) AS n
+        SELECT s_nationkey,
+               array_to_string(list_sort(list(s_suppkey)), ',') AS suppkeys,
+               COUNT(*) AS n
         FROM supplier GROUP BY s_nationkey
     """,
 }

@@ -14,9 +14,11 @@ engines and across partitionings. Averages are SUM(decimal)::double / count.
 
 Scale notes (100 TB design point)
 ---------------------------------
-- Dimension sides (region, nation, supplier; customer at small SF) are
-  broadcast — no shuffle of the fact table for those joins. AQE converts
-  shuffle joins to broadcast at runtime when a side turns out small.
+- Fixed-cardinality dimensions (region, nation — constant size at ANY SF)
+  carry explicit broadcast hints. SF-scaling tables (customer, supplier,
+  part) are joined UNHINTED: the autoBroadcastJoinThreshold + AQE broadcast
+  them while small and fall back to shuffle joins at scale — a forced hint
+  would OOM materializing a multi-TB side at 100 TB.
 - Aggregations are partial (map-side combine) by construction — plain
   ``groupBy().agg()`` — so the shuffle carries one row per group per task.
 - Filters are plain column predicates on the scan side of every join, so
@@ -89,7 +91,10 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: no forced broadcast hint — the session's
+        # autoBroadcastJoinThreshold + AQE convert to broadcast when the
+        # filtered side is actually small, and fall back to SMJ at 100 TB
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", day_str("o_orderdate").alias("o_orderdate"))
         .agg(money_sum(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
@@ -110,7 +115,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        # supplier scales with SF: unhinted (threshold/AQE decide); nation and
+        # region have fixed cardinality at any SF so their hints are safe
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -152,11 +159,13 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ broadcast(dim): the fact table never shuffles."""
+    """Fact ⋈ small dim → broadcast join, chosen by the PLANNER (size-based
+    threshold + AQE), not a hard hint: customer scales with SF, so a forced
+    broadcast would OOM at 100 TB while the unhinted join degrades to SMJ."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -379,7 +388,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -438,7 +447,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             (F.lit(100.0) * money_sum(promo) / money_sum(revenue)).alias(
                 "promo_revenue_pct"
@@ -475,7 +484,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 20))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 30))
@@ -510,8 +519,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy("l_suppkey").agg(money_sum(revenue).alias("total_revenue"))
     max_rev = per_supp.agg(F.max("total_revenue").alias("m"))
     return (
+        # max_rev is a 1-row aggregate at any SF — its hint is safe; supplier
+        # scales with SF, so it joins unhinted (threshold/AQE decide)
         per_supp.join(F.broadcast(max_rev), per_supp.total_revenue == max_rev.m)
-        .join(F.broadcast(sup), per_supp.l_suppkey == sup.s_suppkey)
+        .join(sup, per_supp.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

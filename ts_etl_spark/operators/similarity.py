@@ -119,8 +119,8 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic seed centroids (vec_id in
-    [100, 100+IVF_CENTROIDS)), nprobe=2. Rows-only check; recall vs
-    brute force is asserted in tests."""
+    [100, 100+IVF_CENTROIDS)), nprobe=IVF_NPROBE (4 of 8 cells). Rows-only
+    check; recall vs brute force is asserted in tests."""
     from pyspark.sql.window import Window
 
     vecs = _vectors(spark, sf_dir)
