@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (reference-parity surface is
 exercised via tests/, extension surface here); ``oracle_sql()`` gives DuckDB
-equivalents for everything SQL-expressible (rows-only otherwise — currently:
-dedup_simhash, embed_ann_ivf, approx_distinct, approx_quantiles, which are
-approximate/sketch ops by nature).
+equivalents for everything SQL-expressible (rows-only otherwise — currently
+only dedup_simhash and embed_ann_ivf, whose xxhash64-based sketches DuckDB
+cannot reproduce; sketch AGGREGATES are oracle-gated via bounded-error
+booleans in quantiles_sketches).
 """
 
 from __future__ import annotations

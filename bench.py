@@ -23,23 +23,27 @@ from ts_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_segment_revenue",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "join_broadcast_agg",
     "agg_distinct",
-    "window_rank",
+    "window_functions",
     "topk_orders",
-    "events_tumbling",
+    "events_windows",
     "events_session",
     "asof_purchase_view",
     "range_join_events",
+    "stream_stream_join",
     "pandas_median",
     "dedup_minhash_lsh",
+    "dedup_ngram_topk",
     "embed_topk",
-    "text_stats",
-    "text_fingerprint",
-    "multimodal_meta",
+    "embed_neardup_label",
+    "text_metrics",
+    "text_signatures",
+    "multimodal_meta_resize",
 ]
 
 

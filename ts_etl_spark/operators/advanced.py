@@ -100,33 +100,27 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot: order counts by status × priority (priorities as columns)."""
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (order counts by status × priority, priorities as columns) then
+    unpivot (melt) the wide result back to long format — both reshape
+    operators in one round-trip. The pivot is a single grouped aggregation
+    with a fixed column list (no second distinct-values pass); the unpivot
+    is an Expand node, no shuffle."""
     orders = load_table(spark, sf_dir, "orders")
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    out = (
+    wide = (
         orders.groupBy("o_orderstatus")
         .pivot("o_orderpriority", prios)
         .agg(F.count(F.lit(1)))
     )
     renames = {p: f"p{p[0]}" for p in prios}
     for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
-    return out.select(
+        wide = wide.withColumnRenamed(old, new)
+    wide = wide.select(
         "o_orderstatus",
         *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()],
     )
-
-
-def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (melt): per returnflag, (measure, total) long format."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wide = li.groupBy("l_returnflag").agg(
-        money_sum(dec("l_quantity")).alias("qty"),
-        money_sum(dec("l_extendedprice")).alias("price"),
-        money_sum(dec("l_discount")).alias("discount"),
-    )
-    return wide.unpivot("l_returnflag", ["qty", "price", "discount"], "measure", "total")
+    return wide.unpivot("o_orderstatus", list(renames.values()), "priority", "n")
 
 
 def q_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,26 +148,17 @@ def q_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ... HAVING: customers with ≥ 15 orders."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), money_sum(dec("o_totalprice")).alias("total"))
-        .filter(F.col("n_orders") >= 15)
-    )
-
-
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above the global average price (scalar subquery via SQL)."""
+    """Orders above 1.5× the global average price (scalar subquery via SQL;
+    Catalyst plans the subquery once and broadcasts the scalar)."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice
         FROM sq_orders
-        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                              AS DOUBLE) / COUNT(*)
-                                  FROM sq_orders)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                                AS DOUBLE) / COUNT(*)
+                                    FROM sq_orders)
         """
     )
 
@@ -244,65 +229,11 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar functions over the ``props`` column: extract, type-cast,
-    aggregate (the reference has no JSON *functions*, only a JSON sink —
-    SURVEY §2.3; this covers the category for the extension surface)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 10% sample by key hash (md5 — reproducible in any
-    engine, stable under repartitioning; the honest way to sample at scale
-    when downstream must be able to re-derive membership)."""
-    orders = load_table(spark, sf_dir, "orders")
-    first_hex = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
-    return orders.filter(first_hex.isin("0", "1")).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-
-
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date scalar-function surface: extraction, arithmetic, boundaries —
-    each expression mirrored exactly in the oracle (ISO weekday, month-end
-    clamping add_months, last_day)."""
-    orders = load_table(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    return orders.select(
-        "o_orderkey",
-        F.year(d).alias("y"),
-        F.quarter(d).alias("q"),
-        F.month(d).alias("m"),
-        F.dayofmonth(d).alias("dom"),
-        (F.weekday(d) + 1).alias("isodow"),
-        F.date_add(d, 30).alias("plus30"),
-        F.add_months(d, 2).alias("plus2m"),
-        F.last_day(d).alias("month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
-    )
-
-
 QUERIES = {
     "asof_purchase_view": q_asof_purchase_view,
     "range_join_events": q_range_join_events,
-    "json_props": q_json_props,
-    "hash_sample": q_hash_sample,
-    "date_functions": q_date_functions,
-    "pivot_status_priority": q_pivot_status_priority,
-    "unpivot_measures": q_unpivot_lineitem_measures,
+    "pivot_unpivot": q_pivot_unpivot,
     "pandas_median": q_pandas_median,
-    "having_agg": q_having,
     "scalar_subquery": q_scalar_subquery,
     "collect_sorted": q_collect_sorted,
 }
@@ -319,31 +250,6 @@ ORACLE = {
          AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
                  - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 300
     """,
-    "json_props": """
-        SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
-        FROM events GROUP BY event_type
-    """,
-    "hash_sample": """
-        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
-    """,
-    "date_functions": """
-        SELECT o_orderkey,
-               CAST(year(o_orderdate) AS INT) AS y,
-               CAST(quarter(o_orderdate) AS INT) AS q,
-               CAST(month(o_orderdate) AS INT) AS m,
-               CAST(day(o_orderdate) AS INT) AS dom,
-               CAST(isodow(o_orderdate) AS INT) AS isodow,
-               CAST(o_orderdate AS DATE) + 30 AS plus30,
-               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
-               last_day(CAST(o_orderdate AS DATE)) AS month_end,
-               CAST(date_diff('day', DATE '1995-01-01',
-                              CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0
-        FROM orders
-    """,
     "asof_purchase_view": """
         SELECT p.event_id, p.user_id,
                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -353,26 +259,21 @@ ORACLE = {
                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_event_id
         FROM events p WHERE p.event_type = 'purchase'
     """,
-    "pivot_status_priority": """
-        SELECT o_orderstatus,
-               COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
-               COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
-               COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
-               COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
-               COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
-        FROM orders GROUP BY o_orderstatus
-    """,
-    "unpivot_measures": """
+    "pivot_unpivot": """
         WITH wide AS (
-            SELECT l_returnflag,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
-                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount
-            FROM lineitem GROUP BY l_returnflag
+            SELECT o_orderstatus,
+                   COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+                   COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+                   COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+                   COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                   COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+            FROM orders GROUP BY o_orderstatus
         )
-        SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
-        UNION ALL SELECT l_returnflag, 'price', price FROM wide
-        UNION ALL SELECT l_returnflag, 'discount', discount FROM wide
+        SELECT o_orderstatus, 'p1' AS priority, p1 AS n FROM wide
+        UNION ALL SELECT o_orderstatus, 'p2', p2 FROM wide
+        UNION ALL SELECT o_orderstatus, 'p3', p3 FROM wide
+        UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
+        UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
     """,
     "pandas_median": """
         SELECT l_returnflag,
@@ -380,16 +281,11 @@ ORACLE = {
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag
     """,
-    "having_agg": """
-        SELECT o_custkey, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
-    """,
     "scalar_subquery": """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                                              AS DOUBLE) / COUNT(*)
-                                  FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                                                AS DOUBLE) / COUNT(*)
+                                    FROM orders)
     """,
     "collect_sorted": """
         SELECT s_nationkey,

@@ -29,7 +29,9 @@ def ts_str(c) -> F.Column:
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling windows per event_type."""
+    """1-hour tumbling windows per event_type (batch equivalent of the
+    streaming tumbling aggregation — kept as a named building block for the
+    streaming tests; registered via the merged ``events_windows``)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -51,9 +53,27 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"))
-        .select(ts_str(F.col("w.start")).alias("window_start"), "event_type", "n")
+        .agg(F.count("*").alias("n"), money_sum(dec("value")).alias("total_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
     )
+
+
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling AND sliding event-time windows in one tagged union (the two
+    window kinds share scan + partial-agg shape; each branch is a single
+    (window, key) shuffle exactly like any groupBy at 100 TB)."""
+    tumbling = q_events_tumbling(spark, sf_dir).select(
+        F.lit("tumbling").alias("kind"), "*"
+    )
+    sliding = q_events_sliding(spark, sf_dir).select(
+        F.lit("sliding").alias("kind"), "*"
+    )
+    return tumbling.unionByName(sliding)
 
 
 def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,16 +92,29 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aggregate + window-over-aggregate: share of total per event type."""
+    """Aggregate + window-over-aggregate (share of total per event type),
+    with the JSON scalar-function surface folded in: ``props`` is a JSON
+    string column and the k property is extracted, cast and aggregated in
+    the same grouped pass (the reference has only a JSON *sink*, no JSON
+    functions — SURVEY §2.3; this covers the category)."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    k = F.get_json_object("props", "$.k").cast("int")
+    counts = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
     total = Window.partitionBy()
     return counts.select(
         "event_type",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(total)).alias("share"),
+        "sum_k",
+        "min_k",
+        "max_k",
     )
 
 
@@ -112,12 +145,37 @@ def q_events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the watermarked stream-stream join
+    (``ts_etl_spark.streaming.events.purchase_view_join`` runs the same
+    predicate under ``readStream`` with watermark-bounded state): every
+    (purchase, view) pair by the same user where the view happened at most
+    30 minutes before the purchase. Executed as a bucketized interval join —
+    an equi-join on (user, time-bucket) with a residual filter, never a
+    range cross-join."""
+    from ts_etl_spark.operators.advanced import bucketized_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    gap = F.unix_timestamp("p_ts").cast("long") - F.unix_timestamp("v_ts").cast("long")
+    out = bucketized_range_join(purchases, views, "user_id", "p_ts", "v_ts", 1800)
+    return (
+        out.select("user_id", "purchase_id", "view_id", gap.alias("gap_seconds"))
+        .filter((F.col("gap_seconds") >= 0) & (F.col("gap_seconds") <= 1800))
+    )
+
+
 QUERIES = {
-    "events_tumbling": q_events_tumbling,
+    "events_windows": q_events_windows,
     "events_hypertable_rollup": q_events_hypertable_rollup,
-    "events_sliding": q_events_sliding,
     "events_session": q_events_session,
     "events_type_share": q_events_type_share,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
@@ -138,21 +196,23 @@ ORACLE = {
         FROM b
         GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
     """,
-    "events_tumbling": f"""
-        SELECT strftime(date_trunc('hour', ts), '{_STRF}') AS window_start,
+    "events_windows": f"""
+        SELECT 'tumbling' AS kind,
+               strftime(date_trunc('hour', ts), '{_STRF}') AS window_start,
                event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        FROM events GROUP BY 1, 2
-    """,
-    "events_sliding": f"""
-        WITH buckets AS (
-            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type FROM events
+        FROM events GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'sliding' AS kind, strftime(ws, '{_STRF}') AS window_start,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS total_value
+        FROM (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type,
+                   CAST(value AS DECIMAL(18,2)) AS v FROM events
             UNION ALL
             SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
-                   event_type FROM events
-        )
-        SELECT strftime(ws, '{_STRF}') AS window_start, event_type, COUNT(*) AS n
-        FROM buckets GROUP BY 1, 2
+                   event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        ) GROUP BY 1, 2, 3
     """,
     "events_session": f"""
         WITH flagged AS (
@@ -177,7 +237,21 @@ ORACLE = {
     """,
     "events_type_share": """
         SELECT event_type, COUNT(*) AS n,
-               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
+    """,
+    "stream_stream_join": """
+        -- floor to whole epoch seconds to mirror Spark's unix_timestamp
+        SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_seconds
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND CAST(floor(epoch(p.ts)) AS BIGINT)
+             - CAST(floor(epoch(v.ts)) AS BIGINT) BETWEEN 0 AND 1800
     """,
 }

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ts_etl_spark.sources.tables import load_table
 
 META_SCHEMA = (
-    "doc_id BIGINT, n_bytes BIGINT, sha256 STRING, width INT, height INT"
+    "doc_id BIGINT, n_bytes BIGINT, sha256 STRING, width INT, height INT, "
+    "stride INT, thumb_hash STRING, thumb_len INT"
 )
 
 
@@ -49,10 +50,19 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
     return n % 640 + 1, (n * 7) % 480 + 1
 
 
+THUMB_SIZE = 64  # "thumbnail" = 64 evenly-strided samples of the payload
+
+
 def _make_meta_batches():
     """Build the batch function as a CLOSURE: cloudpickle then serializes it
     by value, so executors never need ts_etl_spark importable on their own
-    sys.path (the driver's harness may run from any cwd)."""
+    sys.path (the driver's harness may run from any cwd).
+
+    One decode, two products per payload — the realistic batch shape of an
+    image pipeline (decode once, emit metadata + thumbnail): pseudo-dims
+    from the byte length (mirrors ``fake_decode``), sha256 of the raw bytes,
+    and a fixed-size strided "thumbnail" of the decoded text."""
+    thumb_size = THUMB_SIZE
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -62,6 +72,14 @@ def _make_meta_batches():
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
             dims = [(len(p) % 640 + 1, (len(p) * 7) % 480 + 1) for p in payloads]
+            strides, thashes, tlens = [], [], []
+            for p in payloads:
+                text = p.decode("utf-8")
+                k = max(len(text) // thumb_size, 1)
+                thumb = text[::k][:thumb_size]
+                strides.append(k)
+                thashes.append(_hashlib.md5(thumb.encode("utf-8")).hexdigest())
+                tlens.append(len(thumb))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -69,6 +87,9 @@ def _make_meta_batches():
                     "sha256": [_hashlib.sha256(p).hexdigest() for p in payloads],
                     "width": _pd.Series([d[0] for d in dims], dtype="int32"),
                     "height": _pd.Series([d[1] for d in dims], dtype="int32"),
+                    "stride": _pd.Series(strides, dtype="int32"),
+                    "thumb_hash": _pd.Series(thashes, dtype="object"),
+                    "thumb_len": _pd.Series(tlens, dtype="int32"),
                 }
             )
 
@@ -82,9 +103,12 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched metadata extraction over binary payloads (the fake
-    dims mirror ``fake_decode``; the oracle reproduces the arithmetic)."""
+def q_multimodal_meta_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched metadata extraction + resize/downsample over binary
+    payloads in a single ``mapInPandas`` pass (decode once, emit metadata
+    and a strided thumbnail — the per-doc batch shape an image pipeline
+    has). The fake dims mirror ``fake_decode``; the oracle reproduces both
+    the metadata arithmetic and the stride sampling."""
     return binary_payloads(spark, sf_dir).mapInPandas(_make_meta_batches(), META_SCHEMA)
 
 
@@ -125,49 +149,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
-THUMB_SIZE = 64  # "thumbnail" = 64 evenly-strided samples of the payload
-
-
-def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/downsample plumbing: each payload reduced to a fixed-size
-    "thumbnail" by strided sampling in a pandas batch (the batch shape an
-    image resizer has: payload in, smaller payload + metadata out). The
-    deterministic fake strides characters; a real resizer would swap in the
-    stubbed ``decode_image`` + interpolation."""
-
-    def resize_batches(batches):
-        import hashlib as _hashlib
-
-        import pandas as _pd
-
-        for pdf in batches:
-            ids, strides, hashes, sizes = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                k = max(len(text) // THUMB_SIZE, 1)
-                thumb = text[::k][:THUMB_SIZE]
-                ids.append(doc_id)
-                strides.append(k)
-                hashes.append(_hashlib.md5(thumb.encode("utf-8")).hexdigest())
-                sizes.append(len(thumb))
-            yield _pd.DataFrame(
-                {
-                    "doc_id": _pd.Series(ids, dtype="int64"),
-                    "stride": _pd.Series(strides, dtype="int32"),
-                    "thumb_hash": _pd.Series(hashes, dtype="object"),
-                    "thumb_len": _pd.Series(sizes, dtype="int32"),
-                }
-            )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(
-        resize_batches, "doc_id BIGINT, stride INT, thumb_hash STRING, thumb_len INT"
-    )
-
-
 QUERIES = {
-    "multimodal_meta": q_multimodal_meta,
+    "multimodal_meta_resize": q_multimodal_meta_resize,
     "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE = {
@@ -181,28 +165,25 @@ ORACLE = {
                md5(substr(text, CAST(i AS INT) * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_hash
         FROM idx
     """,
-    "multimodal_resize": f"""
+    "multimodal_meta_resize": f"""
         WITH sized AS (
             SELECT doc_id, text,
                    greatest(length(text) // {THUMB_SIZE}, 1) AS k
             FROM documents
         ), thumbs AS (
-            SELECT doc_id, CAST(k AS INT) AS stride,
+            SELECT doc_id, text, CAST(k AS INT) AS stride,
                    array_to_string(
                        [substr(text, 1 + i * k, 1)
                         for i in generate_series(0, {THUMB_SIZE} - 1)], '') AS thumb
             FROM sized
         )
-        SELECT doc_id, stride, md5(thumb) AS thumb_hash,
-               CAST(length(thumb) AS INT) AS thumb_len
-        FROM thumbs
-    """,
-    "multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                sha256(text) AS sha256,
                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
-        FROM documents
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+               stride, md5(thumb) AS thumb_hash,
+               CAST(length(thumb) AS INT) AS thumb_len
+        FROM thumbs
     """,
 }

@@ -147,10 +147,18 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-level filter + computed projection; no shuffle at all."""
+    """Row-level filter + computed projection + deterministic hash sampling;
+    no shuffle at all. The 1/8 sample keys on md5 of the row identity —
+    reproducible in any engine and stable under repartitioning, the honest
+    way to sample at scale when downstream must re-derive membership
+    (pushable predicates still reach the scan; the md5 residual is a
+    post-scan filter inside the same codegen stage)."""
     li = load_table(spark, sf_dir, "lineitem")
     net = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
-    return li.filter((F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")).select(
+    sample = F.substring(
+        F.md5(F.concat_ws("#", "l_orderkey", "l_linenumber")), 1, 1
+    ).isin("0", "1")
+    return li.filter((F.col("l_returnflag") == "R") & sample).select(
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
@@ -189,21 +197,20 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi: EXISTS without materializing the probe side."""
-    cust = load_table(spark, sf_dir, "customer")
-    fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    return cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS without materializing the probe side) and left-anti
+    (NOT EXISTS) in one tagged union — both execute as one-pass hash joins
+    that never duplicate probe rows."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    fo = orders.filter(F.col("o_orderstatus") == "F")
+    semi = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name"
     )
+    anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
 
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,52 +223,48 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_group_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP, CUBE and GROUPING SETS in one tagged union — Spark expands
+    each into a single Expand + hash aggregate (one scan, one shuffle per
+    branch; no per-grouping re-scan). Unified schema
+    (op, k1, k2, n, m double-nullable)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), money_sum(dec("l_quantity")).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n",
-            "sum_qty",
-        )
-    )
-
-
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), money_sum(dec("o_totalprice")).alias("total"))
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), money_sum(dec("l_quantity")).alias("m"))
         .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.lit("rollup").alias("op"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("k1"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("k2"),
             "n",
-            "total",
+            "m",
         )
     )
-
-
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via Spark SQL over a temp view."""
+    cube = (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), money_sum(dec("o_totalprice")).alias("m"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("k1"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("k2"),
+            "n",
+            "m",
+        )
+    )
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
-    return spark.sql(
+    gsets = spark.sql(
         """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               count(*) AS n
+        SELECT 'gsets' AS op,
+               coalesce(l_returnflag, 'ALL') AS k1,
+               coalesce(l_linestatus, 'ALL') AS k2,
+               count(*) AS n,
+               CAST(NULL AS DOUBLE) AS m
         FROM gs_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
-
-
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_linestatus"
-    ).distinct()
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,41 +279,28 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operation surface in one tagged union: INTERSECT /
+    EXCEPT / UNION (set semantics, incl. the implicit DISTINCT) and
+    EXCEPT ALL / INTERSECT ALL (bag semantics, multiplicity-aware). Each
+    branch is a single keyed shuffle; the union concatenates partitions
+    without any extra exchange."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return o.intersect(f)
-
-
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return o.subtract(f)  # EXCEPT (distinct) semantics
-
-
-def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     p = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
-    return o.union(p).distinct()
-
-
-def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag semantics: EXCEPT ALL (multiplicity-aware difference)."""
-    orders = load_table(spark, sf_dir, "orders")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return o.exceptAll(f)
-
-
-def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag semantics: INTERSECT ALL (multiplicity-aware intersection)."""
-    orders = load_table(spark, sf_dir, "orders")
-    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return o.intersectAll(f)
+    branches = [
+        ("intersect", o.intersect(f)),
+        ("except", o.subtract(f)),
+        ("union", o.union(p).distinct()),
+        ("except_all", o.exceptAll(f)),
+        ("intersect_all", o.intersectAll(f)),
+    ]
+    out = None
+    for tag, df in branches:
+        tagged = df.select(F.lit(tag).alias("op"), "o_custkey")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -318,52 +308,28 @@ def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer: single shuffle on the partition key."""
-    from pyspark.sql.window import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
-    )
-
-
-def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.select(
-        "o_custkey",
-        "o_orderkey",
-        day_str("o_orderdate").alias("o_orderdate"),
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
-    )
-
-
-def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation/frame window surface over ONE window spec —
+    row_number, lag, running sum and partitioned ntile share the same
+    (partition, order), so Spark plans a SINGLE shuffle + sort and evaluates
+    all four in one Window operator. The ntile is PARTITIONED (per-customer
+    quartiles): an unpartitioned ranking window is a single-partition global
+    sort — the scale-safe global-distribution variant is ``ntile_bucketed``."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    prev = F.lag("o_orderdate").over(w)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+        day_str("o_orderdate").alias("o_orderdate"),
+        F.row_number().over(w).alias("rn"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.sum(dec("o_totalprice")).over(wsum).cast("double").alias("running_total"),
+        F.ntile(4).over(w).alias("quartile"),
     )
 
 
@@ -527,41 +493,155 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: ntile/percent_rank/cume_dist over a
-    unique ordering (deterministic; the rationals are exact in IEEE).
-
-    Scale note: an UNPARTITIONED ranking window is inherently a single-
-    partition sort — correct here as the semantic definition, but at 100 TB
-    you'd bucket by ``approx_quantiles`` boundaries instead (see
-    ``approx_quantiles``) or rank within partitions."""
-    from pyspark.sql.window import Window
-
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
-        "o_orderkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery (the classic
+    de-correlation test — Catalyst rewrites it into an aggregate + join, no
+    per-row re-execution). The driver tables have no partsupp, so the
+    part-supplier cost relation derives from lineitem: cost(part, supp) =
+    MIN(l_extendedprice) — MIN is order-insensitive and exact on doubles,
+    so both engines agree bit-for-bit. Expressed in SQL to exercise the
+    SQL-subquery surface end-to-end."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q2_{t}")
+    return spark.sql(
+        """
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice) AS cost
+            FROM q2_lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+        FROM ps
+        JOIN q2_part     ON p_partkey = ps.ps_partkey
+        JOIN q2_supplier ON s_suppkey = ps.ps_suppkey
+        JOIN q2_nation   ON s_nationkey = n_nationkey
+        JOIN q2_region   ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND r_name = 'EUROPE'
+          AND cost = (
+            SELECT MIN(ps2.cost)
+            FROM ps ps2
+            JOIN q2_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN q2_nation   n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN q2_region   r2 ON r2.r_regionkey = n2.n_regionkey
+            -- the outer reference MUST be qualified (ps.): a bare ps_partkey
+            -- resolves to ps2's own column and silently de-correlates the
+            -- predicate into a global min
+            WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps.ps_suppkey
+        LIMIT 100
+        """
     )
 
 
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar-function surface over customer names — each expression
-    mirrored exactly in the oracle."""
-    cust = load_table(spark, sf_dir, "customer")
-    n = F.col("c_name")
-    return cust.select(
-        "c_custkey",
-        F.upper(n).alias("up"),
-        F.substring(n, 1, 8).alias("first8"),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
-        F.reverse(n).alias("rev"),
-        F.length(n).alias("len"),
-        F.translate(n, "#", "-").alias("translated"),
-        F.concat_ws("|", n, F.col("c_mktsegment")).alias("joined"),
-        F.instr(n, "#").alias("hash_pos"),
+def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a chain of semi-joins gated by an aggregate-vs-
+    aggregate predicate. Adapted to the driver tables (no partsupp.availqty):
+    suppliers in the ASIA region who shipped more than 30% of their all-time
+    PROMO-part volume during 1996. Every membership test is a left-semi join
+    (no probe-row duplication, no distinct needed); the aggregate ratio is a
+    single grouped pass over the fact table."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01")
+    )
+    per_ps = (
+        li.join(promo, li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            money_sum(F.when(in96, dec("l_quantity")).otherwise(F.lit(0).cast(DEC))).alias(
+                "qty96"
+            ),
+            money_sum(dec("l_quantity")).alias("qty_all"),
+        )
+    )
+    qualified = per_ps.filter(F.col("qty96") > F.lit(0.3) * F.col("qty_all")).select(
+        "l_suppkey"
+    )
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    )
+    return (
+        sup.join(qualified, sup.s_suppkey == qualified.l_suppkey, "left_semi")
+        .join(F.broadcast(asia_nations), sup.s_nationkey == asia_nations.n_nationkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe GLOBAL decile assignment: instead of the single-partition
+    sort an unpartitioned ``ntile`` window needs, compute 9 internal decile
+    boundaries with ``percentile_approx`` (one partial-merge aggregate),
+    broadcast them, and assign buckets with a pure map-side expression —
+    two linear passes, no global sort, the pattern that survives 100 TB.
+
+    The boundaries are approximate (Greenwald-Khanna sketch), so bucket
+    populations are verified against a ±3% band around N/10 rather than
+    hash-matched: the output is (bucket, ok) with the oracle asserting TRUE
+    for all ten buckets from its exact quantiles."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+            10000,
+        ).alias("cuts")
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("o_totalprice") > c, 1).otherwise(0),
+    )
+    sized = (
+        orders.join(F.broadcast(cuts), F.lit(True))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy())  # 10 rows — trivial
+    return sized.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        # tolerance: 3% of the expected decile population (= total * 0.003)
+        (F.abs(F.col("cnt") - total / 10.0) <= total * F.lit(0.003)).alias("ok"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface — string ops over o_orderpriority /
+    o_orderstatus and date ops over o_orderdate in one shuffle-free
+    projection, each expression mirrored exactly in the oracle (ISO
+    weekday, month-end-clamping add_months, last_day)."""
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.col("o_orderpriority")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.upper(s).alias("up"),
+        F.substring(s, 1, 5).alias("first5"),
+        F.lpad(F.col("o_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(s).alias("rev"),
+        F.length(s).alias("len"),
+        F.translate(s, "-", "_").alias("translated"),
+        F.concat_ws("|", s, F.col("o_orderstatus")).alias("joined"),
+        F.instr(s, "-").alias("dash_pos"),
+        F.year(d).alias("y"),
+        F.quarter(d).alias("q"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + 1).alias("isodow"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2m"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
     )
 
 
@@ -570,77 +650,82 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct counts. Sketch internals differ across
-    engines, so this is a rows-only check; the exact counterpart
-    (agg_distinct) carries the oracle gate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-    )
-
-
-def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (both engines: linear interpolation on
-    the fully sorted column)."""
+def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and sketch-based aggregates side by side, ALL oracle-checkable:
+    exact interpolated quantiles and exact COUNT(DISTINCT) hash-match the
+    oracle directly; the sketch results (HLL++ ``approx_count_distinct``,
+    Greenwald-Khanna ``percentile_approx``) are engine-specific, so they are
+    surfaced as bounded-relative-error BOOLEANS (|approx-exact|/exact within
+    the sketch's documented bound) that the oracle asserts TRUE — the sketch
+    paths stay exercised without an unverifiable raw value in the output."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return li.agg(
-        pct.getItem(0).alias("p25"), pct.getItem(1).alias("p50"), pct.getItem(2).alias("p75")
-    )
-
-
-def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate quantiles — rows-only check (sketch
-    semantics are engine-specific)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx(
+    apct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
     )
-    return li.agg(
-        pct.getItem(0).alias("p25"), pct.getItem(1).alias("p50"), pct.getItem(2).alias("p75")
+    agg = li.agg(
+        pct.getItem(0).alias("p25"),
+        pct.getItem(1).alias("p50"),
+        pct.getItem(2).alias("p75"),
+        apct.getItem(0).alias("ap25"),
+        apct.getItem(1).alias("ap50"),
+        apct.getItem(2).alias("ap75"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("adp"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("ads"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ado"),
+    )
+
+    def rel_ok(approx, exact, bound):
+        return (F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * bound).alias(
+            f"{approx}_ok"
+        )
+
+    return agg.select(
+        "p25",
+        "p50",
+        "p75",
+        "distinct_parts",
+        "distinct_suppliers",
+        "distinct_orders",
+        rel_ok("ap25", "p25", 0.01),
+        rel_ok("ap50", "p50", 0.01),
+        rel_ok("ap75", "p75", 0.01),
+        rel_ok("adp", "distinct_parts", 0.05),
+        rel_ok("ads", "distinct_suppliers", 0.05),
+        rel_ok("ado", "distinct_orders", 0.05),
     )
 
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q3_segment_revenue": q3_segment_revenue,
+    "q4_order_priority": q4_order_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
-    "q4_order_priority": q4_order_priority,
-    "q15_top_supplier": q15_top_supplier,
-    "window_ntile": q_window_ntile,
-    "string_functions": q_string_functions,
-    "filter_project": q_filter_project,
+    "q20_promo_share_suppliers": q20_promo_share_suppliers,
+    "filter_project_sample": q_filter_project,
     "join_broadcast_agg": q_join_broadcast,
     "join_left_agg": q_join_left,
-    "join_semi": q_join_semi,
-    "join_anti": q_join_anti,
+    "join_semi_anti": q_join_semi_anti,
     "agg_distinct": q_agg_distinct,
-    "rollup_agg": q_rollup,
-    "cube_agg": q_cube,
-    "grouping_sets": q_grouping_sets,
-    "distinct_pairs": q_distinct,
+    "group_extensions": q_group_extensions,
     "topk_orders": q_topk_orders,
-    "set_intersect": q_set_intersect,
-    "set_except": q_set_except,
-    "set_union": q_set_union,
-    "set_except_all": q_set_except_all,
-    "set_intersect_all": q_set_intersect_all,
-    "window_rank": q_window_rank,
-    "window_running_sum": q_window_running_sum,
-    "window_lag": q_window_lag,
-    "approx_distinct": q_approx_distinct,
-    "quantiles": q_quantiles,
-    "approx_quantiles": q_approx_quantiles,
+    "set_operations": q_set_operations,
+    "scalar_functions": q_scalar_functions,
+    "window_functions": q_window_functions,
+    "ntile_bucketed": q_ntile_bucketed,
+    "quantiles_sketches": q_quantiles_sketches,
 }
 
 # DuckDB oracle SQL. Decimal-space aggregation mirrors the Spark side so
@@ -756,11 +841,55 @@ ORACLE = {
            OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity >= 30)
            OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 40)
     """,
-    "filter_project": f"""
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice) AS cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+        FROM ps
+        JOIN part     ON p_partkey = ps.ps_partkey
+        JOIN supplier ON s_suppkey = ps.ps_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND r_name = 'EUROPE'
+          AND cost = (
+            SELECT MIN(ps2.cost)
+            FROM ps ps2
+            JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+            JOIN nation   n2 ON n2.n_nationkey = s2.s_nationkey
+            JOIN region   r2 ON r2.r_regionkey = n2.n_regionkey
+            WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps.ps_suppkey
+        LIMIT 100
+    """,
+    "q20_promo_share_suppliers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                                 THEN CAST(l_quantity AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty96,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_all
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM per_ps WHERE qty96 > 0.3 * qty_all)
+          AND s_nationkey IN (
+            SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA')
+    """,
+    "filter_project_sample": f"""
         SELECT l_orderkey, l_linenumber, l_quantity,
                CAST({_REV} AS DOUBLE) AS net_price
         FROM lineitem
-        WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        WHERE l_returnflag = 'R'
+          AND substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
+                         || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
     "join_broadcast_agg": """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
@@ -775,13 +904,12 @@ ORACLE = {
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,
-    "join_semi": """
-        SELECT c_custkey, c_name FROM customer c
+    "join_semi_anti": """
+        SELECT 'semi' AS op, c_custkey, c_name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-    """,
-    "join_anti": """
-        SELECT c_custkey, c_name FROM customer c
+        UNION ALL
+        SELECT 'anti' AS op, c_custkey, c_name FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     "agg_distinct": """
@@ -791,81 +919,75 @@ ORACLE = {
                COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
-    "rollup_agg": """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
+    "group_extensions": """
+        SELECT 'rollup' AS op,
+               coalesce(l_returnflag, 'ALL') AS k1,
+               coalesce(l_linestatus, 'ALL') AS k2,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    "cube_agg": """
-        SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
-               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        UNION ALL
+        SELECT 'cube' AS op,
+               coalesce(o_orderstatus, 'ALL') AS k1,
+               coalesce(o_orderpriority, 'ALL') AS k2,
                COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "grouping_sets": """
-        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-               coalesce(l_linestatus, 'ALL') AS linestatus,
-               COUNT(*) AS n
+        UNION ALL
+        SELECT 'gsets' AS op,
+               coalesce(l_returnflag, 'ALL') AS k1,
+               coalesce(l_linestatus, 'ALL') AS k2,
+               COUNT(*) AS n,
+               CAST(NULL AS DOUBLE) AS m
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    "distinct_pairs": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "topk_orders": """
         SELECT o_orderkey, o_custkey, o_totalprice,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
     """,
-    "set_intersect": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        INTERSECT
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    "set_operations": """
+        SELECT 'intersect' AS op, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'except' AS op, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'union' AS op, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        UNION ALL
+        SELECT 'except_all' AS op, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'intersect_all' AS op, o_custkey FROM (
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT ALL
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
-    "set_except": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        EXCEPT
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    "set_union": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        UNION
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-    """,
-    "set_except_all": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        EXCEPT ALL
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    "set_intersect_all": """
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        INTERSECT ALL
-        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    """,
-    "window_rank": """
-        SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
-            SELECT o_custkey, o_orderkey, o_totalprice,
-                   ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
-            FROM orders) t
-        WHERE rn <= 3
-    """,
-    "window_running_sum": """
+    "window_functions": """
         SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+                    AS INT) AS days_since_prev,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) AS running_total
+                    AS DOUBLE) AS running_total,
+               CAST(NTILE(4) OVER w AS INT) AS quartile
         FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    "window_lag": """
-        SELECT o_custkey, o_orderkey,
-               CAST(date_diff('day',
-                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
-                                           ORDER BY o_orderdate, o_orderkey),
-                    o_orderdate) AS INT) AS days_since_prev
-        FROM orders
+    "ntile_bucketed": """
+        SELECT CAST(range AS INT) AS bucket, TRUE AS ok FROM range(1, 11)
     """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
@@ -884,31 +1006,37 @@ ORACLE = {
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
     """,
-    "window_ntile": """
+    "scalar_functions": """
         SELECT o_orderkey,
-               CAST(NTILE(10) OVER w AS INT) AS decile,
-               PERCENT_RANK() OVER w AS pct_rank,
-               CUME_DIST() OVER w AS cume
+               upper(o_orderpriority) AS up,
+               substr(o_orderpriority, 1, 5) AS first5,
+               lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS padded_key,
+               reverse(o_orderpriority) AS rev,
+               CAST(length(o_orderpriority) AS INT) AS len,
+               replace(o_orderpriority, '-', '_') AS translated,
+               o_orderpriority || '|' || o_orderstatus AS joined,
+               CAST(strpos(o_orderpriority, '-') AS INT) AS dash_pos,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(isodow(o_orderdate) AS INT) AS isodow,
+               CAST(o_orderdate AS DATE) + 30 AS plus30,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0
         FROM orders
-        WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
     """,
-    "string_functions": """
-        SELECT c_custkey,
-               upper(c_name) AS up,
-               substr(c_name, 1, 8) AS first8,
-               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
-               reverse(c_name) AS rev,
-               CAST(length(c_name) AS INT) AS len,
-               replace(c_name, '#', '-') AS translated,
-               c_name || '|' || c_mktsegment AS joined,
-               CAST(strpos(c_name, '#') AS INT) AS hash_pos
-        FROM customer
-    """,
-    "quantiles": """
+    "quantiles_sketches": """
         SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
                quantile_cont(l_extendedprice, 0.50) AS p50,
-               quantile_cont(l_extendedprice, 0.75) AS p75
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+               COUNT(DISTINCT l_orderkey) AS distinct_orders,
+               TRUE AS ap25_ok, TRUE AS ap50_ok, TRUE AS ap75_ok,
+               TRUE AS adp_ok, TRUE AS ads_ok, TRUE AS ado_ok
         FROM lineitem
     """,
-    # approx_distinct / approx_quantiles: rows-only (engine-specific sketches)
 }

@@ -27,43 +27,49 @@ LANG_MARKERS = {
 }
 CJK = r"[一-鿿]"
 
+#: BPE-ish pretokenizer regex (GPT-2-style approximation): letter runs,
+#: digit runs, single non-alnum-non-space marks — shared with the oracle.
+BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token count + basic char-class stats per document."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_chars = F.length("text")
-    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
-    spaces = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
-    return docs.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        n_chars.alias("n_chars"),
-        (alpha.cast("double") / n_chars).alias("alpha_ratio"),
-        (digits.cast("double") / n_chars).alias("digit_ratio"),
-        (spaces.cast("double") / n_chars).alias("space_ratio"),
-        ((n_chars - spaces).cast("double") / F.size(toks)).alias("avg_token_len"),
-    )
+#: rolling-hash modulus (fits in a long at every intermediate step even
+#: under ANSI overflow checking: acc*31 + cp < 2^36)
+RH_MOD = 2147483647
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate: keep docs passing simple length/shape heuristics —
-    the classic pre-training corpus filter."""
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus metrics in ONE shuffle-free projection: token
+    counts (whitespace + BPE-ish regex pretokenizer — the cheap proxy for
+    LLM token budgeting), char-class ratios, and the classic pre-training
+    quality gate surfaced as a boolean (length/shape heuristics)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("double") / n_chars
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
+    alpha_ratio = alpha.cast("double") / n_chars
+    quality_pass = (n_tokens >= 10) & (n_chars >= 100) & (alpha_ratio >= 0.5)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PAT)).alias("n_bpe_tokens"),
+        n_chars.alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        (digits.cast("double") / n_chars).alias("digit_ratio"),
+        (spaces.cast("double") / n_chars).alias("space_ratio"),
+        ((n_chars - spaces).cast("double") / n_tokens).alias("avg_token_len"),
+        quality_pass.alias("quality_pass"),
     )
-    keep = (n_tokens >= 10) & (n_chars >= 100) & (alpha_ratio >= 0.5)
-    return docs.select("doc_id", "lang", "source").filter(keep)
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-count language ID with deterministic argmax (ties resolved in
-    declaration order, zh only on CJK presence, else 'und')."""
+def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document identity signals in ONE shuffle-free projection:
+    marker-count language ID with deterministic argmax (ties resolved in
+    declaration order, zh only on CJK presence, else 'und'), canonical-form
+    md5 fingerprint (lower/whitespace-collapsed), and a polynomial rolling
+    hash over the character stream (mod 2^31-1 — seed-free, reproducible in
+    any engine, pmod-bounded so ANSI overflow checking never trips)."""
     docs = load_table(spark, sf_dir, "documents")
     scores = {
         lang: F.regexp_count(F.lower(F.col("text")), F.lit(pat))
@@ -75,59 +81,22 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in LANG_MARKERS:  # declaration order = tie-break order
         pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
     pred = pred.otherwise(F.lit("und"))
-    sel = [F.col("doc_id"), pred.alias("pred_lang")]
-    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
-    return docs.select(*sel)
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-form fingerprint: md5 of lower/whitespace-collapsed text."""
-    docs = load_table(spark, sf_dir, "documents")
     canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return docs.select("doc_id", F.md5(canon).alias("fingerprint"))
-
-
-#: BPE-ish pretokenizer regex (GPT-2-style approximation): letter runs,
-#: digit runs, single non-alnum-non-space marks — shared with the oracle.
-BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
-
-#: rolling-hash modulus (fits in a long at every intermediate step even
-#: under ANSI overflow checking: acc*31 + cp < 2^36)
-RH_MOD = 2147483647
-
-
-def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens AND a BPE-ish regex pretokenizer
-    count (the cheap proxy for LLM token budgeting at corpus scale)."""
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe = F.regexp_count(F.col("text"), F.lit(BPE_PAT))
-    return docs.select(
-        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens")
-    )
-
-
-def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polynomial rolling hash over the character stream (mod 2^31-1) —
-    a seed-free content fingerprint reproducible in any engine. Pure
-    expression work (aggregate over split chars), shuffle-free."""
-    docs = load_table(spark, sf_dir, "documents")
     chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
     rhash = F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(RH_MOD)),
     )
-    return docs.select("doc_id", rhash.alias("rhash"))
+    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
+    sel += [F.md5(canon).alias("fingerprint"), rhash.alias("rhash")]
+    return docs.select(*sel)
 
 
 QUERIES = {
-    "text_stats": q_text_stats,
-    "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
-    "text_fingerprint": q_text_fingerprint,
-    "text_tokens_bpe": q_text_tokens_bpe,
-    "text_rolling_hash": q_text_rolling_hash,
+    "text_metrics": q_text_metrics,
+    "text_signatures": q_text_signatures,
 }
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -136,9 +105,10 @@ _LANG_SCORES_SQL = ",\n".join(
 )
 
 ORACLE = {
-    "text_stats": r"""
+    "text_metrics": rf"""
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens,
                CAST(length(text) AS INT) AS n_chars,
                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                    / length(text) AS alpha_ratio,
@@ -147,19 +117,16 @@ ORACLE = {
                CAST(length(regexp_replace(text, '[^\s]', '', 'g')) AS DOUBLE)
                    / length(text) AS space_ratio,
                CAST(length(text) - length(regexp_replace(text, '[^\s]', '', 'g')) AS DOUBLE)
-                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+               (len(regexp_split_to_array(trim(text), '\s+')) >= 10
+                AND length(text) >= 100
+                AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                        / length(text) >= 0.5) AS quality_pass
         FROM documents
     """,
-    "text_quality": r"""
-        SELECT doc_id, lang, source FROM documents
-        WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 10
-          AND length(text) >= 100
-          AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                  / length(text) >= 0.5
-    """,
-    "text_langid": f"""
+    "text_signatures": rf"""
         WITH scored AS (
-            SELECT doc_id,
+            SELECT doc_id, text,
                    {_LANG_SCORES_SQL},
                    len(regexp_extract_all(text, '{CJK}')) AS score_cjk
             FROM documents
@@ -174,26 +141,13 @@ ORACLE = {
                CAST(score_en AS INT) AS score_en,
                CAST(score_de AS INT) AS score_de,
                CAST(score_fr AS INT) AS score_fr,
-               CAST(score_es AS INT) AS score_es
-        FROM scored
-    """,
-    "text_fingerprint": r"""
-        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-        FROM documents
-    """,
-    "text_tokens_bpe": rf"""
-        SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
-               CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens
-        FROM documents
-    """,
-    "text_rolling_hash": f"""
-        SELECT doc_id,
+               CAST(score_es AS INT) AS score_es,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                                 [CAST(unicode(x) AS BIGINT) for x in string_split(text, '')]),
                    (acc, c) -> (acc * 31 + c) % {RH_MOD}
                ) AS rhash
-        FROM documents
+        FROM scored
     """,
 }
