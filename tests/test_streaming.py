@@ -226,3 +226,23 @@ def test_stream_csv_canonical_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM csv_canonical").collect()
     }
     assert got == set(GOLDEN_ROWS)
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path, events_dir):
+    """Watermarked stream-stream join over all files == the batch
+    bucketized interval join (same predicate, same rows)."""
+    from ts_etl_spark.operators.events import q_stream_stream_join
+    from ts_etl_spark.streaming.events import purchase_view_join
+
+    stream = stream_events(spark, events_dir)
+    joined = purchase_view_join(stream)
+    run_available_now(joined, "ssj", "append", str(tmp_path / "cp_ssj"))
+    got = {
+        (r.user_id, r.purchase_id, r.view_id, r.gap_seconds)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    want = {
+        (r.user_id, r.purchase_id, r.view_id, r.gap_seconds)
+        for r in q_stream_stream_join(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0

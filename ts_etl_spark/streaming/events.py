@@ -107,6 +107,48 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_view_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join: every (purchase, view) pair by
+    the same user where the view happened at most 30 minutes before the
+    purchase — the streaming counterpart of the batch
+    ``operators.events.q_stream_stream_join`` (same predicate, same output).
+
+    Both inputs carry event-time watermarks and the join condition bounds
+    each side's event time relative to the other, so Spark can prove when
+    buffered rows are no longer joinable and EVICT them: join state is
+    bounded by (watermark + 30 minutes), not by stream length — the property
+    that makes the operator runnable forever at 100 TB/day."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user_id AND v_ts <= p_ts "
+            "AND v_ts >= p_ts - INTERVAL 30 MINUTES"
+        ),
+    )
+    gap = F.unix_timestamp("p_ts").cast("long") - F.unix_timestamp("v_ts").cast("long")
+    return joined.select(
+        "user_id", "purchase_id", "view_id", gap.alias("gap_seconds")
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup by event_id within the watermark horizon —
     state is bounded: ids older than the watermark are evicted."""
