@@ -101,3 +101,40 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     recall = len(truth & approx) / len(truth)
     floor = 0.6 * IVF_NPROBE / IVF_CENTROIDS
     assert recall >= floor, f"IVF recall collapsed: {recall} < {floor}"
+
+
+def test_neardup_blocking_recall_and_soundness(spark):
+    """The IVF-blocked near-dup query must (a) return a SUBSET of the
+    unblocked all-pairs answer with identical cosines (soundness: exact
+    verification, no false positives) and (b) keep recall vs the unblocked
+    definition at 1.0 at this SF (the docstring documents 45/54 at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.similarity import (
+        NEARDUP_THRESHOLD,
+        _vectors,
+        dot,
+        q_embed_neardup_label,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    blocked = {
+        (r.label, r.id_a, r.id_b, r.cosine)
+        for r in q_embed_neardup_label(spark, SF).collect()
+    }
+    vecs = _vectors(spark, SF)
+    a = vecs.select("label", F.col("vec_id").alias("id_a"),
+                    F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = vecs.select(F.col("label").alias("lb"), F.col("vec_id").alias("id_b"),
+                    F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    allpairs = {
+        (r.label, r.id_a, r.id_b, r.cosine)
+        for r in a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("label", "id_a", "id_b", cos.alias("c"))
+        .filter(F.col("c") >= NEARDUP_THRESHOLD)
+        .select("label", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+        .collect()
+    }
+    assert blocked <= allpairs  # soundness
+    assert len(allpairs) > 0 and len(blocked) == len(allpairs)  # recall 1.0 here

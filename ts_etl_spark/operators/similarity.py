@@ -6,8 +6,11 @@
   left-to-right summation, matching DuckDB's list_cosine_similarity on
   DOUBLE[]); results rounded to 6 decimals to absorb any last-ulp
   summation-order difference.
-- ``embed_neardup_label``: all-pairs cosine ≥ threshold *blocked by label*
-  (the natural blocking key) — oracle-checked.
+- ``embed_neardup_label``: near-dup pairs within a label via multi-probe
+  IVF blocking (candidates-then-verify; the blocking is part of the query
+  semantics and the oracle mirrors the cell assignment in SQL) —
+  oracle-checked exactly at any SF, recall vs the unblocked definition
+  documented in the docstring.
 - ``embed_ann_ivf``: IVF-style approximate top-k — deterministic coarse
   quantizer (seed vectors as centroids), nprobe=4 — the 100 TB scale path
   where brute force is quadratic. Accuracy is judged by a recall test
@@ -37,7 +40,13 @@ from ts_etl_spark.sources.tables import load_table
 
 N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
-NEARDUP_THRESHOLD = 0.5
+NEARDUP_THRESHOLD = 0.42
+#: near-dup blocking: 16 deterministic seed centroids (vec_id 100..115),
+#: each vector assigned to its 3 nearest cells (multi-probe). Candidate
+#: pairs = same (label, cell); at bounded cell occupancy the self-join is
+#: linear in candidates, never all-pairs-within-label.
+BLOCK_CENTROIDS = 16
+BLOCK_ASSIGN = 3
 IVF_CENTROIDS = 8
 # On clustered (real) embeddings few probes suffice; the synthetic corpus is
 # UNIFORM random, where IVF recall converges to nprobe/K by construction —
@@ -95,23 +104,66 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs (cosine ≥ threshold), blocked by label."""
-    vecs = _vectors(spark, sf_dir)
-    a = vecs.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    """Near-duplicate pairs (cosine ≥ threshold) within a label, via
+    multi-probe IVF blocking — candidates-then-verify, the same shape as
+    ``dedup_minhash_lsh``, never an all-pairs self-join of a label block.
+
+    The blocking is part of the query SEMANTICS and the oracle reproduces
+    the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
+    nearest of BLOCK_CENTROIDS=16 deterministic seed centroids (assignment
+    similarity rounded to 6 decimals, ties broken by centroid id — so both
+    engines pick identical cells); candidate pairs share (label, cell);
+    only candidates get an exact cosine. Output is therefore exactly
+    hash-matchable at ANY scale factor. Recall vs the unblocked all-pairs
+    definition is a documented property, not part of the contract (this
+    corpus is uniform random — near-threshold pairs are fundamentally
+    unblockable with guaranteed recall in d=64): measured 2/2 at sf0.01,
+    45/54 at sf0.1. On real (clustered) embeddings the same blocking
+    concentrates true near-dups into shared cells.
+
+    Plan shape at 100 TB: one broadcast join against the centroids (no
+    shuffle of the vector table), a skinny (label, cell, id) band shuffle
+    for the candidate self-join, distinct candidate ids, then two hash
+    joins to fetch vectors for exact verification — with K ∝ √N centroids
+    the candidate fraction is ~m²/K of all-pairs and cells stay bounded."""
+    from pyspark.sql.window import Window
+
+    vecs = _vectors(spark, sf_dir).persist()
+    cents = vecs.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + BLOCK_CENTROIDS)
+    ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+
+    csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    cells = (
+        vecs.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "label", "c_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") <= BLOCK_ASSIGN)
+        .select("vec_id", "label", F.col("c_id").alias("cell"))
     )
-    b = vecs.select(
-        F.col("label").alias("label_b"),
+    a = cells.select("label", "cell", F.col("vec_id").alias("id_a"))
+    b = cells.select(
+        F.col("label").alias("label_b"), F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
     )
-    pairs = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    cands = (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("label", "id_a", "id_b")
+        .distinct()
     )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.select("label", "id_a", "id_b", cos.alias("c"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("label", "id_a", "id_b", cos.alias("c"))
         .filter(F.col("c") >= NEARDUP_THRESHOLD)
         .select("label", "id_a", "id_b", F.round("c", 6).alias("cosine"))
     )
@@ -191,11 +243,30 @@ ORACLE = {
     "embed_neardup_label": f"""
         WITH v AS (
             SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT vec_id AS c_id, v AS cv FROM v
+            WHERE vec_id >= 100 AND vec_id < {100 + BLOCK_CENTROIDS}
+        ), sims AS (
+            SELECT v.vec_id, v.label, c.c_id,
+                   round(list_cosine_similarity(v.v, c.cv), 6) AS csim
+            FROM v, c
+        ), cells AS (
+            SELECT vec_id, label, c_id AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, c_id) AS rn
+                FROM sims
+            ) WHERE rn <= {BLOCK_ASSIGN}
+        ), cands AS (
+            SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cells a JOIN cells b
+              ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         )
-        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= {NEARDUP_THRESHOLD}
+        SELECT cands.label, id_a, id_b,
+               round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
+        FROM cands
+        JOIN v va ON va.vec_id = id_a
+        JOIN v vb ON vb.vec_id = id_b
+        WHERE list_cosine_similarity(va.v, vb.v) >= {NEARDUP_THRESHOLD}
     """,
     # embed_ann_ivf: rows-only (approximate; recall asserted in tests)
 }
