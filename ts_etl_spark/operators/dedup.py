@@ -2,9 +2,10 @@
 training-data-pipeline surface).
 
 - exact dedup: hash groupBy on the full text — one partial-agg shuffle.
-- n-gram Jaccard: word-3-gram shingles, exact pairwise similarity via a
-  shingle-equality self-join. Quadratic in docs-per-shingle, so it is the
-  *oracle baseline*; the scale path is MinHash-LSH below.
+- n-gram Jaccard: word-3-gram shingles, exact pairwise similarity above a
+  threshold via PREFIX FILTERING (DF-ordered prefixes + length filter +
+  exact verification) — guaranteed recall at the threshold with near-linear
+  candidate generation; the probabilistic scale path is MinHash-LSH below.
 - MinHash-LSH: 64 permutations (xxhash64 with seed literals — deterministic
   across engines and partitionings), banded 32×2, candidate pairs from
   band-bucket self-join, then EXACT Jaccard verification of candidates.
@@ -33,6 +34,9 @@ N_MINHASH = 64
 LSH_BANDS = 32
 LSH_ROWS = 2  # N_MINHASH = LSH_BANDS * LSH_ROWS
 JACCARD_THRESHOLD = 0.4
+#: dedup_ngram_topk only ranks pairs at/above this Jaccard — which makes the
+#: EXACT prefix-filtering join applicable (guaranteed recall ≥ threshold)
+NGRAM_TOPK_THRESHOLD = 0.35
 
 
 def tokens_col(c=None):
@@ -66,35 +70,6 @@ def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.size(toks) >= 3).select("doc_id", sh.alias("shs"))
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh): exploded distinct shingles — only needed when pairs are
-    DISCOVERED by shingle equality (the exact-Jaccard baseline)."""
-    return shingle_sets_df(spark, sf_dir).select(
-        "doc_id", F.explode("shs").alias("sh")
-    )
-
-
-def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for every pair sharing ≥1 shingle. Integer set sizes →
-    a single double division → bit-identical across engines."""
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return pairs.join(ca, "id_a").join(cb, "id_b").select(
-        "id_a",
-        "id_b",
-        (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
-            "jaccard"
-        ),
-    )
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: representative = min(doc_id) per text."""
     docs = load_table(spark, sf_dir, "documents")
@@ -104,10 +79,63 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar pairs by exact word-3-gram Jaccard (deterministic
-    tiebreak on ids; Jaccard values are exact rationals in both engines)."""
-    jac = _exact_jaccard_pairs(shingles_df(spark, sf_dir))
-    return jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+    """Top-20 pairs by exact word-3-gram Jaccard among pairs with
+    J ≥ NGRAM_TOPK_THRESHOLD, via PREFIX FILTERING (the PPJoin family) —
+    exact, not probabilistic: order each document's shingles by ascending
+    global document frequency (rare first; ties by shingle), keep only the
+    first |s| - ⌈t·|s|⌉ + 1 as the prefix; any pair with J ≥ t must share a
+    prefix shingle, so candidates = prefix-equality join + the length
+    filter t·|A| ≤ |B| ≤ |A|/t, then exact verification on the full sets.
+
+    Plan shape at 100 TB: DF counting is one groupBy over exploded
+    shingles; prefix selection is a per-doc window (one keyed shuffle); the
+    candidate join touches only rare-first prefixes, so bucket occupancy —
+    and with it join output — stays near-linear instead of the quadratic
+    all-shingle equality join. (The former unthresholded variant joined on
+    EVERY shared shingle — the documented scale hazard this replaces.)
+
+    Deterministic tiebreak on ids; Jaccard values are exact integer
+    rationals in both engines."""
+    from pyspark.sql.window import Window
+
+    t = NGRAM_TOPK_THRESHOLD
+    sets = shingle_sets_df(spark, sf_dir).persist()
+    ex = sets.select("doc_id", F.size("shs").alias("nsh"), F.explode("shs").alias("sh"))
+    df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        ex.join(df_counts, "sh")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .filter(F.col("pos") <= F.col("nsh") - F.ceil(F.lit(t) * F.col("nsh")) + 1)
+        .select("sh", "doc_id", "nsh")
+    )
+    x = prefix.select("sh", F.col("doc_id").alias("id_a"), F.col("nsh").alias("na"))
+    y = prefix.select(
+        F.col("sh").alias("sh_y"), F.col("doc_id").alias("id_b"), F.col("nsh").alias("nb")
+    )
+    cands = (
+        x.join(
+            y,
+            (F.col("sh") == F.col("sh_y"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("na") >= F.lit(t) * F.col("nb")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+    common = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - common
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (common.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -284,7 +312,8 @@ ORACLE = {
     """,
     "dedup_ngram_topk": f"""
         WITH {_SHINGLES_CTE}
-        SELECT * FROM jac ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        SELECT * FROM jac WHERE jaccard >= {NGRAM_TOPK_THRESHOLD}
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20
     """,
     # LSH output == exact answer at the threshold (recall ≥ 99.6%)
     "dedup_minhash_lsh": f"""
