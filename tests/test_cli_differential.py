@@ -92,3 +92,22 @@ def test_json_order_preserved_across_partitions(spark, tmp_path):
     assert multi == single
     names = [i["Name"] for i in __import__("json").loads(single)]
     assert names == [f"P{i:04d}" for i in range(300)]
+
+
+def test_cli_path_mode_matches_stdin_mode(tmp_path):
+    """`python -m ts_etl_spark csv json <path>` must produce byte-identical
+    output to the stdin pipe mode on the same file."""
+    import io
+
+    from ts_etl_spark.cli import run_conversion, run_conversion_path
+    from tests.golden import CSV_FIXTURE
+    from ts_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="cli-path-test")
+    with open(CSV_FIXTURE, "rb") as f:
+        data = f.read()
+    out_stdin, out_path = io.StringIO(), io.StringIO()
+    run_conversion("csv", "json", data, out_stdin, spark=spark)
+    run_conversion_path("csv", "json", str(CSV_FIXTURE), out_path, spark=spark)
+    assert out_path.getvalue() == out_stdin.getvalue()
+    assert out_path.getvalue()  # non-empty

@@ -57,13 +57,54 @@ def run_conversion(
         tmp.write(in_bytes)
         tmp.close()
         debug_log(f"materialized stdin -> {tmp.name}")
-        kwargs = {"delimiter": csv_delimiter} if input_type == "csv" else {}
-        df = sources.create_source(input_type, spark, tmp.name, **kwargs)
-        print(f"Starting conversion: {input_type} -> {output_type}", file=sys.stderr)
-        sink(df, out)
-        print("Conversion completed successfully.", file=sys.stderr)
+        _convert_path(
+            input_type, output_type, tmp.name, out, csv_delimiter, spark, sink
+        )
     finally:
         os.unlink(tmp.name)
+        if own_session:
+            spark.stop()
+
+
+def _convert_path(
+    input_type: str, output_type: str, path: str, out, csv_delimiter, spark, sink
+) -> None:
+    kwargs = {"delimiter": csv_delimiter} if input_type == "csv" else {}
+    df = sources.create_source(input_type, spark, path, **kwargs)
+    print(f"Starting conversion: {input_type} -> {output_type}", file=sys.stderr)
+    sink(df, out)
+    print("Conversion completed successfully.", file=sys.stderr)
+
+
+def run_conversion_path(
+    input_type: str,
+    output_type: str,
+    in_path: str,
+    out,
+    csv_delimiter: str = ",",
+    spark=None,
+) -> None:
+    """File-path conversion: Spark reads the file directly — no stdin blob,
+    no temp-file hop, and the scan parallelizes over splits (the scale path;
+    the stdin mode exists only for the reference's single-pipe contract).
+    The CSV structural validation (reference csvParser.ts:55-57 hard error)
+    still runs driver-side on the raw latin1 bytes."""
+    input_type = input_type.lower()
+    output_type = output_type.lower()
+    if input_type not in sources.SOURCES:
+        raise ValueError(f"Invalid input type: {input_type}")
+    sink = sinks.create_sink(output_type)
+    if input_type == "csv":
+        with open(in_path, "rb") as f:
+            validate_csv_text(f.read().decode("latin1"), csv_delimiter)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-cli")
+    try:
+        _convert_path(
+            input_type, output_type, in_path, out, csv_delimiter, spark, sink
+        )
+    finally:
         if own_session:
             spark.stop()
 
@@ -75,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("input_type", help="input format: csv | prn")
     parser.add_argument("output_type", help="output format: json | html")
+    parser.add_argument(
+        "input_path",
+        nargs="?",
+        help="optional input file; when omitted, latin1 bytes are read "
+        "from stdin (the reference's pipe contract)",
+    )
     parser.add_argument("-d", "--delimiter", default=",", help="CSV delimiter")
     args = parser.parse_args(argv)
 
@@ -85,13 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Invalid output type: {args.output_type}", file=sys.stderr)
         return 1
     try:
-        run_conversion(
-            args.input_type,
-            args.output_type,
-            sys.stdin.buffer.read(),
-            sys.stdout,
-            csv_delimiter=args.delimiter,
-        )
+        if args.input_path is not None:
+            run_conversion_path(
+                args.input_type,
+                args.output_type,
+                args.input_path,
+                sys.stdout,
+                csv_delimiter=args.delimiter,
+            )
+        else:
+            run_conversion(
+                args.input_type,
+                args.output_type,
+                sys.stdin.buffer.read(),
+                sys.stdout,
+                csv_delimiter=args.delimiter,
+            )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during conversion: {exc}", file=sys.stderr)
         return 1
