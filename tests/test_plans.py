@@ -154,3 +154,48 @@ def test_no_forced_broadcast_on_scaling_tables(spark):
         df = q(spark, SF)
         assert count_nodes(df, "BroadcastHashJoin") >= n_bhj + n_smj, (
             q.__name__, plan_str(df))
+
+
+def test_ntile_bucketed_no_global_sort(spark):
+    """The scale-safe global-decile query must contain NO Sort node at all —
+    bucket assignment is approx-boundary + map-side expression, never an
+    unpartitioned ranking window."""
+    from ts_etl_spark.operators.relational import q_ntile_bucketed
+
+    df = q_ntile_bucketed(spark, SF)
+    assert count_nodes(df, "Sort") == 0, plan_str(df)
+
+
+def test_ngram_prefix_join_bounded_shuffles(spark):
+    """Prefix-filtered Jaccard join: DF count, per-doc prefix window,
+    candidate join, verification joins — a fixed handful of exchanges.
+    A regression here means the all-shingle quadratic join snuck back."""
+    from ts_etl_spark.operators.dedup import q_dedup_ngram_topk
+
+    df = q_dedup_ngram_topk(spark, SF)
+    assert num_exchanges(df) <= 10, plan_str(df)
+    assert count_nodes(df, "TakeOrderedAndProject") == 1  # top-k, no global sort
+
+
+def test_neardup_blocking_plan_shape(spark):
+    """IVF-blocked near-dup: the centroid assignment join must broadcast
+    (the vector table never shuffles pre-assignment), and the whole plan
+    stays within a fixed exchange budget — no all-pairs label self-join."""
+    from ts_etl_spark.operators.similarity import q_embed_neardup_label
+
+    df = q_embed_neardup_label(spark, SF)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") + count_nodes(
+        df, "BroadcastHashJoin"
+    ) >= 1, plan_str(df)
+    assert num_exchanges(df) <= 10, plan_str(df)
+
+
+def test_q20_all_semi_joins(spark):
+    """The Q20 membership chain must plan as semi joins (no probe-row
+    duplication, no distinct-then-join)."""
+    from ts_etl_spark.operators.relational import q20_promo_share_suppliers
+
+    df = q20_promo_share_suppliers(spark, SF)
+    p = plan_str(df)
+    n_semi = p.count("LeftSemi")
+    assert n_semi >= 3, p

@@ -575,6 +575,30 @@ def q20_promo_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery — average yearly
+    revenue lost if small-quantity orders (below 20% of the per-part mean
+    quantity) for one brand moved to bulk. Catalyst de-correlates the
+    per-part average into an aggregate + join; the decimal-space SUM /
+    COUNT mean is bit-identical across engines."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q17_{t}")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM q17_lineitem
+        JOIN q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*))
+            FROM q17_lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
 def q_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe GLOBAL decile assignment: instead of the single-partition
     sort an unpartitioned ``ntile`` window needs, compute 9 internal decile
@@ -714,6 +738,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q20_promo_share_suppliers": q20_promo_share_suppliers,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "filter_project_sample": q_filter_project,
     "join_broadcast_agg": q_join_broadcast,
     "join_left_agg": q_join_left,
@@ -882,6 +907,18 @@ ORACLE = {
           AND s_nationkey IN (
             SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA')
+    """,
+    "q17_small_quantity_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                               AS DOUBLE) / COUNT(*))
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
     """,
     "filter_project_sample": f"""
         SELECT l_orderkey, l_linenumber, l_quantity,
