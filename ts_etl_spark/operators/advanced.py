@@ -8,14 +8,11 @@ per-key loop: one shuffle on the key, one window pass, linear at any scale.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ts_etl_spark.operators.relational import DEC, dec, money_sum
 from ts_etl_spark.sources.tables import load_table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"

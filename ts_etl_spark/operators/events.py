@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ts_etl_spark.operators.relational import DEC, dec, money_sum
+from ts_etl_spark.operators.relational import dec, money_sum
 from ts_etl_spark.sources.tables import load_table
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"

@@ -16,7 +16,6 @@ driver involvement, no row-at-a-time Python, memory bounded by
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
