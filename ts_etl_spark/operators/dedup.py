@@ -107,6 +107,11 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(df_counts, "sh")
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= F.col("nsh") - F.ceil(F.lit(t) * F.col("nsh")) + 1)
+        # a prefix shingle with global df == 1 occurs in exactly one document
+        # and can never produce a candidate pair — dropping it here shrinks
+        # the self-join input to only REPEATED prefix shingles (most shingles
+        # in a real corpus are unique, so this is the bulk of the rows)
+        .filter(F.col("df") >= 2)
         .select("sh", "doc_id", "nsh")
     )
     x = prefix.select("sh", F.col("doc_id").alias("id_a"), F.col("nsh").alias("na"))
