@@ -138,3 +138,44 @@ def test_neardup_blocking_recall_and_soundness(spark):
     }
     assert blocked <= allpairs  # soundness
     assert len(allpairs) > 0 and len(blocked) == len(allpairs)  # recall 1.0 here
+
+
+def test_prefix_filter_exactness_vs_brute_force(spark):
+    """The PPJoin prefix-filter theorem guarantee, checked end-to-end: the
+    prefix-filtered candidate pipeline must find EXACTLY the pairs a
+    brute-force all-shared-shingle join finds at the threshold (recall 1 is
+    a theorem here, not a tuned probability — this is what distinguishes
+    dedup_ngram_topk from the probabilistic MinHash-LSH path)."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.dedup import (
+        NGRAM_TOPK_THRESHOLD,
+        q_dedup_ngram_topk,
+        shingle_sets_df,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in q_dedup_ngram_topk(spark, SF).collect()
+    }
+    # brute force: join on EVERY shared shingle (the quadratic baseline)
+    sh = shingle_sets_df(spark, SF).select("doc_id", F.explode("shs").alias("sh"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = pairs.join(ca, "id_a").join(cb, "id_b").select(
+        "id_a", "id_b",
+        (F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+    ).filter(F.col("jaccard") >= NGRAM_TOPK_THRESHOLD)
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20).collect()
+    }
+    assert got == want and len(want) > 0
