@@ -199,3 +199,26 @@ def test_q20_all_semi_joins(spark):
     p = plan_str(df)
     n_semi = p.count("LeftSemi")
     assert n_semi >= 3, p
+
+
+def test_window_functions_single_window_pass(spark):
+    """The merged window query's selling point: row_number, lag, running
+    sum and ntile share one (partition, order) spec → exactly ONE Window
+    operator, ONE exchange, ONE sort."""
+    from ts_etl_spark.operators.relational import q_window_functions
+
+    df = q_window_functions(spark, SF)
+    assert count_nodes(df, "Window") == 1, plan_str(df)
+    assert num_exchanges(df) == 1, plan_str(df)
+    assert count_nodes(df, "Sort") == 1, plan_str(df)
+
+
+def test_group_extensions_expand_per_branch(spark):
+    """Each grouping-extension branch plans as a single Expand + hash
+    aggregate (one scan + one shuffle per branch — never a per-grouping
+    re-scan)."""
+    from ts_etl_spark.operators.relational import q_group_extensions
+
+    df = q_group_extensions(spark, SF)
+    assert count_nodes(df, "Expand") == 3, plan_str(df)
+    assert num_exchanges(df) == 3, plan_str(df)
