@@ -64,9 +64,12 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling AND sliding event-time windows in one tagged union (the two
-    window kinds share scan + partial-agg shape; each branch is a single
-    (window, key) shuffle exactly like any groupBy at 100 TB)."""
+    """Tumbling AND sliding event-time windows in one tagged union. Each
+    branch is a scan + partial-agg + one (window, key) shuffle — the union
+    scans events once per window kind (the price of using the native
+    ``F.window`` operator, which only exists in grouping position; the
+    branches parallelize independently and the same transformations run
+    under readStream — see streaming/events.py)."""
     tumbling = q_events_tumbling(spark, sf_dir).select(
         F.lit("tumbling").alias("kind"), "*"
     )
