@@ -26,7 +26,8 @@ from ts_etl_spark.sources.tables import load_table
 
 META_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, sha256 STRING, width INT, height INT, "
-    "stride INT, thumb_hash STRING, thumb_len INT"
+    "stride INT, thumb_hash STRING, thumb_len INT, "
+    "f_alpha BIGINT, f_digit BIGINT, f_ws BIGINT, f_other BIGINT"
 )
 
 
@@ -57,10 +58,15 @@ def _make_meta_batches():
     by value, so executors never need ts_etl_spark importable on their own
     sys.path (the driver's harness may run from any cwd).
 
-    One decode, two products per payload — the realistic batch shape of an
-    image pipeline (decode once, emit metadata + thumbnail): pseudo-dims
-    from the byte length (mirrors ``fake_decode``), sha256 of the raw bytes,
-    and a fixed-size strided "thumbnail" of the decoded text."""
+    One decode, three products per payload — the realistic batch shape of
+    an image pipeline (decode once, emit metadata + features + thumbnail):
+    pseudo-dims from the byte length (mirrors ``fake_decode``), sha256 of
+    the raw bytes, a byte-class histogram FEATURE VECTOR computed directly
+    over the raw bytes (the feature-extract step of the brief, kept
+    scalar-per-class so result hashers see no array columns; ASCII classes
+    mirror 1:1 to the oracle's char-class regexes, multi-byte sequences
+    land in f_other), and a fixed-size strided "thumbnail" of the decoded
+    text."""
     thumb_size = THUMB_SIZE
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,7 +77,7 @@ def _make_meta_batches():
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
             dims = [(len(p) % 640 + 1, (len(p) * 7) % 480 + 1) for p in payloads]
-            strides, thashes, tlens = [], [], []
+            strides, thashes, tlens, feats = [], [], [], []
             for p in payloads:
                 text = p.decode("utf-8")
                 k = max(len(text) // thumb_size, 1)
@@ -79,6 +85,10 @@ def _make_meta_batches():
                 strides.append(k)
                 thashes.append(_hashlib.md5(thumb.encode("utf-8")).hexdigest())
                 tlens.append(len(thumb))
+                alpha = sum(1 for b in p if 65 <= b <= 90 or 97 <= b <= 122)
+                digit = sum(1 for b in p if 48 <= b <= 57)
+                ws = sum(1 for b in p if b in (32, 9, 10, 13, 11, 12))
+                feats.append((alpha, digit, ws, len(p) - alpha - digit - ws))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -89,6 +99,10 @@ def _make_meta_batches():
                     "stride": _pd.Series(strides, dtype="int32"),
                     "thumb_hash": _pd.Series(thashes, dtype="object"),
                     "thumb_len": _pd.Series(tlens, dtype="int32"),
+                    "f_alpha": _pd.Series([f[0] for f in feats], dtype="int64"),
+                    "f_digit": _pd.Series([f[1] for f in feats], dtype="int64"),
+                    "f_ws": _pd.Series([f[2] for f in feats], dtype="int64"),
+                    "f_other": _pd.Series([f[3] for f in feats], dtype="int64"),
                 }
             )
 
@@ -182,7 +196,18 @@ ORACLE = {
                CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
                CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
                stride, md5(thumb) AS thumb_hash,
-               CAST(length(thumb) AS INT) AS thumb_len
+               CAST(length(thumb) AS INT) AS thumb_len,
+               -- ASCII classes are 1 char = 1 byte, so char-class regex
+               -- counts equal the Spark side's raw byte-class counts;
+               -- multi-byte sequences fall into f_other by subtraction
+               CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS f_alpha,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS f_digit,
+               CAST(length(regexp_replace(text, '[^ \t\n\r\x0B\x0C]', '', 'g')) AS BIGINT) AS f_ws,
+               CAST(octet_length(encode(text))
+                    - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    - length(regexp_replace(text, '[^ \t\n\r\x0B\x0C]', '', 'g'))
+                    AS BIGINT) AS f_other
         FROM thumbs
     """,
 }
