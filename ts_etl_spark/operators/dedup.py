@@ -269,11 +269,72 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, by iterative min-label propagation
+    (Pregel-style). Each iteration is a pair of hash joins + a grouped min —
+    all distributed; the driver loop only checks a scalar convergence count
+    per round (exactly how Pregel/GraphFrames iterate), and rounds are
+    bounded by component diameter (near-dup clusters are near-cliques, so
+    2-3 rounds in practice; hard cap keeps adversarial chains finite).
+
+    Output per component: representative (min doc_id), member count, and
+    the sorted member list joined to a comma string (scalar columns only).
+    The oracle reproduces the components with a recursive CTE."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .persist()
+    )
+    for _ in range(20):
+        nb = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        new_labels = (
+            labels.join(nb, labels.node == nb.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    members = F.sort_array(F.collect_list("node"))
+    return labels.groupBy(F.col("comp").alias("rep_doc_id")).agg(
+        F.count("*").alias("n_members"),
+        F.array_join(F.transform(members, lambda m: m.cast("string")), ",").alias(
+            "members"
+        ),
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_topk": q_dedup_ngram_topk,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
 }
 
 _SHINGLES_CTE = r"""
@@ -326,4 +387,22 @@ ORACLE = {
         SELECT * FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     # dedup_simhash: rows-only (xxhash64 not reproducible in DuckDB)
+    "dedup_components": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        und AS (
+            SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+            UNION
+            SELECT id_b AS a, id_a AS b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM und),
+        reach(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node)
+        SELECT comp AS rep_doc_id, COUNT(*) AS n_members,
+               array_to_string(list_sort(list(node)), ',') AS members
+        FROM comp GROUP BY comp
+    """,
 }
