@@ -246,3 +246,59 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, events_dir):
         for r in q_stream_stream_join(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
+    """Bounded join state: once the watermark passes a view's joinable
+    horizon its state is evicted, so a late-arriving purchase that would
+    have matched it produces NO row — the property that keeps stream-stream
+    join state finite."""
+    from ts_etl_spark.streaming.events import purchase_view_join
+
+    d = tmp_path / "ssj_in"
+    d.mkdir()
+    _write_events(
+        str(d / "a.parquet"),
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:10:00", 1, "purchase", 1.0),
+        ],
+    )
+    # advance the watermark far past the view's horizon (wm = 13:00 - 30min)
+    _write_events(
+        str(d / "b.parquet"),
+        [
+            (3, "2024-01-01 13:00:00", 2, "view", 1.0),
+            (4, "2024-01-01 13:00:00", 2, "purchase", 1.0),
+        ],
+    )
+    # state eviction runs at END of batch, after that batch's input joined —
+    # so an advancer batch must land between the watermark jump and the late
+    # row for the eviction to be observable (same one-batch-delay mechanics
+    # as the tumbling late-drop test above)
+    _write_events(
+        str(d / "c.parquet"),
+        [(6, "2024-01-01 13:10:00", 3, "view", 1.0)],
+    )
+    # late purchase: would match view 1 (10:20 - 10:00 <= 30min), but that
+    # view's state was evicted at the end of the previous batch
+    _write_events(
+        str(d / "e.parquet"),
+        [(5, "2024-01-01 10:20:00", 1, "purchase", 1.0)],
+    )
+    import os
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet", "e.parquet"]):
+        os.utime(d / name, (now - 80 + 20 * i, now - 80 + 20 * i))
+    stream = stream_events(spark, str(d), max_files=1)
+    joined = purchase_view_join(stream, watermark="30 minutes")
+    run_available_now(joined, "ssj_late", "append", str(tmp_path / "cp_ssj_late"))
+    got = {
+        (r.purchase_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ssj_late").collect()
+    }
+    # on-time matches only: (2,1) from batch a, (4,3) from batch b;
+    # the late purchase 5 must NOT produce (5,1)
+    assert got == {(2, 1), (4, 3)}

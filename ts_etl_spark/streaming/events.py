@@ -136,11 +136,15 @@ def purchase_view_join(events: DataFrame, watermark: str = "1 hour") -> DataFram
         )
         .withWatermark("v_ts", watermark)
     )
+    # the canonical two-sided bound form (p_ts between v_ts and v_ts + gap):
+    # Spark derives both state watermarks from it, so each side's buffered
+    # rows are dropped as soon as the other side's watermark passes their
+    # joinable horizon
     joined = purchases.join(
         views,
         F.expr(
-            "user_id = v_user_id AND v_ts <= p_ts "
-            "AND v_ts >= p_ts - INTERVAL 30 MINUTES"
+            "user_id = v_user_id AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + INTERVAL 30 MINUTES"
         ),
     )
     gap = F.unix_timestamp("p_ts").cast("long") - F.unix_timestamp("v_ts").cast("long")
