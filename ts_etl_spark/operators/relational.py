@@ -502,26 +502,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines agree bit-for-bit. Expressed in SQL to exercise the
     SQL-subquery surface end-to-end.
 
-    The derived ps relation is referenced twice (outer + subquery) and
-    Spark inlines CTEs, which would scan + aggregate lineitem twice — so
-    ps is built as a persisted DataFrame first: both references hit the
-    same in-memory relation and the fact table is scanned ONCE (at real
-    TPC-H scale ps is a physical partsupp table and this is moot)."""
-    for t in ("part", "supplier", "nation", "region"):
+    The derived ps relation is referenced twice (outer + subquery); Spark
+    inlines CTEs, so lineitem is scanned + aggregated twice. Measured
+    trade-off: persisting ps instead costs MORE at bench scale (columnar
+    cache materialization exceeds the second aggregation) and only wins in
+    the scan-dominated regime; at real TPC-H scale ps is a physical
+    partsupp table and the question is moot, so the inline form stays."""
+    for t in ("lineitem", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"q2_{t}")
-    ps = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_partkey").alias("ps_partkey"),
-            F.col("l_suppkey").alias("ps_suppkey"),
-        )
-        .agg(F.min("l_extendedprice").alias("cost"))
-        .persist()
-    )
-    ps.createOrReplaceTempView("q2_ps")
     return spark.sql(
         """
-        WITH ps AS (SELECT * FROM q2_ps)
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice) AS cost
+            FROM q2_lineitem GROUP BY l_partkey, l_suppkey
+        )
         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
         FROM ps
         JOIN q2_part     ON p_partkey = ps.ps_partkey
