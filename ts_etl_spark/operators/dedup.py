@@ -101,10 +101,17 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = NGRAM_TOPK_THRESHOLD
     sets = shingle_sets_df(spark, sf_dir).persist()
     ex = sets.select("doc_id", F.size("shs").alias("nsh"), F.explode("shs").alias("sh"))
-    df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    # only REPEATED shingles need an explicit df — absent rows default to 1
+    # in the left join below, so the ordering join runs against the (much
+    # smaller) repeated-shingle table and the planner broadcasts it when it
+    # fits, instead of shuffling every exploded shingle
+    df_repeated = (
+        ex.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    )
     pos_w = Window.partitionBy("doc_id").orderBy("df", "sh")
     prefix = (
-        ex.join(df_counts, "sh")
+        ex.join(df_repeated, "sh", "left")
+        .withColumn("df", F.coalesce("df", F.lit(1)))
         .withColumn("pos", F.row_number().over(pos_w))
         .filter(F.col("pos") <= F.col("nsh") - F.ceil(F.lit(t) * F.col("nsh")) + 1)
         # a prefix shingle with global df == 1 occurs in exactly one document
