@@ -213,3 +213,45 @@ def test_source_sink_registries():
         assert buf.getvalue() == "ok"
     finally:
         sinks.SINKS.pop("txt", None)
+
+
+def test_jsonl_source_matches_csv_differential(spark, tmp_path):
+    """Differencing property extended to the jsonl format: the same logical
+    dataset as CSV and as JSON-Lines (raw, un-normalized values) must render
+    byte-identical JSON output."""
+    import csv as _csv
+    import io
+    import json as _json
+
+    from tests.golden import CSV_FIXTURE
+    from ts_etl_spark.cli import run_conversion_path
+
+    with open(CSV_FIXTURE, encoding="latin1") as f:
+        rows = list(_csv.DictReader(f))
+    jsonl_path = tmp_path / "fixture.jsonl"
+    with open(jsonl_path, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(_json.dumps(r, ensure_ascii=False) + "\n")
+
+    out_csv, out_jsonl = io.StringIO(), io.StringIO()
+    run_conversion_path("csv", "json", str(CSV_FIXTURE), out_csv, spark=spark)
+    run_conversion_path("jsonl", "json", str(jsonl_path), out_jsonl, spark=spark)
+    assert out_jsonl.getvalue() == out_csv.getvalue()
+    assert out_jsonl.getvalue()
+
+
+def test_jsonl_missing_and_extra_keys(spark, tmp_path):
+    """Canonical reconciliation on jsonl: extra keys dropped, missing
+    canonicals defaulted (Credit Limit -> '0.00', others -> '')."""
+    import json as _json
+
+    from ts_etl_spark.sources.jsonl_source import read_jsonl
+
+    p = tmp_path / "part.jsonl"
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(_json.dumps({"name": "A", "ignored": "x"}) + "\n")
+    (row,) = read_jsonl(spark, str(p), with_row_id=False).collect()
+    assert row["Name"] == "A"
+    assert row["Credit Limit"] == "0.00"
+    assert row["Birthday"] == ""
+    assert "ignored" not in row.asDict()

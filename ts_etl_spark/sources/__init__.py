@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ts_etl_spark.sources.csv_source import read_csv
+from ts_etl_spark.sources.jsonl_source import read_jsonl
 from ts_etl_spark.sources.prn_source import read_prn
 from ts_etl_spark.sources.tables import load_table, load_tables
 
@@ -22,6 +23,8 @@ SourceFn = Callable[..., DataFrame]
 SOURCES: dict[str, SourceFn] = {
     "csv": read_csv,
     "prn": read_prn,
+    # extension format (no reference counterpart; SURVEY §2.3 registry point)
+    "jsonl": read_jsonl,
 }
 
 
@@ -46,6 +49,7 @@ __all__ = [
     "register_source",
     "create_source",
     "read_csv",
+    "read_jsonl",
     "read_prn",
     "load_table",
     "load_tables",
