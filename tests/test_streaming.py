@@ -302,3 +302,24 @@ def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
     # on-time matches only: (2,1) from batch a, (4,3) from batch b;
     # the late purchase 5 must NOT produce (5,1)
     assert got == {(2, 1), (4, 3)}
+
+
+def test_stream_sliding_equals_batch(spark, tmp_path, events_dir):
+    """Complete-mode sliding-window streaming aggregation == the sliding
+    branch of the batch events_windows query."""
+    from ts_etl_spark.operators.events import q_events_sliding
+    from ts_etl_spark.streaming.events import sliding_counts
+
+    stream = stream_events(spark, events_dir)
+    run_available_now(
+        sliding_counts(stream), "sliding_complete", "complete", str(tmp_path / "cp_sl")
+    )
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM sliding_complete").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n
+        for r in q_events_sliding(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0

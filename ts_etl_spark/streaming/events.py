@@ -58,6 +58,21 @@ def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked 1-hour windows sliding every 30 minutes (each event lands
+    in 2 windows; state per open window, evicted by watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def session_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     """Watermarked session windows (30-minute gap) per user."""
     return (
