@@ -86,3 +86,30 @@ def test_html_missing_column_renders_empty(spark):  # E16
     write_html(df, buf)
     out = buf.getvalue()
     assert out.count("        <td></td>\n") == 4  # 4 absent canonical columns
+
+
+def test_csv_sink_round_trip(spark, tmp_path):
+    """Extension renderer round-trip: canonical frame -> csv sink -> csv
+    source reproduces the identical canonical frame (RFC4180 quoting
+    survives the trip), for BOTH input formats of the differencing pair."""
+    import io
+
+    from tests.golden import CSV_FIXTURE, PRN_FIXTURE
+    from ts_etl_spark.schema import EXPECTED_HEADERS
+    from ts_etl_spark.sinks.csv_sink import write_csv
+    from ts_etl_spark.sources.csv_source import read_csv
+    from ts_etl_spark.sources.prn_source import read_prn
+
+    for name, reader, fixture in (
+        ("csv", read_csv, CSV_FIXTURE),
+        ("prn", read_prn, PRN_FIXTURE),
+    ):
+        canonical = reader(spark, str(fixture))
+        buf = io.StringIO()
+        write_csv(canonical, buf)
+        p = tmp_path / f"roundtrip_{name}.csv"
+        p.write_text(buf.getvalue(), encoding="latin1")
+        back = read_csv(spark, str(p), encoding="ISO-8859-1")
+        want = [tuple(r[h] for h in EXPECTED_HEADERS) for r in canonical.orderBy("__row_id").collect()]
+        got = [tuple(r[h] for h in EXPECTED_HEADERS) for r in back.orderBy("__row_id").collect()]
+        assert got == want and len(got) > 0, name

@@ -8,6 +8,7 @@ from typing import IO
 
 from pyspark.sql import DataFrame
 
+from ts_etl_spark.sinks.csv_sink import write_csv
 from ts_etl_spark.sinks.html_sink import write_html
 from ts_etl_spark.sinks.json_sink import write_json
 
@@ -16,6 +17,8 @@ SinkFn = Callable[[DataFrame, IO], None]
 SINKS: dict[str, SinkFn] = {
     "json": write_json,
     "html": write_html,
+    # extension renderer (no reference counterpart; SURVEY §2.3 registry point)
+    "csv": write_csv,
 }
 
 
@@ -33,4 +36,11 @@ def create_sink(name: str) -> SinkFn:
     return SINKS[key]
 
 
-__all__ = ["SINKS", "register_sink", "create_sink", "write_json", "write_html"]
+__all__ = [
+    "SINKS",
+    "register_sink",
+    "create_sink",
+    "write_csv",
+    "write_json",
+    "write_html",
+]
