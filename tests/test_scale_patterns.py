@@ -179,3 +179,47 @@ def test_prefix_filter_exactness_vs_brute_force(spark):
         for r in jac.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_bucketed_running_sum_matches_plain_window(spark):
+    """The skew-safe two-level cumulative sum must equal the plain
+    per-key window running sum (decimal-space values: exact equality)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ts_etl_spark.operators.relational import dec
+    from ts_etl_spark.operators.skew import bucketed_running_sum
+    from ts_etl_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.01"
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("ots"),
+        dec("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    # (key, order) must be unique: build a strictly increasing numeric order
+    # from (date, orderkey)
+    orders = orders.select(
+        "o_custkey",
+        (F.col("ots") * 10_000_000 + F.col("o_orderkey")).alias("ord"),
+        "v",
+    )
+    got = {
+        (r.o_custkey, r.ord, float(r.running_total))
+        for r in bucketed_running_sum(
+            orders, "o_custkey", "ord", "v", n_buckets=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.o_custkey, r.ord, float(r.rt))
+        for r in orders.select(
+            "o_custkey", "ord", F.sum("v").over(w).alias("rt")
+        ).collect()
+    }
+    assert got == want and len(want) > 0

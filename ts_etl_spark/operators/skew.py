@@ -11,6 +11,10 @@ broadcast-infeasible dimension joins against a skewed fact key.
 - ``salted_join``: replicate the dimension side ``n_salt`` times, salt the
   fact side deterministically — the hot fact key spreads over ``n_salt``
   co-partitioned streams.
+- ``bucketed_running_sum``: cumulative sums over a HOT window key without
+  one giant per-key sort partition — the two-level scan pattern (local
+  running sums per order-bucket, then a tiny per-key window over bucket
+  totals supplies each bucket's starting offset).
 """
 
 from __future__ import annotations
@@ -63,6 +67,73 @@ def salted_aggregate(
         .agg(*partial_aggs)
     )
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    key: str,
+    order: str,
+    value: str,
+    n_buckets: int = 32,
+    out: str = "running_total",
+) -> DataFrame:
+    """Skew-safe per-key cumulative sum.
+
+    A plain ``Window.partitionBy(key).orderBy(order)`` running sum puts a
+    hot key's ENTIRE history in one task's sort. This splits the order
+    dimension into ``n_buckets`` hash-free range buckets (ntile over the
+    per-key order percentiles would need a sort too, so buckets come from a
+    uniform split of the ORDER VALUE range — cheap, deterministic, and skew
+    in bucket sizes only costs balance, never correctness):
+
+    1. per (key, bucket): local running sum — parallel sorts of slices,
+    2. per key: exclusive prefix of bucket totals over the (tiny) bucket
+       index — ``n_buckets`` rows per key through one small window,
+    3. local sum + bucket offset = the global running sum.
+
+    Requires ``order`` to be numeric/timestamp-like (range-bucketable) and
+    (key, order) unique for a deterministic result — same requirement the
+    plain window has.
+    """
+    from pyspark.sql.window import Window
+
+    rng = df.groupBy(key).agg(
+        F.min(order).alias("__lo"), F.max(order).alias("__hi")
+    )
+    d = df.join(rng, key)
+    span = F.col("__hi").cast("double") - F.col("__lo").cast("double")
+    rel = F.when(
+        span > 0,
+        (F.col(order).cast("double") - F.col("__lo").cast("double")) / span,
+    ).otherwise(F.lit(0.0))
+    bucket = F.least(
+        F.floor(rel * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    ).alias("__bucket")
+    d = d.select(*df.columns, bucket)
+
+    local_w = (
+        Window.partitionBy(key, "__bucket")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.select(
+        *df.columns, "__bucket", F.sum(value).over(local_w).alias("__local_rs")
+    )
+    totals = d.groupBy(key, "__bucket").agg(F.sum(value).alias("__btotal"))
+    off_w = (
+        Window.partitionBy(key)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        key,
+        "__bucket",
+        F.coalesce(F.sum("__btotal").over(off_w), F.lit(0)).alias("__offset"),
+    )
+    return (
+        local.join(offsets, [key, "__bucket"])
+        .select(*df.columns, (F.col("__local_rs") + F.col("__offset")).alias(out))
+    )
 
 
 def salted_join(
