@@ -222,3 +222,24 @@ def test_group_extensions_expand_per_branch(spark):
     df = q_group_extensions(spark, SF)
     assert count_nodes(df, "Expand") == 3, plan_str(df)
     assert num_exchanges(df) == 3, plan_str(df)
+
+
+def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark):
+    """The adaptive half of the no-forced-hints story: with the STATIC
+    broadcast threshold disabled the planner picks a sort-merge join, and
+    AQE's runtime statistics convert it to a broadcast join during
+    execution (isFinalPlan shows the converted operator) — exactly the
+    fallback/upgrade behavior the unhinted scaling-table joins rely on."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
+    try:
+        df = q_join_broadcast(spark, SF)
+        assert count_nodes(df, "SortMergeJoin") >= 1  # static choice
+        df.collect()  # execute THIS query execution so AQE finalizes it
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
