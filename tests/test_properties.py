@@ -99,9 +99,13 @@ def py_money(s: str) -> str:
     if not m:
         return "0.00"
     raw = Decimal(m.group(0))
-    if abs(raw) >= Decimal("1e17"):  # outside DECIMAL(18,2) -> engine nulls -> default
+    if abs(raw) >= Decimal("1e17"):  # far out of range; quantize would throw
         return "0.00"
     d = raw.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    # DECIMAL(18,2) holds |v| <= 9999999999999999.99 AFTER rounding;
+    # anything larger nulls in the engine -> plain "0.00" default
+    if abs(d) > Decimal("9999999999999999.99"):
+        return "0.00"
     out = f"{d:f}"
     # JS sign semantics: "-0.00" iff the parsed float is strictly negative
     v = float(m.group(0))

@@ -81,7 +81,12 @@ def normalize_money(c: Column) -> Column:
     prefix = F.regexp_extract(first_comma_dotted, _FLOAT_PREFIX, 0)
     as_dec = F.when(prefix != "", prefix.try_cast(T.DecimalType(18, 2)))
     s = F.coalesce(as_dec.cast(T.StringType()), F.lit("0.00"))
-    neg_zero = (prefix.try_cast(T.DoubleType()) < 0) & (s == "0.00")
+    # "-0.00" only when a value actually parsed into range and rounded to
+    # zero from below — a negative OVERFLOW takes the plain "0.00" default
+    # (as_dec is null there, so the sign branch must not fire)
+    neg_zero = (
+        as_dec.isNotNull() & (prefix.try_cast(T.DoubleType()) < 0) & (s == "0.00")
+    )
     return F.when(neg_zero, F.lit("-0.00")).otherwise(s)
 
 
