@@ -99,7 +99,10 @@ def py_money(s: str) -> str:
     if not m:
         return "0.00"
     raw = Decimal(m.group(0))
-    if abs(raw) >= Decimal("1e17"):  # far out of range; quantize would throw
+    # coarse out-of-range gate via float: handles arbitrarily huge exponents
+    # (float overflows to inf, which compares correctly) without tripping
+    # Decimal context limits; the exact boundary is the quantize check below
+    if abs(float(m.group(0))) >= 1e17:
         return "0.00"
     d = raw.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
     # DECIMAL(18,2) holds |v| <= 9999999999999999.99 AFTER rounding;
