@@ -14,9 +14,10 @@ training-data-pipeline surface).
   b=32, r=2) — so it shares the exact-SQL oracle.
   At 100 TB: shingle explode + 2 shuffles (signature groupBy, band
   self-join); no quadratic blowup because banding localizes comparisons.
-- SimHash: 63-bit signatures from token hashes, pigeonhole-banded (4 chunks,
-  Hamming ≤ 3 ⇒ ≥1 chunk equal), ``bit_count(xor)`` verification. Not
-  SQL-oracle-expressible (DuckDB lacks xxhash64) → rows-only check.
+- SimHash: 60-bit signatures from md5-derived token hashes (engine-portable
+  — DuckDB reproduces them exactly, see SIMHASH_BITS), pigeonhole-banded
+  (4 chunks, Hamming ≤ 3 ⇒ ≥1 chunk equal), ``bit_count(xor)``
+  verification. Fully SQL-oracle-checked.
 
 All tokenization is ``split(lower(trim(text)), '\\s+')`` — mirrored exactly
 in the DuckDB oracle SQL. Docs with < 3 tokens produce no shingles in both
@@ -224,35 +225,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SimHash signature width. 60 bits = 15 hex digits of md5 — chosen so the
+#: per-token hash is ENGINE-PORTABLE: Spark computes
+#: ``conv(substr(md5(tok),1,15),16,10)`` and DuckDB reproduces the identical
+#: value via a hex-digit fold, which is what makes the full SQL oracle
+#: possible (xxhash64, the usual choice, exists only in Spark).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 15 bits each; Hamming ≤ 3 ⇒ ≥ 1 chunk equal (pigeonhole)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 over 63-bit signatures).
-    Rows-only check: DuckDB cannot reproduce xxhash64 token hashes."""
+    """SimHash near-dup pairs (Hamming ≤ 3 over 60-bit signatures).
+
+    Fully oracle-checked: token hashes are md5-derived (see SIMHASH_BITS)
+    so DuckDB reproduces signatures, banding, and Hamming distances
+    bit-for-bit. Plan shape: explode distinct tokens → one groupBy for the
+    60 bit-votes (partial-agg shuffle) → pigeonhole band self-join on
+    (chunk, 15-bit value) → exact ``bit_count(xor)`` verification."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
     )
-    th = F.xxhash64(F.col("tok"))
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     aggs = [
         F.sum(
             F.when(F.shiftright(th, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{i}")
-        for i in range(63)
+        for i in range(SIMHASH_BITS)
     ]
     votes = tok.groupBy("doc_id").agg(*aggs)
     sig_expr = None
-    for i in range(63):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         sig_expr = bit if sig_expr is None else sig_expr + bit
     sigs = votes.select("doc_id", sig_expr.alias("sig"))
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     chunks = F.array(
         *[
             F.struct(
                 F.lit(j).alias("chunk"),
-                F.shiftright(F.col("sig"), j * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(F.col("sig"), j * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                 .alias("cv"),
             )
-            for j in range(4)
+            for j in range(SIMHASH_CHUNKS)
         ]
     )
     banded = sigs.select("doc_id", "sig", F.explode(chunks).alias("c")).select(
@@ -393,7 +409,35 @@ ORACLE = {
         WITH {_SHINGLES_CTE}
         SELECT * FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
-    # dedup_simhash: rows-only (xxhash64 not reproducible in DuckDB)
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id,
+                   CAST(list_sum([(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT
+                        << ((15 - i) * 4) for i in generate_series(1, 15)]) AS BIGINT) AS h
+            FROM toks
+        ), votes AS (
+            SELECT doc_id,
+                   {", ".join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(60))}
+            FROM hashed GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id,
+                   CAST({" + ".join(f"(CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)" for i in range(60))} AS BIGINT) AS sig
+            FROM votes
+        ), banded AS (
+            SELECT doc_id, sig, chunk, (sig >> (chunk * 15)) & 32767 AS cv
+            FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS chunk) ch
+        ), pairs AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+            FROM banded x JOIN banded y
+              ON x.chunk = y.chunk AND x.cv = y.cv AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
     "dedup_components": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
         und AS (

@@ -13,8 +13,9 @@
   documented in the docstring.
 - ``embed_ann_ivf``: IVF-style approximate top-k — deterministic coarse
   quantizer (seed vectors as centroids), nprobe=4 — the 100 TB scale path
-  where brute force is quadratic. Accuracy is judged by a recall test
-  against ``embed_topk`` (tests/), not a SQL oracle (rows-only check).
+  where brute force is quadratic. The quantizer is deterministic, so the
+  oracle mirrors assignment + probing in SQL (full hash-match); recall vs
+  ``embed_topk`` is additionally asserted in tests.
 
 Why IVF and not random-hyperplane LSH for the ANN scale path: hyperplane
 LSH bucket-collision probability is ``(1 - θ/π)^bits`` per band; on this
@@ -170,9 +171,16 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: deterministic seed centroids (vec_id in
-    [100, 100+IVF_CENTROIDS)), nprobe=IVF_NPROBE (4 of 8 cells). Rows-only
-    check; recall vs brute force is asserted in tests."""
+    """IVF approximate top-k: deterministic coarse quantizer (seed vectors
+    vec_id in [100, 100+IVF_CENTROIDS) as centroids), nprobe=IVF_NPROBE
+    (4 of 8 cells).
+
+    Fully oracle-checked: the quantizer is deterministic, so the DuckDB
+    oracle mirrors the cell assignment and probe selection in SQL (the same
+    technique as ``embed_neardup_label``). Assignment/probe similarities are
+    rounded to 6 decimals with a c_id tiebreak so both engines pick
+    identical cells regardless of float summation order; recall vs brute
+    force is additionally asserted in tests."""
     from pyspark.sql.window import Window
 
     vecs = _vectors(spark, sf_dir)
@@ -180,8 +188,9 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
 
-    # assign every vector to its nearest centroid (broadcast join, 1 pass)
-    sim_c = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    # assign every vector to its nearest centroid (broadcast join, 1 pass);
+    # rounded similarity + c_id tiebreak = engine-portable determinism
+    sim_c = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
     assigned = (
         vecs.join(F.broadcast(cents), F.lit(True))
@@ -198,7 +207,10 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id"))
     probes = (
         q.join(F.broadcast(cents), F.lit(True))
-        .select("q_id", "qv", "qn", "c_id", (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("qsim"))
+        .select(
+            "q_id", "qv", "qn", "c_id",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("qsim"),
+        )
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= IVF_NPROBE)
         .select("q_id", "qv", "qn", F.col("c_id").alias("cell"))
@@ -268,5 +280,42 @@ ORACLE = {
         JOIN v vb ON vb.vec_id = id_b
         WHERE list_cosine_similarity(va.v, vb.v) >= {NEARDUP_THRESHOLD}
     """,
-    # embed_ann_ivf: rows-only (approximate; recall asserted in tests)
+    "embed_ann_ivf": f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c AS (
+            SELECT vec_id AS c_id, v AS cv FROM v
+            WHERE vec_id >= 100 AND vec_id < {100 + IVF_CENTROIDS}
+        ), assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT v.vec_id, v.v, c.c_id AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY round(list_cosine_similarity(v.v, c.cv), 6) DESC,
+                                     c.c_id) AS arn
+                FROM v, c
+            ) WHERE arn = 1
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+        ), probes AS (
+            SELECT q_id, qv, cell FROM (
+                SELECT q.q_id, q.qv, c.c_id AS cell,
+                       ROW_NUMBER() OVER (PARTITION BY q.q_id
+                            ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                                     c.c_id) AS prn
+                FROM q, c
+            ) WHERE prn <= {IVF_NPROBE}
+        ), cand AS (
+            SELECT p.q_id, a.vec_id,
+                   list_cosine_similarity(a.v, p.qv) AS cosine_raw
+            FROM assigned a JOIN probes p ON a.cell = p.cell
+            WHERE a.vec_id != p.q_id
+        ), ranked AS (
+            SELECT q_id, vec_id, cosine_raw,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                        ORDER BY cosine_raw DESC, vec_id) AS INT) AS rn
+            FROM cand
+        )
+        SELECT q_id, vec_id AS neighbor_id, round(cosine_raw, 6) AS cosine, rn
+        FROM ranked WHERE rn <= {TOP_K}
+    """,
 }
