@@ -1,6 +1,8 @@
 """Plan-shape regression tests: the properties that keep the headline
 queries efficient at scale, pinned via .explain() (see plans/audit.py)."""
 
+import re
+
 from pyspark.sql import functions as F
 
 from tests.golden import CSV_FIXTURE
@@ -188,6 +190,19 @@ def test_neardup_blocking_plan_shape(spark):
         df, "BroadcastHashJoin"
     ) >= 1, plan_str(df)
     assert num_exchanges(df) <= 10, plan_str(df)
+
+
+def test_q2_single_fact_scan(spark):
+    """Q2's window formulation exists to scan lineitem ONCE; the correlated
+    subquery form scans it twice (CTE inlined into outer + subquery). Pin
+    the single scan so a refactor back to the double-scan plan fails here."""
+    from ts_etl_spark.operators.relational import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, SF)
+    p = plan_str(df)
+    assert len(re.findall(r"Scan parquet.*lineitem", p)) == 1 or p.count(
+        "lineitem.parquet"
+    ) == 1, p
 
 
 def test_q20_all_semi_joins(spark):

@@ -494,20 +494,25 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2 shape: correlated scalar MIN subquery (the classic
-    de-correlation test — Catalyst rewrites it into an aggregate + join, no
-    per-row re-execution). The driver tables have no partsupp, so the
-    part-supplier cost relation derives from lineitem: cost(part, supp) =
-    MIN(l_extendedprice) — MIN is order-insensitive and exact on doubles,
-    so both engines agree bit-for-bit. Expressed in SQL to exercise the
-    SQL-subquery surface end-to-end.
+    """TPC-H Q2 shape: lowest-cost EUROPE supplier per part. The driver
+    tables have no partsupp, so the part-supplier cost relation derives
+    from lineitem: cost(part, supp) = MIN(l_extendedprice) — MIN is
+    order-insensitive and exact on doubles, so both engines agree
+    bit-for-bit.
 
-    The derived ps relation is referenced twice (outer + subquery); Spark
-    inlines CTEs, so lineitem is scanned + aggregated twice. Measured
-    trade-off: persisting ps instead costs MORE at bench scale (columnar
-    cache materialization exceeds the second aggregation) and only wins in
-    the scan-dominated regime; at real TPC-H scale ps is a physical
-    partsupp table and the question is moot, so the inline form stays."""
+    The textbook formulation is a correlated scalar MIN subquery; Catalyst
+    de-correlates it into an aggregate + join — but because the derived ps
+    CTE is referenced in BOTH the outer query and the subquery, that plan
+    scans and aggregates lineitem TWICE (Spark inlines CTEs; persisting ps
+    was measured slower cold — cache materialization exceeds the second
+    aggregation). This window formulation — join the EUROPE chain once,
+    ``MIN(cost) OVER (PARTITION BY ps_partkey)``, filter cost = min — is
+    the plan you'd want at 100 TB: ONE fact scan, one agg, one join chain,
+    one keyed window shuffle. Measured ~30% faster at sf0.1; output proven
+    identical to the subquery form (the DuckDB oracle deliberately KEEPS
+    the correlated-subquery formulation, making the parity check a
+    cross-formulation equivalence). Correlated scalar-subquery
+    de-correlation stays exercised by q17 and scalar_subquery."""
     for t in ("lineitem", "part", "supplier", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(f"q2_{t}")
     return spark.sql(
@@ -516,26 +521,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
                    MIN(l_extendedprice) AS cost
             FROM q2_lineitem GROUP BY l_partkey, l_suppkey
+        ), eur AS (
+            SELECT ps_partkey, ps_suppkey, cost, s_acctbal, s_name, n_name
+            FROM ps
+            JOIN q2_supplier ON s_suppkey = ps_suppkey
+            JOIN q2_nation   ON s_nationkey = n_nationkey
+            JOIN q2_region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), w AS (
+            SELECT *, MIN(cost) OVER (PARTITION BY ps_partkey) AS mincost
+            FROM eur
         )
         SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
-        FROM ps
-        JOIN q2_part     ON p_partkey = ps.ps_partkey
-        JOIN q2_supplier ON s_suppkey = ps.ps_suppkey
-        JOIN q2_nation   ON s_nationkey = n_nationkey
-        JOIN q2_region   ON n_regionkey = r_regionkey
-        WHERE p_size <= 15 AND r_name = 'EUROPE'
-          AND cost = (
-            SELECT MIN(ps2.cost)
-            FROM ps ps2
-            JOIN q2_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-            JOIN q2_nation   n2 ON n2.n_nationkey = s2.s_nationkey
-            JOIN q2_region   r2 ON r2.r_regionkey = n2.n_regionkey
-            -- the outer reference MUST be qualified (ps.): a bare ps_partkey
-            -- resolves to ps2's own column and silently de-correlates the
-            -- predicate into a global min
-            WHERE ps2.ps_partkey = ps.ps_partkey AND r2.r_name = 'EUROPE'
-          )
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps.ps_suppkey
+        FROM w JOIN q2_part ON p_partkey = ps_partkey
+        WHERE p_size <= 15 AND cost = mincost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
         LIMIT 100
         """
     )
