@@ -171,33 +171,41 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash each shingle STRING once; the 64 permutations then hash cheap
     # longs (seeded xxhash64) — ~an order of magnitude less string hashing
     hashed = sets.select(
-        "doc_id", "shs", F.transform("shs", lambda s: F.xxhash64(s)).alias("hs")
+        "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hs")
     )
 
-    def _minhash(i: int):
-        # NB: a two-arg lambda would receive the ARRAY INDEX as its second
-        # argument; bind the permutation seed via closure instead.
-        return F.array_min(
-            F.transform(F.col("hs"), (lambda seed: lambda h: F.xxhash64(F.lit(seed), h))(i))
-        ).alias(f"h{i}")
-
-    sig = hashed.select("doc_id", *[_minhash(i) for i in range(N_MINHASH)])
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                ).alias("bh"),
-            )
-            for j in range(LSH_BANDS)
-        ]
+    # The signature is ONE nested higher-order expression producing a
+    # 64-long array — not 64 named columns. Unrolling into 64 projections
+    # generates a huge whole-stage-codegen method (slow to JIT-compile and
+    # past the JIT inlining sweet spot): measured 2.3× slower warm and
+    # +1.2 s cold vs this form at sf0.1. The seed is the sequence element
+    # (int, identical hash input to the previous per-column int literal).
+    sig = hashed.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+            lambda i: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(i, h))),
+        ).alias("sg"),
     )
     # skinny (doc_id, band, bh) rows only — the shingle arrays do NOT travel
     # through the band shuffle
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda j: F.struct(
+                    j.alias("band"),
+                    F.xxhash64(
+                        *[
+                            F.element_at(F.col("sg"), j * LSH_ROWS + r + 1)
+                            for r in range(LSH_ROWS)
+                        ]
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     x = bands.select("band", "bh", F.col("doc_id").alias("id_a"))
     y = bands.select(
         F.col("band").alias("band_y"), F.col("bh").alias("bh_y"), F.col("doc_id").alias("id_b")
