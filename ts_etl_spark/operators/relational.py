@@ -606,6 +606,194 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — NATION_3's share of AMERICA's
+    ECONOMY-part revenue by order year. Two independent nation lookups
+    (customer side gates the region, supplier side tags the origin) off one
+    fact scan; the share is a conditional-aggregate ratio per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    cn = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    sn = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((money_sum(nat_rev) / money_sum(revenue)).alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year. The driver tables
+    have no partsupp.supplycost, so cost derives from the part list price:
+    profit = rev − p_retailprice × quantity — same join graph (fact ⋈ part ⋈
+    supplier ⋈ nation), all decimal-space so both engines agree exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1).cast(DEC) - dec("l_discount"))
+    amount = revenue - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("l_shipdate").alias("o_year"))
+        .agg(money_sum(amount).alias("profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value held by NATION_1
+    suppliers exceeds 0.1% of that nation's total — a grouped aggregate
+    HAVING-compared against a scalar aggregate of itself. The scalar total
+    is a 1-row broadcast at any SF (its hint is safe); value is
+    price × quantity in decimal space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    value = dec("l_extendedprice") * dec("l_quantity")
+    per_part = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(money_sum(value).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.join(F.broadcast(total), F.lit(True))
+        .filter(F.col("value") > F.lit(0.001) * F.col("total"))
+        .select("l_partkey", "value")
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high- vs low-priority orders
+    per line status for 1996 shipments (the driver tables have no
+    l_shipmode; l_linestatus plays its role). One join, one grouped pass,
+    both counts from the same CASE aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    excluding one brand, one type and complaint suppliers (NOT IN → left-anti
+    join). The part-supplier relation derives from lineitem via DISTINCT —
+    one dedup shuffle, then a multi-key grouped COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    sizes = [1, 4, 9, 14, 19, 24, 29, 34]
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    complaints = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    )
+    return (
+        ps.join(complaints, ps.l_suppkey == complaints.s_suppkey, "left_anti")
+        .join(pf, ps.l_partkey == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone delayed finished orders — late
+    means shipped >30 days after the order date (the driver tables have no
+    commit/receipt dates). The textbook form is a double correlated
+    EXISTS / NOT EXISTS on the fact table; this formulation replaces both
+    with ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back to the late rows — two fact-scan passes total,
+    no correlated re-probes. The DuckDB oracle deliberately keeps the
+    EXISTS form, making the parity check a cross-formulation equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    lif = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    per_order = lif.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    sole_late_orders = per_order.filter(
+        (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+    ).select("l_orderkey")
+    return (
+        lif.filter(late)
+        .join(sole_late_orders, "l_orderkey", "left_semi")
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: untapped high-balance customers — above the average
+    positive balance of their cohort, with no order since 2000 (every
+    customer has SOME order in the driver data, so the anti-join predicate
+    is recency, preserving the NOT EXISTS + scalar-subquery shape). The
+    scalar average is a 1-row broadcast; the anti join streams the orders
+    side."""
+    nkeys = [1, 3, 5, 7, 9, 11, 13]
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(nkeys)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    avg_pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        (money_sum(dec("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_pos), F.lit(True))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(dec("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def q_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe GLOBAL decile assignment: instead of the single-partition
     sort an unpartitioned ``ntile`` window needs, compute 9 internal decile
@@ -746,6 +934,13 @@ QUERIES = {
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q20_promo_share_suppliers": q20_promo_share_suppliers,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_priority_class": q12_priority_class,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "filter_project_sample": q_filter_project,
     "join_broadcast_agg": q_join_broadcast,
     "join_left_agg": q_join_left,
@@ -926,6 +1121,103 @@ ORACLE = {
                                AS DOUBLE) / COUNT(*))
             FROM lineitem l2 WHERE l2.l_partkey = p_partkey
           )
+    """,
+    "q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        GROUP BY 1
+    """,
+    "q9_product_profit": f"""
+        SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
+               CAST(SUM({_REV} - CAST(p_retailprice AS DECIMAL(18,2))
+                                 * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'STANDARD'
+        GROUP BY 1, 2
+    """,
+    "q11_important_stock": """
+        WITH val AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, value FROM val
+        WHERE value > 0.001 * (SELECT SUM(value) FROM val)
+    """,
+    "q12_priority_class": """
+        SELECT l_linestatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """,
+    "q21_waiting_suppliers": """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM li l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    "q22_sales_opportunity": """
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer c
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            FROM customer
+            WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
     """,
     "filter_project_sample": f"""
         SELECT l_orderkey, l_linenumber, l_quantity,
