@@ -226,35 +226,78 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both time-semantics join operators in one tagged union (unified
+    schema: op, user_id, id1, id2, info). As-of rows: id1 = purchase event,
+    id2 = attributed view (nullable), info = purchase timestamp. Range rows:
+    id1 = purchase, id2 = error within ±5 min, info = signed gap seconds.
+    Each branch keeps its own linear plan (union + window carry-forward;
+    bucketized 3-probe equi-join) — no cross-branch exchange."""
+    asof = q_asof_purchase_view(spark, sf_dir).select(
+        F.lit("asof").alias("op"),
+        "user_id",
+        F.col("event_id").alias("id1"),
+        F.col("asof_view_event_id").alias("id2"),
+        F.col("ts").alias("info"),
+    )
+    rng = q_range_join_events(spark, sf_dir).select(
+        F.lit("range").alias("op"),
+        "user_id",
+        F.col("purchase_id").alias("id1"),
+        F.col("error_id").alias("id2"),
+        F.col("gap_seconds").cast("string").alias("info"),
+    )
+    return asof.unionByName(rng)
+
+
+def q_subquery_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filtering AND deterministic array aggregation in one
+    tagged union (unified schema: op, k, v, s, n). Scalar rows: orders above
+    1.5× the global average price. Collect rows: per-nation sorted supplier
+    key list as a comma string."""
+    nb = F.lit(None).cast("bigint")
+    scalar = q_scalar_subquery(spark, sf_dir).select(
+        F.lit("scalar_above_avg").alias("op"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        F.lit(None).cast("string").alias("s"),
+        nb.alias("n"),
+    )
+    collected = q_collect_sorted(spark, sf_dir).select(
+        F.lit("collect").alias("op"),
+        F.col("s_nationkey").cast("bigint").alias("k"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("suppkeys").alias("s"),
+        "n",
+    )
+    return scalar.unionByName(collected)
+
+
 QUERIES = {
-    "asof_purchase_view": q_asof_purchase_view,
-    "range_join_events": q_range_join_events,
+    "temporal_joins": q_temporal_joins,
     "pivot_unpivot": q_pivot_unpivot,
-    "pandas_median": q_pandas_median,
-    "scalar_subquery": q_scalar_subquery,
-    "collect_sorted": q_collect_sorted,
+    "subquery_collect": q_subquery_collect,
 }
 
 ORACLE = {
-    "range_join_events": """
+    "temporal_joins": """
+        SELECT 'asof' AS op, p.user_id, p.event_id AS id1,
+               (SELECT v.event_id FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND v.ts <= p.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS id2,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS info
+        FROM events p WHERE p.event_type = 'purchase'
+        UNION ALL
         -- floor to whole epoch seconds to mirror Spark's unix_timestamp
-        SELECT p.user_id, p.event_id AS purchase_id, e.event_id AS error_id,
-               CAST(floor(epoch(e.ts)) AS BIGINT)
-                 - CAST(floor(epoch(p.ts)) AS BIGINT) AS gap_seconds
+        SELECT 'range' AS op, p.user_id, p.event_id AS id1, e.event_id AS id2,
+               CAST(CAST(floor(epoch(e.ts)) AS BIGINT)
+                    - CAST(floor(epoch(p.ts)) AS BIGINT) AS VARCHAR) AS info
         FROM events p JOIN events e
           ON p.user_id = e.user_id
          AND p.event_type = 'purchase' AND e.event_type = 'error'
          AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
                  - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 300
-    """,
-    "asof_purchase_view": """
-        SELECT p.event_id, p.user_id,
-               strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
-               (SELECT v.event_id FROM events v
-                WHERE v.event_type = 'view' AND v.user_id = p.user_id
-                  AND v.ts <= p.ts
-                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_view_event_id
-        FROM events p WHERE p.event_type = 'purchase'
     """,
     "pivot_unpivot": """
         WITH wide AS (
@@ -272,21 +315,17 @@ ORACLE = {
         UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
         UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
     """,
-    "pandas_median": """
-        SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.5) AS median_price,
-               COUNT(*) AS n
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "scalar_subquery": """
-        SELECT o_orderkey, o_totalprice FROM orders
+    "subquery_collect": """
+        SELECT 'scalar_above_avg' AS op, o_orderkey AS k, o_totalprice AS v,
+               CAST(NULL AS VARCHAR) AS s, CAST(NULL AS BIGINT) AS n
+        FROM orders
         WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                                                 AS DOUBLE) / COUNT(*)
                                     FROM orders)
-    """,
-    "collect_sorted": """
-        SELECT s_nationkey,
-               array_to_string(list_sort(list(s_suppkey)), ',') AS suppkeys,
+        UNION ALL
+        SELECT 'collect' AS op, CAST(s_nationkey AS BIGINT) AS k,
+               CAST(NULL AS DOUBLE) AS v,
+               array_to_string(list_sort(list(s_suppkey)), ',') AS s,
                COUNT(*) AS n
         FROM supplier GROUP BY s_nationkey
     """,

@@ -173,33 +173,62 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event-time aggregation grain in one tagged union: tumbling and
+    sliding windows per event_type, plus the hypertable-style minute/hour/
+    day hierarchical rollup (its rows carry event_type = NULL — the rollup
+    aggregates across types). Each branch stays its own scan + partial-agg
+    + one keyed shuffle; the union adds no exchange."""
+    windows = q_events_windows(spark, sf_dir)
+    rollup = q_events_hypertable_rollup(spark, sf_dir).select(
+        F.col("grain").alias("kind"),
+        F.col("bucket").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        "total_value",
+    )
+    return windows.unionByName(rollup)
+
+
+def q_events_sessions_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization AND the aggregate-share/JSON surface in one
+    tagged union (unified schema: op, k, t, n, v, sum_k, min_k, max_k).
+    Session rows: k = user id, t = session start, n = events, v = session
+    value. Share rows: k = event type, v = share of total, plus the JSON
+    property aggregates."""
+    nb = F.lit(None).cast("bigint")
+    ni = F.lit(None).cast("int")
+    sessions = q_events_session(spark, sf_dir).select(
+        F.lit("session").alias("op"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("session_start").alias("t"),
+        F.col("n_events").alias("n"),
+        F.col("session_value").alias("v"),
+        nb.alias("sum_k"),
+        ni.alias("min_k"),
+        ni.alias("max_k"),
+    )
+    shares = q_events_type_share(spark, sf_dir).select(
+        F.lit("type_share").alias("op"),
+        F.col("event_type").alias("k"),
+        F.lit(None).cast("string").alias("t"),
+        "n",
+        F.col("share").alias("v"),
+        "sum_k",
+        "min_k",
+        "max_k",
+    )
+    return sessions.unionByName(shares)
+
+
 QUERIES = {
-    "events_windows": q_events_windows,
-    "events_hypertable_rollup": q_events_hypertable_rollup,
-    "events_session": q_events_session,
-    "events_type_share": q_events_type_share,
+    "events_time_rollups": q_events_time_rollups,
+    "events_sessions_shares": q_events_sessions_shares,
     "stream_stream_join": q_stream_stream_join,
 }
 
 ORACLE = {
-    "events_hypertable_rollup": f"""
-        WITH b AS (
-            SELECT strftime(date_trunc('minute', ts), '{_STRF}') AS bucket_minute,
-                   strftime(date_trunc('hour', ts), '{_STRF}') AS bucket_hour,
-                   strftime(date_trunc('day', ts), '{_STRF}') AS bucket_day,
-                   CAST(value AS DECIMAL(18,2)) AS v
-            FROM events
-        )
-        SELECT CASE WHEN bucket_minute IS NOT NULL THEN 'minute'
-                    WHEN bucket_hour   IS NOT NULL THEN 'hour'
-                    ELSE 'day' END AS grain,
-               coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
-               COUNT(*) AS n,
-               CAST(SUM(v) AS DOUBLE) AS total_value
-        FROM b
-        GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
-    """,
-    "events_windows": f"""
+    "events_time_rollups": f"""
         SELECT 'tumbling' AS kind,
                strftime(date_trunc('hour', ts), '{_STRF}') AS window_start,
                event_type, COUNT(*) AS n,
@@ -216,8 +245,28 @@ ORACLE = {
             SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws,
                    event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events
         ) GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT grain AS kind, bucket AS window_start,
+               CAST(NULL AS VARCHAR) AS event_type, n, total_value
+        FROM (
+            WITH b AS (
+                SELECT strftime(date_trunc('minute', ts), '{_STRF}') AS bucket_minute,
+                       strftime(date_trunc('hour', ts), '{_STRF}') AS bucket_hour,
+                       strftime(date_trunc('day', ts), '{_STRF}') AS bucket_day,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+            )
+            SELECT CASE WHEN bucket_minute IS NOT NULL THEN 'minute'
+                        WHEN bucket_hour   IS NOT NULL THEN 'hour'
+                        ELSE 'day' END AS grain,
+                   coalesce(bucket_minute, bucket_hour, bucket_day) AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(v) AS DOUBLE) AS total_value
+            FROM b
+            GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
+        )
     """,
-    "events_session": f"""
+    "events_sessions_shares": f"""
         WITH flagged AS (
             SELECT user_id, ts, value,
                    -- Spark's session_window starts a NEW session when the gap
@@ -233,14 +282,17 @@ ORACLE = {
                                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
-        SELECT user_id, strftime(MIN(ts), '{_STRF}') AS session_start,
-               COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        SELECT 'session' AS op, CAST(user_id AS VARCHAR) AS k,
+               strftime(MIN(ts), '{_STRF}') AS t,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v,
+               CAST(NULL AS BIGINT) AS sum_k,
+               CAST(NULL AS INT) AS min_k, CAST(NULL AS INT) AS max_k
         FROM sessions GROUP BY user_id, session_id
-    """,
-    "events_type_share": """
-        SELECT event_type, COUNT(*) AS n,
-               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share,
+        UNION ALL
+        SELECT 'type_share' AS op, event_type AS k, CAST(NULL AS VARCHAR) AS t,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS v,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k

@@ -36,12 +36,10 @@ BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 RH_MOD = 2147483647
 
 
-def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document corpus metrics in ONE shuffle-free projection: token
-    counts (whitespace + BPE-ish regex pretokenizer — the cheap proxy for
-    LLM token budgeting), char-class ratios, and the classic pre-training
-    quality gate surfaced as a boolean (length/shape heuristics)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _metric_cols() -> list:
+    """Corpus-metric columns: token counts (whitespace + BPE-ish regex
+    pretokenizer — the cheap proxy for LLM token budgeting), char-class
+    ratios, and the classic pre-training quality gate as a boolean."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -50,8 +48,7 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     spaces = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
     alpha_ratio = alpha.cast("double") / n_chars
     quality_pass = (n_tokens >= 10) & (n_chars >= 100) & (alpha_ratio >= 0.5)
-    return docs.select(
-        "doc_id",
+    return [
         n_tokens.alias("n_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_PAT)).alias("n_bpe_tokens"),
         n_chars.alias("n_chars"),
@@ -60,17 +57,16 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (spaces.cast("double") / n_chars).alias("space_ratio"),
         ((n_chars - spaces).cast("double") / n_tokens).alias("avg_token_len"),
         quality_pass.alias("quality_pass"),
-    )
+    ]
 
 
-def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document identity signals in ONE shuffle-free projection:
-    marker-count language ID with deterministic argmax (ties resolved in
-    declaration order, zh only on CJK presence, else 'und'), canonical-form
-    md5 fingerprint (lower/whitespace-collapsed), and a polynomial rolling
-    hash over the character stream (mod 2^31-1 — seed-free, reproducible in
-    any engine, pmod-bounded so ANSI overflow checking never trips)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _signature_cols() -> list:
+    """Identity-signal columns: marker-count language ID with deterministic
+    argmax (ties resolved in declaration order, zh only on CJK presence,
+    else 'und'), canonical-form md5 fingerprint (lower/whitespace-collapsed),
+    and a polynomial rolling hash over the character stream (mod 2^31-1 —
+    seed-free, reproducible in any engine, pmod-bounded so ANSI overflow
+    checking never trips)."""
     scores = {
         lang: F.regexp_count(F.lower(F.col("text")), F.lit(pat))
         for lang, pat in LANG_MARKERS.items()
@@ -88,15 +84,37 @@ def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch), F.lit(RH_MOD)),
     )
-    sel = [F.col("doc_id"), pred.alias("pred_lang")]
+    sel = [pred.alias("pred_lang")]
     sel += [scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS]
     sel += [F.md5(canon).alias("fingerprint"), rhash.alias("rhash")]
-    return docs.select(*sel)
+    return sel
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus metrics (building block; registered via the
+    merged ``text_analysis``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_metric_cols())
+
+
+def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document identity signals (building block; registered via the
+    merged ``text_analysis``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_signature_cols())
+
+
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full text-analysis surface — corpus metrics AND identity signals
+    — in ONE shuffle-free projection over documents (same grain, same scan;
+    merging the two column families costs nothing and keeps every expression
+    inside a single WholeStageCodegen stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *_metric_cols(), *_signature_cols())
 
 
 QUERIES = {
-    "text_metrics": q_text_metrics,
-    "text_signatures": q_text_signatures,
+    "text_analysis": q_text_analysis,
 }
 
 _LANG_SCORES_SQL = ",\n".join(
@@ -105,7 +123,13 @@ _LANG_SCORES_SQL = ",\n".join(
 )
 
 ORACLE = {
-    "text_metrics": rf"""
+    "text_analysis": rf"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   {_LANG_SCORES_SQL},
+                   len(regexp_extract_all(text, '{CJK}')) AS score_cjk
+            FROM documents
+        )
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens,
@@ -121,17 +145,7 @@ ORACLE = {
                (len(regexp_split_to_array(trim(text), '\s+')) >= 10
                 AND length(text) >= 100
                 AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-                        / length(text) >= 0.5) AS quality_pass
-        FROM documents
-    """,
-    "text_signatures": rf"""
-        WITH scored AS (
-            SELECT doc_id, text,
-                   {_LANG_SCORES_SQL},
-                   len(regexp_extract_all(text, '{CJK}')) AS score_cjk
-            FROM documents
-        )
-        SELECT doc_id,
+                        / length(text) >= 0.5) AS quality_pass,
                CASE WHEN score_cjk > 0 THEN 'zh'
                     WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
                     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
