@@ -52,28 +52,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ts_etl_spark.operators import all_queries  # noqa: E402
 from ts_etl_spark.session import get_spark  # noqa: E402
 
+# Every name MUST be a registered queries() entry (tests/test_bench_contract.py
+# enforces this — a consolidation rename that misses bench would otherwise
+# KeyError and produce no BENCH line at all). Round-2 renames folded in:
+# events_windows+events_session -> events_time_rollups / events_sessions_shares,
+# asof_purchase_view+range_join_events -> temporal_joins,
+# text_metrics+text_signatures -> text_analysis,
+# pandas_median+scalar_subquery+collect_sorted -> subquery_collect.
 HEADLINE = [
     "q1_pricing_summary",
     "q2_min_cost_supplier",
     "q3_segment_revenue",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q9_product_profit",
     "join_broadcast_agg",
     "agg_distinct",
     "window_functions",
     "topk_orders",
-    "events_windows",
-    "events_session",
-    "asof_purchase_view",
-    "range_join_events",
+    "events_time_rollups",
+    "events_sessions_shares",
+    "temporal_joins",
     "stream_stream_join",
-    "pandas_median",
+    "subquery_collect",
     "dedup_minhash_lsh",
     "dedup_ngram_topk",
     "embed_topk",
     "embed_neardup_label",
-    "text_metrics",
-    "text_signatures",
+    "text_analysis",
     "multimodal_meta_resize",
 ]
 

@@ -1,0 +1,59 @@
+"""Contract between bench.py and the registered query surface.
+
+Round 2 consolidated/renamed `queries()` entries but bench.py's HEADLINE
+list kept the old names, so bench crashed with KeyError and the round
+produced no BENCH line at all. These tests make that class of breakage a
+test failure instead of a silent loss of the perf signal. No Spark session
+needed — pure import-level checks.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    # bench.py sets PYSPARK_SUBMIT_ARGS at import; scope it so other tests'
+    # sessions aren't affected.
+    before = {
+        k: os.environ.get(k) for k in ("PYSPARK_SUBMIT_ARGS", "SPARK_GRAFT_DRIVER_MEM")
+    }
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in before.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        sys.modules.pop("bench", None)
+    return mod
+
+
+def test_headline_names_are_registered_queries():
+    from ts_etl_spark.operators import all_queries
+
+    bench = _load_bench()
+    registered = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"bench HEADLINE names not in queries(): {missing}"
+
+
+def test_query_surface_fits_driver_window():
+    """The driver's CORRECTNESS sweep verifies the first 50 queries() entries
+    in registration order; every declared query must get a row."""
+    from ts_etl_spark.operators import all_oracle, all_queries
+
+    qs = all_queries()
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries registered; the driver only verifies the first 50 — "
+        "consolidate before registering more"
+    )
+    # every query has an oracle (rows-only checks are deliberate, keep none)
+    assert set(all_oracle()) == set(qs)

@@ -251,16 +251,20 @@ def q_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subquery_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery filtering AND deterministic array aggregation in one
-    tagged union (unified schema: op, k, v, s, n). Scalar rows: orders above
-    1.5× the global average price. Collect rows: per-nation sorted supplier
-    key list as a comma string."""
+    """Scalar-subquery filtering, deterministic array aggregation, AND the
+    Arrow-batched grouped-map pandas path in one tagged union (unified
+    schema: op, k, v, s, n). Scalar rows: orders above 1.5× the global
+    average price. Collect rows: per-nation sorted supplier key list as a
+    comma string. Median rows: per-returnflag exact interpolated median via
+    ``applyInPandas`` (numpy's interpolation matches DuckDB's
+    quantile_cont)."""
     nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
     scalar = q_scalar_subquery(spark, sf_dir).select(
         F.lit("scalar_above_avg").alias("op"),
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").alias("v"),
-        F.lit(None).cast("string").alias("s"),
+        ns.alias("s"),
         nb.alias("n"),
     )
     collected = q_collect_sorted(spark, sf_dir).select(
@@ -270,7 +274,14 @@ def q_subquery_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("suppkeys").alias("s"),
         "n",
     )
-    return scalar.unionByName(collected)
+    median = q_pandas_median(spark, sf_dir).select(
+        F.lit("median").alias("op"),
+        nb.alias("k"),
+        F.col("median_price").alias("v"),
+        F.col("l_returnflag").alias("s"),
+        "n",
+    )
+    return scalar.unionByName(collected).unionByName(median)
 
 
 QUERIES = {
@@ -328,5 +339,10 @@ ORACLE = {
                array_to_string(list_sort(list(s_suppkey)), ',') AS s,
                COUNT(*) AS n
         FROM supplier GROUP BY s_nationkey
+        UNION ALL
+        SELECT 'median' AS op, CAST(NULL AS BIGINT) AS k,
+               quantile_cont(l_extendedprice, 0.5) AS v,
+               l_returnflag AS s, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -870,13 +870,23 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact and sketch-based aggregates side by side, ALL oracle-checkable:
-    exact interpolated quantiles and exact COUNT(DISTINCT) hash-match the
-    oracle directly; the sketch results (HLL++ ``approx_count_distinct``,
-    Greenwald-Khanna ``percentile_approx``) are engine-specific, so they are
-    surfaced as bounded-relative-error BOOLEANS (|approx-exact|/exact within
-    the sketch's documented bound) that the oracle asserts TRUE — the sketch
-    paths stay exercised without an unverifiable raw value in the output."""
+    """The quantile/sketch surface in one long-format result
+    (metric, value, ok), ALL oracle-checkable:
+
+    - exact interpolated quantiles and exact COUNT(DISTINCT) hash-match the
+      oracle's values directly;
+    - the sketch results (HLL++ ``approx_count_distinct``, Greenwald-Khanna
+      ``percentile_approx``) are engine-specific, so they are surfaced as
+      bounded-relative-error BOOLEANS (|approx-exact|/exact within the
+      sketch's documented bound) that the oracle asserts TRUE;
+    - the scale-safe global-decile assignment (``q_ntile_bucketed``:
+      percentile_approx boundaries broadcast + map-side bucketing, replacing
+      the single-partition sort a global ``ntile`` needs) contributes ten
+      ``decile_NN`` rows whose population-balance booleans the oracle
+      asserts TRUE.
+
+    The sketch paths stay exercised without an unverifiable raw value in
+    the output."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     apct = F.percentile_approx(
@@ -898,24 +908,45 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rel_ok(approx, exact, bound):
-        return (F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * bound).alias(
-            f"{approx}_ok"
+        return F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * bound
+
+    nd = F.lit(None).cast("double")
+
+    def m(metric, value, ok):
+        return F.struct(
+            F.lit(metric).alias("metric"),
+            value.cast("double").alias("value"),
+            ok.alias("ok"),
         )
 
-    return agg.select(
-        "p25",
-        "p50",
-        "p75",
-        "distinct_parts",
-        "distinct_suppliers",
-        "distinct_orders",
-        rel_ok("ap25", "p25", 0.01),
-        rel_ok("ap50", "p50", 0.01),
-        rel_ok("ap75", "p75", 0.01),
-        rel_ok("adp", "distinct_parts", 0.05),
-        rel_ok("ads", "distinct_suppliers", 0.05),
-        rel_ok("ado", "distinct_orders", 0.05),
+    entries = [
+        m(name, F.col(name), F.lit(True))
+        for name in (
+            "p25",
+            "p50",
+            "p75",
+            "distinct_parts",
+            "distinct_suppliers",
+            "distinct_orders",
+        )
+    ] + [
+        m("ap25_ok", nd, rel_ok("ap25", "p25", 0.01)),
+        m("ap50_ok", nd, rel_ok("ap50", "p50", 0.01)),
+        m("ap75_ok", nd, rel_ok("ap75", "p75", 0.01)),
+        m("adp_ok", nd, rel_ok("adp", "distinct_parts", 0.05)),
+        m("ads_ok", nd, rel_ok("ads", "distinct_suppliers", 0.05)),
+        m("ado_ok", nd, rel_ok("ado", "distinct_orders", 0.05)),
+    ]
+    long = agg.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+    deciles = q_ntile_bucketed(spark, sf_dir).select(
+        F.concat(
+            F.lit("decile_"), F.lpad(F.col("bucket").cast("string"), 2, "0")
+        ).alias("metric"),
+        nd.alias("value"),
+        "ok",
     )
+    return long.unionByName(deciles)
 
 
 QUERIES = {
@@ -951,7 +982,6 @@ QUERIES = {
     "set_operations": q_set_operations,
     "scalar_functions": q_scalar_functions,
     "window_functions": q_window_functions,
-    "ntile_bucketed": q_ntile_bucketed,
     "quantiles_sketches": q_quantiles_sketches,
 }
 
@@ -1322,9 +1352,6 @@ ORACLE = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
-    "ntile_bucketed": """
-        SELECT CAST(range AS INT) AS bucket, TRUE AS ok FROM range(1, 11)
-    """,
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o
@@ -1365,14 +1392,27 @@ ORACLE = {
         FROM orders
     """,
     "quantiles_sketches": """
-        SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
-               quantile_cont(l_extendedprice, 0.50) AS p50,
-               quantile_cont(l_extendedprice, 0.75) AS p75,
-               COUNT(DISTINCT l_partkey) AS distinct_parts,
-               COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
-               COUNT(DISTINCT l_orderkey) AS distinct_orders,
-               TRUE AS ap25_ok, TRUE AS ap50_ok, TRUE AS ap75_ok,
-               TRUE AS adp_ok, TRUE AS ads_ok, TRUE AS ado_ok
-        FROM lineitem
+        WITH agg AS (
+            SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+                   quantile_cont(l_extendedprice, 0.50) AS p50,
+                   quantile_cont(l_extendedprice, 0.75) AS p75,
+                   CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS distinct_parts,
+                   CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS distinct_suppliers,
+                   CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders
+            FROM lineitem
+        )
+        SELECT 'p25' AS metric, p25 AS value, TRUE AS ok FROM agg
+        UNION ALL SELECT 'p50', p50, TRUE FROM agg
+        UNION ALL SELECT 'p75', p75, TRUE FROM agg
+        UNION ALL SELECT 'distinct_parts', distinct_parts, TRUE FROM agg
+        UNION ALL SELECT 'distinct_suppliers', distinct_suppliers, TRUE FROM agg
+        UNION ALL SELECT 'distinct_orders', distinct_orders, TRUE FROM agg
+        UNION ALL SELECT k, CAST(NULL AS DOUBLE), TRUE
+        FROM (VALUES ('ap25_ok'), ('ap50_ok'), ('ap75_ok'),
+                     ('adp_ok'), ('ads_ok'), ('ado_ok')) t(k)
+        UNION ALL
+        SELECT 'decile_' || lpad(CAST(range AS VARCHAR), 2, '0'),
+               CAST(NULL AS DOUBLE), TRUE
+        FROM range(1, 11)
     """,
 }
