@@ -1,0 +1,112 @@
+"""End-to-end curation pipeline (ts_etl_spark/pipelines/curation.py):
+provenance completeness, per-stage policy invariants, and the partitioned
+write layout."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
+from ts_etl_spark.pipelines import curate_documents, write_curated
+
+
+def test_provenance_covers_every_document(spark, sf_smoke):
+    docs_n = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    out = curate_documents(spark, sf_smoke)
+    rows = out.collect()
+    assert len(rows) == docs_n
+    for r in rows:
+        assert r.kept == (r.drop_reason is None)
+
+
+def test_stage_invariants(spark, sf_smoke):
+    out = curate_documents(spark, sf_smoke).persist()
+    kept = out.filter("kept")
+
+    # every kept doc passed the quality gate
+    assert kept.filter(~F.col("quality_pass")).count() == 0
+
+    # kept docs have unique canonical fingerprints
+    n_kept = kept.count()
+    assert n_kept > 0
+    assert kept.select("fingerprint").distinct().count() == n_kept
+
+    # no verified near-dup pair survives intact: for every pair at/above the
+    # threshold, the higher id must be dropped
+    pairs = q_dedup_minhash_lsh(spark, sf_smoke).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    kept_ids = kept.select(F.col("doc_id").alias("id_b"))
+    surviving_b = pairs.join(kept_ids, "id_b", "left_semi")
+    assert surviving_b.count() == 0
+
+    # drop reasons follow pipeline order: an exact-dup reason implies the
+    # quality gate passed (quality would have claimed the row first)
+    bad = out.filter((F.col("drop_reason") == "exact_dup") & ~F.col("quality_pass"))
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_language_filter(spark, sf_smoke):
+    out = curate_documents(spark, sf_smoke, languages=["en"])
+    assert out.filter("kept").filter(F.col("pred_lang") != "en").count() == 0
+    # language drops exist and carry the right reason
+    dropped = out.filter(F.col("drop_reason") == "language")
+    assert dropped.filter(F.col("pred_lang") == "en").count() == 0
+
+
+def test_token_budget_greedy_by_id(spark, sf_smoke):
+    budget = 2000
+    out = curate_documents(spark, sf_smoke, token_budget=budget).persist()
+    kept = out.filter("kept").orderBy("doc_id").collect()
+    assert kept, "budget too small for any document"
+
+    # greedy prefix property: cumulative count before each kept doc < budget
+    cum = 0
+    for r in kept:
+        assert cum < budget
+        cum += r.n_bpe_tokens
+
+    # every budget-dropped doc survived all other gates and sits after the
+    # last kept doc in id order
+    bdropped = out.filter(F.col("drop_reason") == "budget").collect()
+    last_kept = kept[-1].doc_id
+    for r in bdropped:
+        assert r.quality_pass and not r.is_exact_dup and not r.is_near_dup
+        assert r.doc_id > last_kept
+    out.unpersist()
+
+
+def test_budget_matches_plain_window(spark, sf_smoke):
+    """The skew-safe two-level cumsum must equal the single-window cumsum."""
+    from pyspark.sql.window import Window
+
+    out = curate_documents(spark, sf_smoke, token_budget=10**9)
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in out.filter("kept").select("doc_id", "cum_tokens").collect()
+    }
+    survivors = curate_documents(spark, sf_smoke).filter("kept")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.doc_id: r.want
+        for r in survivors.select(
+            "doc_id", F.sum("n_bpe_tokens").over(w).alias("want")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):
+    out = curate_documents(spark, sf_smoke)
+    dest = str(tmp_path / "curated")
+    write_curated(out, dest)
+    parts = {p for p in os.listdir(dest) if p.startswith("pred_lang=")}
+    assert parts  # hive-style layout present
+    back = spark.read.parquet(dest)
+    assert back.count() == out.filter("kept").count()
+    # partition pruning: a single-language read scans only that directory
+    langs = sorted(p.split("=", 1)[1] for p in parts)
+    one = back.filter(F.col("pred_lang") == langs[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred_lang" in plan or "pred_lang" in plan
