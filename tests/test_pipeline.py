@@ -97,6 +97,19 @@ def test_budget_matches_plain_window(spark, sf_smoke):
     assert got == want
 
 
+def test_cli_run_curate(spark, sf_smoke, tmp_path):
+    from ts_etl_spark.cli import run_curate
+
+    dest = str(tmp_path / "corpus")
+    counts = run_curate(
+        sf_smoke, dest, languages=["en"], token_budget=5000, spark=spark
+    )
+    assert counts.get("kept", 0) > 0
+    back = spark.read.parquet(dest)
+    assert back.count() == counts["kept"]
+    assert set(counts) <= {"kept", "quality", "exact_dup", "near_dup", "language", "budget"}
+
+
 def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):
     out = curate_documents(spark, sf_smoke)
     dest = str(tmp_path / "curated")

@@ -109,7 +109,82 @@ def run_conversion_path(
             spark.stop()
 
 
+def run_curate(
+    sf_dir: str,
+    out_dir: str,
+    languages: list[str] | None = None,
+    token_budget: int | None = None,
+    jaccard: float | None = None,
+    spark=None,
+) -> dict[str, int]:
+    """Run the corpus-curation pipeline over ``<sf_dir>/documents.parquet``
+    and write survivors to ``out_dir`` partitioned by language. Returns the
+    per-stage drop counts (also logged to stderr)."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
+    from ts_etl_spark.pipelines import curate_documents, write_curated
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-curate")
+    try:
+        out = curate_documents(
+            spark,
+            sf_dir,
+            languages=languages,
+            jaccard_threshold=jaccard if jaccard is not None else JACCARD_THRESHOLD,
+            token_budget=token_budget,
+        ).persist()
+        counts = {
+            (r["drop_reason"] or "kept"): r["count"]
+            for r in out.groupBy("drop_reason").count().collect()
+        }
+        for stage, n in sorted(counts.items()):
+            print(f"curate: {stage} = {n}", file=sys.stderr)
+        write_curated(out, out_dir)
+        out.unpersist()
+        return counts
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _curate_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark curate",
+        description="Curate the documents table into a training corpus.",
+    )
+    parser.add_argument("sf_dir", help="input dir containing documents.parquet")
+    parser.add_argument("out_dir", help="output dir for curated parquet")
+    parser.add_argument(
+        "--languages", help="comma-separated predicted-language allowlist"
+    )
+    parser.add_argument("--budget", type=int, help="greedy BPE-token budget")
+    parser.add_argument(
+        "--jaccard", type=float, help="near-dup removal threshold (default 0.4)"
+    )
+    args = parser.parse_args(argv)
+    langs = args.languages.split(",") if args.languages else None
+    try:
+        run_curate(
+            args.sf_dir,
+            args.out_dir,
+            languages=langs,
+            token_budget=args.budget,
+            jaccard=args.jaccard,
+        )
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during curation: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "curate":
+        return _curate_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
