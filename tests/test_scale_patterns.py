@@ -223,3 +223,57 @@ def test_bucketed_running_sum_matches_plain_window(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_kmeans_trained_ivf_matches_seed_recall(spark):
+    """The k-means-trained centroid path (train_ivf_centroids + ivf_topk)
+    must work end-to-end and, even on this uniform corpus where learned
+    cells cannot beat the nprobe/K regime, stay at or above the recall
+    floor the seed-centroid query is held to. Also checks ivf_topk with the
+    SEED centroid frame reproduces q_embed_ann_ivf exactly (the registered
+    query is the nprobe-parameterized helper with seed centroids)."""
+    from ts_etl_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        IVF_NPROBE,
+        N_QUERIES,
+        _vectors,
+        ivf_topk,
+        q_embed_ann_ivf,
+        q_embed_topk,
+        train_ivf_centroids,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    vecs = _vectors(spark, SF).persist()
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+
+    # seed-centroid frame through the helper == the registered query
+    seed_cents = vecs.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    via_helper = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in ivf_topk(vecs, seed_cents, queries, nprobe=IVF_NPROBE).collect()
+    }
+    registered = {
+        (r.q_id, r.neighbor_id, r.cosine, r.rn)
+        for r in q_embed_ann_ivf(spark, SF).collect()
+    }
+    assert via_helper == registered
+
+    # trained centroids: full path runs, recall holds the same floor
+    trained = train_ivf_centroids(vecs, k=IVF_CENTROIDS)
+    assert trained.count() == IVF_CENTROIDS
+    truth = {(r.q_id, r.neighbor_id) for r in q_embed_topk(spark, SF).collect()}
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk(vecs, trained, queries, nprobe=IVF_NPROBE).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    floor = 0.6 * IVF_NPROBE / IVF_CENTROIDS
+    assert recall >= floor, f"trained-IVF recall collapsed: {recall} < {floor}"
+    vecs.unpersist()

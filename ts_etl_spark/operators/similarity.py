@@ -180,50 +180,107 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     technique as ``embed_neardup_label``). Assignment/probe similarities are
     rounded to 6 decimals with a c_id tiebreak so both engines pick
     identical cells regardless of float summation order; recall vs brute
-    force is additionally asserted in tests."""
-    from pyspark.sql.window import Window
-
+    force is additionally asserted in tests. Implemented as ``ivf_topk``
+    over the seed-centroid frame — swap in ``train_ivf_centroids`` output
+    for the k-means production path."""
     vecs = _vectors(spark, sf_dir)
     cents = vecs.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
-
-    # assign every vector to its nearest centroid (broadcast join, 1 pass);
-    # rounded similarity + c_id tiebreak = engine-portable determinism
-    sim_c = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
-    assigned = (
-        vecs.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "label", "v", "nrm", "c_id", sim_c.alias("csim"))
-        .withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
-    )
-
-    # queries probe their IVF_NPROBE nearest cells
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    probe_w = Window.partitionBy("q_id").orderBy(F.col("qsim").desc(), F.col("c_id"))
-    probes = (
-        q.join(F.broadcast(cents), F.lit(True))
-        .select(
-            "q_id", "qv", "qn", "c_id",
-            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6).alias("qsim"),
-        )
-        .withColumn("prn", F.row_number().over(probe_w))
-        .filter(F.col("prn") <= IVF_NPROBE)
-        .select("q_id", "qv", "qn", F.col("c_id").alias("cell"))
+    return ivf_topk(vecs, cents, q, nprobe=IVF_NPROBE)
+
+
+def train_ivf_centroids(
+    vecs: DataFrame, k: int, seed: int = 7, max_iter: int = 20
+) -> DataFrame:
+    """Train IVF coarse-quantizer centroids with distributed k-means
+    (``pyspark.ml.clustering.KMeans``) instead of the deterministic seed
+    vectors ``q_embed_ann_ivf`` uses.
+
+    The registered query keeps seed centroids because the DuckDB oracle
+    must reproduce the assignment; THIS is the production path for real
+    (clustered) embedding corpora, where learned cells align with the data
+    distribution and recall at fixed nprobe improves accordingly. Training
+    is one MLlib job (k·d floats to the driver — tiny); returns
+    (c_id, cv, cn) shaped exactly like the seed-centroid frame so
+    ``ivf_assign`` works with either source.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vecs.select("vec_id", array_to_vector("v").alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vecs.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "c_id INT, cv ARRAY<DOUBLE>")
+    return cents.select("c_id", "cv", norm(F.col("cv")).alias("cn"))
+
+
+def ivf_assign(vecs: DataFrame, cents: DataFrame, n_assign: int = 1) -> DataFrame:
+    """Assign each vector to its ``n_assign`` nearest centroids by cosine
+    (broadcast join — the vector table never shuffles). Returns
+    (vec_id, v, nrm, cell)."""
+    from pyspark.sql.window import Window
+
+    sim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
+    return (
+        vecs.join(F.broadcast(cents), F.lit(True))
+        .select("vec_id", "v", "nrm", "c_id", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_assign)
+        .select("vec_id", "v", "nrm", F.col("c_id").alias("cell"))
     )
 
+
+def ivf_topk(
+    vecs: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """IVF top-k against an arbitrary centroid frame (seed or k-means
+    trained): assign the corpus once, probe each query's ``nprobe`` nearest
+    cells, exact cosine on the probed candidates only."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(vecs, cents, n_assign=1)
+    probes = (
+        ivf_assign(
+            queries.select(
+                F.col("q_id").alias("vec_id"),
+                F.col("qv").alias("v"),
+                F.col("qn").alias("nrm"),
+            ),
+            cents,
+            n_assign=nprobe,
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell",
+        )
+    )
     cand = assigned.join(probes, "cell").filter(F.col("vec_id") != F.col("q_id"))
     cos = dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
-    topk_w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     return (
         cand.select("q_id", "vec_id", cos.alias("cosine_raw"))
-        .withColumn("rn", F.row_number().over(topk_w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round("cosine_raw", 6).alias("cosine"), "rn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cosine_raw", 6).alias("cosine"),
+            "rn",
+        )
     )
 
 
