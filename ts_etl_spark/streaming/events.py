@@ -23,23 +23,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: physical schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long)
-EVENTS_FILE_SCHEMA = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def stream_events(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
-    """File-source stream of events with ts converted to a micros timestamp
-    (same conversion as sources/tables.py)."""
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA).format("parquet")
+    """File-source stream of events.
+
+    ``readStream`` needs an explicit schema (no inference mid-stream), so the
+    physical schema is probed with ONE batch metadata read of the same
+    directory. Mirrors the defensive conversion in ``sources/tables.py``:
+    generations of the testdata that store ``ts`` as TIMESTAMP(NANOS) read it
+    as a raw long (``nanosAsLong``) and convert to a micros timestamp here;
+    generations that store TIMESTAMP(MICROS) stream it as a timestamp
+    directly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     df = reader.load(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP (ltz); the session is pinned to UTC,
+        # so the cast preserves the wall-clock instant
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
