@@ -66,8 +66,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q9_product_profit",
-    "join_broadcast_agg",
-    "agg_distinct",
+    "join_variants",
+    "agg_extensions",
     "window_functions",
     "topk_orders",
     "events_time_rollups",
@@ -80,6 +80,9 @@ HEADLINE = [
     "embed_topk",
     "embed_neardup_label",
     "text_analysis",
+    "text_pii_redaction",
+    "text_contamination",
+    "pipeline_curation",
     "multimodal_meta_resize",
 ]
 

@@ -11,7 +11,7 @@ from ts_etl_spark.operators.relational import (
     q5_local_supplier_volume,
     q6_revenue_forecast,
     q_filter_project,
-    q_join_broadcast,
+    _join_broadcast_arm,
     q_topk_orders,
 )
 from ts_etl_spark.plans.audit import (
@@ -53,7 +53,7 @@ def test_q5_dimensions_broadcast(spark):
 
 
 def test_broadcast_join_no_fact_shuffle(spark):
-    df = q_join_broadcast(spark, SF)
+    df = _join_broadcast_arm(spark, SF)
     assert count_nodes(df, "BroadcastHashJoin") == 1
     # the only exchange is the tiny post-agg one, never a fact-table shuffle
     assert num_exchanges(df) <= 1
@@ -133,7 +133,7 @@ def test_no_forced_broadcast_on_scaling_tables(spark):
     cases = [
         (q3_segment_revenue, 0, 2),  # li⋈orders, ⋈customer
         (q5_local_supplier_volume, 2, 3),  # nation+region hinted; li⋈o,⋈cust,⋈sup
-        (q_join_broadcast, 0, 1),  # orders⋈customer
+        (_join_broadcast_arm, 0, 1),  # orders⋈customer
         (q7_volume_shipping, 2, 3),  # sn+cn hinted; li⋈o,⋈cust,⋈sup
         (q14_promo_revenue, 0, 1),  # li⋈part
         (q19_disjunctive_predicates, 0, 1),  # li⋈part
@@ -232,9 +232,9 @@ def test_group_extensions_expand_per_branch(spark):
     """Each grouping-extension branch plans as a single Expand + hash
     aggregate (one scan + one shuffle per branch — never a per-grouping
     re-scan)."""
-    from ts_etl_spark.operators.relational import q_group_extensions
+    from ts_etl_spark.operators.relational import _grouping_extensions
 
-    df = q_group_extensions(spark, SF)
+    df = _grouping_extensions(spark, SF)
     assert count_nodes(df, "Expand") == 3, plan_str(df)
     assert num_exchanges(df) == 3, plan_str(df)
 
@@ -249,7 +249,7 @@ def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
     try:
-        df = q_join_broadcast(spark, SF)
+        df = _join_broadcast_arm(spark, SF)
         assert count_nodes(df, "SortMergeJoin") >= 1  # static choice
         df.collect()  # execute THIS query execution so AQE finalizes it
         final = df._jdf.queryExecution().executedPlan().toString()

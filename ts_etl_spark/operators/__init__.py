@@ -20,6 +20,7 @@ from ts_etl_spark.operators import (
     similarity,
     textops,
 )
+from ts_etl_spark.pipelines import curation
 
 # Registration order = the order the driver's CORRECTNESS sweep visits
 # queries (it verifies the first 50 entries). The LLM-data-pipeline modules
@@ -27,7 +28,7 @@ from ts_etl_spark.operators import (
 # dedup/similarity/text/multimodal/events keep their driver-green rows.
 # (The whole surface is consolidated to ≤50 entries so every query gets a
 # row in one sweep.)
-_MODULES = (dedup, similarity, textops, multimodal, events, relational, advanced)
+_MODULES = (dedup, similarity, textops, multimodal, curation, events, relational, advanced)
 
 
 def all_queries():

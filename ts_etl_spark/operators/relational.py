@@ -166,68 +166,97 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact ⋈ small dim → broadcast join, chosen by the PLANNER (size-based
-    threshold + AQE), not a hard hint: customer scales with SF, so a forced
-    broadcast would OOM at 100 TB while the unhinted join degrades to SMJ."""
+def _join_broadcast_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim + agg, broadcast chosen by the PLANNER — the plan-test
+    target for threshold/AQE behavior (registered via ``join_variants``)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("n_orders"),
-            money_sum(dec("o_totalprice")).alias("total_revenue"),
+            F.count("*").alias("n"),
+            money_sum(dec("o_totalprice")).alias("m"),
         )
     )
 
 
-def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-TPC-H join surface in one tagged union, unified schema
+    (op, k, n, m double-nullable):
+
+    - ``bcast_inner``: fact ⋈ dim + agg — broadcast chosen by the PLANNER
+      (size-based threshold + AQE), not a hard hint: customer scales with
+      SF, so a forced broadcast would OOM at 100 TB while the unhinted join
+      degrades to SMJ.
+    - ``left``: left outer join preserving customers with no orders
+      (COUNT over the nullable side + coalesced money sum).
+    - ``semi`` / ``anti``: EXISTS / NOT EXISTS as one-pass hash joins that
+      never duplicate probe rows.
+
+    Branches intentionally share nothing — each demonstrates the native
+    join strategy with its own minimal plan; the union adds no exchange."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    bcast = _join_broadcast_arm(spark, sf_dir).select(
+        F.lit("bcast_inner").alias("op"), F.col("c_mktsegment").alias("k"), "n", "m"
+    )
+    left = (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            money_sum(F.coalesce(dec("o_totalprice"), F.lit(0).cast(DEC))).alias(
-                "total_spent"
-            ),
+            F.count("o_orderkey").alias("n"),
+            money_sum(F.coalesce(dec("o_totalprice"), F.lit(0).cast(DEC))).alias("m"),
         )
+        .select(F.lit("left").alias("op"), F.col("c_custkey").cast("string").alias("k"), "n", "m")
     )
-
-
-def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi (EXISTS without materializing the probe side) and left-anti
-    (NOT EXISTS) in one tagged union — both execute as one-pass hash joins
-    that never duplicate probe rows."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
     fo = orders.filter(F.col("o_orderstatus") == "F")
     semi = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi").select(
-        F.lit("semi").alias("op"), "c_custkey", "c_name"
+        F.lit("semi").alias("op"),
+        F.col("c_name").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("m"),
     )
     anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
-        F.lit("anti").alias("op"), "c_custkey", "c_name"
+        F.lit("anti").alias("op"),
+        F.col("c_name").alias("k"),
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("m"),
     )
-    return semi.unionByName(anti)
+    return bcast.unionByName(left).unionByName(semi).unionByName(anti)
 
 
-def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) — Spark expands to a two-phase exact distinct agg."""
+def q_agg_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT), ROLLUP, CUBE and GROUPING SETS in one tagged union —
+    Spark expands each grouping extension into a single Expand + hash
+    aggregate (one scan, one shuffle per branch; no per-grouping re-scan),
+    and the exact distinct agg into the two-phase expand-distinct plan.
+    Unified schema (op, k1, k2, n, m double-nullable).
+
+    The ``distinct`` arm aggregates ONCE and unpivots the three measures
+    into rows (count-distinct parts / suppliers, raw row count) — one scan,
+    one distinct-agg, a cost-free projection fan-out."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    dist = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
         F.countDistinct("l_suppkey").alias("distinct_suppliers"),
         F.count("*").alias("n_rows"),
     )
+    distinct_arm = None
+    for measure in ("distinct_parts", "distinct_suppliers", "n_rows"):
+        arm = dist.select(
+            F.lit("distinct").alias("op"),
+            F.col("l_returnflag").alias("k1"),
+            F.lit(measure).alias("k2"),
+            F.col(measure).alias("n"),
+            F.lit(None).cast("double").alias("m"),
+        )
+        distinct_arm = arm if distinct_arm is None else distinct_arm.unionByName(arm)
+    return distinct_arm.unionByName(_grouping_extensions(spark, sf_dir))
 
 
-def q_group_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP, CUBE and GROUPING SETS in one tagged union — Spark expands
-    each into a single Expand + hash aggregate (one scan, one shuffle per
-    branch; no per-grouping re-scan). Unified schema
-    (op, k1, k2, n, m double-nullable)."""
+def _grouping_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP / CUBE / GROUPING SETS arms (op, k1, k2, n, m)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     rollup = (
@@ -973,11 +1002,8 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_sales_opportunity": q22_sales_opportunity,
     "filter_project_sample": q_filter_project,
-    "join_broadcast_agg": q_join_broadcast,
-    "join_left_agg": q_join_left,
-    "join_semi_anti": q_join_semi_anti,
-    "agg_distinct": q_agg_distinct,
-    "group_extensions": q_group_extensions,
+    "join_variants": q_join_variants,
+    "agg_extensions": q_agg_extensions,
     "topk_orders": q_topk_orders,
     "set_operations": q_set_operations,
     "scalar_functions": q_scalar_functions,
@@ -1257,35 +1283,47 @@ ORACLE = {
           AND substr(md5(CAST(l_orderkey AS VARCHAR) || '#'
                          || CAST(l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
     """,
-    "join_broadcast_agg": """
-        SELECT c_mktsegment, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    "join_variants": """
+        SELECT 'bcast_inner' AS op, c_mktsegment AS k, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS m
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
-    """,
-    "join_left_agg": """
-        SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        UNION ALL
+        SELECT 'left' AS op, CAST(c_custkey AS VARCHAR) AS k,
+               COUNT(o_orderkey) AS n,
                CAST(SUM(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)),
-                                 CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS total_spent
+                                 CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS m
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
-    """,
-    "join_semi_anti": """
-        SELECT 'semi' AS op, c_custkey, c_name FROM customer c
+        UNION ALL
+        SELECT 'semi' AS op, c_name AS k, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS m
+        FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         UNION ALL
-        SELECT 'anti' AS op, c_custkey, c_name FROM customer c
+        SELECT 'anti' AS op, c_name AS k, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS m
+        FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    "agg_distinct": """
-        SELECT l_returnflag,
-               COUNT(DISTINCT l_partkey) AS distinct_parts,
-               COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
-               COUNT(*) AS n_rows
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "group_extensions": """
+    "agg_extensions": """
+        WITH dist AS (
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS distinct_parts,
+                   COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT 'distinct' AS op, l_returnflag AS k1, 'distinct_parts' AS k2,
+               distinct_parts AS n, CAST(NULL AS DOUBLE) AS m FROM dist
+        UNION ALL
+        SELECT 'distinct' AS op, l_returnflag AS k1, 'distinct_suppliers' AS k2,
+               distinct_suppliers AS n, CAST(NULL AS DOUBLE) AS m FROM dist
+        UNION ALL
+        SELECT 'distinct' AS op, l_returnflag AS k1, 'n_rows' AS k2,
+               n_rows AS n, CAST(NULL AS DOUBLE) AS m FROM dist
+        UNION ALL
         SELECT 'rollup' AS op,
                coalesce(l_returnflag, 'ALL') AS k1,
                coalesce(l_linestatus, 'ALL') AS k2,

@@ -104,6 +104,162 @@ def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *_signature_cols())
 
 
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+
+#: PII patterns, applied in declaration order (email before URL is safe —
+#: URLs here carry no '@'; IP before phone so the dotted quad is consumed
+#: before the digit-run pattern can bite into it). Every pattern is valid
+#: and equivalent in Java regex (Spark) and RE2 (DuckDB) — no backrefs, no
+#: lookaround.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "url": (r"https?://[^\s]+", "[URL]"),
+    "ip": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    "phone": (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+}
+
+
+def pii_count_cols(c) -> list:
+    """Per-category PII match counts over a text column (codegen
+    expressions, shuffle-free)."""
+    return [
+        F.regexp_count(c, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(c):
+    """Replace every PII match with its category token, in declaration
+    order. Chained ``regexp_replace`` — one pass per category, all inside a
+    single codegen stage."""
+    out = c
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def _planted_pii_text():
+    """The synthetic corpus contains no PII, so the registered query PLANTS
+    deterministic PII derived from doc_id (same construction mirrored in the
+    oracle SQL) — the operator under test is the detection/redaction above,
+    which is what production runs over real text."""
+    sid = F.col("doc_id").cast("string")
+    tail = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), sid, F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1 logged")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" see https://example.org/d/"), sid, F.lit("?ref=1")),
+        ).otherwise(F.lit("")),
+    )
+    return F.concat(F.col("text"), tail)
+
+
+def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents: per-category match counts,
+    a has_pii flag, and the fully redacted text. Pure map-side regexp work —
+    at 100 TB this is a shuffle-free scan-bandwidth pass, the shape every
+    production PII scrubber needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _planted_pii_text()
+    counts = pii_count_cols(aug)
+    has_pii = None
+    for cc in counts:
+        has_pii = cc if has_pii is None else has_pii + cc
+    return docs.select(
+        "doc_id",
+        *counts,
+        (has_pii > 0).alias("has_pii"),
+        redact_pii(aug).alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check
+# --------------------------------------------------------------------------
+
+#: word-n-gram size for contamination detection (5 balances specificity
+#: against the short synthetic docs; production sweeps 8..13)
+CONTAM_N = 5
+#: deterministic "benchmark" membership: every 97th doc stands in for the
+#: held-out eval set a real pipeline would load as its own table
+CONTAM_BENCH_MOD = 97
+
+
+def _word_grams(n: int):
+    """Distinct word-n-gram array over ``text`` (lowercased, whitespace
+    split) — one higher-order expression, no explode until needed. Docs
+    with fewer than n words yield an EMPTY array (the explicit guard
+    matters: ``sequence(1, k)`` with k < 1 generates a DESCENDING sequence,
+    not an empty one)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document, the
+    fraction of its distinct word-5-grams that appear anywhere in the
+    benchmark set (docs with doc_id % 97 == 0 stand in for the eval suite).
+
+    Plan shape at 100 TB: a real benchmark gram set is SMALL and fixed
+    (eval suites don't scale with the corpus), so the planner broadcasts it
+    via the size threshold; corpus grams explode map-side and probe the
+    broadcast hash set; one keyed shuffle for the per-document aggregate.
+    Corpus-linear, no self-join. No hard hint: THIS stand-in benchmark is a
+    fixed fraction of the corpus (it has no external eval table to read),
+    so the threshold + AQE must keep the right to fall back to SMJ — same
+    rule as the scaling-table joins in relational.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("g")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    scored = (
+        corpus.join(bench, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "n_matched",
+        (F.col("n_matched").cast("double") / F.col("n_grams")).alias("contamination"),
+        (F.col("n_matched") > 0).alias("contaminated"),
+    )
+
+
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full text-analysis surface — corpus metrics AND identity signals
     — in ONE shuffle-free projection over documents (same grain, same scan;
@@ -115,12 +271,40 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_analysis": q_text_analysis,
+    "text_pii_redaction": q_text_pii_redaction,
+    "text_contamination": q_text_contamination,
 }
 
 _LANG_SCORES_SQL = ",\n".join(
     f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
     for lang, pat in LANG_MARKERS.items()
 )
+
+#: DuckDB mirror of _planted_pii_text() — identical string construction
+_PII_AUG_SQL = r"""
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 logged'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' see https://example.org/d/' || CAST(doc_id AS VARCHAR) || '?ref=1'
+            ELSE '' END
+"""
+
+_PII_COUNTS_SQL = ",\n".join(
+    f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}"
+    for name, (pat, _) in PII_PATTERNS.items()
+)
+
+_PII_REDACT_SQL = "t"
+for _pat, _token in PII_PATTERNS.values():
+    _PII_REDACT_SQL = f"regexp_replace({_PII_REDACT_SQL}, '{_pat}', '{_token}', 'g')"
 
 ORACLE = {
     "text_analysis": rf"""
@@ -163,5 +347,36 @@ ORACLE = {
                    (acc, c) -> (acc * 31 + c) % {RH_MOD}
                ) AS rhash
         FROM scored
+    """,
+    "text_pii_redaction": f"""
+        WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+        SELECT doc_id,
+               {_PII_COUNTS_SQL},
+               ({" + ".join(f"len(regexp_extract_all(t, '{pat}'))" for pat, _ in PII_PATTERNS.values())}) > 0 AS has_pii,
+               {_PII_REDACT_SQL} AS redacted
+        FROM aug
+    """,
+    "text_contamination": f"""
+        WITH words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[ix.i:ix.i + {CONTAM_N - 1}], ' ') AS g
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {CONTAM_N - 1})) AS i) ix
+        ),
+        bench AS (
+            SELECT DISTINCT g, 1 AS hit FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+        ),
+        corpus AS (SELECT * FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} != 0)
+        SELECT doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_matched,
+               CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*) AS contamination,
+               CAST(SUM(COALESCE(hit, 0)) AS BIGINT) > 0 AS contaminated
+        FROM corpus LEFT JOIN bench USING (g)
+        GROUP BY doc_id
     """,
 }

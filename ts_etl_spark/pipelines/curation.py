@@ -137,3 +137,116 @@ def write_curated(df: DataFrame, path: str) -> None:
     """Persist the kept documents partitioned by predicted language — the
     layout downstream per-language sampling reads with partition pruning."""
     write_parquet(df.filter(F.col("kept")), path, partition_by=["pred_lang"])
+
+
+# --------------------------------------------------------------------------
+# Driver-gated entry: the whole pipeline, summarized per (stage, language)
+# --------------------------------------------------------------------------
+
+#: policy constants for the registered entry (mirrored in the oracle SQL)
+CURATION_LANGS = ("en", "de", "fr", "es")
+CURATION_BUDGET = 10_000
+
+
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as one oracle-checked query:
+    curate with the standard policy (language allowlist + token budget),
+    then report corpus composition — document and BPE-token counts per
+    (outcome stage, predicted language). Every stage of the flow (quality
+    gate, canonical exact dedup, MinHash-LSH near-dup removal, language
+    filter, greedy token budget) contributes to the summary, so a
+    regression anywhere in the composition breaks the hash. The summary
+    grain keeps the driver row narrow while the full per-document
+    provenance frame stays available via ``curate_documents``."""
+    cur = curate_documents(
+        spark, sf_dir, languages=CURATION_LANGS, token_budget=CURATION_BUDGET
+    )
+    return cur.groupBy(
+        F.coalesce("drop_reason", F.lit("kept")).alias("stage"),
+        "pred_lang",
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+    )
+
+
+def _curation_oracle_sql() -> str:
+    """DuckDB mirror of the full pipeline: textops metric/signature
+    expressions + fingerprint window + the exact-Jaccard pair CTE (the
+    LSH-equivalent answer, same as the dedup_minhash_lsh oracle) + the
+    budget running sum + the summary aggregate."""
+    from ts_etl_spark.operators.dedup import _SHINGLES_CTE
+    from ts_etl_spark.operators.textops import BPE_PAT, CJK, LANG_MARKERS
+
+    lang_scores = ",\n".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    langs_in = ", ".join(f"'{lang}'" for lang in CURATION_LANGS)
+    return rf"""
+        WITH {_SHINGLES_CTE},
+        scored AS (
+            SELECT doc_id,
+                   {lang_scores},
+                   len(regexp_extract_all(text, '{CJK}')) AS score_cjk,
+                   CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS INT) AS n_bpe_tokens,
+                   (len(regexp_split_to_array(trim(text), '\s+')) >= 10
+                    AND length(text) >= 100
+                    AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                            / length(text) >= 0.5) AS quality_pass,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, n_bpe_tokens, quality_pass,
+                   CASE WHEN score_cjk > 0 THEN 'zh'
+                        WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+                        WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                        WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                        WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1
+                       AS is_exact_dup
+            FROM scored
+        ),
+        near AS (
+            SELECT DISTINCT id_b AS doc_id FROM jac
+            WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        reasons AS (
+            SELECT s.*,
+                   CASE WHEN NOT s.quality_pass THEN 'quality'
+                        WHEN s.is_exact_dup THEN 'exact_dup'
+                        WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                        WHEN s.pred_lang NOT IN ({langs_in}) THEN 'language'
+                        END AS drop_reason0
+            FROM sig s LEFT JOIN near n USING (doc_id)
+        ),
+        budget AS (
+            SELECT doc_id,
+                   COALESCE(SUM(n_bpe_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       >= {CURATION_BUDGET} AS over_budget
+            FROM reasons WHERE drop_reason0 IS NULL
+        ),
+        final AS (
+            SELECT r.doc_id, r.pred_lang, r.n_bpe_tokens,
+                   COALESCE(r.drop_reason0,
+                            CASE WHEN b.over_budget THEN 'budget' END) AS drop_reason
+            FROM reasons r LEFT JOIN budget b USING (doc_id)
+        )
+        SELECT COALESCE(drop_reason, 'kept') AS stage, pred_lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_bpe_tokens) AS BIGINT) AS bpe_tokens
+        FROM final GROUP BY 1, 2
+    """
+
+
+QUERIES = {
+    "pipeline_curation": q_pipeline_curation,
+}
+
+ORACLE = {
+    "pipeline_curation": _curation_oracle_sql(),
+}
