@@ -239,6 +239,30 @@ def test_group_extensions_expand_per_branch(spark):
     assert num_exchanges(df) == 3, plan_str(df)
 
 
+def test_pii_redaction_shuffle_free_codegen(spark):
+    """PII counting + redaction must stay a pure map-side pass: zero
+    exchanges, whole-stage codegen — at 100 TB this runs at scan
+    bandwidth or it doesn't run."""
+    from ts_etl_spark.operators.textops import q_text_pii_redaction
+
+    df = q_text_pii_redaction(spark, SF)
+    assert num_exchanges(df) == 0, plan_str(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_contamination_no_cartesian(spark):
+    """The contamination join is an equi-join on the gram — never a
+    nested-loop/cartesian product — and needs only the gram join plus the
+    per-doc aggregate (plus at most AQE coalescing), not a self-join
+    explosion."""
+    from ts_etl_spark.operators.textops import q_text_contamination
+
+    df = q_text_contamination(spark, SF)
+    assert count_nodes(df, "CartesianProduct") == 0, plan_str(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0, plan_str(df)
+    assert num_exchanges(df) <= 5, plan_str(df)
+
+
 def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark):
     """The adaptive half of the no-forced-hints story: with the STATIC
     broadcast threshold disabled the planner picks a sort-merge join, and

@@ -36,10 +36,32 @@ BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 RH_MOD = 2147483647
 
 
+def _rep_ratio(n: int):
+    """Duplicate word-n-gram fraction — the Gopher-family repetition
+    signal: (total - distinct) / total over the doc's word n-grams, NULL
+    for docs too short to have any. Linear per document (array_distinct),
+    pure map-side; a production variant for book-length docs would
+    explode + groupBy instead of in-array dedup, at the cost of a shuffle."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - distinct).cast("double") / total
+    ).otherwise(F.lit(None).cast("double"))
+
+
 def _metric_cols() -> list:
     """Corpus-metric columns: token counts (whitespace + BPE-ish regex
     pretokenizer — the cheap proxy for LLM token budgeting), char-class
-    ratios, and the classic pre-training quality gate as a boolean."""
+    ratios, duplicate-n-gram repetition signals, and the classic
+    pre-training quality gate as a boolean."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -56,6 +78,9 @@ def _metric_cols() -> list:
         (digits.cast("double") / n_chars).alias("digit_ratio"),
         (spaces.cast("double") / n_chars).alias("space_ratio"),
         ((n_chars - spaces).cast("double") / n_tokens).alias("avg_token_len"),
+        _rep_ratio(1).alias("word_rep_ratio"),
+        _rep_ratio(2).alias("gram2_rep_ratio"),
+        _rep_ratio(3).alias("gram3_rep_ratio"),
         quality_pass.alias("quality_pass"),
     ]
 
@@ -310,6 +335,7 @@ ORACLE = {
     "text_analysis": rf"""
         WITH scored AS (
             SELECT doc_id, text,
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS lw,
                    {_LANG_SCORES_SQL},
                    len(regexp_extract_all(text, '{CJK}')) AS score_cjk
             FROM documents
@@ -326,6 +352,21 @@ ORACLE = {
                    / length(text) AS space_ratio,
                CAST(length(text) - length(regexp_replace(text, '[^\s]', '', 'g')) AS DOUBLE)
                    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+               CASE WHEN len(lw) > 0 THEN
+                   CAST(len(lw) - len(list_distinct(lw)) AS DOUBLE) / len(lw)
+               END AS word_rep_ratio,
+               CASE WHEN len(lw) - 1 > 0 THEN
+                   CAST((len(lw) - 1) - len(list_distinct(
+                       [array_to_string(lw[i:i+1], ' ')
+                        for i in generate_series(1, len(lw) - 1)])) AS DOUBLE)
+                   / (len(lw) - 1)
+               END AS gram2_rep_ratio,
+               CASE WHEN len(lw) - 2 > 0 THEN
+                   CAST((len(lw) - 2) - len(list_distinct(
+                       [array_to_string(lw[i:i+2], ' ')
+                        for i in generate_series(1, len(lw) - 2)])) AS DOUBLE)
+                   / (len(lw) - 2)
+               END AS gram3_rep_ratio,
                (len(regexp_split_to_array(trim(text), '\s+')) >= 10
                 AND length(text) >= 100
                 AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
