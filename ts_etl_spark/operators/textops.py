@@ -36,6 +36,27 @@ BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 RH_MOD = 2147483647
 
 
+def ngram_array(toks, n: int):
+    """Word-n-gram array (with duplicates) from a token-array expression,
+    built as a ``zip_with`` chain over n shifted slices.
+
+    Why not ``transform(sequence(1, len-n+1), i -> slice(toks, i, n))``:
+    higher-order-function lambdas are evaluated INTERPRETED, and a lambda
+    body that embeds the token expression re-evaluates it per ELEMENT — for
+    a regex-split tokenizer that is one full split of the document per
+    gram, turning a linear pass quadratic (measured 10×+ on the corpus).
+    Here every lambda body only touches its two element arguments; the
+    expensive tokenizer is referenced n times per ROW, outside any
+    lambda."""
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, cnt)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, i + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 def _rep_ratio(n: int):
     """Duplicate word-n-gram fraction — the Gopher-family repetition
     signal: (total - distinct) / total over the doc's word n-grams, NULL
@@ -43,13 +64,7 @@ def _rep_ratio(n: int):
     pure map-side; a production variant for book-length docs would
     explode + groupBy instead of in-array dedup, at the cost of a shuffle."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    if n == 1:
-        grams = toks
-    else:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    grams = toks if n == 1 else ngram_array(toks, n)
     total = F.size(toks) - (n - 1)
     distinct = F.size(F.array_distinct(grams))
     return F.when(
@@ -229,19 +244,11 @@ CONTAM_BENCH_MOD = 97
 
 def _word_grams(n: int):
     """Distinct word-n-gram array over ``text`` (lowercased, whitespace
-    split) — one higher-order expression, no explode until needed. Docs
-    with fewer than n words yield an EMPTY array (the explicit guard
-    matters: ``sequence(1, k)`` with k < 1 generates a DESCENDING sequence,
-    not an empty one)."""
+    split) — one expression, no explode until needed; docs with fewer than
+    n words yield an empty array (``ngram_array``'s slices degrade to
+    length 0)."""
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+    return F.array_distinct(ngram_array(toks, n))
 
 
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
