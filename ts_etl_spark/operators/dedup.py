@@ -45,9 +45,22 @@ def tokens_col(c=None):
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs) over any (doc_id, text) frame: the distinct word-3-gram
+    shingle SET per document as an array column. Built via the zip_with
+    chain (``textops.ngram_array``) so the regex tokenizer is never
+    embedded in a lambda body — interpreted HOF lambdas re-evaluate
+    embedded subtrees per element, which would re-split the document once
+    per shingle."""
+    from ts_etl_spark.operators.textops import ngram_array
+
+    toks = tokens_col()
+    sh = F.array_distinct(ngram_array(toks, 3))
+    return docs.filter(F.size(toks) >= 3).select("doc_id", sh.alias("shs"))
+
+
 def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shs): the distinct word-3-gram shingle SET per document as an
-    array column.
+    """``shingle_sets`` over the documents table.
 
     The raw table is repartitioned BEFORE the shingle projection: the
     higher-order-function shingling is the compute-heavy step, and the local
@@ -56,19 +69,7 @@ def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits and AQE coalesces this exchange away)."""
     par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    toks = tokens_col()
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
-    )
-    return docs.filter(F.size(toks) >= 3).select("doc_id", sh.alias("shs"))
+    return shingle_sets(docs)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,35 +169,25 @@ def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD.
+def minhash_bands(sets: DataFrame) -> DataFrame:
+    """Skinny (doc_id, band, bh) LSH band keys from a (doc_id, shs) frame.
 
-    Plan shape (the one you'd want at 100 TB):
     - signatures: ``array_min(transform(shingles, xxhash64(i, _)))`` per
       permutation — ONE narrow projection over the scan, no explode, no
-      shuffle, no 64-way aggregation.
-    - banding: 32 rows per doc (vs one per shingle), one shuffle for the
-      band-bucket self-join; banding localizes comparisons so the join is
-      linear in bucket occupancy, never all-pairs.
-    - verification: candidates carry both shingle arrays; exact Jaccard is
-      ``size(array_intersect(...))`` — no third shuffle."""
-    # the shingle sets feed three consumers (signatures + both verification
-    # sides); persist so tokenization/shingling runs once. MEMORY_AND_DISK
-    # by default — at cluster scale this spills rather than OOMs.
-    sets = shingle_sets_df(spark, sf_dir).persist()
-
-    # hash each shingle STRING once; the 64 permutations then hash cheap
-    # longs (seeded xxhash64) — ~an order of magnitude less string hashing
+      shuffle, no 64-way aggregation. Each shingle STRING is hashed once;
+      the 64 permutations then hash cheap longs (seeded xxhash64) — ~an
+      order of magnitude less string hashing.
+    - The signature is ONE nested higher-order expression producing a
+      64-long array — not 64 named columns. Unrolling into 64 projections
+      generates a huge whole-stage-codegen method (slow to JIT-compile and
+      past the JIT inlining sweet spot): measured 2.3× slower warm and
+      +1.2 s cold vs this form at sf0.1. The seed is the sequence element
+      (int, identical hash input to the previous per-column int literal).
+    - banding: 32 rows per doc (vs one per shingle); the shingle arrays do
+      NOT travel through any downstream shuffle."""
     hashed = sets.select(
         "doc_id", F.transform("shs", lambda s: F.xxhash64(s)).alias("hs")
     )
-
-    # The signature is ONE nested higher-order expression producing a
-    # 64-long array — not 64 named columns. Unrolling into 64 projections
-    # generates a huge whole-stage-codegen method (slow to JIT-compile and
-    # past the JIT inlining sweet spot): measured 2.3× slower warm and
-    # +1.2 s cold vs this form at sf0.1. The seed is the sequence element
-    # (int, identical hash input to the previous per-column int literal).
     sig = hashed.select(
         "doc_id",
         F.transform(
@@ -204,9 +195,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(i, h))),
         ).alias("sg"),
     )
-    # skinny (doc_id, band, bh) rows only — the shingle arrays do NOT travel
-    # through the band shuffle
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -223,6 +212,21 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD.
+
+    Plan shape (the one you'd want at 100 TB): narrow signature projection
+    (see ``minhash_bands``), one shuffle for the band-bucket self-join —
+    banding localizes comparisons so the join is linear in bucket
+    occupancy, never all-pairs — then exact Jaccard verification on the
+    candidates only (``size(array_intersect(...))``, no third shuffle)."""
+    # the shingle sets feed three consumers (signatures + both verification
+    # sides); persist so tokenization/shingling runs once. MEMORY_AND_DISK
+    # by default — at cluster scale this spills rather than OOMs.
+    sets = shingle_sets_df(spark, sf_dir).persist()
+    bands = minhash_bands(sets)
     x = bands.select("band", "bh", F.col("doc_id").alias("id_a"))
     y = bands.select(
         F.col("band").alias("band_y"), F.col("bh").alias("bh_y"), F.col("doc_id").alias("id_b")
@@ -374,6 +378,109 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform(members, lambda m: m.cast("string")), ",").alias(
             "members"
         ),
+    )
+
+
+def canonical_fingerprint(c=None):
+    """md5 of the lower/whitespace-collapsed text — the exact-dup key the
+    curation pipeline dedups on (catches trivially-reformatted copies)."""
+    c = F.col("text") if c is None else c
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def dedup_incremental(
+    corpus: DataFrame, batch: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Deduplicate a NEW batch against an EXISTING corpus — the operation a
+    continuously-fed pipeline runs per ingest, without ever re-running the
+    corpus×corpus self-join. Both inputs are (doc_id, text) frames; batch
+    ids must be greater than corpus ids (ingest order). Returns every batch
+    document with ``kept`` and a first-failing ``drop_reason``
+    (exact_corpus / exact_batch / near_corpus / near_batch).
+
+    Semantics match the one-shot greedy-by-id dedup over corpus ∪ batch
+    restricted to batch rows (tested equivalence), so incremental ingestion
+    converges to the same corpus as batch recuration.
+
+    Plan shape at 100 TB: the corpus side touches only two SKINNY derived
+    relations — the fingerprint set and the (doc_id, band, bh) LSH band
+    index, both one narrow projection over the corpus scan (in production
+    both are materialized once as bucketed tables and only APPENDED per
+    ingest, so the per-batch cost is linear in the batch, not the corpus:
+    fingerprint anti-join + band-bucket probe + candidate verification).
+    Nothing here is quadratic in either input."""
+    b_sets = shingle_sets(batch).persist()
+    c_sets = shingle_sets(corpus)
+
+    # --- exact layer: canonical fingerprints ---
+    b_fp = batch.select("doc_id", canonical_fingerprint().alias("fp"))
+    c_fp = corpus.select(canonical_fingerprint().alias("fp")).distinct()
+    exact_corpus = b_fp.join(c_fp, "fp", "left_semi").select("doc_id")
+    from pyspark.sql.window import Window
+
+    fp_w = Window.partitionBy("fp").orderBy("doc_id")
+    exact_batch = (
+        b_fp.withColumn("rk", F.row_number().over(fp_w))
+        .filter(F.col("rk") > 1)
+        .select("doc_id")
+    )
+
+    # --- near layer: batch bands probe corpus bands + batch self-join ---
+    b_bands = minhash_bands(b_sets)
+    c_bands = minhash_bands(c_sets)
+    vs_corpus = b_bands.alias("b").join(
+        c_bands.alias("c"),
+        (F.col("b.band") == F.col("c.band")) & (F.col("b.bh") == F.col("c.bh")),
+    ).select(
+        F.col("b.doc_id").alias("id_b"), F.col("c.doc_id").alias("id_a")
+    )
+    vs_batch = b_bands.alias("x").join(
+        b_bands.alias("y"),
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.bh") == F.col("y.bh"))
+        & (F.col("x.doc_id") > F.col("y.doc_id")),
+    ).select(F.col("x.doc_id").alias("id_b"), F.col("y.doc_id").alias("id_a"))
+
+    def _verified(cands: DataFrame, other_sets: DataFrame) -> DataFrame:
+        sa = other_sets.select(
+            F.col("doc_id").alias("id_a"), F.col("shs").alias("shs_a")
+        )
+        sb = b_sets.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("shs_b"))
+        common = F.size(F.array_intersect("shs_a", "shs_b"))
+        union = F.size("shs_a") + F.size("shs_b") - common
+        return (
+            cands.distinct()
+            .join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter((common.cast("double") / union) >= threshold)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+
+    near_corpus = _verified(vs_corpus, c_sets)
+    near_batch = _verified(vs_batch, b_sets)
+
+    reason = (
+        F.when(F.col("__exact_corpus"), "exact_corpus")
+        .when(F.col("__exact_batch"), "exact_batch")
+        .when(F.col("__near_corpus"), "near_corpus")
+        .when(F.col("__near_batch"), "near_batch")
+    )
+
+    out = batch
+    for name, ids in (
+        ("__exact_corpus", exact_corpus),
+        ("__exact_batch", exact_batch),
+        ("__near_corpus", near_corpus),
+        ("__near_batch", near_batch),
+    ):
+        out = out.join(
+            ids.withColumn(name, F.lit(True)), "doc_id", "left"
+        ).withColumn(name, F.coalesce(name, F.lit(False)))
+    return (
+        out.withColumn("drop_reason", reason)
+        .withColumn("kept", F.col("drop_reason").isNull())
+        .drop("__exact_corpus", "__exact_batch", "__near_corpus", "__near_batch")
     )
 
 
