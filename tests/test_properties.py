@@ -164,3 +164,30 @@ def test_prn_span_inference_property(widths, drop):
     for a, b in zip(specs, specs[1:]):
         assert a.end == b.start
     assert specs[-1].end == trimmed_len
+
+
+# --- word n-grams ---
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(docs=st.lists(WORDS, min_size=1, max_size=8), n=st.integers(2, 4))
+def test_ngram_array_property(spark, docs, n):
+    """ngram_array == the sliding-window python reference for any token
+    list, including lists shorter than n (empty result, no error)."""
+    from ts_etl_spark.operators.textops import ngram_array
+
+    texts = [(" ".join(ws),) for ws in docs]
+    df = spark.createDataFrame(texts, "text STRING")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    got = [r.g for r in df.select(ngram_array(toks, n).alias("g")).collect()]
+    for ws, g in zip(docs, got):
+        # split("") yields [""]; mirror that exactly
+        w = " ".join(ws).strip().split()
+        if not w:
+            w = [""]
+        want = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        assert g == want
