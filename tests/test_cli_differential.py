@@ -111,3 +111,48 @@ def test_cli_path_mode_matches_stdin_mode(tmp_path):
     run_conversion_path("csv", "json", str(CSV_FIXTURE), out_path, spark=spark)
     assert out_path.getvalue() == out_stdin.getvalue()
     assert out_path.getvalue()  # non-empty
+
+
+def test_sql_subcommand_jsonl(spark):
+    """The sql entry point: views registered, result streamed as JSON
+    lines, row count returned."""
+    import io as _io
+
+    from ts_etl_spark.cli import run_sql
+
+    buf = _io.StringIO()
+    n = run_sql(
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name ORDER BY r_name",
+        "/root/testdata/sf0.001",
+        buf,
+        spark=spark,
+    )
+    lines = [json.loads(x) for x in buf.getvalue().splitlines()]
+    assert n == len(lines) > 0
+    assert all(set(x) == {"r_name", "n"} for x in lines)
+
+
+def test_sql_subcommand_matches_duckdb(spark):
+    """An ad-hoc aggregate through the sql entry point hash-matches the
+    same SQL run by DuckDB over the same files."""
+    import io as _io
+
+    import duckdb
+
+    from ts_etl_spark.cli import run_sql
+
+    q = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    buf = _io.StringIO()
+    run_sql(q, "/root/testdata/sf0.001", buf, spark=spark)
+    got = [json.loads(x) for x in buf.getvalue().splitlines()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM '/root/testdata/sf0.001/orders.parquet'"
+    )
+    want = [
+        {"o_orderstatus": s, "n": n} for s, n in con.execute(q).fetchall()
+    ]
+    assert got == want

@@ -1,0 +1,110 @@
+"""Streaming corpus ingestion: convergence with one-shot dedup and
+replay idempotence."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.dedup import dedup_incremental
+from ts_etl_spark.streaming.ingest import ingest_batch, run_streaming_ingest
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon "
+    "phi chi psi omega one two three four five six"
+)
+NOVEL = (
+    "table chair lamp desk shelf couch rug curtain mirror clock "
+    "vase frame plant book pen cup plate bowl fork spoon "
+    "knife pot pan tray jar lid rack hook bin box"
+)
+THIRD = (
+    "sun moon star cloud rain snow wind storm fog hail "
+    "river lake sea ocean wave tide shore sand cliff cave "
+    "hill valley peak ridge plain field forest grove marsh dune"
+)
+
+
+def _write(path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+def _batches(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    near_base = BASE.replace("one two three four five six",
+                             "uno dos tres cuatro cinco seis")
+    _write(str(d / "b0.parquet"), [(1, BASE), (2, NOVEL)])
+    _write(str(d / "b1.parquet"), [(10, "  " + BASE.upper()), (11, THIRD)])
+    _write(str(d / "b2.parquet"), [(20, near_base), (21, THIRD + " extra")])
+    import os, time
+
+    now = time.time()
+    for i, name in enumerate(["b0.parquet", "b1.parquet", "b2.parquet"]):
+        os.utime(d / name, (now - 60 + 20 * i, now - 60 + 20 * i))
+    return d
+
+
+def test_streaming_ingest_converges(spark, tmp_path):
+    d = _batches(tmp_path)
+    corpus_path = str(tmp_path / "corpus")
+    run_streaming_ingest(
+        spark, str(d), corpus_path, str(tmp_path / "cp"), max_files=1
+    )
+    got = {
+        r.doc_id for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+    # 1,2 novel; 10 exact-dups BASE; 11 novel; 20 near-dups BASE;
+    # 21 near-dups THIRD(11)
+    assert got == {1, 2, 11}
+
+
+def test_ingest_replay_is_idempotent(spark, tmp_path):
+    """Re-running an already-ingested batch adds nothing: its documents
+    fingerprint-match the corpus copies and drop in the exact layer."""
+    corpus_path = str(tmp_path / "corpus")
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, batch, corpus_path)
+    n1 = spark.read.parquet(corpus_path).count()
+    ingest_batch(spark, batch, corpus_path)  # replay
+    n2 = spark.read.parquet(corpus_path).count()
+    assert (n1, n2) == (2, 2)
+
+
+def test_streamed_corpus_equals_sequential_batches(spark, tmp_path):
+    """The streaming wrapper is exactly the sequential application of
+    dedup_incremental — no extra or missing rows from micro-batch
+    mechanics."""
+    d = _batches(tmp_path)
+    corpus_path = str(tmp_path / "corpus_stream")
+    run_streaming_ingest(
+        spark, str(d), corpus_path, str(tmp_path / "cp2"), max_files=1
+    )
+    streamed = {
+        r.doc_id for r in spark.read.parquet(corpus_path).select("doc_id").collect()
+    }
+
+    ref = spark.createDataFrame([], "doc_id LONG, text STRING")
+    import pyarrow.parquet as pq2
+
+    for name in ["b0.parquet", "b1.parquet", "b2.parquet"]:
+        rows = pq2.read_table(str(d / name)).to_pylist()
+        batch = spark.createDataFrame(
+            [(r["doc_id"], r["text"]) for r in rows], "doc_id LONG, text STRING"
+        )
+        kept = (
+            dedup_incremental(ref, batch)
+            .filter(F.col("kept"))
+            .select("doc_id", "text")
+        )
+        ref = ref.unionByName(kept).persist()
+    want = {r.doc_id for r in ref.select("doc_id").collect()}
+    assert streamed == want

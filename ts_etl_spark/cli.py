@@ -180,11 +180,80 @@ def _curate_main(argv: list[str]) -> int:
     return 0
 
 
+def run_sql(
+    query: str, sf_dir: str, out, fmt: str = "jsonl", spark=None
+) -> int:
+    """Ad-hoc Spark SQL over the scale tables: registers every table under
+    ``sf_dir`` as a view and streams the result to ``out`` as JSON lines or
+    CSV. Rows are fetched with ``toLocalIterator`` (one partition resident
+    at a time) — the result never has to fit in driver memory. Returns the
+    row count."""
+    from ts_etl_spark.sources.tables import register_views
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-sql")
+    try:
+        register_views(spark, sf_dir)
+        df = spark.sql(query)
+        n = 0
+        if fmt == "jsonl":
+            from pyspark.sql import functions as F
+
+            it = df.select(
+                F.to_json(F.struct(*df.columns)).alias("j")
+            ).toLocalIterator()
+            for row in it:
+                out.write(row.j + "\n")
+                n += 1
+        elif fmt == "csv":
+            import csv as _csv
+
+            w = _csv.writer(out)
+            w.writerow(df.columns)
+            for row in df.toLocalIterator():
+                w.writerow(row)
+                n += 1
+        else:
+            raise ValueError(f"Invalid sql output format: {fmt}")
+        print(f"sql: {n} rows", file=sys.stderr)
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _sql_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark sql",
+        description="Run Spark SQL over the scale tables (registered as views).",
+    )
+    parser.add_argument("query", help="SQL text, or '-' to read from stdin")
+    parser.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="directory of <table>.parquet files (default $SPARK_GRAFT_SF_DIR)",
+    )
+    parser.add_argument(
+        "--format", choices=("jsonl", "csv"), default="jsonl", help="output format"
+    )
+    args = parser.parse_args(argv)
+    query = sys.stdin.read() if args.query == "-" else args.query
+    try:
+        run_sql(query, args.sf_dir, sys.stdout, fmt=args.format)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during sql: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
+    if argv and argv[0] == "sql":
+        return _sql_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
