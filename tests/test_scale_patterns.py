@@ -277,3 +277,52 @@ def test_kmeans_trained_ivf_matches_seed_recall(spark):
     floor = 0.6 * IVF_NPROBE / IVF_CENTROIDS
     assert recall >= floor, f"trained-IVF recall collapsed: {recall} < {floor}"
     vecs.unpersist()
+
+
+def test_int8_quantized_topk_recall_and_error(spark):
+    """int8 quantization (8x smaller vectors): the quantized cosine must
+    stay within the quantization error bound of the exact cosine, and the
+    quantized ranking must recall nearly all of the exact top-k (uniform
+    64-dim vectors, per-coordinate error <= 1/254)."""
+    from ts_etl_spark.operators.similarity import (
+        N_QUERIES,
+        _vectors,
+        dot,
+        q_embed_topk,
+        quantized_topk,
+    )
+
+    vecs = _vectors(spark, SF)
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    truth = {(r.q_id, r.neighbor_id): r.cosine for r in q_embed_topk(spark, SF).collect()}
+    approx = {(r.q_id, r.neighbor_id): r.qcos for r in quantized_topk(vecs, q).collect()}
+    recall = len(set(truth) & set(approx)) / len(truth)
+    assert recall >= 0.85, f"quantized recall too low: {recall}"
+    # where both rankings agree, the scores must be close
+    for k in set(truth) & set(approx):
+        assert abs(truth[k] - approx[k]) < 0.02, (k, truth[k], approx[k])
+
+
+def test_int8_quantization_roundtrip_and_zero_vector(spark):
+    """Dequantized values stay within scale/2 of the originals; the
+    all-zero vector survives (scale 0, zero qv, no NaN/error)."""
+    from ts_etl_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [100.0, -100.0, 50.0, -50.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    out = {r.vec_id: r for r in quantize_embeddings(vecs).collect()}
+    for vid, v in rows:
+        r = out[vid]
+        assert len(r.qv) == len(v)
+        if all(x == 0 for x in v):
+            assert r.scale == 0 and all(qx == 0 for qx in r.qv) and r.qn == 0
+            continue
+        for x, qx in zip(v, r.qv):
+            assert abs(qx * r.scale - x) <= r.scale / 2 + 1e-12
+        assert max(abs(qx) for qx in r.qv) == 127  # scale is tight

@@ -284,6 +284,82 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# int8 quantization — the storage/bandwidth scale lever
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(vecs: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization of (vec_id, v, nrm):
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` (tinyint array).
+    8× smaller than the double representation (the difference between a
+    100 TB and a 12.5 TB vector store); relative per-coordinate error
+    ≤ 1/254. Returns (vec_id, qv array<tinyint>, scale, qn) where qn is
+    the norm of the QUANTIZED integer vector (precomputed once, like nrm).
+
+    Zero vectors get scale 0 and an all-zero qv — dequantizes exactly."""
+    amax = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    qv = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") > 0, F.round(x / F.col("scale")))
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+    with_scale = vecs.select("vec_id", "v", scale)
+    out = with_scale.select("vec_id", "scale", qv.alias("qv"))
+    qd = F.aggregate(
+        F.zip_with("qv", "qv", lambda a, b: (a.cast("long") * b.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.select("vec_id", "qv", "scale", F.sqrt(qd.cast("double")).alias("qn"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Integer dot product of two int8 arrays (long accumulation — 64 dims
+    of ±127 peaks at ~1e6, nowhere near overflow)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    vecs: DataFrame, queries: DataFrame, top_k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k in int8 space: both sides quantized, the
+    score is the integer dot over the product of quantized norms — scale
+    factors cancel in the cosine, so no dequantization happens at all; the
+    scan reads 1/8 the bytes and the arithmetic is integer. Recall vs the
+    exact double-space ranking is a tested property (cosine error is
+    bounded by the quantization step)."""
+    from pyspark.sql.window import Window
+
+    qc = quantize_embeddings(vecs)
+    qq = quantize_embeddings(
+        queries.select(
+            F.col("q_id").alias("vec_id"), F.col("qv").alias("v"), F.col("qn").alias("nrm")
+        )
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qn").alias("q_qn"),
+    )
+    pairs = qc.join(F.broadcast(qq), F.col("vec_id") != F.col("q_id"))
+    cos = dot_q(F.col("qv"), F.col("q_qv")).cast("double") / (
+        F.col("qn") * F.col("q_qn")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", cos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "qcos", "rn")
+    )
+
+
 QUERIES = {
     "embed_topk": q_embed_topk,
     "embed_neardup_label": q_embed_neardup_label,
