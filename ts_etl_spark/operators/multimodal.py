@@ -162,6 +162,63 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(frame_batches, FRAME_SCHEMA)
 
 
+#: audio windowing: 400-sample windows, 160-sample hop (the classic
+#: 25 ms / 10 ms at 16 kHz, with one byte standing in for one sample)
+AUDIO_WIN = 400
+AUDIO_HOP = 160
+AUDIO_SCHEMA = (
+    "doc_id BIGINT, win_idx INT, n_samples INT, energy BIGINT, peak INT"
+)
+
+
+def audio_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    win: int = AUDIO_WIN,
+    hop: int = AUDIO_HOP,
+) -> DataFrame:
+    """Audio-style OVERLAPPING window analysis over binary payloads — the
+    third multimodal batch shape (image = 1:1 meta, video = disjoint frame
+    fan-out, audio = overlapping hop windows). Each byte stands in for one
+    PCM sample (real decode is the documented stub); per window the fake
+    featurizer emits sample count, total energy (sum of squares) and peak —
+    the quantities a real VAD/loudness front-end computes per hop.
+
+    Same scale shape as the other multimodal ops: Arrow-batched
+    ``mapInPandas``, fan-out bounded by payload length / hop, no driver
+    involvement. Library operator (tested vs a python reference); not a
+    registry entry — the registry's multimodal slots already cover the 1:1
+    and fan-out shapes this shares."""
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, ns, energies, peaks = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = bytes(payload)
+                n = len(samples)
+                n_wins = max((n - win) // hop + 1, 0) if n >= win else (1 if n else 0)
+                for i in range(n_wins):
+                    w = samples[i * hop : i * hop + win]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    ns.append(len(w))
+                    energies.append(sum(b * b for b in w))
+                    peaks.append(max(w))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "win_idx": _pd.Series(idxs, dtype="int32"),
+                    "n_samples": _pd.Series(ns, dtype="int32"),
+                    "energy": _pd.Series(energies, dtype="int64"),
+                    "peak": _pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    return binary_payloads(spark, sf_dir).mapInPandas(window_batches, AUDIO_SCHEMA)
+
+
 QUERIES = {
     "multimodal_meta_resize": q_multimodal_meta_resize,
     "multimodal_frames": q_multimodal_frames,
