@@ -193,6 +193,9 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       (COUNT over the nullable side + coalesced money sum).
     - ``semi`` / ``anti``: EXISTS / NOT EXISTS as one-pass hash joins that
       never duplicate probe rows.
+    - ``full``: FULL OUTER join of two per-customer aggregates (open vs
+      finished order counts) — rows surviving from either side with nulls
+      on the other, the outer-join semantics the left arm can't show.
 
     Branches intentionally share nothing — each demonstrates the native
     join strategy with its own minimal plan; the union adds no exchange."""
@@ -223,7 +226,28 @@ def q_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n"),
         F.lit(None).cast("double").alias("m"),
     )
-    return bcast.unionByName(left).unionByName(semi).unionByName(anti)
+    o_agg = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("ok"))
+        .agg(F.count("*").alias("oc"))
+    )
+    f_agg = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("fk"))
+        .agg(F.count("*").alias("fc"))
+    )
+    full = o_agg.join(f_agg, o_agg.ok == f_agg.fk, "full_outer").select(
+        F.lit("full").alias("op"),
+        F.coalesce(F.col("ok"), F.col("fk")).cast("string").alias("k"),
+        F.col("oc").alias("n"),
+        F.col("fc").cast("double").alias("m"),
+    )
+    return (
+        bcast.unionByName(left)
+        .unionByName(semi)
+        .unionByName(anti)
+        .unionByName(full)
+    )
 
 
 def q_agg_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +259,10 @@ def q_agg_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ``distinct`` arm aggregates ONCE and unpivots the three measures
     into rows (count-distinct parts / suppliers, raw row count) — one scan,
-    one distinct-agg, a cost-free projection fan-out."""
+    one distinct-agg, a cost-free projection fan-out. The ``stats`` arm
+    adds the moment aggregates (sample stddev/variance, correlation) the
+    same way, rounded to 6 decimals to absorb last-ulp differences between
+    the engines' streaming-moment implementations."""
     li = load_table(spark, sf_dir, "lineitem")
     dist = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -252,6 +279,20 @@ def q_agg_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("m"),
         )
         distinct_arm = arm if distinct_arm is None else distinct_arm.unionByName(arm)
+    stats = li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+    for measure in ("stddev_qty", "var_qty", "corr_qty_price"):
+        arm = stats.select(
+            F.lit("stats").alias("op"),
+            F.col("l_linestatus").alias("k1"),
+            F.lit(measure).alias("k2"),
+            F.lit(None).cast("long").alias("n"),
+            F.col(measure).alias("m"),
+        )
+        distinct_arm = distinct_arm.unionByName(arm)
     return distinct_arm.unionByName(_grouping_extensions(spark, sf_dir))
 
 
@@ -339,11 +380,12 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking/navigation/frame window surface over ONE window spec —
-    row_number, lag, running sum and partitioned ntile share the same
-    (partition, order), so Spark plans a SINGLE shuffle + sort and evaluates
-    all four in one Window operator. The ntile is PARTITIONED (per-customer
-    quartiles): an unpartitioned ranking window is a single-partition global
-    sort — the scale-safe global-distribution variant is ``ntile_bucketed``."""
+    row_number, lag, lead, percent_rank, running sum and partitioned ntile
+    share the same (partition, order), so Spark plans a SINGLE shuffle +
+    sort and evaluates all six in one Window operator. The ntile is
+    PARTITIONED (per-customer quartiles): an unpartitioned ranking window
+    is a single-partition global sort — the scale-safe global-distribution
+    variant is ``ntile_bucketed``."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -357,6 +399,10 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
             "days_since_prev"
         ),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias(
+            "days_to_next"
+        ),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.sum(dec("o_totalprice")).over(wsum).cast("double").alias("running_total"),
         F.ntile(4).over(w).alias("quartile"),
     )
@@ -1306,6 +1352,15 @@ ORACLE = {
                CAST(NULL AS DOUBLE) AS m
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'full' AS op, CAST(COALESCE(a.ok, b.fk) AS VARCHAR) AS k,
+               a.oc AS n, CAST(b.fc AS DOUBLE) AS m
+        FROM (SELECT o_custkey AS ok, COUNT(*) AS oc FROM orders
+              WHERE o_orderstatus = 'O' GROUP BY o_custkey) a
+        FULL OUTER JOIN
+             (SELECT o_custkey AS fk, COUNT(*) AS fc FROM orders
+              WHERE o_orderstatus = 'F' GROUP BY o_custkey) b
+          ON a.ok = b.fk
     """,
     "agg_extensions": """
         WITH dist AS (
@@ -1323,6 +1378,18 @@ ORACLE = {
         UNION ALL
         SELECT 'distinct' AS op, l_returnflag AS k1, 'n_rows' AS k2,
                n_rows AS n, CAST(NULL AS DOUBLE) AS m FROM dist
+        UNION ALL
+        SELECT 'stats' AS op, l_linestatus AS k1, s.k2,
+               CAST(NULL AS BIGINT) AS n, s.m
+        FROM (
+            SELECT l_linestatus,
+                   round(stddev_samp(l_quantity), 6) AS stddev_qty,
+                   round(var_samp(l_quantity), 6) AS var_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem GROUP BY l_linestatus
+        ) t, LATERAL (VALUES ('stddev_qty', t.stddev_qty),
+                             ('var_qty', t.var_qty),
+                             ('corr_qty_price', t.corr_qty_price)) s(k2, m)
         UNION ALL
         SELECT 'rollup' AS op,
                coalesce(l_returnflag, 'ALL') AS k1,
@@ -1382,6 +1449,9 @@ ORACLE = {
                CAST(ROW_NUMBER() OVER w AS INT) AS rn,
                CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
                     AS INT) AS days_since_prev,
+               CAST(date_diff('day', o_orderdate, LEAD(o_orderdate) OVER w)
+                    AS INT) AS days_to_next,
+               round(PERCENT_RANK() OVER w, 6) AS pct_rank,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
