@@ -911,12 +911,17 @@ def q_ntile_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-function surface — string ops over o_orderpriority /
-    o_orderstatus and date ops over o_orderdate in one shuffle-free
-    projection, each expression mirrored exactly in the oracle (ISO
-    weekday, month-end-clamping add_months, last_day)."""
+    o_orderstatus, date ops over o_orderdate, and math ops over
+    o_totalprice in one shuffle-free projection, each expression mirrored
+    exactly in the oracle (ISO weekday, month-end-clamping add_months,
+    last_day). Transcendentals (ln/exp/pow) are rounded to 6 decimals —
+    they are libm-dependent and may differ in the last ulp between the
+    JVM and DuckDB's C++ runtime; sqrt is IEEE-correctly-rounded and needs
+    no tolerance."""
     orders = load_table(spark, sf_dir, "orders")
     s = F.col("o_orderpriority")
     d = F.col("o_orderdate").cast("date")
+    p = F.col("o_totalprice")
     return orders.select(
         "o_orderkey",
         F.upper(s).alias("up"),
@@ -936,6 +941,18 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 2).alias("plus2m"),
         F.last_day(d).alias("month_end"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        F.sqrt(p).alias("sqrt_price"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.log10(p), 6).alias("log10_price"),
+        F.round(F.pow(p, F.lit(0.25)), 6).alias("price_4th_root"),
+        F.abs(p - F.lit(100000.0)).alias("abs_dev"),
+        F.ceil(p).cast("long").alias("ceil_price"),
+        F.floor(p).cast("long").alias("floor_price"),
+        F.round(p, -2).alias("round_hundreds"),
+        F.sign(p - F.lit(100000.0)).alias("sign_dev"),
+        F.pmod(F.col("o_orderkey"), F.lit(97)).alias("mod97"),
+        F.greatest(p, F.lit(50000.0)).alias("floor50k"),
+        F.least(p, F.lit(200000.0)).alias("cap200k"),
     )
 
 
@@ -1496,7 +1513,19 @@ ORACLE = {
                CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
                last_day(CAST(o_orderdate AS DATE)) AS month_end,
                CAST(date_diff('day', DATE '1995-01-01',
-                              CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0
+                              CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+               sqrt(o_totalprice) AS sqrt_price,
+               round(ln(o_totalprice), 6) AS ln_price,
+               round(log10(o_totalprice), 6) AS log10_price,
+               round(pow(o_totalprice, 0.25), 6) AS price_4th_root,
+               abs(o_totalprice - 100000.0) AS abs_dev,
+               CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+               CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+               round(o_totalprice, -2) AS round_hundreds,
+               CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS sign_dev,
+               CAST(o_orderkey % 97 AS BIGINT) AS mod97,
+               greatest(o_totalprice, 50000.0) AS floor50k,
+               least(o_totalprice, 200000.0) AS cap200k
         FROM orders
     """,
     "quantiles_sketches": """
