@@ -1,0 +1,59 @@
+"""Table maintenance: profile correctness vs DuckDB, compaction file
+counts and content preservation."""
+
+import glob
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ts_etl_spark.pipelines.maintenance import compact_parquet, profile_table
+from ts_etl_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_matches_duckdb_exact_stats(spark):
+    df = load_table(spark, SF, "orders")
+    prof = {
+        (r.column, r.metric): r.value for r in profile_table(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    n, nulls, lo, hi, nd = con.execute(
+        "SELECT COUNT(*), SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),"
+        " CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR),"
+        " COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()
+    assert prof[("o_orderkey", "rows")] == str(n)
+    assert prof[("o_orderpriority", "nulls")] == str(nulls or 0)
+    assert prof[("o_totalprice", "min")] == lo
+    assert prof[("o_totalprice", "max")] == hi
+    approx = int(prof[("o_custkey", "approx_distinct")])
+    assert abs(approx - nd) / nd < 0.1  # HLL++ within tolerance
+
+
+def test_profile_single_aggregate_plan(spark):
+    """The whole profile must be ONE aggregate job — no per-column
+    re-scan."""
+    df = load_table(spark, SF, "region")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("r"),
+        *[F.approx_count_distinct(c).alias(f"d_{c}") for c in df.columns],
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("filescan") + plan.lower().count("batchscan") <= 1
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
+    frag = str(tmp_path / "fragmented")
+    docs = load_table(spark, SF, "documents")
+    docs.repartition(40).write.parquet(frag)  # simulate small-file buildup
+    assert len(glob.glob(f"{frag}/*.parquet")) == 40
+
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, out, target_file_bytes=10**9)
+    files = glob.glob(f"{out}/*.parquet")
+    assert n == 1 and len(files) == 1
+    a = sorted(r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(out).select("doc_id").collect())
+    assert a == b

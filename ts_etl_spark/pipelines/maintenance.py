@@ -1,0 +1,83 @@
+"""Table-maintenance utilities: column profiling and small-file
+compaction — the operational chores a long-lived parquet lake needs.
+
+Both are single-pass and driver-light: profiling is ONE aggregate over the
+table (every per-column statistic partial-aggregates, so the shuffle
+carries one row per column set, not data); compaction is a rewrite whose
+output file count is computed from the observed byte size.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: profile: HLL++ relative error (same sketch the approx entries use)
+PROFILE_RSD = 0.05
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column data-quality profile in ONE aggregate pass: row count,
+    null count, approximate distinct count (HLL++), and min/max rendered
+    as strings (type-agnostic). Long format (column, metric, value) so the
+    result is narrow regardless of column count.
+
+    Every statistic is a partial-aggregatable function — the plan is one
+    scan + one final aggregate of sketch buffers, no per-column re-scan,
+    which is what makes profiling a 100 TB table one job."""
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            F.approx_count_distinct(c, PROFILE_RSD).alias(f"__dist_{c}"),
+            # aggregate on the NATIVE type (numeric/date ordering), render
+            # as string after — min(cast) would compare lexicographically
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    spark = df.sparkSession
+    out = []
+    for c in df.columns:
+        out += [
+            (c, "rows", str(row["__rows"])),
+            (c, "nulls", str(row[f"__nulls_{c}"])),
+            (c, "approx_distinct", str(row[f"__dist_{c}"])),
+            (c, "min", row[f"__min_{c}"]),
+            (c, "max", row[f"__max_{c}"]),
+        ]
+    return spark.createDataFrame(out, "column STRING, metric STRING, value STRING")
+
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files. The small-files problem is the
+    classic lake pathology (every file costs a task + open + footer read —
+    10k tiny files turn a 1-second scan into a scheduling storm).
+
+    Copy-on-write: writes to ``out_path`` (the atomic-swap unit), returns
+    the output file count. Uses ``repartition`` (round-robin) for even
+    sizes; partition-key-aware layouts should instead rewrite via
+    ``table_sink.write_parquet`` with ``partition_by``."""
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+    return n_files
