@@ -2,11 +2,12 @@
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` exposes
 every implemented operator from SURVEY.md §2 (reference-parity surface is
-exercised via tests/, extension surface here); ``oracle_sql()`` gives DuckDB
-equivalents for everything SQL-expressible (rows-only otherwise — currently
-only dedup_simhash and embed_ann_ivf, whose xxhash64-based sketches DuckDB
-cannot reproduce; sketch AGGREGATES are oracle-gated via bounded-error
-booleans in quantiles_sketches).
+exercised via tests/, extension surface here — exactly 50 entries so the
+driver's CORRECTNESS sweep covers all of them in one pass); ``oracle_sql()``
+gives a DuckDB equivalent for EVERY entry — engine-specific sketches are
+expressed through engine-portable constructions (md5-derived simhash,
+deterministic IVF cell assignment) or bounded-error booleans the oracle
+asserts TRUE (quantiles_sketches), so nothing falls back to rows-only.
 """
 
 from __future__ import annotations
