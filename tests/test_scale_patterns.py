@@ -326,3 +326,45 @@ def test_int8_quantization_roundtrip_and_zero_vector(spark):
         for x, qx in zip(v, r.qv):
             assert abs(qx * r.scale - x) <= r.scale / 2 + 1e-12
         assert max(abs(qx) for qx in r.qv) == 127  # scale is tight
+
+
+def test_orc_roundtrip_with_pruning(spark, tmp_path):
+    """ORC sink: values survive the round-trip exactly and the partition
+    layout prunes like the parquet one."""
+    from ts_etl_spark.sinks.table_sink import write_orc
+    from ts_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.orc(path)
+    a = sorted((r.o_orderkey, float(r.o_totalprice)) for r in orders.collect())
+    b = sorted((r.o_orderkey, float(r.o_totalprice)) for r in back.collect())
+    assert a == b
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_queries_self_heal_non_utc_session(spark):
+    """The driver's CORRECTNESS harness builds its own session; if that
+    session carries a non-UTC timezone, timestamp rendering would diverge
+    from the TZ-naive DuckDB oracle. load_table defensively re-pins UTC at
+    query time — proven here by poisoning the session and re-running an
+    event-time query."""
+    from ts_etl_spark.operators.events import q_events_tumbling
+
+    baseline = {
+        (r.window_start, r.event_type): r.n
+        for r in q_events_tumbling(spark, SF).collect()
+    }
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        poisoned = {
+            (r.window_start, r.event_type): r.n
+            for r in q_events_tumbling(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert poisoned == baseline

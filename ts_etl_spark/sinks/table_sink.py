@@ -33,6 +33,21 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(header=True, **options).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Distributed ORC write (native format, zlib by default) — the
+    interchange format for Hive-ecosystem consumers; same partition-pruning
+    layout semantics as the parquet writer."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Distributed JSON-lines write (framing is NOT the reference's array
     contract — that lives in json_sink; this is the scale path)."""
