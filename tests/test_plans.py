@@ -282,3 +282,36 @@ def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark):
+    """Runtime bloom-filter pruning (enabled in session.py, dormant below
+    the 10 GiB application-side threshold): when forced active, a
+    selective filtered dim side injects a bloom_filter_agg that prunes the
+    fact side BEFORE its shuffle — the runtime-filter shape that cuts
+    shuffle volume on multi-TB scans."""
+    from ts_etl_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -49,6 +49,12 @@ def get_spark(
         # covers every dimension side this engine joins at any SF — AQE still
         # re-plans larger sides at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+        # runtime bloom-filter join pruning: when a selective filtered side
+        # joins a big fact, inject a bloom filter so the fact side drops
+        # non-joining rows BEFORE the shuffle. The default 10 GiB
+        # application-side threshold keeps it dormant on local test data and
+        # active exactly where it pays — multi-TB fact scans.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # static conf: the default 100-entry Janino class cache thrashes when
         # a session runs the whole query surface back-to-back (each query
