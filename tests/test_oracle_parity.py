@@ -52,6 +52,53 @@ def _rows(rows, cols):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# The driver's value hasher is *encoding*-sensitive: identical values hash
+# differently if one engine returns e.g. int128 (DuckDB HUGEINT from
+# SUM(INTEGER)) where the other returns int64.  Map every DuckDB result type
+# to its Spark equivalent and require an exact logical-type match so that
+# class of driver failure is caught locally (round-2 q12 regression test).
+_DUCK2SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "HUGEINT": "int128-NOT-REPRESENTABLE-IN-SPARK",
+    "UHUGEINT": "uint128-NOT-REPRESENTABLE-IN-SPARK",
+    "FLOAT": "float",
+    "REAL": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def _duck_to_spark_type(t: str) -> str:
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{_duck_to_spark_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK2SPARK.get(t, f"<unmapped-duckdb-type:{t}>")
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_result_types(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    ddb_types = {
+        row[0]: _duck_to_spark_type(row[1])
+        for row in ddb.execute(f"DESCRIBE {ORACLE[name]}").fetchall()
+    }
+    assert spark_types == ddb_types, (
+        f"{name}: result type mismatch (driver hash is encoding-sensitive); "
+        f"spark={spark_types} duckdb={ddb_types}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracle_match(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
