@@ -2,9 +2,11 @@
 as opaque ``binary`` columns with typed metadata, processed by Arrow-batched
 pandas functions over ``mapInPandas``.
 
-The container ships no image/audio libraries, so the actual decode step is
-STUBBED (``decode_image`` raises NotImplementedError unless given the
-deterministic fake decoder). Everything Spark-side is real and tested:
+The decode step is a PLUGGABLE SEAM (``resolve_decoder``): explicit
+callable > Pillow if importable > loud NotImplementedError.  This container
+ships no imaging library, so the oracle-checked operators pass the
+deterministic ``fake_decode`` explicitly.  Everything Spark-side is real
+and tested:
 binary schema, mapInPandas batch shape, partition-preserving plumbing, and
 a deterministic metadata extraction whose arithmetic the DuckDB oracle
 reproduces — so the plumbing itself sits behind the correctness gate.
@@ -31,16 +33,39 @@ META_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decoding needs PIL/opencv, absent in this container.
+def pil_decode(payload: bytes) -> tuple[int, int]:
+    """Decode real image bytes with Pillow (if installed): binary in,
+    (width, height) out — the production decoder the seam plugs in."""
+    import io
 
-    The Spark-side contract (binary in, (width, height, channels) out) is
-    exercised through ``fake_decode`` below.
-    """
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode for the deterministic test path"
-    )
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def resolve_decoder(decoder=None):
+    """Pluggable decode seam: explicit callable > Pillow (if importable) >
+    error.  The deterministic ``fake_decode`` is NOT a silent fallback — the
+    oracle-checked operators pass it explicitly, so outside the sandbox a
+    missing imaging library is a loud failure, not fake dimensions."""
+    if decoder is not None:
+        return decoder
+    try:
+        import PIL  # noqa: F401
+
+        return pil_decode
+    except ImportError as exc:
+        raise NotImplementedError(
+            "no image decoder available: install Pillow or pass an explicit "
+            "decode callable (bytes -> (width, height)); fake_decode is the "
+            "deterministic test/oracle path"
+        ) from exc
+
+
+def decode_image(payload: bytes, decoder=None) -> tuple[int, int]:
+    """Decode one image payload via the pluggable seam above."""
+    return resolve_decoder(decoder)(payload)
 
 
 def fake_decode(payload: bytes) -> tuple[int, int]:
@@ -53,7 +78,7 @@ def fake_decode(payload: bytes) -> tuple[int, int]:
 THUMB_SIZE = 64  # "thumbnail" = 64 evenly-strided samples of the payload
 
 
-def _make_meta_batches():
+def _make_meta_batches(decoder=fake_decode):
     """Build the batch function as a CLOSURE: cloudpickle then serializes it
     by value, so executors never need ts_etl_spark importable on their own
     sys.path (the driver's harness may run from any cwd).
@@ -68,6 +93,17 @@ def _make_meta_batches():
     land in f_other), and a fixed-size strided "thumbnail" of the decoded
     text."""
     thumb_size = THUMB_SIZE
+    if decoder is fake_decode:
+        # Rebind the default as a lambda: cloudpickle serializes module-level
+        # named functions by REFERENCE (executors would need ts_etl_spark on
+        # their sys.path — the driver harness may run from any cwd) but
+        # lambdas by VALUE, keeping the batch closure self-contained.  The
+        # arithmetic mirrors fake_decode / the DuckDB oracle.  Injected
+        # decoders must likewise be self-contained (lambda/closure) unless
+        # the package is installed on the executors.
+        decode = lambda p: (len(p) % 640 + 1, (len(p) * 7) % 480 + 1)  # noqa: E731
+    else:
+        decode = decoder
 
     def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -76,7 +112,7 @@ def _make_meta_batches():
 
         for pdf in batches:
             payloads = [bytes(p) for p in pdf["payload"]]
-            dims = [(len(p) % 640 + 1, (len(p) * 7) % 480 + 1) for p in payloads]
+            dims = [decode(p) for p in payloads]
             strides, thashes, tlens, feats = [], [], [], []
             for p in payloads:
                 text = p.decode("utf-8")
@@ -116,13 +152,19 @@ def binary_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
-def q_multimodal_meta_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_meta_resize(
+    spark: SparkSession, sf_dir: str, decoder=fake_decode
+) -> DataFrame:
     """Arrow-batched metadata extraction + resize/downsample over binary
     payloads in a single ``mapInPandas`` pass (decode once, emit metadata
     and a strided thumbnail — the per-doc batch shape an image pipeline
-    has). The fake dims mirror ``fake_decode``; the oracle reproduces both
-    the metadata arithmetic and the stride sampling."""
-    return binary_payloads(spark, sf_dir).mapInPandas(_make_meta_batches(), META_SCHEMA)
+    has). ``decoder`` is the pluggable decode seam (bytes -> (w, h)); the
+    registry default is the deterministic ``fake_decode`` whose arithmetic
+    the oracle mirrors — pass ``resolve_decoder()`` for real Pillow decode
+    in production."""
+    return binary_payloads(spark, sf_dir).mapInPandas(
+        _make_meta_batches(decoder), META_SCHEMA
+    )
 
 
 FRAME_SIZE = 100  # "frame" = 100-char span of the payload text
