@@ -10,6 +10,20 @@ from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
 from ts_etl_spark.pipelines import curate_documents, write_curated
 
 
+def test_curation_single_documents_scan(spark, sf_smoke):
+    """The pipeline's two text consumers (metric projection, LSH pass) share
+    ONE cached parquet scan of documents — at 100 TB the corpus is never
+    read or re-tokenized twice."""
+    import re
+
+    from ts_etl_spark.pipelines.curation import q_pipeline_curation
+    from ts_etl_spark.plans.audit import plan_str
+
+    p = plan_str(q_pipeline_curation(spark, sf_smoke), "formatted")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "InMemoryTableScan" in p
+
+
 def test_provenance_covers_every_document(spark, sf_smoke):
     docs_n = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
     out = curate_documents(spark, sf_smoke)

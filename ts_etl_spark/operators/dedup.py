@@ -214,8 +214,11 @@ def minhash_bands(sets: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates, exact-verified at JACCARD_THRESHOLD.
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup pairs over any (doc_id, text) frame — the
+    frame-level core of ``q_dedup_minhash_lsh``, reusable by compositions
+    (``pipelines.curation``) that already hold a cached documents scan and
+    must not trigger a second one.
 
     Plan shape (the one you'd want at 100 TB): narrow signature projection
     (see ``minhash_bands``), one shuffle for the band-bucket self-join —
@@ -225,7 +228,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle sets feed three consumers (signatures + both verification
     # sides); persist so tokenization/shingling runs once. MEMORY_AND_DISK
     # by default — at cluster scale this spills rather than OOMs.
-    sets = shingle_sets_df(spark, sf_dir).persist()
+    sets = shingle_sets(docs).persist()
     bands = minhash_bands(sets)
     x = bands.select("band", "bh", F.col("doc_id").alias("id_a"))
     y = bands.select(
@@ -252,6 +255,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", (common.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: ``minhash_lsh_pairs`` over the documents table (the
+    early repartition buys shingling parallelism on single-split local
+    files; at real scale AQE coalesces it away — see ``shingle_sets_df``)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return minhash_lsh_pairs(docs)
 
 
 #: SimHash signature width. 60 bits = 15 hex digits of md5 — chosen so the

@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
+from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, minhash_lsh_pairs
 from ts_etl_spark.operators.skew import bucketed_running_sum
 from ts_etl_spark.operators.textops import _metric_cols, _signature_cols
 from ts_etl_spark.sinks.table_sink import write_parquet
@@ -67,7 +67,19 @@ def curate_documents(
       boundary document that crosses the line is kept — budget is a target,
       not a hard ceiling; flip the comparison for a hard cap).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # ONE cached scan of documents feeds both the metric projection and the
+    # LSH near-dup pass (the pipeline's two text consumers) — at 100 TB you
+    # never want the corpus read and re-tokenized twice.  The repartition
+    # spreads shingling across the cluster on single-split local files (AQE
+    # coalesces it away at real scale), and the cache holds only the skinny
+    # (doc_id, text) projection.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+        .persist()
+    )
     scored = docs.select("doc_id", "text", *_metric_cols(), *_signature_cols())
 
     # exact/canonical dedup: rank within fingerprint, rep = lowest doc_id
@@ -79,7 +91,7 @@ def curate_documents(
     )
 
     # near-dup removal: verified LSH pairs, drop the higher id of each pair
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).filter(
+    pairs = minhash_lsh_pairs(docs).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
