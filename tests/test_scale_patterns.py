@@ -225,6 +225,43 @@ def test_bucketed_running_sum_matches_plain_window(spark):
     assert got == want and len(want) > 0
 
 
+def test_windowed_skew_guard_routes_and_matches(spark):
+    """windowed_with_skew_guard: both routes (forced hot → bucketed path,
+    forced cold → plain window) return identical results, and the probe
+    actually picks the bucketed plan when the threshold trips."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.relational import dec
+    from ts_etl_spark.operators.skew import windowed_with_skew_guard
+    from ts_etl_spark.plans.audit import count_nodes
+    from ts_etl_spark.sources.tables import load_table
+
+    SF = "/root/testdata/sf0.01"
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey",
+        (F.unix_timestamp("o_orderdate") * 10_000_000 + F.col("o_orderkey")).alias("ord"),
+        dec("o_totalprice").alias("v"),
+    )
+    hot = windowed_with_skew_guard(
+        orders, "o_custkey", "ord", "v",
+        hot_threshold=1, sample_fraction=1.0, n_buckets=8,
+    )
+    cold = windowed_with_skew_guard(
+        orders, "o_custkey", "ord", "v",
+        hot_threshold=10**12, sample_fraction=1.0,
+    )
+    # the guard changed the physical strategy: hot route has no
+    # single per-key Window over the full frame (two bucket-level windows
+    # + joins instead), cold route is exactly one Window
+    assert count_nodes(cold, "Window") == 1
+    assert count_nodes(hot, "Window") == 2  # local slice + bucket offsets
+    to_set = lambda df: {  # noqa: E731
+        (r.o_custkey, r.ord, float(r.running_total)) for r in df.collect()
+    }
+    hs, cs = to_set(hot), to_set(cold)
+    assert hs == cs and len(hs) > 0
+
+
 def test_kmeans_trained_ivf_matches_seed_recall(spark):
     """The k-means-trained centroid path (train_ivf_centroids + ivf_topk)
     must work end-to-end and, even on this uniform corpus where learned
