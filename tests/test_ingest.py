@@ -51,6 +51,30 @@ def _batches(tmp_path):
     return d
 
 
+def test_ingest_batch_releases_caches(spark, tmp_path):
+    """ingest_batch unpersists the shingle-set frames dedup_incremental
+    caches — a long-running foreachBatch stream must not accumulate cached
+    blocks across micro-batches."""
+    corpus_path = str(tmp_path / "corpus")
+    batch = spark.createDataFrame([(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    ingest_batch(spark, batch, corpus_path)
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before
+
+
+def test_ingest_into_empty_and_existing_corpus_paths(spark, tmp_path):
+    """The corpus existence check goes through the Hadoop FS API; both the
+    fresh-corpus and the append paths work on a plain local path."""
+    corpus_path = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(2, BASE), (3, NOVEL)], "doc_id LONG, text STRING")
+    ingest_batch(spark, b1, corpus_path)
+    ingest_batch(spark, b2, corpus_path)
+    kept = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert kept == {1, 3}  # 2 is an exact dup of the corpus
+
+
 def test_streaming_ingest_converges(spark, tmp_path):
     d = _batches(tmp_path)
     corpus_path = str(tmp_path / "corpus")

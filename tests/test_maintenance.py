@@ -44,6 +44,21 @@ def test_profile_single_aggregate_plan(spark):
     assert plan.lower().count("filescan") + plan.lower().count("batchscan") <= 1
 
 
+def test_compaction_raises_on_empty_input(spark, tmp_path):
+    """Zero parquet bytes (missing dir, or dir with no parquet) raises —
+    on a non-local URI a silently-empty os.walk used to compute total=0."""
+    import pytest
+
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    with pytest.raises(ValueError, match="no parquet data"):
+        compact_parquet(spark, str(tmp_path / "nope"), str(tmp_path / "out"))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet data"):
+        compact_parquet(spark, str(empty), str(tmp_path / "out"))
+
+
 def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     frag = str(tmp_path / "fragmented")
     docs = load_table(spark, SF, "documents")

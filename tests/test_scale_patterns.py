@@ -365,6 +365,34 @@ def test_int8_quantization_roundtrip_and_zero_vector(spark):
         assert max(abs(qx) for qx in r.qv) == 127  # scale is tight
 
 
+def test_quantized_topk_excludes_zero_vectors_explicitly(spark):
+    """Zero-norm vectors have no defined cosine: quantized_topk filters
+    them from both sides up front — no NULL scores, no divide-by-zero, and
+    a zero-vector query yields no rows rather than garbage."""
+    from ts_etl_spark.operators.similarity import quantized_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero corpus vector
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>").select(
+        "vec_id", "v", F.lit(1.0).alias("nrm")
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 0.0, 0.0, 0.0])],
+        "q_id LONG, qv ARRAY<DOUBLE>",
+    ).select("q_id", "qv", F.lit(1.0).alias("qn"))
+    out = quantized_topk(vecs, queries, top_k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.neighbor_id)
+    assert 3 not in set(by_q.get(1, []))  # zero corpus vector never ranked
+    assert 3 not in by_q  # zero-vector query produces no rows
+    assert by_q[1][0] == 2  # sane ranking survives the guard
+
+
 def test_orc_roundtrip_with_pruning(spark, tmp_path):
     """ORC sink: values survive the round-trip exactly and the partition
     layout prunes like the parquet one."""

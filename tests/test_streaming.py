@@ -47,6 +47,25 @@ def _write_events(path, rows):
     pq.write_table(tbl, path)
 
 
+def test_stream_starts_on_empty_landing_dir(spark, tmp_path):
+    """The schema probe falls back to EVENTS_FILE_SCHEMA when the landing
+    directory is empty, so a stream can start before the first file lands
+    (regression: the batch probe used to throw on an empty directory)."""
+    d = tmp_path / "empty_landing"
+    d.mkdir()
+    stream = stream_events(spark, str(d))
+    agg = tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("empty_landing_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM empty_landing_counts").count() == 0
+
+
 def test_stream_tumbling_equals_batch(spark, tmp_path, events_dir):
     """Complete-mode streaming aggregation over all files == batch groupBy."""
     stream = stream_events(spark, events_dir)

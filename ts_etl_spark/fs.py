@@ -1,0 +1,40 @@
+"""Hadoop FileSystem helpers.
+
+Size and existence checks resolved through the JVM FileSystem API so
+maintenance and ingest behave identically on every supported URI scheme
+(``file://``, ``hdfs://``, ``s3a://``, ...) — ``os.path`` / ``os.walk``
+silently see nothing on non-local URIs, which would make compaction
+compute total=0 and ingest treat an existing corpus as absent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` under the session's Hadoop conf."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Total bytes of ``suffix`` files under ``path``, recursive; 0 if the
+    path does not exist."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    total = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(suffix):
+            total += st.getLen()
+    return total

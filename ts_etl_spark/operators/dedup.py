@@ -401,7 +401,10 @@ def canonical_fingerprint(c=None):
 
 
 def dedup_incremental(
-    corpus: DataFrame, batch: DataFrame, threshold: float = JACCARD_THRESHOLD
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Deduplicate a NEW batch against an EXISTING corpus — the operation a
     continuously-fed pipeline runs per ingest, without ever re-running the
@@ -420,9 +423,19 @@ def dedup_incremental(
     both are materialized once as bucketed tables and only APPENDED per
     ingest, so the per-batch cost is linear in the batch, not the corpus:
     fingerprint anti-join + band-bucket probe + candidate verification).
-    Nothing here is quadratic in either input."""
+    Nothing here is quadratic in either input.
+
+    Both shingle-set frames feed multiple consumers (b_sets: bands + two
+    verification sides; c_sets: bands + corpus-side verification), so both
+    are persisted.  The result is lazy, so the unpersist belongs to the
+    CALLER once the result is materialized: pass ``persisted`` (a list) to
+    receive the cached frames — a long-running ``foreachBatch`` stream that
+    skips this leaks cached blocks every micro-batch
+    (``streaming/ingest.ingest_batch`` is the reference usage)."""
     b_sets = shingle_sets(batch).persist()
-    c_sets = shingle_sets(corpus)
+    c_sets = shingle_sets(corpus).persist()
+    if persisted is not None:
+        persisted += [b_sets, c_sets]
 
     # --- exact layer: canonical fingerprints ---
     b_fp = batch.select("doc_id", canonical_fingerprint().alias("fp"))

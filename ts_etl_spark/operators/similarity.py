@@ -379,10 +379,14 @@ def quantized_topk(
     factors cancel in the cosine, so no dequantization happens at all; the
     scan reads 1/8 the bytes and the arithmetic is integer. Recall vs the
     exact double-space ranking is a tested property (cosine error is
-    bounded by the quantization step)."""
+    bounded by the quantization step).
+
+    Zero-norm vectors (which ``quantize_embeddings`` round-trips exactly)
+    have no defined cosine; they are EXCLUDED from both sides explicitly
+    here rather than silently dropped as NULL/divide-by-zero scores."""
     from pyspark.sql.window import Window
 
-    qc = quantize_embeddings(vecs)
+    qc = quantize_embeddings(vecs).filter(F.col("qn") > 0)
     qq = quantize_embeddings(
         queries.select(
             F.col("q_id").alias("vec_id"), F.col("qv").alias("v"), F.col("qn").alias("nrm")
@@ -391,7 +395,7 @@ def quantized_topk(
         F.col("vec_id").alias("q_id"),
         F.col("qv").alias("q_qv"),
         F.col("qn").alias("q_qn"),
-    )
+    ).filter(F.col("q_qn") > 0)
     pairs = qc.join(F.broadcast(qq), F.col("vec_id") != F.col("q_id"))
     cos = dot_q(F.col("qv"), F.col("q_qv")).cast("double") / (
         F.col("qn") * F.col("q_qn")

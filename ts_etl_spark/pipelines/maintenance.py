@@ -10,10 +10,11 @@ output file count is computed from the observed byte size.
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ts_etl_spark.fs import dir_bytes
 
 #: profile: HLL++ relative error (same sketch the approx entries use)
 PROFILE_RSD = 0.05
@@ -69,13 +70,14 @@ def compact_parquet(
     Copy-on-write: writes to ``out_path`` (the atomic-swap unit), returns
     the output file count. Uses ``repartition`` (round-robin) for even
     sizes; partition-key-aware layouts should instead rewrite via
-    ``table_sink.write_parquet`` with ``partition_by``."""
-    total = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    ``table_sink.write_parquet`` with ``partition_by``.
+
+    Input size comes from the Hadoop FileSystem API, so any URI scheme the
+    session supports works (hdfs://, s3a://, ...); an input with zero
+    parquet bytes raises instead of silently compacting to one file."""
+    total = dir_bytes(spark, path, suffix=".parquet")
+    if total == 0:
+        raise ValueError(f"no parquet data found at {path!r}")
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).repartition(n_files).write.mode(
         "overwrite"

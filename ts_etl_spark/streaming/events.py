@@ -23,18 +23,37 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-def stream_events(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
+#: fallback stream schema when the landing directory is still empty (no
+#: file to probe): the events-table contract
+EVENTS_FILE_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    max_files: int | None = None,
+    schema=None,
+) -> DataFrame:
     """File-source stream of events.
 
     ``readStream`` needs an explicit schema (no inference mid-stream), so the
     physical schema is probed with ONE batch metadata read of the same
-    directory. Mirrors the defensive conversion in ``sources/tables.py``:
-    generations of the testdata that store ``ts`` as TIMESTAMP(NANOS) read it
-    as a raw long (``nanosAsLong``) and convert to a micros timestamp here;
-    generations that store TIMESTAMP(MICROS) stream it as a timestamp
-    directly."""
+    directory; on an empty or not-yet-created landing directory the probe
+    falls back to ``EVENTS_FILE_SCHEMA`` (or a caller-supplied ``schema``)
+    so the stream can start BEFORE the first file lands. Mirrors the
+    defensive conversion in ``sources/tables.py``: generations of the
+    testdata that store ``ts`` as TIMESTAMP(NANOS) read it as a raw long
+    (``nanosAsLong``) and convert to a micros timestamp here; generations
+    that store TIMESTAMP(MICROS) stream it as a timestamp directly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            schema = EVENTS_FILE_SCHEMA
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)

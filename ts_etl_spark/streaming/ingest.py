@@ -23,18 +23,19 @@ driver's test corpora are small)."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.fs import path_exists
 from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, dedup_incremental
 
 DOCS_SCHEMA = "doc_id LONG, text STRING"
 
 
 def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
-    if os.path.isdir(corpus_path):
+    # existence via the Hadoop FileSystem API — os.path would silently
+    # report an hdfs:// or s3a:// corpus as absent
+    if path_exists(spark, corpus_path):
         return spark.read.schema(DOCS_SCHEMA).parquet(corpus_path)
     return spark.createDataFrame([], DOCS_SCHEMA)
 
@@ -45,14 +46,26 @@ def ingest_batch(
     corpus_path: str,
     threshold: float = JACCARD_THRESHOLD,
 ) -> None:
-    """Dedup one batch against the persisted corpus; append survivors."""
+    """Dedup one batch against the persisted corpus; append survivors.
+
+    The shingle-set frames dedup_incremental caches are unpersisted once
+    the append materializes them — a stream runs this every micro-batch,
+    and skipping the release would accumulate cached blocks for the
+    lifetime of the query."""
     corpus = _corpus(spark, corpus_path)
+    persisted: list[DataFrame] = []
     kept = (
-        dedup_incremental(corpus, batch_df.select("doc_id", "text"), threshold)
+        dedup_incremental(
+            corpus, batch_df.select("doc_id", "text"), threshold, persisted
+        )
         .filter(F.col("kept"))
         .select("doc_id", "text")
     )
-    kept.write.mode("append").parquet(corpus_path)
+    try:
+        kept.write.mode("append").parquet(corpus_path)
+    finally:
+        for df in persisted:
+            df.unpersist()
 
 
 def run_streaming_ingest(
