@@ -86,6 +86,16 @@ HEADLINE = [
     "multimodal_meta_resize",
 ]
 
+# Timed under the same protocol as HEADLINE but NOT `queries()` entries:
+# the registry is consolidated to exactly 50 (the driver's verification
+# window) and these paths are correctness-covered by dedicated equivalence
+# tests instead (tests/test_incremental.py). Names map to callables with
+# the same (spark, sf_dir) -> DataFrame signature.
+def _supplement():
+    from ts_etl_spark.operators.dedup import q_dedup_incremental
+
+    return {"dedup_incremental": q_dedup_incremental}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,8 +124,10 @@ def main() -> None:
     # minimum of two runs is the steady-state number a long-lived cluster
     # delivers; single-shot measurement mistook that startup residue for
     # query cost.
+    queries = dict(queries)
+    queries.update(_supplement())
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + sorted(_supplement()):
         run(name, at=warm_dir)
         spark.catalog.clearCache()  # drop the tiny warmup cache
         best = run(name)
@@ -124,7 +136,9 @@ def main() -> None:
         spark.catalog.clearCache()  # measured persists never leak onward
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    # the headline total stays comparable round-over-round: supplements are
+    # reported per-query but excluded from the gate metric
+    total = round(sum(timings[n] for n in HEADLINE), 4)
     print(
         json.dumps(
             {

@@ -45,6 +45,21 @@ def test_headline_names_are_registered_queries():
     assert not missing, f"bench HEADLINE names not in queries(): {missing}"
 
 
+def test_supplement_entries_resolve_and_do_not_shadow():
+    """Bench supplements (timed but deliberately outside the 50-entry
+    driver window) must resolve to callables and must never shadow a
+    registered query name — a collision would silently re-time the
+    registered entry under the supplement protocol."""
+    from ts_etl_spark.operators import all_queries
+
+    bench = _load_bench()
+    sup = bench._supplement()
+    assert sup, "supplement map unexpectedly empty"
+    registered = set(all_queries())
+    assert not (set(sup) & registered), "supplement shadows queries() names"
+    assert all(callable(f) for f in sup.values())
+
+
 def test_query_surface_fits_driver_window():
     """The driver's CORRECTNESS sweep verifies the first 50 queries() entries
     in registration order; every declared query must get a row."""

@@ -509,6 +509,43 @@ def dedup_incremental(
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-facing incremental-dedup run: treat the first ~90% of doc_ids
+    as the EXISTING corpus and the top ~10% as a freshly-ingested batch,
+    then run ``dedup_incremental`` (batch-vs-corpus only — never
+    corpus×corpus). This is the per-micro-batch work a continuous ingest
+    pays (``streaming/ingest.ingest_batch``), timed here so the continuous
+    story has a perf number tracked round-over-round.
+
+    NOT in the ``queries()`` registry (the driver verifies the first 50
+    entries and the surface is consolidated to exactly 50); correctness is
+    covered by ``tests/test_incremental.py``'s one-shot-equivalence proof,
+    so this entry exists for the bench protocol only (bench.py SUPPLEMENT).
+
+    The 90/10 split threshold comes from a 1-row max() aggregate joined as
+    a broadcast scalar — no driver collect, and at 100 TB the corpus side
+    still only contributes its two skinny derived relations (fingerprints +
+    band index; see ``dedup_incremental``'s plan-shape notes)."""
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")  # same rationale as shingle_sets_df
+    )
+    thr = docs.agg((F.max("doc_id") * 0.9).cast("long").alias("__thr"))
+    corpus = (
+        docs.join(F.broadcast(thr))
+        .filter(F.col("doc_id") <= F.col("__thr"))
+        .select("doc_id", "text")
+    )
+    batch = (
+        docs.join(F.broadcast(thr))
+        .filter(F.col("doc_id") > F.col("__thr"))
+        .select("doc_id", "text")
+    )
+    return dedup_incremental(corpus, batch)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_topk": q_dedup_ngram_topk,
