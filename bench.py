@@ -117,7 +117,8 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
-    # min-of-2 at the measured SF: the FIRST sf-scale run of a query still
+    # min-of-2 (plus a stall-guard, below) at the measured SF: the FIRST
+    # sf-scale run of a query still
     # pays one-off costs the sf0.001 warmup cannot reach (full-batch
     # vectorized-reader JIT, first large buffer allocations) — measured
     # +0.6 s on whichever query runs first regardless of which it is. The
@@ -130,11 +131,18 @@ def main() -> None:
     for name in HEADLINE + sorted(_supplement()):
         run(name, at=warm_dir)
         spark.catalog.clearCache()  # drop the tiny warmup cache
-        best = run(name)
-        spark.catalog.clearCache()
-        best = min(best, run(name))
-        spark.catalog.clearCache()  # measured persists never leak onward
-        timings[name] = round(best, 4)
+        samples = []
+        # stall guard: this host shows rare ~20 s freezes (hypervisor-level;
+        # GC logs clean, identical reruns land back at steady state). Two
+        # wildly disagreeing samples mean one was stalled, not that the
+        # query is slow — take extra samples (bounded) so a random freeze
+        # can't poison the round's number for an innocent query.
+        while len(samples) < 2 or (
+            len(samples) < 4 and max(samples) > 2.5 * min(samples) + 0.05
+        ):
+            samples.append(run(name))
+            spark.catalog.clearCache()  # measured persists never leak onward
+        timings[name] = round(min(samples), 4)
 
     # the headline total stays comparable round-over-round: supplements are
     # reported per-query but excluded from the gate metric
