@@ -315,3 +315,35 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Global anti-pattern sweep: EVERY registered query, not just the pinned ones
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from ts_etl_spark.operators import all_queries
+
+_SWEEP_SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_plan_antipatterns_any_query(spark, name):
+    """The two anti-patterns that are NEVER acceptable at 100 TB, asserted
+    over the whole registered surface so a new or edited query can't
+    reintroduce them unnoticed:
+
+    - ``CartesianProduct``: a non-broadcast cross join is quadratic I/O.
+      (``BroadcastNestedLoopJoin`` is allowed — that's the bounded
+      1-row-aggregate / centroid-set scalar-subquery pattern.)
+    - ``BatchEvalPython``: a row-at-a-time Python UDF serializes every row
+      through pickle; the only sanctioned Python path is Arrow-batched
+      (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``).
+
+    Plan-only (explain, no execution), so sweeping all 50 queries stays
+    cheap."""
+    df = all_queries()[name](spark, _SWEEP_SF)
+    plan = plan_str(df)
+    assert count_nodes(df, "CartesianProduct") == 0, f"{name}: cartesian join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

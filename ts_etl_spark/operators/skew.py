@@ -76,6 +76,7 @@ def bucketed_running_sum(
     value: str,
     n_buckets: int = 32,
     out: str = "running_total",
+    broadcast_ranges: bool = False,
 ) -> DataFrame:
     """Skew-safe per-key cumulative sum.
 
@@ -94,12 +95,23 @@ def bucketed_running_sum(
     Requires ``order`` to be numeric/timestamp-like (range-bucketable) and
     (key, order) unique for a deterministic result — same requirement the
     plain window has.
+
+    ``broadcast_ranges`` hints the (one row per key) min/max range frame as
+    the broadcast side of the bucketing join.  Pass True when the key
+    cardinality is KNOWN small — in particular for a constant key (a global
+    cumsum), where Catalyst folds the trivially-true equi-condition away
+    and would otherwise plan a CartesianProduct.  Leave False for
+    high-cardinality keys: the default shuffle equi-join co-partitions both
+    sides by key, while a forced broadcast of millions of range rows would
+    not fit an executor.
     """
     from pyspark.sql.window import Window
 
     rng = df.groupBy(key).agg(
         F.min(order).alias("__lo"), F.max(order).alias("__hi")
     )
+    if broadcast_ranges:
+        rng = F.broadcast(rng)
     d = df.join(rng, key)
     span = F.col("__hi").cast("double") - F.col("__lo").cast("double")
     rel = F.when(

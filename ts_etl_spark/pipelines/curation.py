@@ -136,6 +136,7 @@ def curate_documents(
         order="doc_id",
         value="n_bpe_tokens",
         out="cum_tokens",
+        broadcast_ranges=True,  # constant key: 1-row range frame
     ).drop("__all")
     in_budget = (F.col("cum_tokens") - F.col("n_bpe_tokens")) < F.lit(token_budget)
     budgeted = budgeted.select(
