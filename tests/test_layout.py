@@ -125,6 +125,28 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, tmp_path):
     assert lin == z > 0
 
 
+def test_cli_optimize_routes_compact_and_zorder(spark, tmp_path):
+    """`optimize` without --zorder compacts; with columns it clusters —
+    both through the same CLI seam users drive."""
+    from ts_etl_spark.cli import run_optimize
+
+    compact_dir = str(tmp_path / "compacted")
+    n = run_optimize(ORDERS, compact_dir, spark=spark)
+    assert n >= 1
+    assert spark.read.parquet(compact_dir).count() == (
+        spark.read.parquet(ORDERS).count()
+    )
+
+    z_dir = str(tmp_path / "zed")
+    n = run_optimize(
+        ORDERS, z_dir, zorder=["o_custkey", "o_totalprice"], spark=spark
+    )
+    assert n >= 1
+    got = spark.read.parquet(z_dir)
+    assert got.count() == spark.read.parquet(ORDERS).count()
+    assert "__zkey" not in got.columns
+
+
 def test_cluster_parquet_raises_on_empty_input(spark, tmp_path):
     empty = str(tmp_path / "none")
     os.makedirs(empty, exist_ok=True)

@@ -180,6 +180,80 @@ def _curate_main(argv: list[str]) -> int:
     return 0
 
 
+def run_optimize(
+    in_dir: str,
+    out_dir: str,
+    zorder: list[str] | None = None,
+    target_file_bytes: int | None = None,
+    spark=None,
+) -> int:
+    """Rewrite a parquet directory for scan efficiency (copy-on-write).
+    Plain mode compacts to ~target-sized files; ``zorder`` additionally
+    Morton-clusters the listed columns so footer min/max stats prune files
+    on ANY of them. Returns the output file count."""
+    from ts_etl_spark.pipelines.maintenance import (
+        DEFAULT_TARGET_FILE_BYTES,
+        compact_parquet,
+    )
+
+    target = target_file_bytes or DEFAULT_TARGET_FILE_BYTES
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-optimize")
+    try:
+        if zorder:
+            from ts_etl_spark.pipelines.layout import cluster_parquet
+
+            n = cluster_parquet(
+                spark, in_dir, out_dir, zorder, target_file_bytes=target
+            )
+            print(
+                f"optimize: z-ordered by {','.join(zorder)} into {n} files",
+                file=sys.stderr,
+            )
+        else:
+            n = compact_parquet(
+                spark, in_dir, out_dir, target_file_bytes=target
+            )
+            print(f"optimize: compacted into {n} files", file=sys.stderr)
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _optimize_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark optimize",
+        description="Compact (or Z-order cluster) a parquet directory.",
+    )
+    parser.add_argument("in_dir", help="input parquet directory")
+    parser.add_argument("out_dir", help="output parquet directory")
+    parser.add_argument(
+        "--zorder",
+        help="comma-separated columns (1..4) to Morton-cluster the layout by",
+    )
+    parser.add_argument(
+        "--target-mb",
+        type=int,
+        help="target output file size in MiB (default 128)",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_optimize(
+            args.in_dir,
+            args.out_dir,
+            zorder=args.zorder.split(",") if args.zorder else None,
+            target_file_bytes=(
+                args.target_mb * 1024 * 1024 if args.target_mb else None
+            ),
+        )
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during optimize: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def run_sql(
     query: str, sf_dir: str, out, fmt: str = "jsonl", spark=None
 ) -> int:
@@ -254,6 +328,8 @@ def main(argv: list[str] | None = None) -> int:
         return _curate_main(argv[1:])
     if argv and argv[0] == "sql":
         return _sql_main(argv[1:])
+    if argv and argv[0] == "optimize":
+        return _optimize_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
