@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ts_etl_spark.operators import sketches as _sketches
 from ts_etl_spark.sources.tables import load_table
 
 DEC = T.DecimalType(18, 2)
@@ -978,7 +979,17 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       asserts TRUE.
 
     The sketch paths stay exercised without an unverifiable raw value in
-    the output."""
+    the output.
+
+    Round 3 adds the MERGEABLE sketch the opaque built-ins can't provide:
+    `operators/sketches.py` materializes HLL registers from an
+    engine-portable md5 derivation, so every ``hll_<bucket>`` register row
+    is EXACT-value-matched by the DuckDB oracle (the only sketch here with
+    value parity, not a tolerance boolean), and ``hll_estimate_ok`` asserts
+    the estimator built from those registers lands within its documented
+    error of the exact count."""
+    from ts_etl_spark.operators.sketches import hll_estimate, hll_registers
+
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     apct = F.percentile_approx(
@@ -1038,7 +1049,28 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("value"),
         "ok",
     )
-    return long.unionByName(deciles)
+
+    regs = hll_registers(li, "l_partkey")
+    reg_rows = regs.select(
+        F.concat(F.lit("hll_"), F.col("bucket")).alias("metric"),
+        F.col("rho").cast("double").alias("value"),
+        F.lit(True).alias("ok"),
+    )
+    # m=256 ⇒ standard error 6.5%; 0.15 ≈ a 2.3-sigma band (soak-checked
+    # at sf0.1 too, so an SF-dependent excursion would surface pre-driver)
+    est_row = (
+        hll_estimate(spark, regs)
+        .join(F.broadcast(agg.select("distinct_parts")), F.lit(True))
+        .select(
+            F.lit("hll_estimate_ok").alias("metric"),
+            nd.alias("value"),
+            (
+                F.abs(F.col("estimate") - F.col("distinct_parts"))
+                <= F.col("distinct_parts") * 0.15
+            ).alias("ok"),
+        )
+    )
+    return long.unionByName(deciles).unionByName(reg_rows).unionByName(est_row)
 
 
 QUERIES = {
@@ -1551,5 +1583,11 @@ ORACLE = {
         SELECT 'decile_' || lpad(CAST(range AS VARCHAR), 2, '0'),
                CAST(NULL AS DOUBLE), TRUE
         FROM range(1, 11)
+        UNION ALL
+        SELECT 'hll_' || bucket, CAST(rho AS DOUBLE), TRUE
+        FROM ("""
+    + _sketches.HLL_REGISTERS_SQL.format(table="lineitem", col="l_partkey")
+    + """) hll
+        UNION ALL SELECT 'hll_estimate_ok', CAST(NULL AS DOUBLE), TRUE
     """,
 }
