@@ -114,6 +114,10 @@ def test_budget_matches_plain_window(spark, sf_smoke):
 def test_cli_run_curate(spark, sf_smoke, tmp_path):
     from ts_etl_spark.cli import run_curate
 
+    # other tests in this shared session may hold caches; the contract
+    # under test is that run_curate releases every cache IT created
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
     dest = str(tmp_path / "corpus")
     counts = run_curate(
         sf_smoke, dest, languages=["en"], token_budget=5000, spark=spark
@@ -122,6 +126,11 @@ def test_cli_run_curate(spark, sf_smoke, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == counts["kept"]
     assert set(counts) <= {"kept", "quality", "exact_dup", "near_dup", "language", "budget"}
+    # no cached blocks created by the call may outlive it: run_curate is
+    # the repeated-invocation seam of a long-lived session (same contract
+    # as streaming/ingest's per-batch unpersist)
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked caches: {after - before}"
 
 
 def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):

@@ -129,12 +129,14 @@ def run_curate(
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-curate")
     try:
+        caches: list = []
         out = curate_documents(
             spark,
             sf_dir,
             languages=languages,
             jaccard_threshold=jaccard if jaccard is not None else JACCARD_THRESHOLD,
             token_budget=token_budget,
+            persisted=caches,
         ).persist()
         counts = {
             (r["drop_reason"] or "kept"): r["count"]
@@ -143,7 +145,10 @@ def run_curate(
         for stage, n in sorted(counts.items()):
             print(f"curate: {stage} = {n}", file=sys.stderr)
         write_curated(out, out_dir)
-        out.unpersist()
+        # drop the pipeline's internal caches too — run_curate may be
+        # called repeatedly inside a long-lived session
+        for frame in [out, *caches]:
+            frame.unpersist()
         return counts
     finally:
         if own_session:

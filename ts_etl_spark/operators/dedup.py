@@ -214,7 +214,9 @@ def minhash_bands(sets: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, persisted: list[DataFrame] | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup pairs over any (doc_id, text) frame — the
     frame-level core of ``q_dedup_minhash_lsh``, reusable by compositions
     (``pipelines.curation``) that already hold a cached documents scan and
@@ -224,11 +226,17 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     (see ``minhash_bands``), one shuffle for the band-bucket self-join —
     banding localizes comparisons so the join is linear in bucket
     occupancy, never all-pairs — then exact Jaccard verification on the
-    candidates only (``size(array_intersect(...))``, no third shuffle)."""
+    candidates only (``size(array_intersect(...))``, no third shuffle).
+
+    Pass ``persisted`` (a list) to receive the internal shingle-set cache
+    for caller-side unpersist once the lazy result is materialized (the
+    same contract as ``dedup_incremental``/``curate_documents``)."""
     # the shingle sets feed three consumers (signatures + both verification
     # sides); persist so tokenization/shingling runs once. MEMORY_AND_DISK
     # by default — at cluster scale this spills rather than OOMs.
     sets = shingle_sets(docs).persist()
+    if persisted is not None:
+        persisted.append(sets)
     bands = minhash_bands(sets)
     x = bands.select("band", "bh", F.col("doc_id").alias("id_a"))
     y = bands.select(

@@ -44,6 +44,7 @@ def curate_documents(
     languages: Sequence[str] | None = None,
     jaccard_threshold: float = JACCARD_THRESHOLD,
     token_budget: int | None = None,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Run the curation flow over ``documents``; return every document with
     metrics, signals, and provenance (``kept`` / ``drop_reason``).
@@ -66,6 +67,13 @@ def curate_documents(
       while the cumulative count BEFORE it is under the budget (so the
       boundary document that crosses the line is kept — budget is a target,
       not a hard ceiling; flip the comparison for a hard cap).
+
+    The result is lazy, so unpersisting the internal caches belongs to the
+    caller once the result is materialized: pass ``persisted`` (a list) to
+    receive the cached frames — a long-lived session that skips this keeps
+    the corpus-scan cache resident forever (``cli.run_curate`` is the
+    reference usage; one-shot bench/driver runs clear the whole cache
+    instead).
     """
     # ONE cached scan of documents feeds both the metric projection and the
     # LSH near-dup pass (the pipeline's two text consumers) — at 100 TB you
@@ -80,6 +88,8 @@ def curate_documents(
         .repartition(par, "doc_id")
         .persist()
     )
+    if persisted is not None:
+        persisted.append(docs)
     scored = docs.select("doc_id", "text", *_metric_cols(), *_signature_cols())
 
     # exact/canonical dedup: rank within fingerprint, rep = lowest doc_id
@@ -91,7 +101,7 @@ def curate_documents(
     )
 
     # near-dup removal: verified LSH pairs, drop the higher id of each pair
-    pairs = minhash_lsh_pairs(docs).filter(
+    pairs = minhash_lsh_pairs(docs, persisted=persisted).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     near_dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
@@ -127,6 +137,8 @@ def curate_documents(
     # re-read the corpus, but sharing one materialization is the right
     # default shape either way.
     scored = scored.persist()
+    if persisted is not None:
+        persisted.append(scored)
 
     # greedy token budget over surviving docs, skew-safe global cumsum
     survivors = scored.filter(F.col("drop_reason").isNull())
