@@ -89,6 +89,43 @@ def test_streaming_ingest_converges(spark, tmp_path):
     assert got == {1, 2, 11}
 
 
+def test_streaming_ingest_maintains_corpus_stats_sketch(spark, tmp_path):
+    """With stats_path, each micro-batch max-merges its fingerprint HLL
+    registers into the persisted 256-row state table. The merged state
+    must equal the registers recomputed over the FINAL corpus (the
+    merge-equals-recompute invariant applied across batches), and the
+    estimate must come from the state table alone — no corpus scan."""
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+    from ts_etl_spark.operators.sketches import hll_registers
+    from ts_etl_spark.streaming.ingest import corpus_distinct_estimate
+
+    d = _batches(tmp_path)
+    corpus_path = str(tmp_path / "corpus")
+    stats_path = str(tmp_path / "stats")
+    run_streaming_ingest(
+        spark, str(d), corpus_path, str(tmp_path / "cp"),
+        max_files=1, stats_path=stats_path,
+    )
+    merged = {
+        r.bucket: r.rho for r in spark.read.parquet(stats_path).collect()
+    }
+    want = {
+        r.bucket: r.rho
+        for r in hll_registers(
+            spark.read.parquet(corpus_path).select(
+                canonical_fingerprint().alias("fp")
+            ),
+            "fp",
+        ).collect()
+    }
+    assert merged == want
+    # 3 surviving docs, linear-counting regime: estimate is near-exact
+    est = corpus_distinct_estimate(spark, stats_path)
+    assert abs(est - 3) < 0.5
+    # and an absent state table estimates zero
+    assert corpus_distinct_estimate(spark, str(tmp_path / "nope")) == 0.0
+
+
 def test_ingest_replay_is_idempotent(spark, tmp_path):
     """Re-running an already-ingested batch adds nothing: its documents
     fingerprint-match the corpus copies and drop in the exact layer."""

@@ -27,9 +27,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_etl_spark.fs import path_exists
-from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, dedup_incremental
+from ts_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    canonical_fingerprint,
+    dedup_incremental,
+)
+from ts_etl_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 
 DOCS_SCHEMA = "doc_id LONG, text STRING"
+
+STATS_SCHEMA = "bucket STRING, rho INT"
 
 
 def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
@@ -40,13 +51,49 @@ def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     return spark.createDataFrame([], DOCS_SCHEMA)
 
 
+def update_corpus_stats(
+    spark: SparkSession, new_docs: DataFrame, stats_path: str
+) -> None:
+    """Fold a batch's canonical-fingerprint HLL registers into the
+    persisted register table at ``stats_path`` — the mergeable-sketch
+    pattern from ``operators.sketches``: corpus-lifetime distinct counts
+    maintained by max-merging ≤2^p rows per ingest, never by re-scanning
+    history. The merged table is register-count bounded (256 rows), so
+    materializing it through the driver for the copy-on-write swap is a
+    bounded scalar transfer, same class as the CLI summary collects."""
+    batch_regs = hll_registers(
+        new_docs.select(canonical_fingerprint().alias("fp")), "fp"
+    )
+    if path_exists(spark, stats_path):
+        old = spark.read.schema(STATS_SCHEMA).parquet(stats_path)
+        merged = hll_merge(old, batch_regs)
+    else:
+        merged = batch_regs
+    rows = merged.collect()  # <= 2^p = 256 rows by construction
+    spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stats_path)
+
+
+def corpus_distinct_estimate(spark: SparkSession, stats_path: str) -> float:
+    """Estimated distinct canonical documents ever ingested, from the
+    persisted register table alone (no corpus scan)."""
+    if not path_exists(spark, stats_path):
+        return 0.0
+    regs = spark.read.schema(STATS_SCHEMA).parquet(stats_path)
+    return float(hll_estimate(spark, regs).first().estimate)
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     corpus_path: str,
     threshold: float = JACCARD_THRESHOLD,
+    stats_path: str | None = None,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
+    With ``stats_path``, also fold the batch's fingerprint registers into
+    the corpus-stats sketch (distinct-document telemetry per ingest).
 
     The shingle-set frames dedup_incremental caches are unpersisted once
     the append materializes them — a stream runs this every micro-batch,
@@ -60,8 +107,23 @@ def ingest_batch(
         )
         .filter(F.col("kept"))
         .select("doc_id", "text")
+        # `kept` is traversed twice (stats registers + the corpus append);
+        # persist so the expensive dedup runs once
+        .persist()
     )
+    persisted.append(kept)
     try:
+        # stats BEFORE the append: appending to corpus_path makes Spark
+        # invalidate every cached plan that reads that path (recacheByPath),
+        # and `kept`'s lineage reads the corpus — an after-append traversal
+        # would re-execute against the grown corpus, where the batch's own
+        # documents fingerprint-match their fresh copies and the registers
+        # come up empty. Ordering stats first is safe under replay: if the
+        # append then fails and the batch is re-ingested, the identical
+        # registers max-merge to a no-op (the sketch analogue of the
+        # fingerprint-idempotent corpus append).
+        if stats_path is not None:
+            update_corpus_stats(spark, kept, stats_path)
         kept.write.mode("append").parquet(corpus_path)
     finally:
         for df in persisted:
@@ -75,17 +137,18 @@ def run_streaming_ingest(
     checkpoint: str,
     threshold: float = JACCARD_THRESHOLD,
     max_files: int | None = 1,
+    stats_path: str | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
-    micro-batch."""
+    micro-batch; optionally maintaining the corpus-stats register sketch."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     stream = reader.load(landing_dir)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, corpus_path, threshold)
+        ingest_batch(spark, batch_df, corpus_path, threshold, stats_path)
 
     q = (
         stream.writeStream.foreachBatch(_ingest)
