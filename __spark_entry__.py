@@ -6,8 +6,9 @@ exercised via tests/, extension surface here — exactly 50 entries so the
 driver's CORRECTNESS sweep covers all of them in one pass); ``oracle_sql()``
 gives a DuckDB equivalent for EVERY entry — engine-specific sketches are
 expressed through engine-portable constructions (md5-derived simhash,
-deterministic IVF cell assignment) or bounded-error booleans the oracle
-asserts TRUE (quantiles_sketches), so nothing falls back to rows-only.
+exact-match HLL registers, deterministic IVF cell assignment) or
+bounded-error booleans the oracle asserts TRUE (quantiles_sketches), so
+nothing falls back to rows-only.
 """
 
 from __future__ import annotations
