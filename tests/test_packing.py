@@ -1,0 +1,111 @@
+"""Sequence packing: capacity/completeness invariants, determinism, the
+FFD waste bound, and oversize handling — over the real documents table's
+BPE token counts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.packing import pack_sequences, packing_summary
+
+SF = "/root/testdata/sf0.001"
+MAX_TOKENS = 512
+
+
+def _docs(spark):
+    from ts_etl_spark.operators.textops import _metric_cols
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # reuse the engine's own BPE-ish token counter as the weight
+    return docs.select("doc_id", *_metric_cols()).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+def test_every_doc_packed_exactly_once_and_bins_within_budget(spark):
+    docs = _docs(spark).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    packed = pack_sequences(docs, MAX_TOKENS, n_groups=8)
+    rows = packed.collect()
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in docs.collect()
+    }
+    assert len(rows) == docs.count()  # exactly once
+    summary = packing_summary(packed, MAX_TOKENS).collect()
+    for b in summary:
+        over = [
+            r
+            for r in rows
+            if (r.pack_group, r.bin_idx) == (b.pack_group, b.bin_idx)
+            and r.oversize
+        ]
+        if over:
+            # oversize bins are singletons
+            assert b.docs == 1
+        else:
+            assert b.tokens <= MAX_TOKENS
+
+
+def test_ffd_waste_bound(spark):
+    """Total bins must stay near the volume lower bound: within-group FFD
+    is 11/9·OPT; group-splitting adds at most one tail bin per group."""
+    docs = _docs(spark).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    n_groups = 8
+    packed = pack_sequences(docs, MAX_TOKENS, n_groups=n_groups)
+    normal = packed.filter(~F.col("oversize"))
+    total_tokens = normal.agg(F.sum("n_tokens")).first()[0]
+    n_bins = normal.select("pack_group", "bin_idx").distinct().count()
+    lower = math.ceil(total_tokens / MAX_TOKENS)
+    assert n_bins <= math.ceil(11 / 9 * lower) + n_groups, (n_bins, lower)
+
+
+def test_packing_is_deterministic(spark):
+    docs = _docs(spark).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    a = sorted(map(tuple, pack_sequences(docs, MAX_TOKENS).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, MAX_TOKENS).collect()))
+    assert a == b
+
+
+def test_oversize_docs_are_flagged_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 900), (3, 300), (4, 150)], "doc_id LONG, n_tokens INT"
+    )
+    packed = pack_sequences(docs, max_tokens=512, n_groups=1).collect()
+    by_id = {r.doc_id: r for r in packed}
+    assert by_id[2].oversize
+    # nothing else shares doc 2's bin
+    assert [
+        r.doc_id
+        for r in packed
+        if (r.pack_group, r.bin_idx)
+        == (by_id[2].pack_group, by_id[2].bin_idx)
+    ] == [2]
+    # the rest co-pack within budget (100+300+150 = 550 > 512 -> 2 bins)
+    normal_bins = {
+        (r.pack_group, r.bin_idx) for r in packed if not r.oversize
+    }
+    assert len(normal_bins) == 2
+
+
+def test_invalid_args_rejected(spark):
+    docs = spark.createDataFrame([(1, 10)], "doc_id LONG, n_tokens INT")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 512, n_groups=0)
+
+
+def test_plan_is_one_exchange_plus_arrow_stage(spark):
+    """One shuffle to the packing groups; the packing itself is an Arrow
+    FlatMapGroupsInPandas stage — no driver-side loop, no collect."""
+    docs = _docs(spark).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    plan = (
+        pack_sequences(docs, MAX_TOKENS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,116 @@
+"""Sequence packing: bin documents into fixed-token-budget training
+sequences — the step between a curated corpus and a trainer that wants
+dense, fixed-length batches (padding thrown away is wasted compute).
+
+Bin packing is inherently sequential, so the scale design splits it:
+
+1. **group**: a deterministic hash spreads documents over ``n_groups``
+   independent packing groups (xxhash64 of doc_id — reproducible across
+   retries, no RNG). Each group packs alone, so the stage parallelizes
+   to ``n_groups`` tasks regardless of corpus size.
+2. **pack within group**: first-fit-decreasing (FFD) over the group's
+   documents inside one Arrow-batched ``applyInPandas`` call — the
+   classic 11/9·OPT + 6/9 approximation, run on thousands of docs per
+   group, never on the driver.
+3. **label**: bins are ``(group, bin_idx)`` pairs — globally unique
+   without any cross-group coordination.
+
+Waste analysis at scale: FFD's waste within a group is bounded by the
+approximation ratio; the only cross-group cost is that each group keeps
+its own partially-filled tail bins. Expected waste from group-splitting
+is O(n_groups · max_tokens) total — negligible when each group packs
+≫ 1 bin, which sizing ``n_groups ≈ cluster cores`` guarantees at any
+real corpus size (at 100 TB each group still packs millions of tokens).
+
+Oversized documents (n_tokens > max_tokens) become singleton bins
+flagged ``oversize`` — the caller decides whether to truncate or drop;
+silently splitting a document would change training semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = (
+    "doc_id long, n_tokens int, pack_group int, bin_idx int, oversize boolean"
+)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every document to a training bin of at most ``max_tokens``
+    tokens: ``(doc_id, n_tokens, pack_group, bin_idx, oversize)`` with
+    ``(pack_group, bin_idx)`` the global bin key. Deterministic (hash
+    grouping + FFD with a fixed tiebreak), distributed (one shuffle to
+    the packing groups, packing itself Arrow-batched per group), and
+    complete (every input document appears exactly once)."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if n_groups <= 0:
+        raise ValueError("n_groups must be positive")
+    cap = int(max_tokens)
+
+    # defined as a closure ON PURPOSE: cloudpickle ships a nested function
+    # by VALUE, while a module-level function is pickled by reference and
+    # would require every Python worker to import ts_etl_spark — which
+    # breaks when the library is driven via sys.path from another cwd
+    def _pack_group(pdf):
+        """FFD over one group: sort descending by token count, place each
+        doc in the first bin it fits; open a new bin otherwise."""
+        import pandas as pd
+
+        docs_sorted = sorted(
+            zip(pdf["doc_id"], pdf["n_tokens"]), key=lambda t: (-t[1], t[0])
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        out = []
+        for doc_id, n in docs_sorted:
+            n = int(n)
+            if n > cap:
+                # singleton oversize bin (never co-packed)
+                out.append((doc_id, n, len(bins), True))
+                bins.append(0)
+                continue
+            for i, rem in enumerate(bins):
+                if rem >= n:
+                    bins[i] = rem - n
+                    out.append((doc_id, n, i, False))
+                    break
+            else:
+                bins.append(cap - n)
+                out.append((doc_id, n, len(bins) - 1, False))
+        grp = int(pdf["__grp"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": [t[0] for t in out],
+                "n_tokens": [t[1] for t in out],
+                "pack_group": grp,
+                "bin_idx": [t[2] for t in out],
+                "oversize": [t[3] for t in out],
+            }
+        )
+
+    prepared = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(tokens_col).cast("int").alias("n_tokens"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
+        .cast("int")
+        .alias("__grp"),
+    )
+    return prepared.groupBy("__grp").applyInPandas(_pack_group, PACKED_SCHEMA)
+
+
+def packing_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Per-bin utilization: ``(pack_group, bin_idx, docs, tokens, fill)``.
+    One partial-agg shuffle on the bin key."""
+    return packed.groupBy("pack_group", "bin_idx").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.sum("n_tokens") / F.lit(float(max_tokens))).alias("fill"),
+    )
