@@ -93,8 +93,12 @@ HEADLINE = [
 # the same (spark, sf_dir) -> DataFrame signature.
 def _supplement():
     from ts_etl_spark.operators.dedup import q_dedup_incremental
+    from ts_etl_spark.operators.packing import q_sequence_packing
 
-    return {"dedup_incremental": q_dedup_incremental}
+    return {
+        "dedup_incremental": q_dedup_incremental,
+        "sequence_packing": q_sequence_packing,
+    }
 
 
 def main() -> None:

@@ -133,6 +133,27 @@ def test_cli_run_curate(spark, sf_smoke, tmp_path):
     assert after <= before, f"leaked caches: {after - before}"
 
 
+def test_cli_run_curate_with_packing(spark, sf_smoke, tmp_path):
+    """--pack-tokens makes the written corpus trainer-ready: every kept
+    document carries a bin assignment and no mixed bin exceeds the
+    budget."""
+    from ts_etl_spark.cli import run_curate
+
+    dest = str(tmp_path / "corpus")
+    counts = run_curate(sf_smoke, dest, pack_tokens=2048, spark=spark)
+    back = spark.read.parquet(dest)
+    assert {"pack_group", "bin_idx"} <= set(back.columns)
+    assert back.filter(F.col("bin_idx").isNull()).count() == 0
+    bins = back.groupBy("pack_group", "bin_idx").agg(
+        F.sum("n_bpe_tokens").alias("tokens"), F.count("*").alias("docs")
+    )
+    assert (
+        bins.filter((F.col("tokens") > 2048) & (F.col("docs") > 1)).count()
+        == 0
+    )
+    assert back.count() == counts.get("kept", 0)
+
+
 def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):
     out = curate_documents(spark, sf_smoke)
     dest = str(tmp_path / "curated")

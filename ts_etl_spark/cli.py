@@ -115,11 +115,15 @@ def run_curate(
     languages: list[str] | None = None,
     token_budget: int | None = None,
     jaccard: float | None = None,
+    pack_tokens: int | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Run the corpus-curation pipeline over ``<sf_dir>/documents.parquet``
-    and write survivors to ``out_dir`` partitioned by language. Returns the
-    per-stage drop counts (also logged to stderr)."""
+    and write survivors to ``out_dir`` partitioned by language. With
+    ``pack_tokens``, survivors additionally carry training-bin assignments
+    (``pack_group``/``bin_idx`` from ``operators.packing``) so the written
+    corpus is trainer-ready. Returns the per-stage drop counts (also
+    logged to stderr)."""
     from pyspark.sql import functions as F
 
     from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
@@ -138,6 +142,16 @@ def run_curate(
             token_budget=token_budget,
             persisted=caches,
         ).persist()
+        caches.append(out)
+        if pack_tokens is not None:
+            from ts_etl_spark.operators.packing import pack_sequences
+
+            bins = pack_sequences(
+                out.filter(F.col("kept")).select("doc_id", "n_bpe_tokens"),
+                pack_tokens,
+                tokens_col="n_bpe_tokens",
+            ).select("doc_id", "pack_group", "bin_idx")
+            out = out.join(bins, "doc_id", "left")
         counts = {
             (r["drop_reason"] or "kept"): r["count"]
             for r in out.groupBy("drop_reason").count().collect()
@@ -147,7 +161,7 @@ def run_curate(
         write_curated(out, out_dir)
         # drop the pipeline's internal caches too — run_curate may be
         # called repeatedly inside a long-lived session
-        for frame in [out, *caches]:
+        for frame in caches:
             frame.unpersist()
         return counts
     finally:
@@ -169,6 +183,11 @@ def _curate_main(argv: list[str]) -> int:
     parser.add_argument(
         "--jaccard", type=float, help="near-dup removal threshold (default 0.4)"
     )
+    parser.add_argument(
+        "--pack-tokens",
+        type=int,
+        help="also assign survivors to fixed-token training bins of this size",
+    )
     args = parser.parse_args(argv)
     langs = args.languages.split(",") if args.languages else None
     try:
@@ -178,6 +197,7 @@ def _curate_main(argv: list[str]) -> int:
             languages=langs,
             token_budget=args.budget,
             jaccard=args.jaccard,
+            pack_tokens=args.pack_tokens,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during curation: {exc}", file=sys.stderr)

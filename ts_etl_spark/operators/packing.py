@@ -106,6 +106,25 @@ def pack_sequences(
     return prepared.groupBy("__grp").applyInPandas(_pack_group, PACKED_SCHEMA)
 
 
+def q_sequence_packing(spark, sf_dir: str) -> DataFrame:
+    """Bench-facing run over the documents table: BPE-ish token counts
+    (the engine's own counter) -> grouped FFD -> per-bin utilization.
+    Not a ``queries()`` registry entry (the surface is consolidated to
+    exactly 50); correctness is covered by tests/test_packing.py's
+    invariants, so this exists for the bench supplement's round-over-round
+    timing."""
+    from ts_etl_spark.operators.textops import _metric_cols
+    from ts_etl_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", *_metric_cols())
+        .select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    )
+    packed = pack_sequences(docs, max_tokens=2048)
+    return packing_summary(packed, max_tokens=2048)
+
+
 def packing_summary(packed: DataFrame, max_tokens: int) -> DataFrame:
     """Per-bin utilization: ``(pack_group, bin_idx, docs, tokens, fill)``.
     One partial-agg shuffle on the bin key."""
