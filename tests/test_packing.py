@@ -89,6 +89,46 @@ def test_oversize_docs_are_flagged_singletons(spark):
     assert len(normal_bins) == 2
 
 
+def test_invariants_across_weight_profiles(spark):
+    """Capacity, completeness and waste hold for adversarial weight
+    shapes: uniform, heavy-skew, all-tiny, oversize-heavy, mixed (seeded
+    generator — deterministic)."""
+    import random
+
+    rng = random.Random(7)
+    cap = 1000
+    profiles = {
+        "uniform": [rng.randint(400, 600) for _ in range(200)],
+        "skew": [rng.choice([5, 990]) for _ in range(200)],
+        "tiny": [rng.randint(1, 20) for _ in range(500)],
+        "oversize": [rng.randint(900, 3000) for _ in range(100)],
+        "mixed": [rng.randint(1, 1500) for _ in range(300)],
+    }
+    rows, base = [], 0
+    for name, weights in profiles.items():
+        rows += [(base + i, w, name) for i, w in enumerate(weights)]
+        base += 10_000
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, n_tokens INT, profile STRING"
+    )
+    packed = pack_sequences(docs, cap, n_groups=4)
+    got = packed.collect()
+    assert len(got) == len(rows)
+    assert {r.doc_id for r in got} == {r[0] for r in rows}
+    fills: dict = {}
+    for r in got:
+        k = (r.pack_group, r.bin_idx)
+        fills.setdefault(k, []).append(r)
+    for members in fills.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1
+        else:
+            assert sum(m.n_tokens for m in members) <= cap
+    # oversize flag exactly when the doc alone exceeds the budget
+    for r in got:
+        assert r.oversize == (r.n_tokens > cap)
+
+
 def test_invalid_args_rejected(spark):
     docs = spark.createDataFrame([(1, 10)], "doc_id LONG, n_tokens INT")
     with pytest.raises(ValueError):
