@@ -1,0 +1,118 @@
+"""Distributed BPE learning vs an independent pure-Python reference
+trainer: identical merge tables (including tiebreaks), encode consistency
+with sequential merge application, and determinism."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from ts_etl_spark.operators.bpe import WORD_PAT, bpe_encode, learn_bpe
+
+CORPUS = [
+    (1, "low lower lowest low low"),
+    (2, "new newer newest new newer"),
+    (3, "wide wider widest wide wide wider"),
+    (4, "low new wide low new"),
+]
+
+
+def _ref_word_freqs(rows):
+    c: Counter = Counter()
+    pat = re.compile(WORD_PAT)
+    for _, text in rows:
+        c.update(w for w in pat.findall(text.lower()) if len(w) >= 2)
+    return c
+
+
+def _ref_merge_word(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_learn(rows, n_merges, min_freq=2):
+    words = {tuple(w): f for w, f in _ref_word_freqs(rows).items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] += f
+        if not counts:
+            break
+        # max count; ties break lexicographically smallest pair
+        best = min(counts, key=lambda p: (-counts[p], p))
+        if counts[best] < min_freq:
+            break
+        merges.append(best)
+        words = {
+            _ref_merge_word(s, *best): f for s, f in words.items()
+        }
+    return merges
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id LONG, text STRING")
+
+
+def test_learn_matches_reference_trainer(spark, docs):
+    got = learn_bpe(docs, n_merges=12)
+    want = _ref_learn(CORPUS, 12)
+    assert got == want
+    assert len(got) > 3  # the corpus supports a real merge sequence
+
+
+def test_encode_consistent_with_sequential_merges(spark, docs):
+    merges = learn_bpe(docs, n_merges=12)
+    enc = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    pat = re.compile(WORD_PAT)
+    for doc_id, text in CORPUS:
+        want = []
+        for w in pat.findall(text.lower()):
+            syms = tuple(w)
+            for a, b in merges:
+                syms = _ref_merge_word(syms, a, b)
+            want.extend(syms)
+        assert list(enc[doc_id].tokens) == want
+        assert enc[doc_id].n_tokens == len(want)
+
+
+def test_learning_is_deterministic(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    a = learn_bpe(docs, n_merges=8)
+    b = learn_bpe(docs, n_merges=8)
+    assert a == b and len(a) == 8
+
+
+def test_min_freq_stops_early_and_args_validated(spark):
+    docs = spark.createDataFrame([(1, "ab ab xy")], "doc_id LONG, text STRING")
+    merges = learn_bpe(docs, n_merges=10, min_freq=2)
+    # only (a,b) reaches freq 2; (x,y) is singleton
+    assert merges == [("a", "b")]
+    with pytest.raises(ValueError):
+        learn_bpe(docs, n_merges=0)
+
+
+def test_no_leaked_caches_after_learning(spark, docs):
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    learn_bpe(docs, n_merges=4)
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert after <= before
