@@ -1,0 +1,86 @@
+"""PSI drift detection: zero on identical snapshots, detects a real
+shift, matches an independent Python reference computation, and handles
+degenerate (constant) columns."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.drift import psi_drift
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_identical_snapshots_have_zero_psi(spark):
+    o = _orders(spark)
+    out = psi_drift(o, o, "o_totalprice").collect()
+    total = [r for r in out if r.bucket == -1][0]
+    assert total.psi_term == pytest.approx(0.0, abs=1e-12)
+    assert len(out) == 11  # 10 buckets + total row
+
+
+def test_shift_is_detected(spark):
+    o = _orders(spark)
+    shifted = o.withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+    total = [
+        r
+        for r in psi_drift(o, shifted, "o_totalprice").collect()
+        if r.bucket == -1
+    ][0]
+    assert total.psi_term > 0.25  # "action needed" band
+
+
+def test_matches_python_reference(spark):
+    o = _orders(spark)
+    cur = o.filter(F.col("o_totalprice") < 150_000)
+    n_buckets, eps = 10, 0.5
+    out = {
+        r.bucket: r
+        for r in psi_drift(o, cur, "o_totalprice", n_buckets, eps).collect()
+    }
+
+    vals_a = [float(r[0]) for r in o.select("o_totalprice").collect()]
+    vals_b = [float(r[0]) for r in cur.select("o_totalprice").collect()]
+    lo, hi = min(vals_a + vals_b), max(vals_a + vals_b)
+
+    def shares(vals):
+        counts = [0] * n_buckets
+        for v in vals:
+            b = min(int((v - lo) / (hi - lo) * n_buckets), n_buckets - 1)
+            counts[b] += 1
+        t = len(vals)
+        return [
+            (c + eps) / (t + eps * n_buckets) for c in counts
+        ]
+
+    pa, pb = shares(vals_a), shares(vals_b)
+    want = sum(
+        (q - p) * math.log(q / p) for p, q in zip(pa, pb)
+    )
+    assert out[-1].psi_term == pytest.approx(want, abs=1e-9)
+    for b in range(n_buckets):
+        assert out[b].share_base == pytest.approx(pa[b], abs=1e-12)
+        assert out[b].share_cur == pytest.approx(pb[b], abs=1e-12)
+
+
+def test_constant_column_and_validation(spark):
+    a = spark.createDataFrame([(1.0,), (1.0,)], "v DOUBLE")
+    b = spark.createDataFrame([(1.0,)], "v DOUBLE")
+    rows = psi_drift(a, b, "v").collect()
+    # degenerate range: everything lands in bucket 0, every term stays
+    # finite (the Laplace floor — dominant at these row counts — is the
+    # point: no ±inf from empty buckets)
+    assert all(math.isfinite(r.psi_term) for r in rows)
+    concentrated = [r for r in rows if r.bucket == 0][0]
+    assert concentrated.share_base == max(
+        r.share_base for r in rows if r.bucket >= 0
+    )
+    with pytest.raises(ValueError):
+        psi_drift(a, b, "v", n_buckets=1)

@@ -1,0 +1,118 @@
+"""Distribution-drift detection between two corpus snapshots — the
+monitoring check a continuously-ingested corpus runs per release: has the
+length / quality-score / token-count distribution moved since the last
+snapshot, and by how much?
+
+Population Stability Index per bucket:
+
+    PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)
+
+with the conventional reading: < 0.1 stable, 0.1-0.25 moderate shift,
+> 0.25 action needed. Buckets come from a uniform split of the COMBINED
+[min, max] range (one 1-row aggregate over the union — a broadcast
+scalar), so both snapshots are bucketed identically; shares are Laplace-
+smoothed so a bucket empty on one side contributes a finite term instead
+of ±inf.
+
+Scale shape: one union scan + one partial-aggregated groupBy over
+``n_buckets`` groups per side — the same ≤2^k-rows-per-task profile as
+the HLL registers. Nothing about the computation holds more than
+``n_buckets`` rows after the scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bucket_shares(
+    df: DataFrame, col: str, lo, hi, n_buckets: int, eps: float
+) -> DataFrame:
+    """(bucket, share) with Laplace smoothing; bucket 0-based, clamped to
+    [0, n_buckets-1] so the max value lands in the top bucket."""
+    b = F.when(
+        F.lit(hi) > F.lit(lo),
+        F.least(
+            F.greatest(
+                F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi), n_buckets)
+                - 1,
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    return counts.join(F.broadcast(total), F.lit(True)).select(
+        "bucket",
+        (
+            (F.col("n") + F.lit(eps))
+            / (F.col("__t") + F.lit(eps) * n_buckets)
+        ).alias("share"),
+    )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Per-bucket drift detail plus the total: rows
+    ``(bucket, share_base, share_cur, psi_term)`` for every bucket and a
+    final ``bucket = -1`` row carrying the summed PSI. Bucket boundaries
+    come from the combined range so both snapshots bucket identically."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+    lo_hi = (
+        baseline.select(F.col(col).cast("double").alias("v"))
+        .unionByName(current.select(F.col(col).cast("double").alias("v")))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    lo, hi = float(lo_hi.lo), float(lo_hi.hi)
+    spark = baseline.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    base = bucket_shares(baseline, col, lo, hi, n_buckets, eps)
+    cur = bucket_shares(current, col, lo, hi, n_buckets, eps)
+    # absent buckets still carry their smoothed floor share
+    floor_b = F.lit(eps) / (
+        F.lit(eps) * n_buckets
+        + baseline.filter(F.col(col).isNotNull()).count()
+    )
+    floor_c = F.lit(eps) / (
+        F.lit(eps) * n_buckets
+        + current.filter(F.col(col).isNotNull()).count()
+    )
+    detail = (
+        all_buckets.join(
+            base.withColumnRenamed("share", "share_base"), "bucket", "left"
+        )
+        .join(cur.withColumnRenamed("share", "share_cur"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("share_base", floor_b).alias("share_base"),
+            F.coalesce("share_cur", floor_c).alias("share_cur"),
+        )
+        .withColumn(
+            "psi_term",
+            (F.col("share_cur") - F.col("share_base"))
+            * F.log(F.col("share_cur") / F.col("share_base")),
+        )
+    )
+    total = detail.agg(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("share_base"),
+        F.lit(None).cast("double").alias("share_cur"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return detail.unionByName(total)
