@@ -44,6 +44,26 @@ def test_profile_single_aggregate_plan(spark):
     assert plan.lower().count("filescan") + plan.lower().count("batchscan") <= 1
 
 
+def test_cli_profile_streams_jsonl(spark, tmp_path, capsys):
+    import io
+    import json
+
+    from ts_etl_spark.cli import run_profile
+
+    buf = io.StringIO()
+    n = run_profile(
+        "/root/testdata/sf0.001/region.parquet", buf, spark=spark
+    )
+    lines = [json.loads(ln) for ln in buf.getvalue().splitlines()]
+    assert n == len(lines) > 0
+    cols = {ln["column"] for ln in lines}
+    assert "r_regionkey" in cols
+    rows_metric = [
+        ln for ln in lines if ln["metric"] == "rows" and ln["column"] == "r_regionkey"
+    ]
+    assert rows_metric and int(rows_metric[0]["value"]) == 5
+
+
 def test_compaction_raises_on_empty_input(spark, tmp_path):
     """Zero parquet bytes (missing dir, or dir with no parquet) raises —
     on a non-local URI a silently-empty os.walk used to compute total=0."""

@@ -279,6 +279,44 @@ def _optimize_main(argv: list[str]) -> int:
     return 0
 
 
+def run_profile(path: str, out, spark=None) -> int:
+    """Profile a parquet table (one aggregate pass: rows, nulls, approx
+    distinct, min/max per column) and stream the long-format result to
+    ``out`` as JSON lines. Returns the number of metric rows."""
+    import json as _json
+
+    from ts_etl_spark.pipelines.maintenance import profile_table
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-profile")
+    try:
+        n = 0
+        for row in profile_table(spark.read.parquet(path)).toLocalIterator():
+            out.write(_json.dumps(row.asDict()) + "\n")
+            n += 1
+        print(f"profile: {n} metric rows", file=sys.stderr)
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _profile_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark profile",
+        description="One-pass column profile of a parquet table (JSON lines).",
+    )
+    parser.add_argument("path", help="parquet file or directory")
+    args = parser.parse_args(argv)
+    try:
+        run_profile(args.path, sys.stdout)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during profile: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def run_sql(
     query: str, sf_dir: str, out, fmt: str = "jsonl", spark=None
 ) -> int:
@@ -355,6 +393,8 @@ def main(argv: list[str] | None = None) -> int:
         return _sql_main(argv[1:])
     if argv and argv[0] == "optimize":
         return _optimize_main(argv[1:])
+    if argv and argv[0] == "profile":
+        return _profile_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
