@@ -84,3 +84,6 @@ def test_constant_column_and_validation(spark):
     )
     with pytest.raises(ValueError):
         psi_drift(a, b, "v", n_buckets=1)
+    empty = spark.createDataFrame([(None,)], "v DOUBLE")
+    with pytest.raises(ValueError, match="no non-null values"):
+        psi_drift(empty, empty, "v")

@@ -22,9 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CHUNK_SCHEMA = ("doc_id", "chunk_idx", "char_start", "chunk")
-
-
 def chunk_documents(
     docs: DataFrame,
     chunk_chars: int = 2048,

@@ -77,6 +77,10 @@ def psi_drift(
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
         .first()
     )
+    if lo_hi.lo is None:
+        raise ValueError(
+            f"no non-null values in {col!r} on either side — nothing to bucket"
+        )
     lo, hi = float(lo_hi.lo), float(lo_hi.hi)
     spark = baseline.sparkSession
     all_buckets = spark.range(n_buckets).select(
