@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ts_etl_spark.pipelines.sampling import (
+    assign_splits,
     deterministic_shuffle,
     mix_to_target,
     stratified_sample,
@@ -93,6 +94,45 @@ def test_mix_to_target_shares(spark, docs):
     for lang, share in shares.items():
         if before.get(lang):
             assert abs(after.get(lang, 0) / total - share) < 0.15
+
+
+def test_assign_splits_disjoint_exhaustive_and_proportional(spark, docs):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(docs, w, ["doc_id"])
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()  # every row in exactly one split
+    assert set(counts) <= set(w)
+    for name, share in w.items():
+        assert counts.get(name, 0) / total == pytest.approx(share, abs=0.05)
+
+
+def test_assign_splits_stable_under_dataset_growth(spark, docs):
+    """The property randomSplit cannot give: a row's split is a pure
+    function of its identity, so adding/removing OTHER rows never moves
+    it between splits."""
+    w = {"train": 0.8, "val": 0.2}
+    full = {
+        r.doc_id: r.split
+        for r in assign_splits(docs, w, ["doc_id"]).select("doc_id", "split").collect()
+    }
+    subset = docs.filter(F.col("doc_id") % 7 == 0)
+    for r in assign_splits(subset, w, ["doc_id"]).select("doc_id", "split").collect():
+        assert full[r.doc_id] == r.split
+
+
+def test_assign_splits_no_shuffle_and_validation(spark, docs):
+    plan = (
+        assign_splits(docs, {"a": 1.0, "b": 1.0}, ["doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        assign_splits(docs, {}, ["doc_id"])
+    with pytest.raises(ValueError):
+        assign_splits(docs, {"a": -1.0, "b": 2.0}, ["doc_id"])
 
 
 def test_deterministic_shuffle_reproducible_and_seed_sensitive(spark, docs):

@@ -56,6 +56,38 @@ def stratified_sample(
     return df.filter(_uniform_hash(key_cols, seed) < frac)
 
 
+def assign_splits(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_cols: Sequence[str],
+    seed: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint split assignment (train/val/test and
+    friends): each row's uniform hash lands in exactly one of the
+    ``weights`` intervals (normalized to sum 1; iteration order fixes the
+    interval order), so splits are reproducible, partition-independent,
+    and stable when the dataset grows — a row's split NEVER changes as
+    other rows come and go, the property random `randomSplit` cannot give
+    you. Zero shuffles: the assignment is one map-side CASE expression."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and sum > 0")
+    u = _uniform_hash(key_cols, seed)
+    expr = None
+    upper = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        upper += float(weights[name]) / total
+        cond = u < F.lit(upper)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
 def target_mixture_fractions(
     df: DataFrame, strata_col: str, target_shares: Mapping[str, float]
 ) -> dict[str, float]:
