@@ -152,3 +152,24 @@ def test_cluster_parquet_raises_on_empty_input(spark, tmp_path):
     os.makedirs(empty, exist_ok=True)
     with pytest.raises(ValueError):
         cluster_parquet(spark, empty, str(tmp_path / "out"), ["a"])
+
+
+def test_zorder_validates_column_types(spark):
+    """Strings are rejected up front with a clear error (under ANSI they
+    would crash mid-rewrite; with ANSI off they would silently not
+    cluster); dates rank via their epoch."""
+    orders = spark.read.parquet(ORDERS)
+    with pytest.raises(ValueError, match="unorderable type"):
+        with_zorder_key(orders, ["o_orderpriority"])
+    with pytest.raises(ValueError, match="not in"):
+        with_zorder_key(orders, ["no_such_column"])
+    keyed = with_zorder_key(
+        orders.withColumn("d", F.col("o_orderdate").cast("date")),
+        ["d", "o_totalprice"],
+    )
+    rows = keyed.select("d", "__zkey").orderBy("__zkey").collect()
+    assert len(rows) == orders.count()
+    # earliest date in the lowest-key region: date ordering survived
+    first_dates = {r.d for r in rows[:50]}
+    last_dates = {r.d for r in rows[-50:]}
+    assert min(first_dates) < max(last_dates)

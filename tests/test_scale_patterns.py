@@ -433,3 +433,23 @@ def test_queries_self_heal_non_utc_session(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert poisoned == baseline
+
+
+def test_ann_entry_memoizes_vectors_and_training(spark):
+    """Building the ann entry twice must not retrain k-means or persist a
+    second vector frame: both artifacts memoize per (application,
+    sf_dir) — the bound that keeps the driver's repeated plan builds
+    (sweep, oracle, soak, bench warmup) from leaking caches or paying
+    the MLlib fit each time."""
+    from ts_etl_spark.operators import similarity as S
+
+    S._IVF_MEMO.clear()
+    S.q_embed_ann_ivf(spark, SF)
+    first = dict(S._IVF_MEMO)
+    S.q_embed_ann_ivf(spark, SF)
+    assert S._IVF_MEMO == first  # same two entries, same objects
+    assert len(first) == 2  # vecs + trained centroids
+    for (_, _, kind), frame in first.items():
+        assert kind in ("vecs", "tcents")
+        frame.unpersist()
+    S._IVF_MEMO.clear()

@@ -66,6 +66,42 @@ def test_stream_starts_on_empty_landing_dir(spark, tmp_path):
     assert spark.sql("SELECT * FROM empty_landing_counts").count() == 0
 
 
+def test_stream_started_empty_survives_first_nanos_file(spark, tmp_path):
+    """The fallback schema must also be able to READ the first real file:
+    the driver generation stores TIMESTAMP(NANOS) (surfaced as long under
+    nanosAsLong), so a TIMESTAMP fallback would start fine on the empty
+    dir and then kill the query on its first micro-batch — the fallback
+    declares BIGINT and converts, like the probed path."""
+    d = tmp_path / "late_landing"
+    d.mkdir()
+    stream = stream_events(spark, str(d))  # schema fixed while dir empty
+    _write_events(
+        str(d / "b0.parquet"),
+        [
+            (1, "2024-01-01 00:10:00", 7, "view", 1.0),
+            (2, "2024-01-01 00:20:00", 7, "view", 2.0),
+            (3, "2024-01-01 02:10:00", 8, "buy", 3.0),
+        ],
+    )
+    q = (
+        tumbling_counts(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("late_landing_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.window_start, r.event_type): r.n
+        for r in spark.sql("SELECT * FROM late_landing_counts").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "view"): 2,
+        ("2024-01-01 02:00:00", "buy"): 1,
+    }
+
+
 def test_stream_tumbling_equals_batch(spark, tmp_path, events_dir):
     """Complete-mode streaming aggregation over all files == batch groupBy."""
     stream = stream_events(spark, events_dir)

@@ -132,8 +132,8 @@ def run_curate(
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-curate")
+    caches: list = []
     try:
-        caches: list = []
         out = curate_documents(
             spark,
             sf_dir,
@@ -143,6 +143,14 @@ def run_curate(
             persisted=caches,
         ).persist()
         caches.append(out)
+        # counts from the PERSISTED pre-join frame: the pack join below is
+        # 1:1 and cannot change drop_reason counts, while counting through
+        # it would execute the whole unpersisted packing stage once for
+        # the collect and again for the write
+        counts = {
+            (r["drop_reason"] or "kept"): r["count"]
+            for r in out.groupBy("drop_reason").count().collect()
+        }
         if pack_tokens is not None:
             from ts_etl_spark.operators.packing import pack_sequences
 
@@ -152,19 +160,15 @@ def run_curate(
                 tokens_col="n_bpe_tokens",
             ).select("doc_id", "pack_group", "bin_idx")
             out = out.join(bins, "doc_id", "left")
-        counts = {
-            (r["drop_reason"] or "kept"): r["count"]
-            for r in out.groupBy("drop_reason").count().collect()
-        }
         for stage, n in sorted(counts.items()):
             print(f"curate: {stage} = {n}", file=sys.stderr)
         write_curated(out, out_dir)
-        # drop the pipeline's internal caches too — run_curate may be
-        # called repeatedly inside a long-lived session
-        for frame in caches:
-            frame.unpersist()
         return counts
     finally:
+        # release in finally: a failed write must not leak corpus-scale
+        # caches into a long-lived caller-provided session
+        for frame in caches:
+            frame.unpersist()
         if own_session:
             spark.stop()
 

@@ -26,11 +26,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def bucket_shares(
-    df: DataFrame, col: str, lo, hi, n_buckets: int, eps: float
+def bucket_counts(
+    df: DataFrame, col: str, lo, hi, n_buckets: int
 ) -> DataFrame:
-    """(bucket, share) with Laplace smoothing; bucket 0-based, clamped to
-    [0, n_buckets-1] so the max value lands in the top bucket."""
+    """(bucket, n) occupied-bucket counts; bucket 0-based, clamped to
+    [0, n_buckets-1] so the max value lands in the top bucket. ONE scan —
+    shares and smoothing floors both derive from this ≤n_buckets-row
+    frame, never from a second pass over the data."""
     b = F.when(
         F.lit(hi) > F.lit(lo),
         F.least(
@@ -42,19 +44,30 @@ def bucket_shares(
             F.lit(n_buckets - 1),
         ),
     ).otherwise(F.lit(0))
-    counts = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(b.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _smoothed_shares(
+    counts: DataFrame, all_buckets: DataFrame, n_buckets: int, eps: float, out: str
+) -> DataFrame:
+    """Laplace-smoothed share per bucket INCLUDING absent buckets, from
+    the tiny counts frame alone (total = sum over its rows)."""
     total = counts.agg(F.sum("n").alias("__t"))
-    return counts.join(F.broadcast(total), F.lit(True)).select(
-        "bucket",
-        (
-            (F.col("n") + F.lit(eps))
-            / (F.col("__t") + F.lit(eps) * n_buckets)
-        ).alias("share"),
+    return (
+        all_buckets.join(counts, "bucket", "left")
+        .join(F.broadcast(total), F.lit(True))
+        .select(
+            "bucket",
+            (
+                (F.coalesce("n", F.lit(0)) + F.lit(eps))
+                / (F.coalesce("__t", F.lit(0)) + F.lit(eps) * n_buckets)
+            ).alias(out),
+        )
     )
 
 
@@ -86,32 +99,18 @@ def psi_drift(
     all_buckets = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
-    base = bucket_shares(baseline, col, lo, hi, n_buckets, eps)
-    cur = bucket_shares(current, col, lo, hi, n_buckets, eps)
-    # absent buckets still carry their smoothed floor share
-    floor_b = F.lit(eps) / (
-        F.lit(eps) * n_buckets
-        + baseline.filter(F.col(col).isNotNull()).count()
+    base = _smoothed_shares(
+        bucket_counts(baseline, col, lo, hi, n_buckets),
+        all_buckets, n_buckets, eps, "share_base",
     )
-    floor_c = F.lit(eps) / (
-        F.lit(eps) * n_buckets
-        + current.filter(F.col(col).isNotNull()).count()
+    cur = _smoothed_shares(
+        bucket_counts(current, col, lo, hi, n_buckets),
+        all_buckets, n_buckets, eps, "share_cur",
     )
-    detail = (
-        all_buckets.join(
-            base.withColumnRenamed("share", "share_base"), "bucket", "left"
-        )
-        .join(cur.withColumnRenamed("share", "share_cur"), "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce("share_base", floor_b).alias("share_base"),
-            F.coalesce("share_cur", floor_c).alias("share_cur"),
-        )
-        .withColumn(
-            "psi_term",
-            (F.col("share_cur") - F.col("share_base"))
-            * F.log(F.col("share_cur") / F.col("share_base")),
-        )
+    detail = base.join(cur, "bucket").withColumn(
+        "psi_term",
+        (F.col("share_cur") - F.col("share_base"))
+        * F.log(F.col("share_cur") / F.col("share_base")),
     )
     total = detail.agg(
         F.lit(-1).cast("int").alias("bucket"),

@@ -43,9 +43,13 @@ def gap_fill_interpolate(
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     step = F.lit(bucket_seconds)
-    epoch = (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast(
-        "long"
-    ) * bucket_seconds
+    # floor, not cast-truncation: truncation rounds toward zero, which
+    # would merge the two buckets adjacent to the 1970 epoch and shift
+    # every pre-1970 observation one bucket high
+    epoch = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
     actual = (
         df.select(F.col(key).alias("k"), epoch.alias("b"), F.col(value_col))
         .groupBy("k", "b")

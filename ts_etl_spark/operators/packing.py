@@ -98,7 +98,11 @@ def pack_sequences(
 
     prepared = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.col(tokens_col).cast("int").alias("n_tokens"),
+        # NULL weight (e.g. a null-text document whose token count never
+        # materialized) packs as 0 tokens — dropping the row would break
+        # the every-document-exactly-once contract, and a NULL reaching
+        # the pandas batch renders as NaN and crashes int()
+        F.coalesce(F.col(tokens_col).cast("int"), F.lit(0)).alias("n_tokens"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
         .cast("int")
         .alias("__grp"),

@@ -184,6 +184,24 @@ IVF_TRAIN_SEED = 7
 IVF_TRAIN_ITER = 3
 TRAINED_RECALL_FLOOR = 0.2
 
+#: per-(application, sf_dir) memo for the ann entry's two expensive
+#: artifacts: the persisted vector projection and the k-means-trained
+#: centroid frame. MLlib's fit is an ACTION that necessarily runs at
+#: query-construction time; without the memo every plan build (driver
+#: sweep, oracle checks, soak, bench warmup) retrained k-means and
+#: persisted a fresh vector frame that nothing released. The memo bounds
+#: both at one per dataset per application — deterministic (fixed
+#: seed/iterations), so reuse cannot change results; clearCache() only
+#: drops blocks, the memoized frames recompute lazily.
+_IVF_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _IVF_MEMO:
+        _IVF_MEMO[key] = build()
+    return _IVF_MEMO[key]
+
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: deterministic coarse quantizer (seed vectors
@@ -207,7 +225,9 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantiles_sketches`` bounded-error-property pattern.  A regression
     anywhere in training, assignment, or probing flips the boolean and
     breaks the hash."""
-    vecs = _vectors(spark, sf_dir).persist()
+    vecs = _memo(
+        spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist()
+    )
     cents = vecs.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + IVF_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
@@ -216,8 +236,13 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed_topk = ivf_topk(vecs, cents, q, nprobe=IVF_NPROBE)
 
-    tcents = train_ivf_centroids(
-        vecs, k=IVF_CENTROIDS, seed=IVF_TRAIN_SEED, max_iter=IVF_TRAIN_ITER
+    tcents = _memo(
+        spark,
+        sf_dir,
+        "tcents",
+        lambda: train_ivf_centroids(
+            vecs, k=IVF_CENTROIDS, seed=IVF_TRAIN_SEED, max_iter=IVF_TRAIN_ITER
+        ),
     )
     trained = ivf_topk(vecs, tcents, q, nprobe=IVF_NPROBE).select(
         "q_id", "neighbor_id"

@@ -71,14 +71,38 @@ def with_zorder_key(
     ranks' bits interleave. Nulls sort first (bucket 0)."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("z-order supports 1..4 columns (key must fit a bigint)")
+    # validate orderable-as-number up front: under ANSI mode (the session
+    # default) a string column would crash MID-REWRITE on the first
+    # non-numeric value, and with ANSI off it would silently cast to NULL
+    # and not cluster at all while the rewrite reports success. Dates and
+    # timestamps rank via their numeric epoch instead of a direct cast
+    # (cast date->double is a type error).
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    dtypes = dict(df.dtypes)
+
+    def as_num(c: str):
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"z-order column {c!r} not in {sorted(dtypes)}")
+        if t in numeric or t.startswith("decimal"):
+            return F.col(c).cast("double")
+        if t == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if t.startswith("timestamp"):
+            return F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+        raise ValueError(
+            f"z-order column {c!r} has unorderable type {t}; cluster on a "
+            "numeric/date/timestamp column (or pre-compute a numeric rank)"
+        )
+
     n_buckets = 1 << bits
     rng = df.agg(
         *[
             agg
             for c in cols
             for agg in (
-                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                F.min(as_num(c)).alias(f"__lo_{c}"),
+                F.max(as_num(c)).alias(f"__hi_{c}"),
             )
         ]
     )
@@ -86,7 +110,7 @@ def with_zorder_key(
     ids = []
     for c in cols:
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
-        v = F.coalesce(F.col(c).cast("double"), lo)
+        v = F.coalesce(as_num(c), lo)
         # width_bucket needs lo < hi (constant column ⇒ rank 0); v == hi
         # yields n_buckets+1, which the clamp below folds into the top rank
         rank = F.when(

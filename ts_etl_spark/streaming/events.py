@@ -18,15 +18,23 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: fallback stream schema when the landing directory is still empty (no
-#: file to probe): the events-table contract
+#: file to probe). ``ts`` is declared BIGINT deliberately: the session
+#: pins ``nanosAsLong`` because the driver's events generation stores
+#: TIMESTAMP(NANOS), which surfaces as a raw long — declaring TIMESTAMP
+#: here would let the stream START on an empty directory and then DIE on
+#: its first micro-batch when a nanos file lands ("Parquet column cannot
+#: be converted"). The bigint declaration routes the first file through
+#: the same nanos→micros conversion the probed path uses. A
+#: micros-generation landing dir should pass ``schema`` explicitly.
 EVENTS_FILE_SCHEMA = (
-    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "event_id LONG, ts BIGINT, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -52,7 +60,10 @@ def stream_events(
     if schema is None:
         try:
             schema = spark.read.parquet(path).schema
-        except Exception:
+        except AnalysisException:
+            # empty / not-yet-created landing dir ("unable to infer
+            # schema" / path not found) — other errors must surface, not
+            # silently pick the fallback schema
             schema = EVENTS_FILE_SCHEMA
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files is not None:
