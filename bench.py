@@ -121,7 +121,7 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
 
-    # min-of-2 (plus a stall-guard, below) at the measured SF: the FIRST
+    # min-of-3 (plus a stall-guard, below) at the measured SF: the FIRST
     # sf-scale run of a query still
     # pays one-off costs the sf0.001 warmup cannot reach (full-batch
     # vectorized-reader JIT, first large buffer allocations) — measured
@@ -140,9 +140,12 @@ def main() -> None:
         # GC logs clean, identical reruns land back at steady state). Two
         # wildly disagreeing samples mean one was stalled, not that the
         # query is slow — take extra samples (bounded) so a random freeze
-        # can't poison the round's number for an innocent query.
-        while len(samples) < 2 or (
-            len(samples) < 4 and max(samples) > 2.5 * min(samples) + 0.05
+        # can't poison the round's number for an innocent query. The floor
+        # is 3 samples (was 2): a stall long enough to cover BOTH initial
+        # samples looked like agreement to the guard and recorded a 6x
+        # number for a query whose other same-day runs sat at 1.1s.
+        while len(samples) < 3 or (
+            len(samples) < 5 and max(samples) > 2.5 * min(samples) + 0.05
         ):
             samples.append(run(name))
             spark.catalog.clearCache()  # measured persists never leak onward
