@@ -7,6 +7,14 @@ Each module exposes:
   rows-only check).
 
 ``all_queries()`` / ``all_oracle()`` merge them for ``__spark_entry__``.
+
+Library-only modules (not in the 50-entry driver registry; each carries
+its own DuckDB-mirror or reference-parity tests instead): ``sketches``
+(mergeable HLL registers), ``packing`` (fixed-token training bins),
+``bpe`` (tokenizer merge learning), ``lm`` (bigram perplexity proxy),
+``drift`` (snapshot PSI), ``chunking`` (overlapping spans),
+``gapfill`` (dense time grids + interpolation), ``boilerplate``
+(cross-document template detection), ``skew`` (salting patterns).
 """
 
 from __future__ import annotations
