@@ -126,7 +126,7 @@ def main() -> None:
     # pays one-off costs the sf0.001 warmup cannot reach (full-batch
     # vectorized-reader JIT, first large buffer allocations) — measured
     # +0.6 s on whichever query runs first regardless of which it is. The
-    # minimum of two runs is the steady-state number a long-lived cluster
+    # minimum of the samples is the steady-state number a long-lived cluster
     # delivers; single-shot measurement mistook that startup residue for
     # query cost.
     queries = dict(queries)

@@ -79,7 +79,9 @@ def test_matches_duckdb_mirror_on_real_corpus(spark):
         """).fetchall()
     }
     assert got == want
-    assert any(nb > 0 for _, nb in got.values()) or True  # mirror is the claim
+    # the synthetic corpus is word salad, so zero boilerplate hits here is
+    # the CORRECT answer on both engines — cross-engine equality is the
+    # claim; positive detection is pinned by the planted-template fixture
 
 
 def test_gramless_docs_kept_and_validation(spark):

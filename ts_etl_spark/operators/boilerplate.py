@@ -39,15 +39,28 @@ def boilerplate_scores(
     n: int = BOILER_N,
     min_doc_frac: float = 0.05,
     min_docs: int = 2,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, n_boiler, boiler_frac) per document: the share of
     the document's distinct word-n-grams that are corpus boilerplate
-    (appearing in ≥ max(min_docs, min_doc_frac·N) documents)."""
+    (appearing in ≥ max(min_docs, min_doc_frac·N) documents).
+
+    The exploded gram frame feeds both the document-frequency aggregate
+    and the scoring join, so it is persisted (tokenization is the
+    dominant cost — one scan, not two); pass ``persisted`` (a list) to
+    receive the cached frame for caller-side release once the lazy
+    result is materialized — the same seam as ``minhash_lsh_pairs``."""
+    if n < 1:
+        raise ValueError("n must be a positive gram size")
     if not 0 < min_doc_frac <= 1:
         raise ValueError("min_doc_frac must be in (0, 1]")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (df 1 is never boilerplate)")
-    grams = docs.select("doc_id", F.explode(_word_grams(n)).alias("g"))
+    grams = docs.select(
+        "doc_id", F.explode(_word_grams(n)).alias("g")
+    ).persist()
+    if persisted is not None:
+        persisted.append(grams)
     total = docs.select(
         F.count("*").alias("__n_docs")
     )  # 1 row — broadcast scalar
