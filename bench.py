@@ -84,6 +84,12 @@ HEADLINE = [
     "text_contamination",
     "pipeline_curation",
     "multimodal_meta_resize",
+    # round-4 additions (now driver-gated): statistical quality signals
+    # (lm + boilerplate + drift), trainer prep (bpe + packing + chunking +
+    # splits), the audio modality
+    "corpus_quality_signals",
+    "trainer_prep",
+    "multimodal_audio",
 ]
 
 # Timed under the same protocol as HEADLINE but NOT `queries()` entries:

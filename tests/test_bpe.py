@@ -111,8 +111,50 @@ def test_no_leaked_caches_after_learning(spark, docs):
     before = set(
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
-    learn_bpe(docs, n_merges=4)
+    # max_driver_types=0 forces the distributed overflow path — the one
+    # that checkpoints per iteration and must release its blocks
+    learn_bpe(docs, n_merges=4, max_driver_types=0)
     after = set(
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
     assert after <= before
+
+
+def test_local_and_distributed_paths_agree(spark, docs):
+    """The driver-local merge loop (default) and the distributed overflow
+    path must produce IDENTICAL merge tables, tiebreaks included."""
+    local = learn_bpe(docs, n_merges=12)
+    distributed = learn_bpe(docs, n_merges=12, max_driver_types=0)
+    assert local == distributed == _ref_learn(CORPUS, 12)
+
+
+def test_local_paths_agree_on_real_data(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    assert learn_bpe(docs, n_merges=6) == learn_bpe(
+        docs, n_merges=6, max_driver_types=0
+    )
+
+
+def test_large_merge_count_completes_fast(spark):
+    """The round-3 weakness: 2 Spark jobs per merge ~ hours at a 32k
+    vocabulary. The driver-local loop must handle a 1024-merge learn in
+    seconds (the loop itself is sub-second; the budget covers the one
+    distributed word-frequency pass)."""
+    import time
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    t0 = time.perf_counter()
+    merges = learn_bpe(docs, n_merges=1024, min_freq=2)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 30, f"1024-merge learn took {elapsed:.1f}s"
+    # the synthetic corpus exhausts below 1024 merges (min_freq stops the
+    # loop) — the point is the REQUESTED depth costs no per-merge jobs
+    assert len(merges) > 50
+    # priority order: no duplicate merges
+    assert len(set(merges)) == len(merges)

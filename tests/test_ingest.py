@@ -97,7 +97,11 @@ def test_streaming_ingest_maintains_corpus_stats_sketch(spark, tmp_path):
     estimate must come from the state table alone — no corpus scan."""
     from ts_etl_spark.operators.dedup import canonical_fingerprint
     from ts_etl_spark.operators.sketches import hll_registers
-    from ts_etl_spark.streaming.ingest import corpus_distinct_estimate
+    from ts_etl_spark.streaming.ingest import (
+        _latest_stats,
+        _stats_generations,
+        corpus_distinct_estimate,
+    )
 
     d = _batches(tmp_path)
     corpus_path = str(tmp_path / "corpus")
@@ -106,9 +110,10 @@ def test_streaming_ingest_maintains_corpus_stats_sketch(spark, tmp_path):
         spark, str(d), corpus_path, str(tmp_path / "cp"),
         max_files=1, stats_path=stats_path,
     )
-    merged = {
-        r.bucket: r.rho for r in spark.read.parquet(stats_path).collect()
-    }
+    latest, _ = _latest_stats(spark, stats_path)
+    merged = {r.bucket: r.rho for r in latest.collect()}
+    # generation pruning keeps at most the current + previous recovery point
+    assert 1 <= len(_stats_generations(spark, stats_path)) <= 2
     want = {
         r.bucket: r.rho
         for r in hll_registers(
@@ -124,6 +129,86 @@ def test_streaming_ingest_maintains_corpus_stats_sketch(spark, tmp_path):
     assert abs(est - 3) < 0.5
     # and an absent state table estimates zero
     assert corpus_distinct_estimate(spark, str(tmp_path / "nope")) == 0.0
+
+
+def test_corpus_stats_survive_a_crashed_swap(spark, tmp_path):
+    """The round-3 durability hole, closed: an update that dies mid-write
+    leaves only an UNCOMMITTED generation (no _SUCCESS marker), which
+    every reader ignores — the corpus-lifetime sketch is never lost to a
+    failed swap, and the next successful update carries on from the last
+    committed state."""
+    import os
+
+    from ts_etl_spark.streaming.ingest import (
+        corpus_distinct_estimate,
+        update_corpus_stats,
+    )
+
+    stats_path = str(tmp_path / "stats")
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    update_corpus_stats(spark, docs, stats_path)
+    est_before = corpus_distinct_estimate(spark, stats_path)
+    assert est_before > 0
+
+    # simulate a crash mid-swap: a partial next generation without _SUCCESS
+    import glob
+    import shutil
+
+    gens = sorted(glob.glob(os.path.join(stats_path, "v*")))
+    partial = os.path.join(stats_path, "v99")
+    shutil.copytree(gens[-1], partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+
+    # readers ignore the torn write; the committed sketch is intact
+    assert corpus_distinct_estimate(spark, stats_path) == est_before
+
+    # the next update commits past the torn generation and grows the count
+    more = spark.createDataFrame(
+        [(3, "an entirely different third document " * 3)],
+        "doc_id LONG, text STRING",
+    )
+    update_corpus_stats(spark, more, stats_path)
+    assert corpus_distinct_estimate(spark, stats_path) > est_before
+
+
+def test_streaming_ingest_records_per_batch_drift(spark, tmp_path):
+    """With drift_path, every micro-batch logs its PSI against the
+    corpus-so-far: n_buckets+1 rows per batch (detail + total) under
+    batch=<id>, and replaying a batch REWRITES its partition instead of
+    duplicating rows (same batch_id ⇒ same subdirectory, overwrite)."""
+    from ts_etl_spark.streaming.ingest import run_streaming_ingest
+
+    d = _batches(tmp_path)
+    corpus_path = str(tmp_path / "corpus")
+    drift_path = str(tmp_path / "drift")
+    run_streaming_ingest(
+        spark, str(d), corpus_path, str(tmp_path / "cp"),
+        max_files=1, drift_path=drift_path,
+    )
+    log = spark.read.parquet(drift_path)
+    batches = {r.batch for r in log.select("batch").distinct().collect()}
+    assert len(batches) == 3  # one partition per micro-batch
+    per_batch = {
+        r.batch: r.n
+        for r in log.groupBy("batch").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 11 for n in per_batch.values())  # 10 buckets + total
+    # every batch carries exactly one total row with a finite PSI
+    totals = log.filter(F.col("bucket") == -1).collect()
+    assert len(totals) == 3
+    assert all(r.psi_term is not None and r.psi_term >= 0 for r in totals)
+
+    # replay: same batch against the (now grown) corpus, same batch_id —
+    # the partition is rewritten, never duplicated
+    batch0 = spark.read.parquet(str(d / "b0.parquet"))
+    ingest_batch(
+        spark, batch0, corpus_path, drift_path=drift_path, batch_id=0
+    )
+    log2 = spark.read.parquet(drift_path)
+    assert log2.count() == 33
+    assert log2.filter(F.col("batch") == 0).count() == 11
 
 
 def test_ingest_replay_is_idempotent(spark, tmp_path):

@@ -125,6 +125,90 @@ def test_zorder_prunes_where_linear_sort_cannot(spark, tmp_path):
     assert lin == z > 0
 
 
+def test_zorder_key_never_negative_at_four_columns(spark):
+    """The sign-bit regression: at d=4 with 16 bits the top interleaved
+    bit would land in the long's sign position, making one Morton region
+    negative and range-ordering it FIRST. The effective-bits cap keeps
+    every key non-negative."""
+    import itertools
+
+    rows = list(itertools.product(range(8), repeat=4))
+    df = spark.createDataFrame(rows, "a INT, b INT, c INT, d INT")
+    keyed = with_zorder_key(df, ["a", "b", "c", "d"])
+    assert keyed.filter(F.col("__zkey") < 0).count() == 0
+    # the all-max cell must key HIGHEST (pre-fix its sign bit made the top
+    # Morton region negative, range-ordering it before all others)
+    top = keyed.orderBy(F.col("__zkey").desc()).first()
+    assert (top.a, top.b, top.c, top.d) == (7, 7, 7, 7)
+
+
+def test_equal_frequency_prunes_on_skewed_column(spark, tmp_path):
+    """The round-3 documented weakness, fixed and measured: on a heavily
+    skewed column, equal-WIDTH buckets concentrate nearly all rows into
+    one rank (that dimension stops pruning for predicates inside the
+    dense region), while equal-FREQUENCY quantile ranks keep the footer
+    intervals tight there. Same mechanism as the main pruning test: real
+    parquet footer stats."""
+    import random
+
+    rng = random.Random(3)
+    # 95% of mass in [0, 100), a 5% tail out to 1e6 — equal-width buckets
+    # put the dense region into bucket 0 of 65536
+    rows = [
+        (
+            i,
+            float(rng.uniform(0, 100) if rng.random() < 0.95 else rng.uniform(100, 1e6)),
+            rng.randint(0, 1000),
+        )
+        for i in range(20000)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, skewed DOUBLE, other INT")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    # size the target for ~16 output files (target_file_bytes=1 would make
+    # one shuffle partition per BYTE)
+    src_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    target = max(src_bytes // 16, 1)
+
+    eqw_dir = str(tmp_path / "eqwidth")
+    cluster_parquet(
+        spark, src, eqw_dir, ["skewed", "other"], target_file_bytes=target
+    )
+    eqf_dir = str(tmp_path / "eqfreq")
+    cluster_parquet(
+        spark, src, eqf_dir, ["skewed", "other"],
+        target_file_bytes=target, equal_frequency=["skewed"],
+    )
+
+    # a narrow band INSIDE the dense region
+    lo, hi = 40.0, 45.0
+    w_hit, w_total = _overlapping_files(eqw_dir, "skewed", lo, hi)
+    f_hit, f_total = _overlapping_files(eqf_dir, "skewed", lo, hi)
+    # equal-width cannot separate the dense region at all (the whole dense
+    # 95% of rows shares bucket 0 of 65536) — EVERY file overlaps the band
+    assert w_hit == w_total, (w_hit, w_total)
+    # equal-frequency ranks spread the dense region across buckets, so a
+    # large fraction of files skips (the exact count wobbles ±1-2 files
+    # with percentile-sketch merge order, hence the 2/3 margin rather
+    # than a knife-edge 0.5)
+    assert f_hit / f_total <= 2 / 3, (f_hit, f_total)
+    assert f_hit < w_hit
+    # both layouts hold identical data
+    a = spark.read.parquet(eqw_dir).filter(F.col("skewed").between(lo, hi)).count()
+    b = spark.read.parquet(eqf_dir).filter(F.col("skewed").between(lo, hi)).count()
+    assert a == b > 0
+
+
+def test_equal_frequency_validates_columns(spark):
+    orders = spark.read.parquet(ORDERS)
+    with pytest.raises(ValueError, match="equal_frequency"):
+        with_zorder_key(
+            orders, ["o_totalprice"], equal_frequency=["o_custkey"]
+        )
+
+
 def test_cli_optimize_routes_compact_and_zorder(spark, tmp_path):
     """`optimize` without --zorder compacts; with columns it clusters —
     both through the same CLI seam users drive."""

@@ -129,6 +129,55 @@ def test_invariants_across_weight_profiles(spark):
         assert r.oversize == (r.n_tokens > cap)
 
 
+def test_first_fit_tree_matches_linear_scan_reference(spark):
+    """The O(log n) capacity-indexed first-fit must reproduce the linear
+    scan's EXACT assignment (first bin by index with room), bin for bin."""
+    import random
+
+    rng = random.Random(11)
+    cap = 1000
+    rows = [(i, rng.randint(1, 1400)) for i in range(400)]
+    packed = pack_sequences(
+        spark.createDataFrame(rows, "doc_id LONG, n_tokens INT"),
+        cap,
+        n_groups=1,
+    ).collect()
+    # linear-scan reference FFD over the same sort order
+    bins: list[int] = []
+    want: dict[int, tuple[int, bool]] = {}
+    for doc_id, n in sorted(rows, key=lambda t: (-t[1], t[0])):
+        if n > cap:
+            want[doc_id] = (len(bins), True)
+            bins.append(0)
+            continue
+        for i, rem in enumerate(bins):
+            if rem >= n:
+                bins[i] = rem - n
+                want[doc_id] = (i, False)
+                break
+        else:
+            bins.append(cap - n)
+            want[doc_id] = (len(bins) - 1, False)
+    got = {r.doc_id: (r.bin_idx, r.oversize) for r in packed}
+    assert got == want
+
+
+def test_default_n_groups_self_sizes_from_corpus_count(spark):
+    """The default-arg call derives n_groups from the corpus size: a tight
+    target_group_docs forces more groups than the parallelism floor, so a
+    huge corpus never concentrates into a fixed group count."""
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(400)], "doc_id LONG, n_tokens INT"
+    )
+    packed = pack_sequences(docs, 512, target_group_docs=2)
+    n_distinct = packed.select("pack_group").distinct().count()
+    assert n_distinct > par  # sized to ceil(400/2)=200 groups, not the floor
+    # and the floor holds when the corpus is small relative to the target
+    small = pack_sequences(docs, 512)  # target 1M docs/group -> floor
+    assert small.agg(F.max("pack_group")).first()[0] < par
+
+
 def test_invalid_args_rejected(spark):
     docs = spark.createDataFrame([(1, 10)], "doc_id LONG, n_tokens INT")
     with pytest.raises(ValueError):

@@ -154,6 +154,48 @@ def test_cli_run_curate_with_packing(spark, sf_smoke, tmp_path):
     assert back.count() == counts.get("kept", 0)
 
 
+def test_cli_trainer_prep_flow_end_to_end(spark, sf_smoke, tmp_path):
+    """The full trainer-prep flow through the CLI seams the way a user
+    runs it: curate → pack → chunk → split, each stage reading the
+    previous stage's parquet output."""
+    from ts_etl_spark.cli import run_chunk, run_curate, run_pack, run_split
+
+    curated = str(tmp_path / "curated")
+    counts = run_curate(sf_smoke, curated, spark=spark)
+    kept = counts.get("kept", 0)
+    assert kept > 0
+
+    packed = str(tmp_path / "packed")
+    pstats = run_pack(curated, packed, max_tokens=2048, spark=spark)
+    assert pstats["docs"] == kept and pstats["bins"] >= 1
+    back = spark.read.parquet(packed)
+    assert {"pack_group", "bin_idx", "oversize"} <= set(back.columns)
+    bins = back.groupBy("pack_group", "bin_idx").agg(
+        F.sum("n_bpe_tokens").alias("tokens"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    assert bins.filter((F.col("tokens") > 2048) & (F.col("over") == 0)).count() == 0
+
+    chunked = str(tmp_path / "chunked")
+    n_chunks = run_chunk(packed, chunked, chunk_chars=256, overlap=32, spark=spark)
+    assert n_chunks >= kept  # every doc keeps >= 1 chunk
+    chunks = spark.read.parquet(chunked)
+    assert {"doc_id", "chunk_idx", "char_start", "chunk"} <= set(chunks.columns)
+    # stable keys: (doc_id, chunk_idx) unique across the whole output
+    assert (
+        chunks.select("doc_id", "chunk_idx").distinct().count() == n_chunks
+    )
+
+    splits = str(tmp_path / "splits")
+    scounts = run_split(
+        packed, splits, {"train": 0.8, "val": 0.1, "test": 0.1}, spark=spark
+    )
+    assert sum(scounts.values()) == kept
+    assert set(scounts) <= {"train", "val", "test"}
+    sback = spark.read.parquet(splits)
+    assert sback.select("doc_id").distinct().count() == kept
+
+
 def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):
     out = curate_documents(spark, sf_smoke)
     dest = str(tmp_path / "curated")

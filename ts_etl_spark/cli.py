@@ -209,17 +209,197 @@ def _curate_main(argv: list[str]) -> int:
     return 0
 
 
+def run_pack(
+    in_dir: str,
+    out_dir: str,
+    max_tokens: int,
+    tokens_col: str = "n_bpe_tokens",
+    spark=None,
+) -> dict[str, int]:
+    """Assign every document of a curated parquet corpus to a fixed-token
+    training bin (``operators.packing``) and write the corpus back with
+    ``pack_group``/``bin_idx`` columns. When ``tokens_col`` is absent the
+    engine's BPE-ish token counter derives it from ``text``. Returns
+    ``{"docs": ..., "bins": ...}`` (also logged to stderr)."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.packing import pack_sequences
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-pack")
+    try:
+        df = spark.read.parquet(in_dir)
+        if tokens_col not in df.columns:
+            from ts_etl_spark.operators.textops import BPE_PAT
+
+            df = df.withColumn(
+                tokens_col, F.regexp_count(F.col("text"), F.lit(BPE_PAT))
+            )
+        bins = pack_sequences(
+            df.select("doc_id", tokens_col), max_tokens, tokens_col=tokens_col
+        ).select("doc_id", "pack_group", "bin_idx", "oversize")
+        out = df.join(bins, "doc_id")
+        out.write.mode("overwrite").parquet(out_dir)
+        written = spark.read.parquet(out_dir)
+        stats = written.agg(
+            F.count("*").alias("docs"),
+            F.count_distinct("pack_group", "bin_idx").alias("bins"),
+        ).first()
+        counts = {"docs": stats["docs"], "bins": stats["bins"]}
+        print(f"pack: {counts['docs']} docs into {counts['bins']} bins", file=sys.stderr)
+        return counts
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _pack_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark pack",
+        description="Pack a curated corpus into fixed-token training bins.",
+    )
+    parser.add_argument("in_dir", help="input parquet corpus (doc_id [+ token col])")
+    parser.add_argument("out_dir", help="output parquet with bin assignments")
+    parser.add_argument(
+        "--max-tokens", type=int, default=2048, help="bin token budget"
+    )
+    parser.add_argument(
+        "--tokens-col",
+        default="n_bpe_tokens",
+        help="token-count column (derived from text when absent)",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_pack(args.in_dir, args.out_dir, args.max_tokens, args.tokens_col)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during pack: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def run_chunk(
+    in_dir: str,
+    out_dir: str,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+    spark=None,
+) -> int:
+    """Split every document of a parquet corpus into overlapping character
+    spans (``operators.chunking``) and write the chunk table. Returns the
+    chunk count."""
+    from ts_etl_spark.operators.chunking import chunk_documents
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-chunk")
+    try:
+        df = spark.read.parquet(in_dir).select("doc_id", "text")
+        chunk_documents(df, chunk_chars, overlap).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+        n = spark.read.parquet(out_dir).count()
+        print(f"chunk: {n} chunks", file=sys.stderr)
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _chunk_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark chunk",
+        description="Split a corpus into overlapping character chunks.",
+    )
+    parser.add_argument("in_dir", help="input parquet corpus (doc_id, text)")
+    parser.add_argument("out_dir", help="output parquet of chunks")
+    parser.add_argument("--chars", type=int, default=2048, help="chunk size")
+    parser.add_argument("--overlap", type=int, default=256, help="chunk overlap")
+    args = parser.parse_args(argv)
+    try:
+        run_chunk(args.in_dir, args.out_dir, args.chars, args.overlap)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during chunk: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
+def run_split(
+    in_dir: str,
+    out_dir: str,
+    weights: dict[str, float],
+    seed: str = "split",
+    spark=None,
+) -> dict[str, int]:
+    """Deterministically assign every document to a named split
+    (``pipelines.sampling.assign_splits`` — growth-stable md5 intervals)
+    and write the corpus partitioned by split. Returns per-split counts."""
+    from ts_etl_spark.pipelines.sampling import assign_splits
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-split")
+    try:
+        df = spark.read.parquet(in_dir)
+        out = assign_splits(df, weights, ["doc_id"], seed=seed)
+        out.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+        counts = {
+            r["split"]: r["count"]
+            for r in spark.read.parquet(out_dir).groupBy("split").count().collect()
+        }
+        for name, n in sorted(counts.items()):
+            print(f"split: {name} = {n}", file=sys.stderr)
+        return counts
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    weights: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, frac = part.partition("=")
+        if not name or not frac:
+            raise ValueError(f"bad weights spec {spec!r}; use name=frac,…")
+        weights[name.strip()] = float(frac)
+    return weights
+
+
+def _split_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark split",
+        description="Assign deterministic train/val/test splits.",
+    )
+    parser.add_argument("in_dir", help="input parquet corpus (doc_id, ...)")
+    parser.add_argument("out_dir", help="output parquet partitioned by split")
+    parser.add_argument(
+        "--weights",
+        default="train=0.8,val=0.1,test=0.1",
+        help="comma-separated name=frac weights (normalized)",
+    )
+    parser.add_argument("--seed", default="split", help="hash seed")
+    args = parser.parse_args(argv)
+    try:
+        run_split(args.in_dir, args.out_dir, _parse_weights(args.weights), args.seed)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during split: {exc}", file=sys.stderr)
+        return 1
+    return 0
+
+
 def run_optimize(
     in_dir: str,
     out_dir: str,
     zorder: list[str] | None = None,
     target_file_bytes: int | None = None,
+    equal_frequency: list[str] | None = None,
     spark=None,
 ) -> int:
     """Rewrite a parquet directory for scan efficiency (copy-on-write).
     Plain mode compacts to ~target-sized files; ``zorder`` additionally
     Morton-clusters the listed columns so footer min/max stats prune files
-    on ANY of them. Returns the output file count."""
+    on ANY of them (columns in ``equal_frequency`` bucket by quantile rank
+    — the skewed-column mode). Returns the output file count."""
     from ts_etl_spark.pipelines.maintenance import (
         DEFAULT_TARGET_FILE_BYTES,
         compact_parquet,
@@ -234,7 +414,8 @@ def run_optimize(
             from ts_etl_spark.pipelines.layout import cluster_parquet
 
             n = cluster_parquet(
-                spark, in_dir, out_dir, zorder, target_file_bytes=target
+                spark, in_dir, out_dir, zorder, target_file_bytes=target,
+                equal_frequency=equal_frequency or (),
             )
             print(
                 f"optimize: z-ordered by {','.join(zorder)} into {n} files",
@@ -263,6 +444,11 @@ def _optimize_main(argv: list[str]) -> int:
         help="comma-separated columns (1..4) to Morton-cluster the layout by",
     )
     parser.add_argument(
+        "--zorder-eqfreq",
+        help="subset of --zorder columns to bucket by quantile rank "
+        "(equal-frequency — use for heavily skewed columns)",
+    )
+    parser.add_argument(
         "--target-mb",
         type=int,
         help="target output file size in MiB (default 128)",
@@ -275,6 +461,9 @@ def _optimize_main(argv: list[str]) -> int:
             zorder=args.zorder.split(",") if args.zorder else None,
             target_file_bytes=(
                 args.target_mb * 1024 * 1024 if args.target_mb else None
+            ),
+            equal_frequency=(
+                args.zorder_eqfreq.split(",") if args.zorder_eqfreq else None
             ),
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
@@ -399,6 +588,12 @@ def main(argv: list[str] | None = None) -> int:
         return _optimize_main(argv[1:])
     if argv and argv[0] == "profile":
         return _profile_main(argv[1:])
+    if argv and argv[0] == "pack":
+        return _pack_main(argv[1:])
+    if argv and argv[0] == "chunk":
+        return _chunk_main(argv[1:])
+    if argv and argv[0] == "split":
+        return _split_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",

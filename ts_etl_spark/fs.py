@@ -25,6 +25,23 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of the immediate subdirectories of ``path`` ([] if absent)."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(p) if st.isDirectory()
+    ]
+
+
+def delete_dir(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` (no-op if absent)."""
+    fs, p = hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
     """Total bytes of ``suffix`` files under ``path``, recursive; 0 if the
     path does not exist."""

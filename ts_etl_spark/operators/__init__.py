@@ -8,13 +8,16 @@ Each module exposes:
 
 ``all_queries()`` / ``all_oracle()`` merge them for ``__spark_entry__``.
 
-Library-only modules (not in the 50-entry driver registry; each carries
-its own DuckDB-mirror or reference-parity tests instead): ``sketches``
-(mergeable HLL registers), ``packing`` (fixed-token training bins),
-``bpe`` (tokenizer merge learning), ``lm`` (bigram perplexity proxy),
-``drift`` (snapshot PSI), ``chunking`` (overlapping spans),
-``gapfill`` (dense time grids + interpolation), ``boilerplate``
-(cross-document template detection), ``skew`` (salting patterns).
+Round 4 put every round-3 operator behind the driver gate: ``lm`` +
+``boilerplate`` + ``drift`` register through ``quality``
+(corpus_quality_signals); ``bpe`` + ``packing`` + ``chunking`` + split
+assignment through ``pipelines.trainer_prep`` (trainer_prep); ``gapfill``
+as the gapfill arm of events_time_rollups; the audio modality as
+multimodal_audio. Slots came from consolidating same-category entries
+(dedup_simhash + dedup_components; set_operations + pivot_unpivot;
+filter_project_sample + scalar_functions). Library-only modules now:
+``sketches`` (registers surfaced inside quantiles_sketches) and ``skew``
+(salting patterns, exercised by the guarded window path).
 """
 
 from __future__ import annotations
@@ -24,19 +27,31 @@ from ts_etl_spark.operators import (
     dedup,
     events,
     multimodal,
+    quality,
     relational,
     similarity,
     textops,
 )
-from ts_etl_spark.pipelines import curation
+from ts_etl_spark.pipelines import curation, trainer_prep
 
 # Registration order = the order the driver's CORRECTNESS sweep visits
 # queries (it verifies the first 50 entries). The LLM-data-pipeline modules
 # register FIRST as insurance: even if the total ever creeps past 50 again,
-# dedup/similarity/text/multimodal/events keep their driver-green rows.
-# (The whole surface is consolidated to ≤50 entries so every query gets a
-# row in one sweep.)
-_MODULES = (dedup, similarity, textops, multimodal, curation, events, relational, advanced)
+# dedup/similarity/text/quality/multimodal/trainer-prep/events keep their
+# driver-green rows. (The whole surface is consolidated to ≤50 entries so
+# every query gets a row in one sweep.)
+_MODULES = (
+    dedup,
+    similarity,
+    textops,
+    quality,
+    multimodal,
+    curation,
+    trainer_prep,
+    events,
+    relational,
+    advanced,
+)
 
 
 def all_queries():

@@ -284,9 +284,11 @@ def q_subquery_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar.unionByName(collected).unionByName(median)
 
 
+# q_pivot_unpivot is registered as the 'pivot' arm of relational's
+# set_operations (round-4 consolidation freeing registry slots for the
+# round-3 operator entries)
 QUERIES = {
     "temporal_joins": q_temporal_joins,
-    "pivot_unpivot": q_pivot_unpivot,
     "subquery_collect": q_subquery_collect,
 }
 
@@ -309,22 +311,6 @@ ORACLE = {
          AND p.event_type = 'purchase' AND e.event_type = 'error'
          AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
                  - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 300
-    """,
-    "pivot_unpivot": """
-        WITH wide AS (
-            SELECT o_orderstatus,
-                   COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
-                   COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
-                   COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
-                   COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
-                   COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
-            FROM orders GROUP BY o_orderstatus
-        )
-        SELECT o_orderstatus, 'p1' AS priority, p1 AS n FROM wide
-        UNION ALL SELECT o_orderstatus, 'p2', p2 FROM wide
-        UNION ALL SELECT o_orderstatus, 'p3', p3 FROM wide
-        UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
-        UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
     """,
     "subquery_collect": """
         SELECT 'scalar_above_avg' AS op, o_orderkey AS k, o_totalprice AS v,

@@ -46,20 +46,22 @@ def boilerplate_scores(
     (appearing in ≥ max(min_docs, min_doc_frac·N) documents).
 
     The exploded gram frame feeds both the document-frequency aggregate
-    and the scoring join, so it is persisted (tokenization is the
-    dominant cost — one scan, not two); pass ``persisted`` (a list) to
-    receive the cached frame for caller-side release once the lazy
-    result is materialized — the same seam as ``minhash_lsh_pairs``."""
+    and the scoring join. Pass ``persisted`` (a list) to cache it across
+    the two consumers (tokenization is the dominant cost — one scan, not
+    two) and receive the cached frame for caller-side release once the
+    lazy result is materialized — the same seam as ``minhash_lsh_pairs``.
+    WITHOUT the seam the frame is deliberately NOT cached: the grams
+    recompute once, but a lazy result can never leak a corpus-scale cache
+    in a long-lived session (there would be no release point)."""
     if n < 1:
         raise ValueError("n must be a positive gram size")
     if not 0 < min_doc_frac <= 1:
         raise ValueError("min_doc_frac must be in (0, 1]")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (df 1 is never boilerplate)")
-    grams = docs.select(
-        "doc_id", F.explode(_word_grams(n)).alias("g")
-    ).persist()
+    grams = docs.select("doc_id", F.explode(_word_grams(n)).alias("g"))
     if persisted is not None:
+        grams = grams.persist()
         persisted.append(grams)
     total = docs.select(
         F.count("*").alias("__n_docs")
@@ -103,8 +105,11 @@ def boilerplate_scores(
 
 
 def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library entry over the documents table (not in the 50-entry driver
-    registry; the DuckDB mirror lives in tests/test_boilerplate.py)."""
+    """Entry over the documents table (registered via
+    ``quality.corpus_quality_signals``; the standalone DuckDB mirror lives
+    in tests/test_boilerplate.py). No ``persisted`` seam: a lazy return
+    has no release point, so the gram frame recomputes once rather than
+    leaking a corpus-scale cache per call in a long-lived session."""
     return boilerplate_scores(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )

@@ -10,14 +10,21 @@ design:
 
 1. **one corpus pass**: regex pre-tokenization + ``groupBy(word)`` count
    (partial-aggregated; the only stage that sees every byte);
-2. **per merge iteration** over the cached word table: adjacent-pair
-   counts via a ``zip_with``-of-slices explode (each lambda touches only
-   its arguments — the interpreted-HOF quadratic re-eval trap engineered
-   around in textops), one small aggregate, and ONE ROW to the driver
-   (the argmax pair — the same scalar-only loop traffic as
-   ``dedup_components``' Pregel rounds);
-3. **merge application**: a left-to-right greedy fold (``F.aggregate``)
-   rewrites each word's symbol array — a narrow projection, no shuffle.
+2. **the merge loop runs DRIVER-LOCAL** over the collected word-type
+   table (incremental pair counts: choosing a merge only recounts the
+   words that contain it) — this is how production tokenizer trainers
+   work, because a 32k-merge vocabulary run as Spark jobs would schedule
+   ~64k jobs of driver/scheduler latency against a table that fits in
+   driver memory after the one distributed pass. A cheap ``count()``
+   guards the collect: past ``max_driver_types`` word types the loop
+   falls back to the distributed implementation below.
+3. **distributed overflow path** (``_learn_bpe_distributed``): per
+   iteration, adjacent-pair counts via a ``zip_with``-of-slices explode
+   (each lambda touches only its arguments — the interpreted-HOF
+   quadratic re-eval trap engineered around in textops), one small
+   aggregate, ONE ROW to the driver (the argmax pair), and a greedy
+   left-to-right ``F.aggregate`` fold applying the merge. Both paths
+   produce IDENTICAL merge tables including tiebreaks (tested).
 
 Tokenizer trainers conventionally run on a corpus SAMPLE (the merge
 table converges long before the corpus is exhausted); pass
@@ -89,17 +96,114 @@ def _adjacent_pairs(syms: Column) -> Column:
     )
 
 
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b) —
+    the pure-Python twin of ``_merge_adjacent`` (same run semantics:
+    "aaa" + (a,a) -> [aa, a])."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _learn_bpe_local(
+    word_freqs: list[tuple[str, int]], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """Driver-local merge loop over the collected word-type table with
+    INCREMENTAL pair counting: choosing a merge only recounts the words
+    that contain it (indexed), so a 32k-merge vocabulary costs seconds,
+    not 64k scheduled Spark jobs. Semantics identical to the distributed
+    loop: pair counts are freq-weighted sums over adjacent symbol pairs
+    (runs counted overlapping: "aaa" contributes (a,a) twice), argmax
+    ties break lexicographically, merges apply greedily left-to-right."""
+    from collections import defaultdict
+
+    words: list[list[str]] = [list(w) for w, _ in word_freqs]
+    freqs: list[int] = [int(f) for _, f in word_freqs]
+
+    def _pair_counts(syms: list[str]) -> dict[tuple[str, str], int]:
+        c: dict[tuple[str, str], int] = defaultdict(int)
+        for x, y in zip(syms, syms[1:]):
+            c[(x, y)] += 1
+        return c
+
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        for p, c in _pair_counts(syms).items():
+            counts[p] += c * freqs[i]
+            where[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        best, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append(best)
+        a, b = best
+        # `where` entries go stale (a word may no longer contain the pair
+        # after earlier rewrites); recounting yields a zero delta for
+        # those, so staleness is harmless — only missing entries would be
+        # a bug, and rewrites always register their new pairs below.
+        for i in where.pop(best, ()):  # pop: the pair is retired either way
+            old = words[i]
+            new = _merge_word(old, a, b)
+            oldc, newc = _pair_counts(old), _pair_counts(new)
+            for p in oldc.keys() | newc.keys():
+                d = newc.get(p, 0) - oldc.get(p, 0)
+                if d:
+                    counts[p] += d * freqs[i]
+                    if counts[p] <= 0:
+                        counts.pop(p, None)
+                if newc.get(p, 0):
+                    where[p].add(i)
+            words[i] = new
+        counts.pop(best, None)
+    return merges
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 64,
     min_freq: int = 2,
     text_col: str = "text",
     sample_fraction: float | None = None,
+    max_driver_types: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges; returns them in priority
-    order. Deterministic: ties on pair count break lexicographically."""
+    order. Deterministic: ties on pair count break lexicographically.
+
+    The word-frequency pass is always distributed; the merge loop runs
+    driver-local when the word-TYPE table has at most ``max_driver_types``
+    rows (Zipf says it almost always does — a few million types even for
+    a 100 TB corpus; at ~60 bytes/row the default caps driver memory near
+    120 MB), and falls back to the distributed per-iteration loop past
+    that."""
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
+    wf = word_frequencies(docs, text_col, sample_fraction).filter(
+        F.length("word") >= 2
+    )
+    if wf.count() <= max_driver_types:
+        rows = wf.collect()
+        return _learn_bpe_local(
+            [(r["word"], r["freq"]) for r in rows], n_merges, min_freq
+        )
+    return _learn_bpe_distributed(wf, n_merges, min_freq)
+
+
+def _learn_bpe_distributed(
+    wf: DataFrame, n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """Distributed overflow path for word-type tables too large to
+    collect (see ``learn_bpe``): 2 Spark jobs per merge — correct at any
+    scale but schedule-bound at production merge counts, hence the
+    driver-local default."""
     # localCheckpoint (not persist) ON PURPOSE: each iteration stacks
     # another merge-fold expression on the word table, and with plain
     # caching the LOGICAL plan still nests — Catalyst re-analysis grows
@@ -112,14 +216,24 @@ def learn_bpe(
     # DataFrame.unpersist is a no-op on a checkpointed frame (its blocks
     # live on the materialized RDD, not in the SQL cache manager), so each
     # round's blocks are released explicitly via the context's
-    # persistent-RDD map — without this a long-lived session accumulates
-    # one word-table copy per merge learned.
-    jsc = docs.sparkSession.sparkContext._jsc
+    # persistent-RDD map. That map is reached through the private _jsc
+    # bridge, which is CLASSIC-MODE ONLY (absent under Spark Connect) and
+    # version-fragile — so the access is guarded and block release
+    # degrades to a no-op rather than crashing training (the leak is one
+    # word-table copy per merge, bounded by the overflow path's use).
+    try:
+        jsc = wf.sparkSession.sparkContext._jsc
+    except Exception:  # Spark Connect / bridge changes: no release path
+        jsc = None
 
     def _ids() -> set:
+        if jsc is None:
+            return set()
         return set(jsc.getPersistentRDDs().keySet().toArray())
 
     def _release(ids: set) -> None:
+        if jsc is None:
+            return
         m = jsc.getPersistentRDDs()
         for rid in ids:
             if m.containsKey(rid):
@@ -130,11 +244,7 @@ def learn_bpe(
         out = df.localCheckpoint(eager=True)
         return out, _ids() - prev
 
-    words, blocks = _ckpt(
-        word_frequencies(docs, text_col, sample_fraction)
-        .filter(F.length("word") >= 2)
-        .select(F.split("word", "").alias("syms"), "freq")
-    )
+    words, blocks = _ckpt(wf.select(F.split("word", "").alias("syms"), "freq"))
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):

@@ -554,12 +554,36 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(corpus, batch)
 
 
+def q_dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs AND the LSH-pair connected components in one
+    tagged union (the registry-consolidation pattern; each arm keeps its
+    own standalone plan — banded signature self-join; Pregel min-label
+    loop — and the union adds no exchange). Unified schema
+    ``(op, k1, k2, n, s)``: simhash rows carry (id_a, id_b, hamming);
+    component rows carry (rep_doc_id, NULL, n_members, member list)."""
+    ns = F.lit(None).cast("string")
+    sim = q_dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("op"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"),
+        F.col("hamming").cast("bigint").alias("n"),
+        ns.alias("s"),
+    )
+    comp = q_dedup_components(spark, sf_dir).select(
+        F.lit("component").alias("op"),
+        F.col("rep_doc_id").alias("k1"),
+        F.lit(None).cast("bigint").alias("k2"),
+        F.col("n_members").alias("n"),
+        F.col("members").alias("s"),
+    )
+    return sim.unionByName(comp)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_topk": q_dedup_ngram_topk,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_simhash": q_dedup_simhash,
-    "dedup_components": q_dedup_components,
+    "dedup_simhash_components": q_dedup_simhash_components,
 }
 
 _SHINGLES_CTE = r"""
@@ -611,7 +635,7 @@ ORACLE = {
         WITH {_SHINGLES_CTE}
         SELECT * FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
-    "dedup_simhash": f"""
+    "_simhash_arm": f"""
         WITH toks AS (
             SELECT DISTINCT doc_id,
                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -640,7 +664,7 @@ ORACLE = {
         )
         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
     """,
-    "dedup_components": f"""
+    "_components_arm": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
         und AS (
             SELECT id_a AS a, id_b AS b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -659,3 +683,13 @@ ORACLE = {
         FROM comp GROUP BY comp
     """,
 }
+
+ORACLE["dedup_simhash_components"] = f"""
+    SELECT 'simhash' AS op, id_a AS k1, id_b AS k2,
+           CAST(hamming AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
+    FROM ({ORACLE.pop("_simhash_arm")})
+    UNION ALL
+    SELECT 'component' AS op, rep_doc_id AS k1, CAST(NULL AS BIGINT) AS k2,
+           n_members AS n, members AS s
+    FROM ({ORACLE.pop("_components_arm")})
+"""

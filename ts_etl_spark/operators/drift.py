@@ -32,13 +32,21 @@ def bucket_counts(
     """(bucket, n) occupied-bucket counts; bucket 0-based, clamped to
     [0, n_buckets-1] so the max value lands in the top bucket. ONE scan —
     shares and smoothing floors both derive from this ≤n_buckets-row
-    frame, never from a second pass over the data."""
+    frame, never from a second pass over the data.
+
+    The bucket index is an EXPLICIT ``floor(((v-lo)/(hi-lo))*n)`` rather
+    than ``width_bucket``: every step is an IEEE correctly-rounded
+    operation, so an oracle engine evaluating the same expression shape
+    buckets every value identically — ``width_bucket`` implementations
+    are free to factor the arithmetic differently and can flip a
+    boundary-adjacent value into the neighboring bucket."""
+    v = F.col(col).cast("double")
     b = F.when(
         F.lit(hi) > F.lit(lo),
         F.least(
             F.greatest(
-                F.width_bucket(F.col(col).cast("double"), F.lit(lo), F.lit(hi), n_buckets)
-                - 1,
+                F.floor(((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo))) * n_buckets)
+                .cast("int"),
                 F.lit(0),
             ),
             F.lit(n_buckets - 1),

@@ -173,12 +173,38 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gapfill arm geometry: daily buckets over the sparse purchase stream —
+#: plenty of interior gaps to interpolate at every SF without exploding
+#: the grid (users × days, not users × hours)
+GAPFILL_BUCKET_SECONDS = 86_400
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily grid over purchase values with linear
+    interpolation (``gapfill.gap_fill_interpolate``): the hypertable
+    gap-fill/LOCF operator of time-series stores. Bucket averages
+    aggregate in exact decimal space so every interpolated value is
+    bit-identical cross-engine (see ``exact_avg_scale``)."""
+    from ts_etl_spark.operators.gapfill import gap_fill_interpolate
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return gap_fill_interpolate(
+        ev, "user_id", "ts", "value", GAPFILL_BUCKET_SECONDS,
+        exact_avg_scale=2,
+    )
+
+
 def q_events_time_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every event-time aggregation grain in one tagged union: tumbling and
-    sliding windows per event_type, plus the hypertable-style minute/hour/
-    day hierarchical rollup (its rows carry event_type = NULL — the rollup
-    aggregates across types). Each branch stays its own scan + partial-agg
-    + one keyed shuffle; the union adds no exchange."""
+    sliding windows per event_type, the hypertable-style minute/hour/day
+    hierarchical rollup (its rows carry event_type = NULL — the rollup
+    aggregates across types), and the per-user daily gap-fill grid
+    (kind = 'gapfill': event_type carries the user id, n the filled flag,
+    total_value the observed-or-interpolated value). Each branch stays its
+    own scan + partial-agg + one keyed shuffle; the union adds no
+    exchange."""
     windows = q_events_windows(spark, sf_dir)
     rollup = q_events_hypertable_rollup(spark, sf_dir).select(
         F.col("grain").alias("kind"),
@@ -187,7 +213,14 @@ def q_events_time_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
-    return windows.unionByName(rollup)
+    gapfill = q_events_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("kind"),
+        ts_str("bucket_ts").alias("window_start"),
+        F.col("user_id").cast("string").alias("event_type"),
+        F.col("filled").cast("bigint").alias("n"),
+        F.col("value").alias("total_value"),
+    )
+    return windows.unionByName(rollup).unionByName(gapfill)
 
 
 def q_events_sessions_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +297,45 @@ ORACLE = {
                    CAST(SUM(v) AS DOUBLE) AS total_value
             FROM b
             GROUP BY GROUPING SETS ((bucket_minute), (bucket_hour), (bucket_day))
+        )
+        UNION ALL
+        -- gapfill arm: dense per-user daily grid over purchase values,
+        -- LOCF neighbors + linear blend; bucket averages in exact decimal
+        -- space and the blend written with the same association as the
+        -- Spark expression (pv + (nv - pv) * (frac)) so doubles match
+        -- bit for bit
+        SELECT 'gapfill' AS kind,
+               strftime(to_timestamp(b), '{_STRF}') AS window_start,
+               CAST(k AS VARCHAR) AS event_type,
+               CAST(v IS NULL AS BIGINT) AS n,
+               COALESCE(v, pv + (nv - pv)
+                           * (CAST(b - pb AS BIGINT)
+                              / CAST(nb - pb AS BIGINT))) AS total_value
+        FROM (
+            WITH actual AS (
+                SELECT user_id AS k,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*) AS v
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT k, unnest(generate_series(min(b), max(b), 86400)) AS b
+                FROM actual GROUP BY k
+            ),
+            j AS (SELECT g.k, g.b, a.v FROM grid g LEFT JOIN actual a USING (k, b))
+            SELECT k, b, v,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY b ROWS UNBOUNDED PRECEDING) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY b ROWS UNBOUNDED PRECEDING) AS pb,
+                   first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY b
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+            FROM j
         )
     """,
     "events_sessions_shares": f"""

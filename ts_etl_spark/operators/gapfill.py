@@ -34,12 +34,21 @@ def gap_fill_interpolate(
     ts_col: str,
     value_col: str,
     bucket_seconds: int = 3600,
+    exact_avg_scale: int | None = None,
 ) -> DataFrame:
     """One row per (key, bucket) across each key's observed time range:
     ``(key, bucket_ts, value, filled)`` where missing buckets carry the
     linear interpolation between their nearest observed neighbors (NULL
     outside the observed range) and ``filled`` is TRUE on synthesized
-    rows."""
+    rows.
+
+    ``exact_avg_scale``: when the value column is a fixed-decimal-in-
+    double (money-like), pass its scale to aggregate each bucket as an
+    exact decimal sum divided by the count — order-insensitive and
+    bit-identical across engines/partitionings (every downstream
+    interpolation step is then a correctly-rounded IEEE op on identical
+    operands). Default keeps the plain double ``avg`` for generic
+    values."""
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     step = F.lit(bucket_seconds)
@@ -50,10 +59,19 @@ def gap_fill_interpolate(
         F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     )
+    if exact_avg_scale is None:
+        bucket_avg = F.avg(value_col)
+    else:
+        from pyspark.sql import types as T
+
+        d = T.DecimalType(18, exact_avg_scale)
+        bucket_avg = F.sum(F.col(value_col).cast(d)).cast("double") / F.count(
+            "*"
+        )
     actual = (
         df.select(F.col(key).alias("k"), epoch.alias("b"), F.col(value_col))
         .groupBy("k", "b")
-        .agg(F.avg(value_col).alias("v"))
+        .agg(bucket_avg.alias("v"))
     )
     grid = (
         actual.groupBy("k")

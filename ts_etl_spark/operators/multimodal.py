@@ -228,9 +228,11 @@ def audio_windows(
 
     Same scale shape as the other multimodal ops: Arrow-batched
     ``mapInPandas``, fan-out bounded by payload length / hop, no driver
-    involvement. Library operator (tested vs a python reference); not a
-    registry entry — the registry's multimodal slots already cover the 1:1
-    and fan-out shapes this shares."""
+    involvement. Registered (with tighter windows sized to the test
+    corpus) as ``multimodal_audio`` — the oracle reproduces every window's
+    energy/peak from codepoint arithmetic, so the audio plumbing sits
+    behind the driver's correctness gate like the image and frame
+    shapes."""
 
     def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -261,12 +263,55 @@ def audio_windows(
     return binary_payloads(spark, sf_dir).mapInPandas(window_batches, AUDIO_SCHEMA)
 
 
+#: registered-entry window geometry: the sandbox documents are short
+#: (≤ ~600 bytes), so the production 400/160 window yields ≤1 window per
+#: payload — 120/48 exercises real overlap and multi-window fan-out while
+#: keeping the oracle's per-character reconstruction cheap
+AUDIO_REG_WIN = 120
+AUDIO_REG_HOP = 48
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered audio pass (see ``audio_windows``): overlapping hop
+    windows with per-window sample count, energy and peak."""
+    return audio_windows(spark, sf_dir, win=AUDIO_REG_WIN, hop=AUDIO_REG_HOP)
+
+
 QUERIES = {
     "multimodal_meta_resize": q_multimodal_meta_resize,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLE = {
+    # the corpus is ASCII (1 char = 1 byte = 1 codepoint), so ord() over
+    # character slices reproduces the Spark side's raw byte arithmetic;
+    # windows: full-length at every hop while they fit, else one short
+    # window for sub-window payloads, none for empty ones
+    "multimodal_audio": f"""
+        WITH w AS (
+            SELECT doc_id, text, unnest(generate_series(0,
+                CASE WHEN length(text) >= {AUDIO_REG_WIN}
+                     THEN (length(text) - {AUDIO_REG_WIN}) // {AUDIO_REG_HOP}
+                     WHEN length(text) > 0 THEN 0 ELSE -1 END)) AS i
+            FROM documents
+        ),
+        sliced AS (
+            SELECT doc_id, CAST(i AS INT) AS win_idx,
+                   substr(text, CAST(i * {AUDIO_REG_HOP} + 1 AS INT),
+                          {AUDIO_REG_WIN}) AS win
+            FROM w
+        )
+        SELECT doc_id, win_idx,
+               CAST(length(win) AS INT) AS n_samples,
+               CAST(list_sum([ord(substr(win, j, 1)) * ord(substr(win, j, 1))
+                              for j in generate_series(1, length(win))])
+                    AS BIGINT) AS energy,
+               CAST(list_max([ord(substr(win, j, 1))
+                              for j in generate_series(1, length(win))])
+                    AS INT) AS peak
+        FROM sliced
+    """,
     "multimodal_frames": f"""
         WITH idx AS (
             SELECT doc_id, text,

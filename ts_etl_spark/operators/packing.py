@@ -7,11 +7,18 @@ Bin packing is inherently sequential, so the scale design splits it:
 1. **group**: a deterministic hash spreads documents over ``n_groups``
    independent packing groups (xxhash64 of doc_id — reproducible across
    retries, no RNG). Each group packs alone, so the stage parallelizes
-   to ``n_groups`` tasks regardless of corpus size.
+   to ``n_groups`` tasks regardless of corpus size. By default
+   ``n_groups`` is SELF-SIZING: one cheap ``count()`` bounds documents
+   per group (``target_group_docs``), so the default-arg call is safe at
+   any corpus size — a fixed group count would concentrate ~150M rows
+   per pandas frame at 10B docs.
 2. **pack within group**: first-fit-decreasing (FFD) over the group's
    documents inside one Arrow-batched ``applyInPandas`` call — the
-   classic 11/9·OPT + 6/9 approximation, run on thousands of docs per
-   group, never on the driver.
+   classic 11/9·OPT + 6/9 approximation, never on the driver. First-fit
+   uses a CAPACITY-INDEXED segment tree (leftmost bin with remaining ≥
+   need in O(log bins)), so a group of d documents packs in O(d log d)
+   rather than the O(d · bins) linear rescan that dominates once groups
+   hold millions of documents.
 3. **label**: bins are ``(group, bin_idx)`` pairs — globally unique
    without any cross-group coordination.
 
@@ -19,8 +26,8 @@ Waste analysis at scale: FFD's waste within a group is bounded by the
 approximation ratio; the only cross-group cost is that each group keeps
 its own partially-filled tail bins. Expected waste from group-splitting
 is O(n_groups · max_tokens) total — negligible when each group packs
-≫ 1 bin, which sizing ``n_groups ≈ cluster cores`` guarantees at any
-real corpus size (at 100 TB each group still packs millions of tokens).
+≫ 1 bin, which the docs-per-group floor guarantees at any real corpus
+size.
 
 Oversized documents (n_tokens > max_tokens) become singleton bins
 flagged ``oversize`` — the caller decides whether to truncate or drop;
@@ -40,18 +47,28 @@ PACKED_SCHEMA = (
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int,
-    n_groups: int = 64,
+    n_groups: int | None = None,
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    target_group_docs: int = 1_000_000,
 ) -> DataFrame:
     """Assign every document to a training bin of at most ``max_tokens``
     tokens: ``(doc_id, n_tokens, pack_group, bin_idx, oversize)`` with
     ``(pack_group, bin_idx)`` the global bin key. Deterministic (hash
     grouping + FFD with a fixed tiebreak), distributed (one shuffle to
     the packing groups, packing itself Arrow-batched per group), and
-    complete (every input document appears exactly once)."""
+    complete (every input document appears exactly once).
+
+    ``n_groups=None`` (the default) self-sizes from one cheap count:
+    enough groups that no group expects more than ``target_group_docs``
+    documents, floored at the cluster's default parallelism so small
+    corpora still pack in parallel."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    if n_groups is None:
+        n_docs = docs.count()
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        n_groups = max(par, -(-n_docs // max(target_group_docs, 1)), 1)
     if n_groups <= 0:
         raise ValueError("n_groups must be positive")
     cap = int(max_tokens)
@@ -62,29 +79,55 @@ def pack_sequences(
     # breaks when the library is driven via sys.path from another cwd
     def _pack_group(pdf):
         """FFD over one group: sort descending by token count, place each
-        doc in the first bin it fits; open a new bin otherwise."""
+        doc in the FIRST (lowest-index) bin it fits — found in O(log bins)
+        by walking a max-capacity segment tree — or open a new bin."""
         import pandas as pd
 
         docs_sorted = sorted(
             zip(pdf["doc_id"], pdf["n_tokens"]), key=lambda t: (-t[1], t[0])
         )
-        bins: list[int] = []  # remaining capacity per bin
+        # segment tree over bin slots (leaf = remaining capacity, inner =
+        # subtree max): first_fit descends leftmost, preserving the exact
+        # first-fit-by-index semantics of a linear scan at O(log n) cost.
+        size = 1
+        while size < max(len(docs_sorted), 1):
+            size *= 2
+        tree = [-1] * (2 * size)
+        n_bins = 0
+
+        def _set(idx: int, rem: int) -> None:
+            i = idx + size
+            tree[i] = rem
+            i //= 2
+            while i:
+                tree[i] = tree[2 * i] if tree[2 * i] >= tree[2 * i + 1] else tree[2 * i + 1]
+                i //= 2
+
+        def _first_fit(need: int) -> int | None:
+            if tree[1] < need:
+                return None
+            i = 1
+            while i < size:
+                i = 2 * i if tree[2 * i] >= need else 2 * i + 1
+            return i - size
+
         out = []
         for doc_id, n in docs_sorted:
             n = int(n)
             if n > cap:
                 # singleton oversize bin (never co-packed)
-                out.append((doc_id, n, len(bins), True))
-                bins.append(0)
+                out.append((doc_id, n, n_bins, True))
+                _set(n_bins, 0)
+                n_bins += 1
                 continue
-            for i, rem in enumerate(bins):
-                if rem >= n:
-                    bins[i] = rem - n
-                    out.append((doc_id, n, i, False))
-                    break
+            i = _first_fit(n)
+            if i is not None:
+                _set(i, tree[i + size] - n)
+                out.append((doc_id, n, i, False))
             else:
-                bins.append(cap - n)
-                out.append((doc_id, n, len(bins) - 1, False))
+                _set(n_bins, cap - n)
+                out.append((doc_id, n, n_bins, False))
+                n_bins += 1
         grp = int(pdf["__grp"].iloc[0])
         return pd.DataFrame(
             {

@@ -1,0 +1,231 @@
+"""Corpus quality signals — the round-3 statistical quality operators
+(bigram-LM perplexity proxy, cross-document boilerplate detection, PSI
+snapshot drift) folded into ONE driver-gated long-format entry, so the
+hard external correctness sweep covers them (the registry is capped at
+50; this is the tagged-union consolidation pattern of ``agg_extensions``).
+
+Unified schema ``(op, doc_id, n, n2, v, ok)``:
+
+- ``lm`` rows (one per document): n = bigram count, v = the add-k-smoothed
+  average log-probability under the corpus-trained bigram LM, rounded to
+  6 decimals (sums of libm logs are last-ulp engine-dependent — the same
+  tolerance discipline as ``scalar_functions``); NULL for bigram-less
+  documents.
+- ``boiler`` rows (one per document): n = distinct word-5-grams,
+  n2 = grams shared corpus-wide (df ≥ max(2, 5%·N)), v = the boilerplate
+  fraction (a single exact division — no rounding needed).
+- ``drift_base`` / ``drift_cur`` rows (one per bucket): the Laplace-
+  smoothed document-length share per side, splitting the corpus into
+  even/odd doc_id halves (a deterministic two-snapshot stand-in). Shares
+  are exact rationals of counts — value-matched unrounded.
+- ``drift_psi`` rows (one per bucket plus the bucket = -1 total): the PSI
+  contribution, rounded to 6 decimals (ln of a share ratio).
+
+Every underlying operator keeps its own exhaustive suite (tests/test_lm,
+test_boilerplate, test_drift); this entry pins the cross-engine answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.boilerplate import BOILER_N, boilerplate_scores
+from ts_etl_spark.operators.bpe import WORD_PAT
+from ts_etl_spark.operators.drift import psi_drift
+from ts_etl_spark.operators.lm import score_documents, train_bigram_lm
+from ts_etl_spark.sources.tables import load_table
+
+LM_K = 0.5
+DRIFT_BUCKETS = 10
+
+
+def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM scoring + boilerplate + drift over ``documents`` (see module
+    docstring). Plan shape: each arm keeps its own linear plan (explode +
+    two hash joins; gram explode + df threshold; two bounded bucket
+    aggregates) — the union adds no exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ni = F.lit(None).cast("int")
+    t = F.lit(True)
+
+    uni, bi = train_bigram_lm(docs)
+    lm = score_documents(docs, uni, bi, k=LM_K).select(
+        F.lit("lm").alias("op"),
+        "doc_id",
+        F.col("n_bigrams").alias("n"),
+        ni.alias("n2"),
+        F.round("avg_logprob", 6).alias("v"),
+        t.alias("ok"),
+    )
+
+    boiler = boilerplate_scores(docs, n=BOILER_N).select(
+        F.lit("boiler").alias("op"),
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n"),
+        F.col("n_boiler").cast("int").alias("n2"),
+        F.col("boiler_frac").alias("v"),
+        t.alias("ok"),
+    )
+
+    # deterministic two-snapshot stand-in: even vs odd doc_id halves
+    doclen = F.length("text").alias("len")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(doclen)
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(doclen)
+    psi = psi_drift(base, cur, "len", n_buckets=DRIFT_BUCKETS)
+    nb = F.lit(None).cast("bigint")
+    drift_base = psi.filter(F.col("bucket") >= 0).select(
+        F.lit("drift_base").alias("op"),
+        nb.alias("doc_id"),
+        F.col("bucket").alias("n"),
+        ni.alias("n2"),
+        F.col("share_base").alias("v"),
+        t.alias("ok"),
+    )
+    drift_cur = psi.filter(F.col("bucket") >= 0).select(
+        F.lit("drift_cur").alias("op"),
+        nb.alias("doc_id"),
+        F.col("bucket").alias("n"),
+        ni.alias("n2"),
+        F.col("share_cur").alias("v"),
+        t.alias("ok"),
+    )
+    drift_psi = psi.select(
+        F.lit("drift_psi").alias("op"),
+        nb.alias("doc_id"),
+        F.col("bucket").alias("n"),
+        ni.alias("n2"),
+        F.round("psi_term", 6).alias("v"),
+        t.alias("ok"),
+    )
+    return (
+        lm.unionByName(boiler)
+        .unionByName(drift_base)
+        .unionByName(drift_cur)
+        .unionByName(drift_psi)
+    )
+
+
+def _quality_oracle_sql() -> str:
+    n = BOILER_N
+    k = DRIFT_BUCKETS
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PAT}') AS t
+            FROM documents
+        ),
+        lm_grams AS (
+            -- list_zip pads to the longer list; the padded tail pair is
+            -- (last, NULL) and tokens are never NULL, so filter it out
+            SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+                SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM toks
+            ) WHERE p[2] IS NOT NULL
+        ),
+        uni AS (
+            SELECT w1 AS w, COUNT(*) AS c1 FROM (
+                SELECT doc_id, unnest(t) AS w1 FROM toks
+            ) GROUP BY 1
+        ),
+        bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM lm_grams GROUP BY 1, 2),
+        vv AS (SELECT COUNT(*) AS v FROM uni),
+        lm_scored AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   AVG(ln(COALESCE(b.c2, 0) + {LM_K})
+                       - ln(COALESCE(u.c1, 0) + {LM_K} * vv.v)) AS avg_logprob
+            FROM lm_grams g
+            LEFT JOIN bi b USING (w1, w2)
+            LEFT JOIN uni u ON g.w1 = u.w
+            CROSS JOIN vv
+            GROUP BY g.doc_id
+        ),
+        words AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents
+        ),
+        bgrams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[ix.i:ix.i + {n - 1}], ' ') AS g
+            FROM words,
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - {n - 1})) AS i) ix
+        ),
+        total AS (SELECT COUNT(*) AS n FROM documents),
+        boiler AS (
+            SELECT g, 1 AS hit FROM bgrams, total
+            GROUP BY g, total.n
+            HAVING COUNT(*) >= greatest(2, CAST(ceil(0.05 * total.n) AS BIGINT))
+        ),
+        bscored AS (
+            SELECT gr.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(COALESCE(b.hit, 0)) AS INT) AS n_boiler
+            FROM bgrams gr LEFT JOIN boiler b USING (g)
+            GROUP BY gr.doc_id
+        ),
+        lens AS (
+            SELECT doc_id % 2 AS side, CAST(length(text) AS DOUBLE) AS v
+            FROM documents
+        ),
+        rng AS (SELECT min(v) AS lo, max(v) AS hi FROM lens),
+        buckets AS (
+            SELECT side,
+                   CASE WHEN hi > lo THEN
+                        least(greatest(CAST(floor(((v - lo) / (hi - lo)) * {k})
+                                            AS INT), 0), {k - 1})
+                   ELSE 0 END AS bucket
+            FROM lens, rng
+        ),
+        counted AS (
+            SELECT side, bucket, COUNT(*) AS c FROM buckets GROUP BY 1, 2
+        ),
+        grid AS (SELECT unnest(generate_series(0, {k - 1})) AS bucket),
+        tot AS (
+            SELECT side, SUM(c) AS t FROM counted GROUP BY side
+        ),
+        shares AS (
+            SELECT g.bucket,
+                   (COALESCE(c0.c, 0) + 0.5)
+                     / (COALESCE(t0.t, 0) + 0.5 * {k}) AS share_base,
+                   (COALESCE(c1.c, 0) + 0.5)
+                     / (COALESCE(t1.t, 0) + 0.5 * {k}) AS share_cur
+            FROM grid g
+            LEFT JOIN (SELECT * FROM counted WHERE side = 0) c0 USING (bucket)
+            LEFT JOIN (SELECT * FROM counted WHERE side = 1) c1 USING (bucket)
+            LEFT JOIN (SELECT * FROM tot WHERE side = 0) t0 ON TRUE
+            LEFT JOIN (SELECT * FROM tot WHERE side = 1) t1 ON TRUE
+        ),
+        psi AS (
+            SELECT CAST(bucket AS INT) AS bucket, share_base, share_cur,
+                   (share_cur - share_base) * ln(share_cur / share_base) AS term
+            FROM shares
+        )
+        SELECT 'lm' AS op, d.doc_id,
+               CAST(COALESCE(s.n_bigrams, 0) AS INT) AS n,
+               CAST(NULL AS INT) AS n2,
+               round(s.avg_logprob, 6) AS v, TRUE AS ok
+        FROM documents d LEFT JOIN lm_scored s USING (doc_id)
+        UNION ALL
+        SELECT 'boiler' AS op, d.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS INT) AS n,
+               CAST(COALESCE(s.n_boiler, 0) AS INT) AS n2,
+               CASE WHEN COALESCE(s.n_grams, 0) > 0
+                    THEN CAST(s.n_boiler AS DOUBLE) / s.n_grams
+                    ELSE 0.0 END AS v,
+               TRUE AS ok
+        FROM documents d LEFT JOIN bscored s USING (doc_id)
+        UNION ALL
+        SELECT 'drift_base', CAST(NULL AS BIGINT), bucket, CAST(NULL AS INT),
+               share_base, TRUE FROM psi
+        UNION ALL
+        SELECT 'drift_cur', CAST(NULL AS BIGINT), bucket, CAST(NULL AS INT),
+               share_cur, TRUE FROM psi
+        UNION ALL
+        SELECT 'drift_psi', CAST(NULL AS BIGINT), bucket, CAST(NULL AS INT),
+               round(term, 6), TRUE FROM psi
+        UNION ALL
+        SELECT 'drift_psi', CAST(NULL AS BIGINT), CAST(-1 AS INT),
+               CAST(NULL AS INT), round(SUM(term), 6), TRUE FROM psi
+    """
+
+
+QUERIES = {"corpus_quality_signals": q_corpus_quality_signals}
+ORACLE = {"corpus_quality_signals": _quality_oracle_sql()}

@@ -353,9 +353,14 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full set-operation surface in one tagged union: INTERSECT /
     EXCEPT / UNION (set semantics, incl. the implicit DISTINCT) and
-    EXCEPT ALL / INTERSECT ALL (bag semantics, multiplicity-aware). Each
-    branch is a single keyed shuffle; the union concatenates partitions
-    without any extra exchange."""
+    EXCEPT ALL / INTERSECT ALL (bag semantics, multiplicity-aware), plus
+    the reshape surface (pivot → unpivot round-trip, folded in when the
+    registry consolidated ``pivot_unpivot`` — the 50-entry cap). Each
+    branch is a single keyed shuffle (the pivot arm one grouped
+    aggregation + a shuffle-free Expand); the union concatenates
+    partitions without any extra exchange. Unified schema
+    ``(op, k1, k2, n)``: set rows carry the customer key in k1; pivot
+    rows carry (status, priority, count)."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -367,11 +372,26 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("except_all", o.exceptAll(f)),
         ("intersect_all", o.intersectAll(f)),
     ]
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
     out = None
     for tag, df in branches:
-        tagged = df.select(F.lit(tag).alias("op"), "o_custkey")
+        tagged = df.select(
+            F.lit(tag).alias("op"),
+            F.col("o_custkey").cast("string").alias("k1"),
+            ns.alias("k2"),
+            nb.alias("n"),
+        )
         out = tagged if out is None else out.unionByName(tagged)
-    return out
+    from ts_etl_spark.operators.advanced import q_pivot_unpivot
+
+    pivoted = q_pivot_unpivot(spark, sf_dir).select(
+        F.lit("pivot").alias("op"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("priority").alias("k2"),
+        "n",
+    )
+    return out.unionByName(pivoted)
 
 
 # --------------------------------------------------------------------------
@@ -957,6 +977,23 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free projection surface in one tagged union (registry
+    consolidation of ``filter_project_sample`` + ``scalar_functions``):
+    the ``sample_filter`` arm is the predicate + computed projection +
+    deterministic md5 hash sample over lineitem; the ``scalar_fns`` arm is
+    the 30-expression string/date/math function sweep over orders. Each
+    arm stays a single whole-stage-codegen scan; the union fills the other
+    arm's columns with typed NULLs (no exchange anywhere)."""
+    filt = q_filter_project(spark, sf_dir).select(
+        F.lit("sample_filter").alias("op"), "*"
+    )
+    scal = q_scalar_functions(spark, sf_dir).select(
+        F.lit("scalar_fns").alias("op"), "*"
+    )
+    return filt.unionByName(scal, allowMissingColumns=True)
+
+
 # --------------------------------------------------------------------------
 # Approximate / sketch operators
 # --------------------------------------------------------------------------
@@ -1096,12 +1133,11 @@ QUERIES = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_sales_opportunity": q22_sales_opportunity,
-    "filter_project_sample": q_filter_project,
+    "scalar_projections": q_scalar_projections,
     "join_variants": q_join_variants,
     "agg_extensions": q_agg_extensions,
     "topk_orders": q_topk_orders,
     "set_operations": q_set_operations,
-    "scalar_functions": q_scalar_functions,
     "window_functions": q_window_functions,
     "quantiles_sketches": q_quantiles_sketches,
 }
@@ -1370,7 +1406,7 @@ ORACLE = {
                             AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
     """,
-    "filter_project_sample": f"""
+    "_filter_arm": f"""
         SELECT l_orderkey, l_linenumber, l_quantity,
                CAST({_REV} AS DOUBLE) AS net_price
         FROM lineitem
@@ -1468,30 +1504,53 @@ ORACLE = {
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
     """,
     "set_operations": """
-        SELECT 'intersect' AS op, o_custkey FROM (
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-            INTERSECT
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        WITH tagged AS (
+            SELECT 'intersect' AS op, o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT 'except' AS op, o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT 'union' AS op, o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                UNION
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+            UNION ALL
+            SELECT 'except_all' AS op, o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                EXCEPT ALL
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+            UNION ALL
+            SELECT 'intersect_all' AS op, o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                INTERSECT ALL
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        )
+        SELECT op, CAST(o_custkey AS VARCHAR) AS k1,
+               CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n
+        FROM tagged
         UNION ALL
-        SELECT 'except' AS op, o_custkey FROM (
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-            EXCEPT
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        UNION ALL
-        SELECT 'union' AS op, o_custkey FROM (
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-            UNION
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
-        UNION ALL
-        SELECT 'except_all' AS op, o_custkey FROM (
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-            EXCEPT ALL
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
-        UNION ALL
-        SELECT 'intersect_all' AS op, o_custkey FROM (
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-            INTERSECT ALL
-            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'pivot' AS op, o_orderstatus AS k1, priority AS k2, n
+        FROM (
+            WITH wide AS (
+                SELECT o_orderstatus,
+                       COUNT(*) FILTER (o_orderpriority = '1-URGENT')        AS p1,
+                       COUNT(*) FILTER (o_orderpriority = '2-HIGH')          AS p2,
+                       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3,
+                       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+                       COUNT(*) FILTER (o_orderpriority = '5-LOW')           AS p5
+                FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, 'p1' AS priority, p1 AS n FROM wide
+            UNION ALL SELECT o_orderstatus, 'p2', p2 FROM wide
+            UNION ALL SELECT o_orderstatus, 'p3', p3 FROM wide
+            UNION ALL SELECT o_orderstatus, 'p4', p4 FROM wide
+            UNION ALL SELECT o_orderstatus, 'p5', p5 FROM wide
+        )
     """,
     "window_functions": """
         SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1526,7 +1585,7 @@ ORACLE = {
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
     """,
-    "scalar_functions": """
+    "_scalar_arm": """
         SELECT o_orderkey,
                upper(o_orderpriority) AS up,
                substr(o_orderpriority, 1, 5) AS first5,
@@ -1591,3 +1650,57 @@ ORACLE = {
         UNION ALL SELECT 'hll_estimate_ok', CAST(NULL AS DOUBLE), TRUE
     """,
 }
+
+# scalar_projections oracle: the two arm oracles survive as private keys
+# above; the registered entry is their positional union with typed NULLs
+# filling the other arm's columns (mirrors unionByName(allowMissing)).
+_FILTER_COLS = (
+    ("l_orderkey", "BIGINT"),
+    ("l_linenumber", "INTEGER"),
+    ("l_quantity", "DOUBLE"),
+    ("net_price", "DOUBLE"),
+)
+_SCALAR_COLS = (
+    ("o_orderkey", "BIGINT"),
+    ("up", "VARCHAR"),
+    ("first5", "VARCHAR"),
+    ("padded_key", "VARCHAR"),
+    ("rev", "VARCHAR"),
+    ("len", "INTEGER"),
+    ("translated", "VARCHAR"),
+    ("joined", "VARCHAR"),
+    ("dash_pos", "INTEGER"),
+    ("y", "INTEGER"),
+    ("q", "INTEGER"),
+    ("m", "INTEGER"),
+    ("dom", "INTEGER"),
+    ("isodow", "INTEGER"),
+    ("plus30", "DATE"),
+    ("plus2m", "DATE"),
+    ("month_end", "DATE"),
+    ("days_since_epoch0", "INTEGER"),
+    ("sqrt_price", "DOUBLE"),
+    ("ln_price", "DOUBLE"),
+    ("log10_price", "DOUBLE"),
+    ("price_4th_root", "DOUBLE"),
+    ("abs_dev", "DOUBLE"),
+    ("ceil_price", "BIGINT"),
+    ("floor_price", "BIGINT"),
+    ("round_hundreds", "DOUBLE"),
+    ("sign_dev", "DOUBLE"),
+    ("mod97", "BIGINT"),
+    ("floor50k", "DOUBLE"),
+    ("cap200k", "DOUBLE"),
+)
+
+ORACLE["scalar_projections"] = f"""
+    SELECT 'sample_filter' AS op,
+           {", ".join(c for c, _ in _FILTER_COLS)},
+           {", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in _SCALAR_COLS)}
+    FROM ({ORACLE.pop("_filter_arm")})
+    UNION ALL
+    SELECT 'scalar_fns' AS op,
+           {", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in _FILTER_COLS)},
+           {", ".join(c for c, _ in _SCALAR_COLS)}
+    FROM ({ORACLE.pop("_scalar_arm")})
+"""

@@ -1,0 +1,233 @@
+"""Trainer-prep surface — the round-3 operators that turn a curated
+corpus into trainer-ready inputs (BPE tokenization, sequence packing,
+overlapping-span chunking, deterministic split assignment) folded into
+ONE driver-gated long-format entry, the same consolidation pattern as
+``corpus_quality_signals`` (the registry is capped at 50 entries).
+
+Unified schema ``(op, k1, k2, s, v, ok)``:
+
+- ``chunk`` rows (one per chunk): k1 = doc_id, k2 = chunk_idx,
+  s = md5(chunk text), v = char_start — FULLY value-matched by the
+  oracle's generate_series + substr + md5 reconstruction (the chunker is
+  declarative, so DuckDB reproduces it exactly).
+- ``split`` rows (one per document): k1 = doc_id, s = the assigned split.
+  Weights are powers of two (0.75 / 0.125 / 0.125), so the cumulative
+  interval bounds are EXACT doubles and the oracle's md5 hex-fold
+  re-derives membership bit-for-bit (the auditability property the
+  operator exists for).
+- ``bpe`` rows (one per document): v = the oracle-derivable
+  pre-tokenizer word count; ok = the lossless-encode property
+  (concatenated BPE tokens reconstruct the concatenated words) AND the
+  token-count bounds n_words ≤ n_tokens ≤ n_chars. The merge TABLE is
+  engine-specific (the oracle cannot learn BPE), so its exactness is
+  pinned by tests/test_bpe.py's pure-Python-reference parity; the driver
+  row gates the distributed plumbing end to end.
+- ``pack`` rows (4 invariants): total_docs is value-matched (count);
+  capacity / oversize-singleton / FFD-waste-bound invariants are
+  booleans the oracle asserts TRUE (bin ASSIGNMENT depends on xxhash64
+  grouping, which only Spark can compute — the bounded-boolean pattern
+  of ``quantiles_sketches``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.bpe import WORD_PAT, bpe_encode, learn_bpe
+from ts_etl_spark.operators.chunking import chunk_documents
+from ts_etl_spark.operators.packing import pack_sequences
+from ts_etl_spark.operators.textops import _metric_cols
+from ts_etl_spark.pipelines.sampling import assign_splits
+from ts_etl_spark.sources.tables import load_table
+
+CHUNK_CHARS = 128
+CHUNK_OVERLAP = 32
+#: powers of two on purpose: the cumulative bounds (0.75, 0.875) are exact
+#: doubles, so the oracle needs no accumulated-float replication
+SPLIT_WEIGHTS = {"train": 0.75, "val": 0.125, "test": 0.125}
+PACK_MAX_TOKENS = 2048
+BPE_MERGES = 24
+
+
+def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking + splits + BPE + packing over ``documents`` (see module
+    docstring). Plan shape: chunk and split arms are shuffle-free
+    expression fan-outs; bpe is one distributed word-frequency pass (the
+    merge loop is driver-local over the Zipf-bounded type table) plus an
+    Arrow-batched encode; packing is one shuffle + per-group Arrow FFD
+    with two bounded aggregates for the invariants."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    t = F.lit(True)
+
+    chunks = chunk_documents(docs, CHUNK_CHARS, CHUNK_OVERLAP).select(
+        F.lit("chunk").alias("op"),
+        F.col("doc_id").alias("k1"),
+        F.col("chunk_idx").cast("bigint").alias("k2"),
+        F.md5("chunk").alias("s"),
+        F.col("char_start").cast("double").alias("v"),
+        t.alias("ok"),
+    )
+
+    splits = assign_splits(docs, SPLIT_WEIGHTS, ["doc_id"], seed="split").select(
+        F.lit("split").alias("op"),
+        F.col("doc_id").alias("k1"),
+        nb.alias("k2"),
+        F.col("split").alias("s"),
+        nd.alias("v"),
+        t.alias("ok"),
+    )
+
+    merges = learn_bpe(docs, n_merges=BPE_MERGES, min_freq=2)
+    words = F.regexp_extract_all(F.lower("text"), F.lit(WORD_PAT), 0)
+    enc = bpe_encode(docs, merges).join(
+        docs.select(
+            "doc_id",
+            F.array_join(words, "").alias("__wcat"),
+            F.size(words).alias("__n_words"),
+        ),
+        "doc_id",
+    )
+    bpe = enc.select(
+        F.lit("bpe").alias("op"),
+        F.col("doc_id").alias("k1"),
+        nb.alias("k2"),
+        ns.alias("s"),
+        F.col("__n_words").cast("double").alias("v"),
+        (
+            (F.array_join("tokens", "") == F.col("__wcat"))
+            & (F.col("n_tokens") >= F.col("__n_words"))
+            & (F.col("n_tokens") <= F.length("__wcat"))
+        ).alias("ok"),
+    )
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", *_metric_cols()
+    ).select("doc_id", F.col("n_bpe_tokens").alias("n_tokens"))
+    packed = pack_sequences(tok, PACK_MAX_TOKENS)
+    cap = F.lit(PACK_MAX_TOKENS)
+    row_agg = packed.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.min(F.col("oversize") == (F.col("n_tokens") > cap)).alias("flags_ok"),
+        F.sum(F.when(~F.col("oversize"), F.col("n_tokens"))).alias("norm_tokens"),
+        F.count_distinct("pack_group").alias("n_groups"),
+    )
+    bins = packed.groupBy("pack_group", "bin_idx").agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.count("*").alias("docs"),
+        F.max(F.col("oversize").cast("int")).alias("has_over"),
+    )
+    bin_agg = bins.agg(
+        F.max(F.when(F.col("has_over") == 0, F.col("tokens"))).alias(
+            "max_norm_tokens"
+        ),
+        F.max(F.when(F.col("has_over") == 1, F.col("docs"))).alias(
+            "max_over_docs"
+        ),
+        F.sum(F.when(F.col("has_over") == 0, 1).otherwise(0)).alias(
+            "n_norm_bins"
+        ),
+    )
+    combined = row_agg.join(F.broadcast(bin_agg), F.lit(True))
+    lower = F.ceil(F.col("norm_tokens") / cap)
+    pack_entries = [
+        F.struct(
+            F.lit("total_docs").alias("s"),
+            F.col("n_rows").cast("double").alias("v"),
+            (F.col("n_rows") == F.col("n_docs")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("capacity_ok").alias("s"),
+            nd.alias("v"),
+            F.coalesce(F.col("max_norm_tokens") <= cap, t).alias("ok"),
+        ),
+        F.struct(
+            F.lit("oversize_ok").alias("s"),
+            nd.alias("v"),
+            (
+                F.col("flags_ok")
+                & F.coalesce(F.col("max_over_docs") <= 1, t)
+            ).alias("ok"),
+        ),
+        F.struct(
+            F.lit("waste_ok").alias("s"),
+            nd.alias("v"),
+            F.coalesce(
+                F.col("n_norm_bins")
+                <= F.ceil(lower * 11 / 9) + F.col("n_groups"),
+                t,
+            ).alias("ok"),
+        ),
+    ]
+    pack = combined.select(
+        F.explode(F.array(*pack_entries)).alias("e")
+    ).select(
+        F.lit("pack").alias("op"),
+        nb.alias("k1"),
+        nb.alias("k2"),
+        F.col("e.s").alias("s"),
+        F.col("e.v").alias("v"),
+        F.col("e.ok").alias("ok"),
+    )
+
+    return chunks.unionByName(splits).unionByName(bpe).unionByName(pack)
+
+
+def _trainer_prep_oracle_sql() -> str:
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    return rf"""
+        WITH starts AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, greatest(length(text) - {CHUNK_OVERLAP + 1}, 0),
+                       {stride})) AS st
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   md5('split#' || CAST(doc_id AS VARCHAR)) AS d
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id,
+                   CAST(list_sum(
+                       [(strpos('0123456789abcdef', substr(d, i, 1)) - 1)::BIGINT
+                        << ((8 - i) * 4) for i in generate_series(1, 8)]
+                   ) AS DOUBLE) / 4294967296.0 AS u
+            FROM hashed
+        )
+        SELECT 'chunk' AS op, doc_id AS k1,
+               CAST(st / {stride} AS BIGINT) AS k2,
+               md5(substr(text, CAST(st + 1 AS INT), {CHUNK_CHARS})) AS s,
+               CAST(st AS DOUBLE) AS v, TRUE AS ok
+        FROM starts
+        UNION ALL
+        SELECT 'split', doc_id, CAST(NULL AS BIGINT),
+               CASE WHEN u < 0.75 THEN 'train'
+                    WHEN u < 0.875 THEN 'val'
+                    ELSE 'test' END,
+               CAST(NULL AS DOUBLE), TRUE
+        FROM u
+        UNION ALL
+        SELECT 'bpe', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(len(regexp_extract_all(lower(text), '{WORD_PAT}'))
+                    AS DOUBLE),
+               TRUE
+        FROM documents
+        UNION ALL
+        SELECT 'pack', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               'total_docs', CAST((SELECT COUNT(*) FROM documents) AS DOUBLE),
+               TRUE
+        UNION ALL
+        SELECT 'pack', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               m, CAST(NULL AS DOUBLE), TRUE
+        FROM (VALUES ('capacity_ok'), ('oversize_ok'), ('waste_ok')) AS t(m)
+    """
+
+
+QUERIES = {"trainer_prep": q_trainer_prep}
+ORACLE = {"trainer_prep": _trainer_prep_oracle_sql()}

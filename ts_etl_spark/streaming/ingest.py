@@ -26,12 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ts_etl_spark.fs import path_exists
+from ts_etl_spark.fs import delete_dir, list_subdirs, path_exists
 from ts_etl_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     canonical_fingerprint,
     dedup_incremental,
 )
+from ts_etl_spark.operators.drift import psi_drift
 from ts_etl_spark.operators.sketches import (
     hll_estimate,
     hll_merge,
@@ -51,6 +52,30 @@ def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     return spark.createDataFrame([], DOCS_SCHEMA)
 
 
+def _stats_generations(spark: SparkSession, stats_path: str) -> list[int]:
+    """COMMITTED register-table generations under ``stats_path``, ascending.
+    A generation counts only once its ``_SUCCESS`` marker exists, so a
+    crash mid-write leaves a partial directory that every reader ignores."""
+    gens = []
+    for name in list_subdirs(spark, stats_path):
+        if name.startswith("v") and name[1:].isdigit():
+            n = int(name[1:])
+            if path_exists(spark, f"{stats_path}/v{n}/_SUCCESS"):
+                gens.append(n)
+    return sorted(gens)
+
+
+def _latest_stats(spark: SparkSession, stats_path: str) -> tuple[DataFrame | None, int]:
+    gens = _stats_generations(spark, stats_path)
+    if not gens:
+        return None, 0
+    latest = gens[-1]
+    return (
+        spark.read.schema(STATS_SCHEMA).parquet(f"{stats_path}/v{latest}"),
+        latest,
+    )
+
+
 def update_corpus_stats(
     spark: SparkSession, new_docs: DataFrame, stats_path: str
 ) -> None:
@@ -60,28 +85,67 @@ def update_corpus_stats(
     maintained by max-merging ≤2^p rows per ingest, never by re-scanning
     history. The merged table is register-count bounded (256 rows), so
     materializing it through the driver for the copy-on-write swap is a
-    bounded scalar transfer, same class as the CLI summary collects."""
+    bounded scalar transfer, same class as the CLI summary collects.
+
+    Crash safety: the state is GENERATIONED (``v<N>`` subdirectories, a
+    generation valid only once its ``_SUCCESS`` marker commits). An update
+    reads the latest committed generation and writes the merge as a NEW
+    one — never an in-place overwrite, so a crash mid-write can only lose
+    the in-flight generation, not the corpus-lifetime sketch. Generations
+    older than the previous one are pruned after a successful commit."""
     batch_regs = hll_registers(
         new_docs.select(canonical_fingerprint().alias("fp")), "fp"
     )
-    if path_exists(spark, stats_path):
-        old = spark.read.schema(STATS_SCHEMA).parquet(stats_path)
-        merged = hll_merge(old, batch_regs)
-    else:
-        merged = batch_regs
+    old, latest = _latest_stats(spark, stats_path)
+    merged = batch_regs if old is None else hll_merge(old, batch_regs)
     rows = merged.collect()  # <= 2^p = 256 rows by construction
     spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(stats_path)
+    ).parquet(f"{stats_path}/v{latest + 1}")
+    # keep the immediately-previous generation as the recovery point; prune
+    # everything older (an append that later fails permanently can at most
+    # overcount by one batch in the telemetry — documented trade)
+    for n in _stats_generations(spark, stats_path):
+        if n < latest:
+            delete_dir(spark, f"{stats_path}/v{n}")
 
 
 def corpus_distinct_estimate(spark: SparkSession, stats_path: str) -> float:
     """Estimated distinct canonical documents ever ingested, from the
     persisted register table alone (no corpus scan)."""
-    if not path_exists(spark, stats_path):
+    regs, _ = _latest_stats(spark, stats_path)
+    if regs is None:
         return 0.0
-    regs = spark.read.schema(STATS_SCHEMA).parquet(stats_path)
     return float(hll_estimate(spark, regs).first().estimate)
+
+
+def monitor_batch_drift(
+    spark: SparkSession,
+    corpus: DataFrame,
+    batch_df: DataFrame,
+    drift_path: str,
+    batch_id: int,
+    n_buckets: int = 10,
+) -> None:
+    """PSI of the batch's document-length distribution against the
+    corpus-so-far, appended to a per-batch drift log — the monitoring
+    check a continuously-ingested corpus runs per micro-batch (is this
+    batch drawn from the same distribution the corpus was?).
+
+    Layout mirrors the stats sketch's idempotence: rows land in a
+    ``batch=<id>`` subdirectory written with overwrite, and Structured
+    Streaming replays a micro-batch under the SAME batch_id, so a replay
+    rewrites its own partition instead of duplicating rows. Each batch
+    contributes ``n_buckets + 1`` rows (per-bucket detail + the total) —
+    telemetry stays bounded by batches × buckets, never by corpus size."""
+    doclen = F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v")
+    base = corpus.select(doclen)
+    cur = batch_df.select(doclen)
+    if cur.first() is None:  # empty batch: nothing to compare
+        return
+    psi_drift(base, cur, "v", n_buckets=n_buckets).write.mode(
+        "overwrite"
+    ).parquet(f"{drift_path}/batch={int(batch_id)}")
 
 
 def ingest_batch(
@@ -90,16 +154,25 @@ def ingest_batch(
     corpus_path: str,
     threshold: float = JACCARD_THRESHOLD,
     stats_path: str | None = None,
+    drift_path: str | None = None,
+    batch_id: int = 0,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
     With ``stats_path``, also fold the batch's fingerprint registers into
-    the corpus-stats sketch (distinct-document telemetry per ingest).
+    the corpus-stats sketch (distinct-document telemetry per ingest); with
+    ``drift_path``, record the batch's PSI against the corpus-so-far
+    (``monitor_batch_drift``).
 
     The shingle-set frames dedup_incremental caches are unpersisted once
     the append materializes them — a stream runs this every micro-batch,
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
     corpus = _corpus(spark, corpus_path)
+    if drift_path is not None:
+        # BEFORE the append (same recacheByPath reasoning as the stats
+        # ordering below) — and semantically the baseline must be the
+        # corpus as it stood when the batch arrived
+        monitor_batch_drift(spark, corpus, batch_df, drift_path, batch_id)
     persisted: list[DataFrame] = []
     kept = (
         dedup_incremental(
@@ -138,17 +211,22 @@ def run_streaming_ingest(
     threshold: float = JACCARD_THRESHOLD,
     max_files: int | None = 1,
     stats_path: str | None = None,
+    drift_path: str | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
-    micro-batch; optionally maintaining the corpus-stats register sketch."""
+    micro-batch; optionally maintaining the corpus-stats register sketch
+    and the per-batch PSI drift log."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     stream = reader.load(landing_dir)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, corpus_path, threshold, stats_path)
+        ingest_batch(
+            spark, batch_df, corpus_path, threshold, stats_path,
+            drift_path, batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(_ingest)
