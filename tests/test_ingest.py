@@ -172,6 +172,16 @@ def test_corpus_stats_survive_a_crashed_swap(spark, tmp_path):
     update_corpus_stats(spark, more, stats_path)
     assert corpus_distinct_estimate(spark, stats_path) > est_before
 
+    # and the commit CLEANED UP the torn v99 (an uncommitted generation
+    # ABOVE the committed counter would otherwise linger as dead state
+    # until the counter happened to reach it)
+    assert not os.path.exists(partial)
+    # only committed generations remain: current + the recovery point
+    leftover = sorted(glob.glob(os.path.join(stats_path, "v*")))
+    assert 1 <= len(leftover) <= 2
+    for g in leftover:
+        assert os.path.exists(os.path.join(g, "_SUCCESS"))
+
 
 def test_streaming_ingest_records_per_batch_drift(spark, tmp_path):
     """With drift_path, every micro-batch logs its PSI against the

@@ -68,6 +68,42 @@ def test_zorder_nulls_and_constant_columns(spark):
     assert [r.a for r in got[1:]] == [5, 9]
 
 
+def test_zorder_nan_ranks_with_null_in_both_modes(spark):
+    """NaN in a double column must rank with the NULLs (bucket 0) in BOTH
+    bucketing modes. Unnormalized, NaN fails every v <= cut in the
+    equal-frequency CASE tree and silently lands in the TOP rank while
+    NULL lands in rank 0 — mixed-mode keys would order NaN rows
+    inconsistently across dimensions (and NaN poisons min/max and
+    percentile aggregates, NaN sorting above every double)."""
+    rows = [(float("nan"), 1), (None, 2), (1.0, 3), (50.0, 4), (99.0, 5)]
+    df = spark.createDataFrame(rows, "a DOUBLE, b INT")
+    for eq in ((), ("a",)):
+        got = {
+            r.b: r["__zkey"]
+            for r in with_zorder_key(df, ["a", "b"], equal_frequency=eq)
+            .select("b", "__zkey")
+            .collect()
+        }
+        # NaN and NULL rows differ only in b; equal b-rank would make the
+        # keys equal, so compare against the same-b NULL key re-derived
+        ref = {
+            r.b: r["__zkey"]
+            for r in with_zorder_key(
+                df.select(
+                    F.when(F.isnan("a"), None).otherwise(F.col("a")).alias("a"),
+                    "b",
+                ),
+                ["a", "b"],
+                equal_frequency=eq,
+            )
+            .select("b", "__zkey")
+            .collect()
+        }
+        assert got == ref, eq
+        # and the NaN row keys below every real value's row at equal b
+        assert got[1] <= got[3] and got[1] <= got[4] and got[1] <= got[5]
+
+
 def test_zorder_prunes_where_linear_sort_cannot(spark, tmp_path):
     """The judge-facing claim, measured: after Z-ordering orders by
     (o_custkey, o_totalprice), a selective predicate on the NON-leading

@@ -49,8 +49,12 @@ def test_every_doc_packed_exactly_once_and_bins_within_budget(spark):
 
 
 def test_ffd_waste_bound(spark):
-    """Total bins must stay near the volume lower bound: within-group FFD
-    is 11/9·OPT; group-splitting adds at most one tail bin per group."""
+    """Total bins must stay near the volume lower bound via the first-fit
+    half-full theorem: within a group at most one non-oversize bin is
+    <= half full, so bins <= 2*tokens/cap per group (+1 tail); summed,
+    <= 2*ceil(total/cap) + n_groups. (11/9·OPT is tighter but OPT is
+    unobservable, and 11/9·(token lower bound) is NOT a valid bound —
+    see test_waste_bound_survives_half_cap_documents.)"""
     docs = _docs(spark).withColumnRenamed("n_bpe_tokens", "n_tokens")
     n_groups = 8
     packed = pack_sequences(docs, MAX_TOKENS, n_groups=n_groups)
@@ -58,7 +62,35 @@ def test_ffd_waste_bound(spark):
     total_tokens = normal.agg(F.sum("n_tokens")).first()[0]
     n_bins = normal.select("pack_group", "bin_idx").distinct().count()
     lower = math.ceil(total_tokens / MAX_TOKENS)
-    assert n_bins <= math.ceil(11 / 9 * lower) + n_groups, (n_bins, lower)
+    assert n_bins <= 2 * lower + n_groups, (n_bins, lower)
+
+
+def test_waste_bound_survives_half_cap_documents(spark):
+    """Adversarial profile for the waste invariant: every document just
+    over cap/2 tokens forces one doc per bin (OPT ~ 2x the token lower
+    bound). Correct packing must still satisfy the half-full-theorem
+    bound — the 11/9-on-token-volume bound the gate previously used
+    false-fails here."""
+    n, cap = 200, 1000
+    docs = spark.createDataFrame(
+        [(i, cap // 2 + 1) for i in range(n)], "doc_id long, n_tokens long"
+    )
+    n_groups = 4
+    packed = pack_sequences(docs, cap, n_groups=n_groups)
+    normal = packed.filter(~F.col("oversize"))
+    assert normal.count() == n
+    bins = normal.groupBy("pack_group", "bin_idx").agg(
+        F.sum("n_tokens").alias("tokens")
+    )
+    assert bins.filter(F.col("tokens") > cap).count() == 0
+    n_bins = bins.count()
+    total_tokens = n * (cap // 2 + 1)
+    lower = math.ceil(total_tokens / cap)
+    # the sound bound holds...
+    assert n_bins <= 2 * lower + n_groups, (n_bins, lower)
+    # ...while the old 11/9-on-volume bound would have rejected this
+    # perfectly-packed corpus (documents simply don't fit two per bin)
+    assert n_bins > math.ceil(11 / 9 * lower) + n_groups, (n_bins, lower)
 
 
 def test_packing_is_deterministic(spark):

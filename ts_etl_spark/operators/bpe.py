@@ -189,8 +189,12 @@ def learn_bpe(
     wf = word_frequencies(docs, text_col, sample_fraction).filter(
         F.length("word") >= 2
     )
-    if wf.count() <= max_driver_types:
-        rows = wf.collect()
+    # gate AND fetch in ONE job: collect at most cap+1 rows — len <= cap
+    # means we hold the complete type table (the word-frequency aggregate,
+    # the only stage that sees every byte, runs once, not count-then-
+    # collect twice); cap+1 rows means overflow, fall back distributed
+    rows = wf.limit(max_driver_types + 1).collect()
+    if len(rows) <= max_driver_types:
         return _learn_bpe_local(
             [(r["word"], r["freq"]) for r in rows], n_merges, min_freq
         )

@@ -27,7 +27,13 @@ approximation ratio; the only cross-group cost is that each group keeps
 its own partially-filled tail bins. Expected waste from group-splitting
 is O(n_groups · max_tokens) total — negligible when each group packs
 ≫ 1 bin, which the docs-per-group floor guarantees at any real corpus
-size.
+size. The VERIFIABLE bound (tested, and driver-gated in
+``pipelines.trainer_prep``) is the first-fit half-full theorem — at most
+one non-oversize bin per group is ≤ half full, so
+``bins ≤ 2·ceil(total_tokens/cap) + n_groups`` — because 11/9·OPT is a
+theorem against OPT, which is unobservable, and substituting the token
+lower bound for OPT is unsound (OPT approaches 2× the volume bound when
+documents are just over cap/2).
 
 Oversized documents (n_tokens > max_tokens) become singleton bins
 flagged ``oversize`` — the caller decides whether to truncate or drop;

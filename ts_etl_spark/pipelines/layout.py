@@ -134,6 +134,15 @@ def with_zorder_key(
         t = dtypes.get(c)
         if t is None:
             raise ValueError(f"z-order column {c!r} not in {sorted(dtypes)}")
+        if t in ("float", "double"):
+            # normalize NaN to NULL so both bucketing modes rank it with
+            # the nulls (bucket 0). Raw NaN would diverge: it fails every
+            # v <= cut in the equal-frequency CASE tree (silently landing
+            # in the TOP rank) while the width path coalesces NULL to lo
+            # (rank 0) — and it would also poison the min/max and
+            # percentile aggregates (NaN sorts above every double).
+            v = F.col(c).cast("double")
+            return F.when(F.isnan(v), F.lit(None)).otherwise(v)
         if t in numeric or t.startswith("decimal"):
             return F.col(c).cast("double")
         if t == "date":

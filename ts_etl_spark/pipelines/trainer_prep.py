@@ -156,9 +156,14 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             F.lit("waste_ok").alias("s"),
             nd.alias("v"),
+            # first-fit half-full theorem: within a group at most ONE
+            # non-oversize bin is <= half full (a second one's first item
+            # would have fit in the first), so bins <= 2*tokens/cap + 1
+            # per group. 11/9*OPT is tighter but OPT is unobservable —
+            # substituting the token lower bound for OPT false-fails on
+            # corpora of mostly ~cap/2+1-token documents (OPT ~ 2*lower).
             F.coalesce(
-                F.col("n_norm_bins")
-                <= F.ceil(lower * 11 / 9) + F.col("n_groups"),
+                F.col("n_norm_bins") <= 2 * lower + F.col("n_groups"),
                 t,
             ).alias("ok"),
         ),

@@ -104,9 +104,20 @@ def update_corpus_stats(
     ).parquet(f"{stats_path}/v{latest + 1}")
     # keep the immediately-previous generation as the recovery point; prune
     # everything older (an append that later fails permanently can at most
-    # overcount by one batch in the telemetry — documented trade)
-    for n in _stats_generations(spark, stats_path):
-        if n < latest:
+    # overcount by one batch in the telemetry — documented trade). Torn
+    # directories (no _SUCCESS) are also removed regardless of number —
+    # a crash mid-write can leave one ABOVE the committed counter, which
+    # the committed-only prune would never reach; safe under the
+    # single-writer assumption since the only in-flight write (ours, to
+    # v<latest+1>) just committed.
+    committed = set(_stats_generations(spark, stats_path))
+    for name in list_subdirs(spark, stats_path):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        n = int(name[1:])
+        if n == latest + 1:
+            continue
+        if n not in committed or n < latest:
             delete_dir(spark, f"{stats_path}/v{n}")
 
 
