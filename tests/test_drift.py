@@ -87,3 +87,45 @@ def test_constant_column_and_validation(spark):
     empty = spark.createDataFrame([(None,)], "v DOUBLE")
     with pytest.raises(ValueError, match="no non-null values"):
         psi_drift(empty, empty, "v")
+
+
+def test_sided_variant_is_bit_identical_to_two_frame(spark):
+    """psi_drift_sided must reproduce psi_drift EXACTLY (same IEEE
+    expression shapes over the same counts), in 2 scans instead of a
+    scan-per-side-per-reference — it exists so fan-outs over the drift
+    output stop multiplying corpus scans."""
+    from ts_etl_spark.operators.drift import psi_drift_sided
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 211 + (F.col("id") % 2) * 40).cast("double").alias("v"),
+    )
+    base = docs.filter(F.col("doc_id") % 2 == 0).select("v")
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select("v")
+    two = {r.bucket: r for r in psi_drift(base, cur, "v", n_buckets=7).collect()}
+    one = {
+        r.bucket: r
+        for r in psi_drift_sided(
+            docs.select("v", (F.col("doc_id") % 2 == 1).alias("cur")),
+            F.col("cur"),
+            "v",
+            n_buckets=7,
+        ).collect()
+    }
+    assert set(two) == set(one)
+    for b in two:
+        assert two[b].share_base == one[b].share_base  # exact, not approx
+        assert two[b].share_cur == one[b].share_cur
+        assert (two[b].psi_term is None) == (one[b].psi_term is None)
+        if two[b].psi_term is not None:
+            assert two[b].psi_term == one[b].psi_term
+
+
+def test_sided_variant_validation(spark):
+    from ts_etl_spark.operators.drift import psi_drift_sided
+
+    empty = spark.createDataFrame([(None, True)], "v DOUBLE, cur BOOLEAN")
+    with pytest.raises(ValueError, match="no non-null values"):
+        psi_drift_sided(empty, F.col("cur"), "v")
+    with pytest.raises(ValueError):
+        psi_drift_sided(empty, F.col("cur"), "v", n_buckets=1)

@@ -287,12 +287,23 @@ def bpe_encode(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_tokens, tokens) per document under the learned merge table —
-    Arrow-batched; the merge list ships by closure capture."""
+    Arrow-batched; the merge list ships by closure capture.
+
+    The merge fold runs once per word TYPE, not per occurrence: an LRU
+    memo (bounded at 2^20 entries, ~100 MB worst case per Python worker)
+    fronts ``_encode_word``, and Zipf token frequencies make the hit rate
+    overwhelming — the fold is the per-row Python hot spot, so memoizing
+    types is the difference between O(occurrences) and O(types) folds per
+    worker."""
     import re as _re
 
     pat = _re.compile(WORD_PAT)
     ranks = {pair: i for i, pair in enumerate(merges)}
     out_schema = f"{id_col} long, n_tokens int, tokens array<string>"
+    # plain dict (clear-on-full) rather than functools.lru_cache: the
+    # closure must survive cloudpickle to the executors
+    memo: dict[str, list[str]] = {}
+    memo_cap = 1 << 20
 
     def _encode_word(word: str) -> list[str]:
         syms = list(word)
@@ -313,7 +324,13 @@ def bpe_encode(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 tokens: list[str] = []
                 for w in pat.findall(str(text).lower()):
-                    tokens.extend(_encode_word(w))
+                    t = memo.get(w)
+                    if t is None:
+                        if len(memo) >= memo_cap:
+                            memo.clear()
+                        t = _encode_word(w)
+                        memo[w] = t
+                    tokens.extend(t)
                 ids.append(doc_id)
                 counts.append(len(tokens))
                 toks.append(tokens)

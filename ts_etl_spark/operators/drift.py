@@ -127,3 +127,86 @@ def psi_drift(
         F.sum("psi_term").alias("psi_term"),
     )
     return detail.unionByName(total)
+
+
+def psi_drift_sided(
+    df: DataFrame,
+    side: "F.Column",
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """``psi_drift`` when both snapshots live in ONE frame, told apart by
+    the boolean column expression ``side`` (false = baseline, true =
+    current): identical output, one-pass plan.
+
+    The two-frame version costs a scan per side per evaluation — and its
+    detail/total self-union plus any downstream fan-out MULTIPLIES those
+    scans (Spark re-executes a subtree per reference; the drift arm of
+    ``corpus_quality_signals`` measured 15+ scans). Here the combined
+    range is one aggregate, both sides' bucket counts come from one
+    more scan (a pivoted conditional count), and the ≤``n_buckets``
+    count rows materialize through the driver (the same bounded scalar
+    transfer as the lo/hi row), so the share/PSI arithmetic — the SAME
+    IEEE expression shapes as ``psi_drift``, hence bit-identical values —
+    runs over a local relation that downstream plans can re-reference
+    for free. Scans per evaluation: 2, regardless of fan-out."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+    v = F.col(col).cast("double")
+    lo_hi = df.agg(F.min(v).alias("lo"), F.max(v).alias("hi")).first()
+    if lo_hi.lo is None:
+        raise ValueError(
+            f"no non-null values in {col!r} on either side — nothing to bucket"
+        )
+    lo, hi = float(lo_hi.lo), float(lo_hi.hi)
+    b = F.when(
+        F.lit(hi) > F.lit(lo),
+        F.least(
+            F.greatest(
+                F.floor(((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo))) * n_buckets)
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+    counted = {
+        r["bucket"]: (r["n_base"], r["n_cur"])
+        for r in df.filter(v.isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.sum(F.when(~side, 1).otherwise(0)).alias("n_base"),
+            F.sum(F.when(side, 1).otherwise(0)).alias("n_cur"),
+        )
+        .collect()
+    }
+    spark = df.sparkSession
+    local = spark.createDataFrame(
+        [
+            (i, *counted.get(i, (0, 0)))
+            for i in range(n_buckets)
+        ],
+        "bucket INT, n_base BIGINT, n_cur BIGINT",
+    )
+    t_base = sum(nb for nb, _ in counted.values())
+    t_cur = sum(nc for _, nc in counted.values())
+    share = lambda n, t: (F.col(n) + F.lit(eps)) / (  # noqa: E731
+        F.lit(t) + F.lit(eps) * n_buckets
+    )
+    detail = local.select(
+        "bucket",
+        share("n_base", t_base).alias("share_base"),
+        share("n_cur", t_cur).alias("share_cur"),
+    ).withColumn(
+        "psi_term",
+        (F.col("share_cur") - F.col("share_base"))
+        * F.log(F.col("share_cur") / F.col("share_base")),
+    )
+    total = detail.agg(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("share_base"),
+        F.lit(None).cast("double").alias("share_cur"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return detail.unionByName(total)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.boilerplate import BOILER_N, boilerplate_scores
 from ts_etl_spark.operators.bpe import WORD_PAT
-from ts_etl_spark.operators.drift import psi_drift
+from ts_etl_spark.operators.drift import psi_drift_sided
 from ts_etl_spark.operators.lm import score_documents, train_bigram_lm
 from ts_etl_spark.sources.tables import load_table
 
@@ -68,42 +68,40 @@ def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("ok"),
     )
 
-    # deterministic two-snapshot stand-in: even vs odd doc_id halves
-    doclen = F.length("text").alias("len")
-    base = docs.filter(F.col("doc_id") % 2 == 0).select(doclen)
-    cur = docs.filter(F.col("doc_id") % 2 == 1).select(doclen)
-    psi = psi_drift(base, cur, "len", n_buckets=DRIFT_BUCKETS)
+    # deterministic two-snapshot stand-in: even vs odd doc_id halves.
+    # ONE-PASS sided PSI + ONE explode fan-out: the previous shape (the
+    # two-frame psi_drift referenced by three union branches) re-executed
+    # the whole drift subtree per branch — 15+ documents scans for a
+    # 10-bucket answer; this computes counts in 2 scans and fans the
+    # (base, cur, psi) row kinds out of the tiny local detail frame.
+    psi = psi_drift_sided(
+        docs.select(F.length("text").alias("len"), (F.col("doc_id") % 2 == 1).alias("cur")),
+        F.col("cur"),
+        "len",
+        n_buckets=DRIFT_BUCKETS,
+    )
     nb = F.lit(None).cast("bigint")
-    drift_base = psi.filter(F.col("bucket") >= 0).select(
-        F.lit("drift_base").alias("op"),
+    kinds = [
+        F.struct(F.lit("drift_base").alias("op"), F.col("share_base").alias("v")),
+        F.struct(F.lit("drift_cur").alias("op"), F.col("share_cur").alias("v")),
+        F.struct(F.lit("drift_psi").alias("op"), F.round("psi_term", 6).alias("v")),
+    ]
+    drift = psi.select(
+        F.col("bucket"),
+        F.explode(
+            F.when(F.col("bucket") >= 0, F.array(*kinds)).otherwise(
+                F.array(kinds[2])
+            )
+        ).alias("e"),
+    ).select(
+        F.col("e.op").alias("op"),
         nb.alias("doc_id"),
         F.col("bucket").alias("n"),
         ni.alias("n2"),
-        F.col("share_base").alias("v"),
+        F.col("e.v").alias("v"),
         t.alias("ok"),
     )
-    drift_cur = psi.filter(F.col("bucket") >= 0).select(
-        F.lit("drift_cur").alias("op"),
-        nb.alias("doc_id"),
-        F.col("bucket").alias("n"),
-        ni.alias("n2"),
-        F.col("share_cur").alias("v"),
-        t.alias("ok"),
-    )
-    drift_psi = psi.select(
-        F.lit("drift_psi").alias("op"),
-        nb.alias("doc_id"),
-        F.col("bucket").alias("n"),
-        ni.alias("n2"),
-        F.round("psi_term", 6).alias("v"),
-        t.alias("ok"),
-    )
-    return (
-        lm.unionByName(boiler)
-        .unionByName(drift_base)
-        .unionByName(drift_cur)
-        .unionByName(drift_psi)
-    )
+    return lm.unionByName(boiler).unionByName(drift)
 
 
 def _quality_oracle_sql() -> str:
