@@ -107,3 +107,110 @@ def test_register_plan_is_partial_aggregated(spark):
         .toString()
     )
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cm_cells_exactly_match_duckdb(spark):
+    from ts_etl_spark.operators.sketches import cm_registers, cm_registers_sql
+
+    got = {
+        (r.d, r.slot): r.c
+        for r in cm_registers(_lineitem(spark), "l_partkey").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    want = {
+        (d, s): c
+        for d, s, c in con.execute(
+            cm_registers_sql("lineitem", "l_partkey")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_cm_merge_equals_recompute_on_union(spark):
+    """sum-merge of per-batch counters == counters of the full dataset."""
+    from ts_etl_spark.operators.sketches import cm_merge, cm_registers
+
+    li = _lineitem(spark)
+    whole = {(r.d, r.slot): r.c for r in cm_registers(li, "l_partkey").collect()}
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = {
+        (r.d, r.slot): r.c
+        for r in cm_merge(
+            cm_registers(a, "l_partkey"), cm_registers(b, "l_partkey")
+        ).collect()
+    }
+    assert merged == whole
+
+
+def test_cm_estimates_never_underestimate_and_bound_overshoot(spark):
+    """The count-min theorem pair: est >= true always (each cell holds the
+    key's count plus non-negative collision mass), and the overshoot stays
+    within the e*N/width regime (deterministic data + hash, so pinned)."""
+    import math
+
+    from ts_etl_spark.operators.sketches import (
+        CM_WIDTH,
+        cm_estimate,
+        cm_registers,
+    )
+
+    li = _lineitem(spark)
+    regs = cm_registers(li, "l_partkey")
+    keys = [1, 2, 3, 999_999_999]  # 3 live keys + one absent
+    est = {
+        r.key: r.estimate
+        for r in cm_estimate(spark, regs, keys).collect()
+    }
+    true = {
+        str(k): c
+        for k, c in (
+            li.filter(F.col("l_partkey").isin(*keys))
+            .groupBy("l_partkey")
+            .count()
+            .select(F.col("l_partkey").cast("string"), "count")
+            .collect()
+        )
+    }
+    n = li.count()
+    for k in map(str, keys):
+        t = true.get(k, 0)
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + math.ceil(math.e * n / CM_WIDTH), (k, est[k], t, n)
+
+
+def test_cm_nulls_excluded_and_cell_count_bounded(spark):
+    from ts_etl_spark.operators.sketches import CM_DEPTH, CM_WIDTH, cm_registers
+
+    df = spark.createDataFrame([(1,), (None,), (1,), (2,)], "v INT")
+    regs = cm_registers(df, "v").collect()
+    # 2 distinct live values x 4 rows, but cells can collide within a row
+    assert len(regs) <= CM_DEPTH * min(2, CM_WIDTH)
+    assert sum(r.c for r in regs) == 3 * CM_DEPTH  # 3 non-null occurrences
+    with pytest.raises(ValueError):
+        cm_registers(df, "v", width=1)
+
+
+def test_cm_register_plan_is_partial_aggregated(spark):
+    """The shuffle must carry pre-aggregated cells (<= depth*width rows per
+    task), not one row per input occurrence."""
+    from ts_etl_spark.operators.sketches import cm_registers
+
+    plan = (
+        cm_registers(_lineitem(spark), "l_partkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan or "HashAggregate" in plan
+    first_agg = plan.find("HashAggregate")
+    exch = plan.find("Exchange")
+    assert first_agg != -1 and exch != -1 and first_agg < exch or plan.count("HashAggregate") >= 2

@@ -999,6 +999,11 @@ def q_scalar_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+#: count-min probe keys for the gated estimates: three live partkeys (1..3
+#: exist at every SF) plus one absent key (estimate = pure collision mass)
+_CM_PROBE_KEYS = (1, 2, 3, 999999999)
+
+
 def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quantile/sketch surface in one long-format result
     (metric, value, ok), ALL oracle-checkable:
@@ -1024,43 +1029,72 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     is EXACT-value-matched by the DuckDB oracle (the only sketch here with
     value parity, not a tolerance boolean), and ``hll_estimate_ok`` asserts
     the estimator built from those registers lands within its documented
-    error of the exact count."""
-    from ts_etl_spark.operators.sketches import hll_estimate, hll_registers
+    error of the exact count.
+
+    Round 5 adds the COUNTING dual: count-min cells over ``l_partkey``
+    (``cm_<d>_<slot>`` rows, exact-value-matched like the HLL registers,
+    sum-mergeable per ingest batch) plus exact-matched point estimates for
+    three probe keys and the absent key 999999999, each also gated on the
+    CM theorem pair (estimate ≥ true count always; overshoot ≤ e·N/width).
+
+    Scan economics: the expensive one-row aggregate and both sketch
+    register tables are BOUNDED results (1 row / ≤256 / ≤1024), so they
+    materialize through the driver once and every downstream row kind
+    reads the local relation — the previous shape re-evaluated the
+    percentile + 3×count-distinct aggregate and the register scan per
+    referencing union branch."""
+    import math
+
+    from ts_etl_spark.operators.sketches import (
+        CM_WIDTH,
+        cm_estimate,
+        cm_registers,
+        hll_estimate,
+        hll_registers,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     apct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
     )
-    agg = li.agg(
+    # TWO single-row jobs on purpose: mixing countDistinct with the
+    # buffer-heavy aggregates is a planner trap — multiple DISTINCT
+    # columns force an Expand + a first aggregate GROUPED BY the distinct
+    # values, and every one of those ~hundreds-of-thousands of groups
+    # allocates the percentile array + three 0.01-rsd HLL++ register
+    # blocks (~100 KB each). Measured 185s at sf0.1 combined vs <5s
+    # split; the split costs one extra (cheap, column-pruned) scan.
+    brow = li.agg(
         pct.getItem(0).alias("p25"),
         pct.getItem(1).alias("p50"),
         pct.getItem(2).alias("p75"),
         apct.getItem(0).alias("ap25"),
         apct.getItem(1).alias("ap50"),
         apct.getItem(2).alias("ap75"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
         F.approx_count_distinct("l_partkey", 0.01).alias("adp"),
         F.approx_count_distinct("l_suppkey", 0.01).alias("ads"),
         F.approx_count_distinct("l_orderkey", 0.01).alias("ado"),
-    )
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(F.when(F.col("l_partkey") == k, 1).otherwise(0)).alias(
+                f"cm_true_{k}"
+            )
+            for k in _CM_PROBE_KEYS
+        ],
+    ).first()
+    drow = li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_orderkey").alias("distinct_orders"),
+    ).first()
+    arow = {**brow.asDict(), **drow.asDict()}
 
     def rel_ok(approx, exact, bound):
-        return F.abs(F.col(approx) - F.col(exact)) <= F.col(exact) * bound
+        return bool(abs(arow[approx] - arow[exact]) <= arow[exact] * bound)
 
-    nd = F.lit(None).cast("double")
-
-    def m(metric, value, ok):
-        return F.struct(
-            F.lit(metric).alias("metric"),
-            value.cast("double").alias("value"),
-            ok.alias("ok"),
-        )
-
-    entries = [
-        m(name, F.col(name), F.lit(True))
+    long_rows = [
+        (name, float(arow[name]), True)
         for name in (
             "p25",
             "p50",
@@ -1070,14 +1104,16 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_orders",
         )
     ] + [
-        m("ap25_ok", nd, rel_ok("ap25", "p25", 0.01)),
-        m("ap50_ok", nd, rel_ok("ap50", "p50", 0.01)),
-        m("ap75_ok", nd, rel_ok("ap75", "p75", 0.01)),
-        m("adp_ok", nd, rel_ok("adp", "distinct_parts", 0.05)),
-        m("ads_ok", nd, rel_ok("ads", "distinct_suppliers", 0.05)),
-        m("ado_ok", nd, rel_ok("ado", "distinct_orders", 0.05)),
+        ("ap25_ok", None, rel_ok("ap25", "p25", 0.01)),
+        ("ap50_ok", None, rel_ok("ap50", "p50", 0.01)),
+        ("ap75_ok", None, rel_ok("ap75", "p75", 0.01)),
+        ("adp_ok", None, rel_ok("adp", "distinct_parts", 0.05)),
+        ("ads_ok", None, rel_ok("ads", "distinct_suppliers", 0.05)),
+        ("ado_ok", None, rel_ok("ado", "distinct_orders", 0.05)),
     ]
-    long = agg.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    schema = "metric STRING, value DOUBLE, ok BOOLEAN"
+    long = spark.createDataFrame(long_rows, schema)
+    nd = F.lit(None).cast("double")
 
     deciles = q_ntile_bucketed(spark, sf_dir).select(
         F.concat(
@@ -1087,7 +1123,9 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
     )
 
-    regs = hll_registers(li, "l_partkey")
+    regs = spark.createDataFrame(
+        hll_registers(li, "l_partkey").collect(), "bucket STRING, rho INT"
+    )
     reg_rows = regs.select(
         F.concat(F.lit("hll_"), F.col("bucket")).alias("metric"),
         F.col("rho").cast("double").alias("value"),
@@ -1095,19 +1133,54 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # m=256 ⇒ standard error 6.5%; 0.15 ≈ a 2.3-sigma band (soak-checked
     # at sf0.1 too, so an SF-dependent excursion would surface pre-driver)
-    est_row = (
-        hll_estimate(spark, regs)
-        .join(F.broadcast(agg.select("distinct_parts")), F.lit(True))
-        .select(
-            F.lit("hll_estimate_ok").alias("metric"),
-            nd.alias("value"),
-            (
-                F.abs(F.col("estimate") - F.col("distinct_parts"))
-                <= F.col("distinct_parts") * 0.15
-            ).alias("ok"),
-        )
+    est_row = hll_estimate(spark, regs).select(
+        F.lit("hll_estimate_ok").alias("metric"),
+        nd.alias("value"),
+        (
+            F.abs(F.col("estimate") - F.lit(int(arow["distinct_parts"])))
+            <= F.lit(int(arow["distinct_parts"])) * 0.15
+        ).alias("ok"),
     )
-    return long.unionByName(deciles).unionByName(reg_rows).unionByName(est_row)
+
+    cm = spark.createDataFrame(
+        cm_registers(li, "l_partkey").collect(), "d INT, slot INT, c BIGINT"
+    )
+    cm_rows = cm.select(
+        F.concat(
+            F.lit("cm_"),
+            F.col("d").cast("string"),
+            F.lit("_"),
+            F.lpad(F.col("slot").cast("string"), 3, "0"),
+        ).alias("metric"),
+        F.col("c").cast("double").alias("value"),
+        F.lit(True).alias("ok"),
+    )
+    overshoot = math.ceil(math.e * arow["n_rows"] / CM_WIDTH)
+    truth = F.create_map(
+        *[
+            x
+            for k in _CM_PROBE_KEYS
+            for x in (F.lit(str(k)), F.lit(int(arow[f"cm_true_{k}"])))
+        ]
+    )
+    cm_est_rows = cm_estimate(spark, cm, list(_CM_PROBE_KEYS)).select(
+        F.concat(F.lit("cm_est_"), F.col("key")).alias("metric"),
+        F.col("estimate").cast("double").alias("value"),
+        (
+            (F.col("estimate") >= F.coalesce(truth[F.col("key")], F.lit(0)))
+            & (
+                F.col("estimate")
+                <= F.coalesce(truth[F.col("key")], F.lit(0)) + F.lit(overshoot)
+            )
+        ).alias("ok"),
+    )
+    return (
+        long.unionByName(deciles)
+        .unionByName(reg_rows)
+        .unionByName(est_row)
+        .unionByName(cm_rows)
+        .unionByName(cm_est_rows)
+    )
 
 
 QUERIES = {
@@ -1628,7 +1701,10 @@ ORACLE = {
                    CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS distinct_suppliers,
                    CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders
             FROM lineitem
-        )
+        ),
+        cmreg AS ("""
+    + _sketches.cm_registers_sql("lineitem", "l_partkey")
+    + """)
         SELECT 'p25' AS metric, p25 AS value, TRUE AS ok FROM agg
         UNION ALL SELECT 'p50', p50, TRUE FROM agg
         UNION ALL SELECT 'p75', p75, TRUE FROM agg
@@ -1648,7 +1724,18 @@ ORACLE = {
     + _sketches.HLL_REGISTERS_SQL.format(table="lineitem", col="l_partkey")
     + """) hll
         UNION ALL SELECT 'hll_estimate_ok', CAST(NULL AS DOUBLE), TRUE
-    """,
+        UNION ALL
+        SELECT 'cm_' || CAST(d AS VARCHAR) || '_' || lpad(CAST(slot AS VARCHAR), 3, '0'),
+               CAST(c AS DOUBLE), TRUE
+        FROM cmreg
+        """
+    + "".join(
+        f"""
+        UNION ALL SELECT 'cm_est_{k}',
+               CAST({_sketches.cm_estimate_sql("cmreg", str(k))} AS DOUBLE), TRUE
+        """
+        for k in _CM_PROBE_KEYS
+    ),
 }
 
 # scalar_projections oracle: the two arm oracles survive as private keys

@@ -138,3 +138,137 @@ HLL_REGISTERS_SQL = """
     FROM {table} WHERE {col} IS NOT NULL
     GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency state (the counting dual of HLL)
+# --------------------------------------------------------------------------
+
+#: depth = independent hash rows (error prob decays as ~e^-depth);
+#: width = counters per row (overestimate bound eps = e/width of total mass)
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def _cm_hash_int(col: Column, d: int) -> Column:
+    """Row-``d`` hash of the canonical string form, as a bigint in
+    [0, 2^32): ONE md5 of the value carved into four independent 32-bit
+    words (hex chars 8d+1..8d+8) — one digest serves every depth row, so
+    the scan pays a single md5 per value instead of depth seeded ones.
+    Engine-portable for the same reason as ``_hll_hash`` (and swappable
+    for ``xxhash64(col, lit(d))`` when cross-engine parity isn't
+    needed)."""
+    h = F.md5(F.concat(F.lit("cm#"), col.cast("string")))
+    return F.conv(F.substring(h, 8 * d + 1, 8), 16, 10).cast("bigint")
+
+
+def cm_registers(
+    df: DataFrame, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """The count-min counter table for ``df[col]``: one row per OCCUPIED
+    cell, ``(d: int, slot: int, c: bigint)`` — ≤ depth·width rows total,
+    partial-aggregated so each task emits at most that many pre-shuffle.
+
+    Same three scale properties as the HLL registers: mergeable
+    (counters of a union = element-wise SUM — ``cm_merge``), engine-
+    portable (md5-derived slots, so an oracle reproduces every cell
+    EXACTLY), and cheap (one projection + one bounded groupBy). Point
+    queries via ``cm_estimate`` NEVER underestimate (each cell holds the
+    key's true count plus non-negative collision mass) and overestimate
+    by more than e·N/width with probability ≤ e^-depth per query."""
+    if not 1 <= depth <= 4 or width < 2:
+        raise ValueError(
+            "depth must be in [1, 4] (one md5 digest carries four 32-bit "
+            "words) and width >= 2"
+        )
+    entries = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (_cm_hash_int(F.col(col), d) % width).cast("int").alias("slot"),
+        )
+        for d in range(depth)
+    ]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .select("e.d", "e.slot")
+        .groupBy("d", "slot")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cm_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge counter tables (element-wise sum) — counters of a UNION of
+    datasets; the incremental-ingest path, like ``hll_merge``."""
+    it = iter(register_tables)
+    merged = next(it)
+    for regs in it:
+        merged = merged.unionByName(regs)
+    return merged.groupBy("d", "slot").agg(F.sum("c").alias("c"))
+
+
+def cm_estimate(
+    spark: SparkSession,
+    registers: DataFrame,
+    keys: list,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates ``(key: string, estimate: bigint)`` for
+    ``keys`` (canonical string forms, matching ``col.cast(string)``):
+    min over the depth rows of the key's cell, absent cells counting 0.
+    The keys frame is a local relation and the counter table is ≤
+    depth·width rows — broadcast territory on both sides."""
+    kdf = spark.createDataFrame([(str(k),) for k in keys], "key STRING")
+    entries = [
+        F.struct(
+            F.lit(d).alias("d"),
+            (_cm_hash_int(F.col("key"), d) % width).cast("int").alias("slot"),
+        )
+        for d in range(depth)
+    ]
+    melt = kdf.select(
+        "key", F.explode(F.array(*entries)).alias("e")
+    ).select("key", "e.d", "e.slot")
+    return (
+        melt.join(F.broadcast(registers), ["d", "slot"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("estimate"))
+    )
+
+
+def _hex8_fold_sql(expr: str) -> str:
+    """DuckDB: integer value of the 8-hex-char string expression ``expr``
+    (the same big-endian fold the trainer-prep oracle uses)."""
+    return (
+        "list_sum([(strpos('0123456789abcdef', substr(" + expr + ", i, 1)) - 1)::BIGINT"
+        " << ((8 - i) * 4) for i in generate_series(1, 8)])"
+    )
+
+
+def cm_registers_sql(table: str, col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH) -> str:
+    """DuckDB mirror of ``cm_registers`` (oracle side of the exact
+    cross-engine cell parity claim). Keep in lockstep with _cm_hash_int."""
+    fold = _hex8_fold_sql(
+        f"substr(md5('cm#' || CAST({col} AS VARCHAR)), 8 * t.d + 1, 8)"
+    )
+    return f"""
+        SELECT t.d, CAST(({fold}) % {width} AS INT) AS slot, COUNT(*) AS c
+        FROM {table}, (SELECT unnest(generate_series(0, {depth - 1})) AS d) t
+        WHERE {col} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def cm_estimate_sql(
+    registers_cte: str, key: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> str:
+    """DuckDB mirror of ``cm_estimate`` for one literal key: a scalar
+    subquery over the ``registers_cte`` relation name."""
+    fold = _hex8_fold_sql(f"substr(md5('cm#' || '{key}'), 8 * q.d + 1, 8)")
+    return f"""(
+        SELECT MIN(COALESCE(r.c, 0))
+        FROM (SELECT d, CAST(({fold}) % {width} AS INT) AS slot
+              FROM (SELECT unnest(generate_series(0, {depth - 1})) AS d) q) q2
+        LEFT JOIN {registers_cte} r USING (d, slot)
+    )"""
