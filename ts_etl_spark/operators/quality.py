@@ -14,6 +14,13 @@ Unified schema ``(op, doc_id, n, n2, v, ok)``:
 - ``boiler`` rows (one per document): n = distinct word-5-grams,
   n2 = grams shared corpus-wide (df ≥ max(2, 5%·N)), v = the boilerplate
   fraction (a single exact division — no rounding needed).
+- ``clf`` rows (one per document, round 5): n = token count, v = the
+  hashing-trick linear quality score (fastText-style: md5-bucketed
+  tokens, derived stand-in weights, sigmoid of the mean — see
+  ``operators/classifier.py``), rounded to 6 decimals (the sigmoid's
+  libm exp is last-ulp engine-dependent; the underlying activation is
+  bit-exact and pinned by tests/test_classifier.py); NULL for
+  token-less documents.
 - ``drift_base`` / ``drift_cur`` rows (one per bucket): the Laplace-
   smoothed document-length share per side, splitting the corpus into
   even/odd doc_id halves (a deterministic two-snapshot stand-in). Shares
@@ -32,6 +39,10 @@ from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.boilerplate import BOILER_N, boilerplate_scores
 from ts_etl_spark.operators.bpe import WORD_PAT
+from ts_etl_spark.operators.classifier import (
+    score_hashed_linear,
+    score_hashed_linear_sql,
+)
 from ts_etl_spark.operators.drift import psi_drift_sided
 from ts_etl_spark.operators.lm import score_documents, train_bigram_lm
 from ts_etl_spark.sources.tables import load_table
@@ -41,9 +52,10 @@ DRIFT_BUCKETS = 10
 
 
 def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM scoring + boilerplate + drift over ``documents`` (see module
-    docstring). Plan shape: each arm keeps its own linear plan (explode +
-    two hash joins; gram explode + df threshold; two bounded bucket
+    """LM scoring + boilerplate + classifier scoring + drift over
+    ``documents`` (see module docstring). Plan shape: each arm keeps its
+    own linear plan (explode + two hash joins; gram explode + df
+    threshold; a shuffle-free classifier projection; two bounded bucket
     aggregates) — the union adds no exchange."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ni = F.lit(None).cast("int")
@@ -65,6 +77,15 @@ def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("int").alias("n"),
         F.col("n_boiler").cast("int").alias("n2"),
         F.col("boiler_frac").alias("v"),
+        t.alias("ok"),
+    )
+
+    clf = score_hashed_linear(docs).select(
+        F.lit("clf").alias("op"),
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n"),
+        ni.alias("n2"),
+        F.round("score", 6).alias("v"),
         t.alias("ok"),
     )
 
@@ -101,7 +122,7 @@ def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.v").alias("v"),
         t.alias("ok"),
     )
-    return lm.unionByName(boiler).unionByName(drift)
+    return lm.unionByName(boiler).unionByName(clf).unionByName(drift)
 
 
 def _quality_oracle_sql() -> str:
@@ -210,6 +231,10 @@ def _quality_oracle_sql() -> str:
                     ELSE 0.0 END AS v,
                TRUE AS ok
         FROM documents d LEFT JOIN bscored s USING (doc_id)
+        UNION ALL
+        SELECT 'clf', doc_id, CAST(n_tokens AS INT), CAST(NULL AS INT),
+               round(score, 6), TRUE
+        FROM ({score_hashed_linear_sql()})
         UNION ALL
         SELECT 'drift_base', CAST(NULL AS BIGINT), bucket, CAST(NULL AS INT),
                share_base, TRUE FROM psi
