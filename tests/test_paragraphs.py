@@ -1,0 +1,114 @@
+"""Paragraph-level dedup: exact DuckDB mirror for both policies over a
+multi-paragraph fixture (the synthetic documents table has no newlines,
+so this operator is fixture-verified — see the module docstring),
+policy semantics, structure preservation, idempotence, and plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.paragraphs import (
+    dedup_paragraphs,
+    dedup_paragraphs_sql,
+)
+
+BOILER = "All Rights Reserved.\nContact us for details."
+COOKIE = "This site uses   cookies."
+
+
+def _fixture(spark):
+    rows = [
+        (1, f"Unique intro one.\n\n{BOILER}\n\nUnique body one."),
+        (2, f"{BOILER}\n\nUnique body two.\n\n{COOKIE}"),
+        (3, f"Unique intro three.\n\n{COOKIE.lower()}\n\n\n\nTail three."),
+        (4, "Entirely unique document with one paragraph."),
+        (5, f"{BOILER}"),
+        (6, ""),
+        (7, f"Unique seven.\n\nUnique seven."),  # self-duplicate, df = 1
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+@pytest.mark.parametrize("mode", ["df", "keep_first"])
+def test_matches_duckdb_exactly(spark, mode):
+    docs = _fixture(spark)
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs, r.n_kept)
+        for r in dedup_paragraphs(docs, mode=mode).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    want = {
+        d: (t, n, k)
+        for d, t, n, k in con.execute(
+            dedup_paragraphs_sql(mode=mode)
+        ).fetchall()
+    }
+    assert got == want, mode
+
+
+def test_df_mode_drops_every_copy_of_shared_paragraphs(spark):
+    out = {
+        r.doc_id: r for r in dedup_paragraphs(_fixture(spark), mode="df").collect()
+    }
+    # BOILER (docs 1, 2, 5) and COOKIE (docs 2, 3 — case/whitespace
+    # normalized) are gone everywhere
+    for d in (1, 2, 3, 5):
+        assert BOILER not in out[d].text
+        assert "cookies" not in out[d].text.lower()
+    # unique content survives verbatim
+    assert out[1].text == "Unique intro one.\n\nUnique body one."
+    assert out[2].text == "Unique body two."
+    assert out[4].text == "Entirely unique document with one paragraph."
+    # a document that was ALL boilerplate becomes empty, not absent
+    assert out[5].text == "" and out[5].n_kept == 0
+    assert out[6].text == ""
+    # duplicate WITHIN one document is df=1: kept in df mode
+    assert out[7].text == "Unique seven.\n\nUnique seven."
+
+
+def test_keep_first_keeps_exactly_one_copy(spark):
+    out = {
+        r.doc_id: r
+        for r in dedup_paragraphs(_fixture(spark), mode="keep_first").collect()
+    }
+    # BOILER survives only in doc 1 (lowest (doc_id, idx))
+    assert BOILER in out[1].text
+    assert BOILER not in out[2].text and BOILER not in out[5].text
+    # normalized-equal cookie paragraph: doc 2's copy is first, doc 3 loses
+    assert "cookies" in out[2].text
+    assert "cookies" not in out[3].text.lower()
+    # within-document duplicate: only the first copy survives
+    assert out[7].text == "Unique seven."
+    # blank structural paragraphs never count: doc 3's double-blank splits
+    # into an empty paragraph that is preserved, not deduped
+    assert out[3].n_paragraphs == 4
+
+
+def test_idempotent(spark):
+    docs = _fixture(spark)
+    once = dedup_paragraphs(docs, mode="df").select("doc_id", "text")
+    twice = dedup_paragraphs(once, mode="df").select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+
+
+def test_validation_and_plan_shape(spark):
+    docs = _fixture(spark)
+    with pytest.raises(ValueError, match="mode"):
+        dedup_paragraphs(docs, mode="nope")
+    plan = (
+        dedup_paragraphs(docs, mode="df")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -16,8 +16,13 @@ as the gapfill arm of events_time_rollups; the audio modality as
 multimodal_audio. Slots came from consolidating same-category entries
 (dedup_simhash + dedup_components; set_operations + pivot_unpivot;
 filter_project_sample + scalar_functions). Library-only modules now:
-``sketches`` (registers surfaced inside quantiles_sketches) and ``skew``
-(salting patterns, exercised by the guarded window path).
+``sketches`` (HLL + count-min registers, both surfaced inside
+quantiles_sketches), ``skew`` (salting patterns, exercised by the
+guarded window path), ``classifier`` (round 5; the derived-weight score
+is the gated clf arm of corpus_quality_signals, the weight-table path is
+fixture-tested), and ``paragraphs`` (round 5; paragraph-level corpus
+dedup — the synthetic documents carry no newlines, so it is verified by
+fixture tests with an exact DuckDB mirror, tests/test_paragraphs.py).
 """
 
 from __future__ import annotations

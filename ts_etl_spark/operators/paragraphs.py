@@ -1,0 +1,175 @@
+"""Paragraph-level corpus deduplication (CCNet-style): remove REPEATED
+PARAGRAPHS across the corpus while keeping the documents themselves —
+the cleanup stage between document-level dedup and quality filtering.
+Web corpora are full of documents that are unique as a whole but share
+navigation blocks, cookie banners, license footers; document-level
+dedup keeps them all, and this operator strips the shared parts.
+
+Relation to ``operators/boilerplate.py``: boilerplate DETECTS shared
+word-5-grams and scores documents by their boilerplate fraction; this
+operator REWRITES documents at paragraph granularity. Two standard
+policies:
+
+- ``mode="df"`` (CCNet): drop every copy of any paragraph whose
+  normalized form appears in ≥ ``min_df`` distinct documents. The
+  aggressive policy — repeated content is assumed boilerplate.
+- ``mode="keep_first"``: keep the globally earliest occurrence
+  (lowest ``(doc_id, para_idx)``) and drop later copies. The
+  conservative policy — content survives exactly once.
+
+Normalization for matching is lowercase + whitespace-collapse (md5
+fingerprint, the ``textops`` canonicalization); whitespace-only
+paragraphs are structural, never counted or dropped.
+
+Scale shape: split + posexplode is corpus-linear; the paragraph-
+frequency aggregate is one partial-aggregated groupBy on the
+fingerprint; the verdict joins back on the fingerprint (skinny
+``(fp, df)`` / ``(fp, first)`` build side, shuffle hash join at scale);
+reassembly is one groupBy per document collecting (idx, para) pairs —
+group size = paragraphs per document, bounded by document length, never
+by corpus size. No pairwise comparison anywhere.
+
+The synthetic ``documents`` table carries no newlines, so this operator
+is exercised by fixture tests with an exact DuckDB mirror
+(tests/test_paragraphs.py) rather than a driver-gated entry — noted in
+SURVEY §8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PARA_DELIM = "\n\n"
+
+
+def _fingerprint(para) -> "F.Column":
+    return F.md5(F.lower(F.regexp_replace(F.trim(para), r"\s+", " ")))
+
+
+def split_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = PARA_DELIM,
+) -> DataFrame:
+    """(id, para_idx, para, fp, blank) — one row per paragraph, in
+    document order; ``fp`` is the normalized fingerprint, ``blank``
+    marks whitespace-only paragraphs (kept structural, never deduped)."""
+    parts = F.split(F.col(text_col), F.lit(delimiter), -1)
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("para_idx", "para"),
+    ).select(
+        id_col,
+        "para_idx",
+        "para",
+        _fingerprint(F.col("para")).alias("fp"),
+        (F.trim("para") == "").alias("blank"),
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    mode: str = "df",
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = PARA_DELIM,
+) -> DataFrame:
+    """Every document rewritten: ``(id, text, n_paragraphs, n_kept)``
+    where ``text`` is the surviving paragraphs re-joined in original
+    order (empty string when everything was dropped — the caller's
+    min-length gate catches those downstream, same contract as the
+    curation pipeline's quality stage)."""
+    if mode not in ("df", "keep_first"):
+        raise ValueError(f"mode must be 'df' or 'keep_first', got {mode!r}")
+    paras = split_paragraphs(docs, text_col, id_col, delimiter)
+    live = paras.filter(~F.col("blank"))
+    if mode == "df":
+        verdict = live.groupBy("fp").agg(
+            F.count_distinct(id_col).alias("df")
+        )
+        keep = F.col("df") < min_df
+    else:
+        verdict = live.groupBy("fp").agg(
+            F.min(F.struct(id_col, "para_idx")).alias("first")
+        )
+        keep = (F.col(f"first.{id_col}") == F.col(id_col)) & (
+            F.col("first.para_idx") == F.col("para_idx")
+        )
+    kept = (
+        paras.join(verdict, "fp", "left")
+        .withColumn("keep", F.col("blank") | keep)
+        .drop("df", "first")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct("para_idx", "para"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                delimiter,
+            ).alias(text_col),
+        )
+        .select(id_col, text_col, "n_paragraphs", "n_kept")
+    )
+
+
+def dedup_paragraphs_sql(
+    mode: str = "df", min_df: int = 2, delimiter: str = PARA_DELIM
+) -> str:
+    """DuckDB mirror over a ``docs`` relation of (doc_id, text). Keep in
+    lockstep with dedup_paragraphs (same normalization, same policies)."""
+    d = delimiter.replace("\n", "' || chr(10) || '")
+    delim = f"'{d}'"
+    verdict = (
+        f"""SELECT fp FROM live GROUP BY fp
+            HAVING COUNT(DISTINCT doc_id) >= {min_df}"""
+        if mode == "df"
+        else """SELECT doc_id, para_idx, TRUE AS is_first FROM (
+            SELECT doc_id, para_idx,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, para_idx) AS rn
+            FROM live) WHERE rn = 1"""
+    )
+    keep = (
+        "p.fp NOT IN (SELECT fp FROM bad)"
+        if mode == "df"
+        else "COALESCE(f.is_first, FALSE)"
+    )
+    first_join = (
+        ""
+        if mode == "df"
+        else "LEFT JOIN firsts f USING (doc_id, para_idx)"
+    )
+    cte = "bad" if mode == "df" else "firsts"
+    return f"""
+        WITH paras AS (
+            SELECT doc_id, l[i] AS para, i AS para_idx,
+                   md5(lower(regexp_replace(trim(l[i]), '\\s+', ' ', 'g'))) AS fp,
+                   trim(l[i]) = '' AS blank
+            FROM (SELECT doc_id, string_split(text, {delim}) AS l FROM docs),
+                 LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) ix
+        ),
+        live AS (SELECT * FROM paras WHERE NOT blank),
+        {cte} AS ({verdict})
+        SELECT p.doc_id,
+               COALESCE(string_agg(CASE WHEN p.blank OR {keep} THEN p.para END,
+                                   {delim} ORDER BY p.para_idx), '') AS text,
+               COUNT(*) AS n_paragraphs,
+               SUM(CASE WHEN p.blank OR {keep} THEN 1 ELSE 0 END) AS n_kept
+        FROM paras p {first_join}
+        GROUP BY p.doc_id
+    """
