@@ -89,6 +89,7 @@ def score_hashed_linear(
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     bias: float = 0.0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Every document with ``(n_tokens, score)`` where score =
     sigmoid(bias + mean of per-occurrence bucket weights); token-less
@@ -103,10 +104,15 @@ def score_hashed_linear(
     aggregated per-doc groupBy. ``None`` uses ``derived_weight`` inline
     over the token ARRAY (transform + aggregate fold): ZERO shuffles,
     zero joins — the whole score is a projection on the scan, the shape
-    you want when scoring 100 TB."""
+    you want when scoring 100 TB. ``tokens_col`` reuses a pre-tokenized
+    array column so a multi-operator pipeline tokenizes the corpus once
+    (only the derived path — the table path re-derives buckets from the
+    exploded tokens either way)."""
     if weights is None:
-        words = F.regexp_extract_all(
-            F.lower(text_col), F.lit(WORD_PAT), 0
+        words = (
+            F.col(tokens_col)
+            if tokens_col
+            else F.regexp_extract_all(F.lower(text_col), F.lit(WORD_PAT), 0)
         )
         ws = F.transform(
             words,

@@ -45,10 +45,17 @@ def _doc_bigrams(tokens: Column) -> Column:
 
 
 def train_bigram_lm(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", tokens_col: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """(unigram, bigram) count tables: ``(w, c1)`` and ``(w1, w2, c2)``."""
-    toks = docs.select(_doc_tokens(text_col).alias("toks"))
+    """(unigram, bigram) count tables: ``(w, c1)`` and ``(w1, w2, c2)``.
+
+    ``tokens_col`` names an existing token-ARRAY column to reuse instead
+    of re-tokenizing ``text_col`` — pass the same (ideally persisted)
+    projection to every consumer so the corpus is read and tokenized
+    ONCE per pipeline, not once per operator (the shared-scan discipline
+    of ``pipelines/curation.py``)."""
+    tk = F.col(tokens_col) if tokens_col else _doc_tokens(text_col)
+    toks = docs.select(tk.alias("toks"))
     unigrams = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -70,16 +77,19 @@ def score_documents(
     k: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document ``(doc_id, n_bigrams, avg_logprob, ppl_proxy)`` under
     the add-k-smoothed bigram model. Documents with fewer than two tokens
-    carry NULL scores (no bigram evidence either way)."""
+    carry NULL scores (no bigram evidence either way). ``tokens_col``
+    reuses a pre-tokenized array column (see ``train_bigram_lm``)."""
     if k <= 0:
         raise ValueError("smoothing k must be positive")
     v = unigrams.agg(F.count("*").alias("__v"))
+    tk = F.col(tokens_col) if tokens_col else _doc_tokens(text_col)
     pairs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_doc_bigrams(_doc_tokens(text_col))).alias("b"),
+        F.explode(_doc_bigrams(tk)).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
     scored = (
         pairs.join(bigrams, ["w1", "w2"], "left")
