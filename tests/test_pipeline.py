@@ -209,3 +209,82 @@ def test_write_curated_partitions_by_language(spark, sf_smoke, tmp_path):
     one = back.filter(F.col("pred_lang") == langs[0])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pred_lang" in plan or "pred_lang" in plan
+
+
+def test_classifier_stage_gates_by_score(spark, sf_smoke):
+    """With clf_threshold set, documents below the model score drop with
+    reason 'classifier' AFTER the heuristic gate (quality keeps
+    precedence), and the kept set equals a manual re-derivation."""
+    from ts_etl_spark.operators.classifier import score_hashed_linear
+
+    base = {r.doc_id: r for r in curate_documents(spark, sf_smoke).collect()}
+    scores = {
+        r.doc_id: r.score
+        for r in score_hashed_linear(
+            spark.read.parquet(f"{sf_smoke}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        ).collect()
+    }
+    live = sorted(v for v in scores.values() if v is not None)
+    thr = live[len(live) // 2]  # median: guarantees both outcomes exist
+    gated = {
+        r.doc_id: r
+        for r in curate_documents(
+            spark, sf_smoke, clf_threshold=thr
+        ).collect()
+    }
+    assert set(gated) == set(base)
+    n_clf = 0
+    for d, r in gated.items():
+        if base[d].drop_reason == "quality":
+            assert r.drop_reason == "quality", d  # heuristics first
+        elif scores[d] is not None and scores[d] < thr:
+            assert r.drop_reason == "classifier", (d, scores[d])
+            n_clf += 1
+    assert n_clf > 0
+
+
+def test_paragraph_dedup_stage_rewrites_before_scoring(spark, tmp_path):
+    """paragraph_dedup='df' strips corpus-shared paragraphs before any
+    metric/fingerprint computation: the footer disappears from every
+    document's curated text, a document that WAS only boilerplate empties
+    out and falls to the quality gate (no crash — empty documents are
+    legal input to the metric projection), and survivors' metrics reflect
+    the cleaned text."""
+    footer = "all rights reserved contact the operator for details " * 2
+    body_a = "a genuinely informative body paragraph with many words " * 4
+    body_c = "another unique document body with plenty of words here " * 4
+    rows = [
+        (1, f"{body_a.strip()}\n\n{footer.strip()}"),
+        (2, footer.strip()),  # all boilerplate
+        (3, f"{body_c.strip()}\n\n{footer.strip()}"),
+    ]
+    d = tmp_path / "para_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+
+    plain = {r.doc_id: r for r in curate_documents(spark, str(d)).collect()}
+    # without the stage the footer-only doc survives the heuristics (it
+    # may still fall to near-dup against footer-heavy neighbours)
+    assert plain[2].drop_reason != "quality"
+
+    cleaned = {
+        r.doc_id: r
+        for r in curate_documents(
+            spark, str(d), paragraph_dedup="df"
+        ).collect()
+    }
+    assert set(cleaned) == {1, 2, 3}
+    # footer stripped from every document BEFORE scoring
+    for doc in (1, 3):
+        assert "all rights reserved" not in cleaned[doc].text
+        assert cleaned[doc].n_chars < plain[doc].n_chars
+        assert cleaned[doc].drop_reason is None
+    # the all-boilerplate document emptied out and fails the heuristics
+    assert cleaned[2].text == ""
+    assert cleaned[2].drop_reason == "quality"
+    # char-ratio metrics on the empty doc are NULL, not a crash
+    assert cleaned[2].alpha_ratio is None

@@ -116,6 +116,8 @@ def run_curate(
     token_budget: int | None = None,
     jaccard: float | None = None,
     pack_tokens: int | None = None,
+    clf_threshold: float | None = None,
+    paragraph_dedup: str | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Run the corpus-curation pipeline over ``<sf_dir>/documents.parquet``
@@ -141,6 +143,8 @@ def run_curate(
             jaccard_threshold=jaccard if jaccard is not None else JACCARD_THRESHOLD,
             token_budget=token_budget,
             persisted=caches,
+            clf_threshold=clf_threshold,
+            paragraph_dedup=paragraph_dedup,
         ).persist()
         caches.append(out)
         # counts from the PERSISTED pre-join frame: the pack join below is
@@ -192,6 +196,18 @@ def _curate_main(argv: list[str]) -> int:
         type=int,
         help="also assign survivors to fixed-token training bins of this size",
     )
+    parser.add_argument(
+        "--clf-threshold",
+        type=float,
+        help="model-based quality gate: drop documents whose hashing-trick "
+        "linear score falls below this (operators/classifier.py)",
+    )
+    parser.add_argument(
+        "--paragraph-dedup",
+        choices=["df", "keep_first"],
+        help="strip repeated paragraphs across the corpus before scoring "
+        "(operators/paragraphs.py)",
+    )
     args = parser.parse_args(argv)
     langs = args.languages.split(",") if args.languages else None
     try:
@@ -202,6 +218,8 @@ def _curate_main(argv: list[str]) -> int:
             token_budget=args.budget,
             jaccard=args.jaccard,
             pack_tokens=args.pack_tokens,
+            clf_threshold=args.clf_threshold,
+            paragraph_dedup=args.paragraph_dedup,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during curation: {exc}", file=sys.stderr)

@@ -82,6 +82,32 @@ def derived_weight(bucket: Column) -> Column:
     return (_hash8("clfb#", bucket) / F.lit(float(1 << 32)) - 0.5) * 2.0
 
 
+def derived_score_expr(
+    text: Column | None = None,
+    tokens: Column | None = None,
+    n_buckets: int = N_BUCKETS,
+    bias: float = 0.0,
+) -> Column:
+    """The derived-weight quality SCORE as a single column expression
+    (NULL for token-less input) — for pipelines that want the model gate
+    inline in an existing projection instead of a separate frame (e.g.
+    ``pipelines/curation.py``'s classifier stage). Pass ``tokens`` (an
+    array column) to reuse a shared tokenization, else ``text``."""
+    if (text is None) == (tokens is None):
+        raise ValueError("pass exactly one of text= or tokens=")
+    words = (
+        tokens
+        if tokens is not None
+        else F.regexp_extract_all(F.lower(text), F.lit(WORD_PAT), 0)
+    )
+    ws = F.transform(
+        words, lambda w: derived_weight(_hash8("clfw#", w) % n_buckets)
+    )
+    n = F.size(words)
+    m = F.when(n > 0, F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
+
+
 def score_hashed_linear(
     docs: DataFrame,
     weights: DataFrame | None = None,

@@ -83,15 +83,25 @@ def _metric_cols() -> list:
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
     spaces = F.length(F.regexp_replace(F.col("text"), r"[^\s]", ""))
-    alpha_ratio = alpha.cast("double") / n_chars
+
+    # EMPTY documents are legal input (upstream stages like paragraph
+    # dedup can empty a document entirely) and the session runs ANSI
+    # mode, where an unguarded x/0 aborts the whole job — char-class
+    # ratios surface as NULL instead. quality_pass stays a plain FALSE
+    # for empty docs: n_chars >= 100 is FALSE, and FALSE AND NULL is
+    # FALSE in three-valued logic, so the gate never goes NULL.
+    def per_char(x):
+        return F.when(n_chars > 0, x.cast("double") / n_chars)
+
+    alpha_ratio = per_char(alpha)
     quality_pass = (n_tokens >= 10) & (n_chars >= 100) & (alpha_ratio >= 0.5)
     return [
         n_tokens.alias("n_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_PAT)).alias("n_bpe_tokens"),
         n_chars.alias("n_chars"),
         alpha_ratio.alias("alpha_ratio"),
-        (digits.cast("double") / n_chars).alias("digit_ratio"),
-        (spaces.cast("double") / n_chars).alias("space_ratio"),
+        per_char(digits).alias("digit_ratio"),
+        per_char(spaces).alias("space_ratio"),
         ((n_chars - spaces).cast("double") / n_tokens).alias("avg_token_len"),
         _rep_ratio(1).alias("word_rep_ratio"),
         _rep_ratio(2).alias("gram2_rep_ratio"),

@@ -45,6 +45,8 @@ def curate_documents(
     jaccard_threshold: float = JACCARD_THRESHOLD,
     token_budget: int | None = None,
     persisted: list[DataFrame] | None = None,
+    clf_threshold: float | None = None,
+    paragraph_dedup: str | None = None,
 ) -> DataFrame:
     """Run the curation flow over ``documents``; return every document with
     metrics, signals, and provenance (``kept`` / ``drop_reason``).
@@ -62,6 +64,16 @@ def curate_documents(
       "shield" its near-dups — by design, the kept representative is then
       absent, which is the conservative direction (drops more, never keeps
       two near-dups).
+    - ``paragraph_dedup`` (round 5, off by default): rewrite documents
+      through ``operators.paragraphs.dedup_paragraphs`` (mode ``"df"`` or
+      ``"keep_first"``) BEFORE any scoring, so shared boilerplate
+      paragraphs never pollute metrics, fingerprints or shingles.
+    - ``clf_threshold`` (round 5, off by default): the model-based gate
+      after the heuristic one — drop documents whose hashing-trick
+      linear score (``operators.classifier``, derived stand-in weights;
+      pre-score the corpus yourself for externally-trained weights)
+      falls below the threshold. Token-less documents score NULL and
+      pass through to the heuristic gate's verdict.
     - token budget is greedy by ascending doc_id over BPE-ish token counts
       of documents that survived every other stage: a document is in budget
       while the cumulative count BEFORE it is under the budget (so the
@@ -82,15 +94,23 @@ def curate_documents(
     # coalesces it away at real scale), and the cache holds only the skinny
     # (doc_id, text) projection.
     par = spark.sparkContext.defaultParallelism
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(par, "doc_id")
-        .persist()
-    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if paragraph_dedup is not None:
+        from ts_etl_spark.operators.paragraphs import dedup_paragraphs
+
+        docs = dedup_paragraphs(docs, mode=paragraph_dedup).select(
+            "doc_id", "text"
+        )
+    docs = docs.repartition(par, "doc_id").persist()
     if persisted is not None:
         persisted.append(docs)
     scored = docs.select("doc_id", "text", *_metric_cols(), *_signature_cols())
+    if clf_threshold is not None:
+        from ts_etl_spark.operators.classifier import derived_score_expr
+
+        scored = scored.withColumn(
+            "clf_score", derived_score_expr(text=F.col("text"))
+        )
 
     # exact/canonical dedup: rank within fingerprint, rep = lowest doc_id
     from pyspark.sql.window import Window
@@ -114,10 +134,16 @@ def curate_documents(
     )
     scored = scored.withColumn("lang_ok", lang_ok)
 
-    # first failing stage in pipeline order (null = survived all gates)
+    # first failing stage in pipeline order (null = survived all gates);
+    # NULL clf_score (token-less) is not < threshold, so those documents
+    # answer to the heuristic gate alone
+    reason = F.when(~F.col("quality_pass"), "quality")
+    if clf_threshold is not None:
+        reason = reason.when(
+            F.col("clf_score") < F.lit(clf_threshold), "classifier"
+        )
     reason = (
-        F.when(~F.col("quality_pass"), "quality")
-        .when(F.col("is_exact_dup"), "exact_dup")
+        reason.when(F.col("is_exact_dup"), "exact_dup")
         .when(F.col("is_near_dup"), "near_dup")
         .when(~F.col("lang_ok"), "language")
     )
