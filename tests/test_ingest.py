@@ -264,3 +264,55 @@ def test_streamed_corpus_equals_sequential_batches(spark, tmp_path):
         ref = ref.unionByName(kept).persist()
     want = {r.doc_id for r in ref.select("doc_id").collect()}
     assert streamed == want
+
+
+def test_streaming_ingest_tracks_attempt_heavyhitters(spark, tmp_path):
+    """With hh_path, every micro-batch records count-min registers of its
+    ATTEMPTED fingerprints under batch=<id>; heavyhitter_estimate merges
+    the stream history and never underestimates a document's attempt
+    count — BASE is submitted (canonically-equal) in batches 0 and 1, so
+    its count is >= 2 even though dedup admitted it once."""
+    import os
+
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+    from ts_etl_spark.streaming.ingest import (
+        heavyhitter_estimate,
+        update_attempt_heavyhitters,
+    )
+
+    d = _batches(tmp_path)
+    corpus_path = str(tmp_path / "corpus")
+    hh_path = str(tmp_path / "hh")
+    run_streaming_ingest(
+        spark,
+        str(d),
+        corpus_path,
+        str(tmp_path / "ckpt"),
+        hh_path=hh_path,
+    )
+    # one register directory per micro-batch
+    assert len([n for n in os.listdir(hh_path) if n.startswith("batch=")]) == 3
+
+    fps = {
+        r.t: r.fp
+        for r in spark.createDataFrame(
+            [(BASE,), (THIRD,), ("never submitted at all",)], "t STRING"
+        )
+        .select("t", canonical_fingerprint(F.col("t")).alias("fp"))
+        .collect()
+    }
+    est = heavyhitter_estimate(spark, hh_path, list(fps.values()))
+    # BASE attempted in b0 (verbatim) and b1 (case/whitespace variant —
+    # same canonical fingerprint)
+    assert est[fps[BASE]] >= 2
+    # THIRD attempted once (b1); b2's "THIRD extra" fingerprints differently
+    assert est[fps[THIRD]] >= 1
+    # absent path contract
+    assert heavyhitter_estimate(spark, str(tmp_path / "nope"), ["x"]) == {"x": 0}
+
+    # replay idempotence: re-recording batch 0 OVERWRITES its partition,
+    # leaving history (and therefore estimates) unchanged
+    b0 = spark.createDataFrame([(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING")
+    update_attempt_heavyhitters(spark, b0, hh_path, 0)
+    again = heavyhitter_estimate(spark, hh_path, list(fps.values()))
+    assert again == est

@@ -34,6 +34,8 @@ from ts_etl_spark.operators.dedup import (
 )
 from ts_etl_spark.operators.drift import psi_drift
 from ts_etl_spark.operators.sketches import (
+    cm_estimate,
+    cm_registers,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -159,6 +161,51 @@ def monitor_batch_drift(
     ).parquet(f"{drift_path}/batch={int(batch_id)}")
 
 
+CM_SCHEMA = "d INT, slot INT, c BIGINT"
+
+
+def update_attempt_heavyhitters(
+    spark: SparkSession, batch_df: DataFrame, hh_path: str, batch_id: int
+) -> None:
+    """Count-min registers of the batch's ATTEMPTED canonical
+    fingerprints (pre-dedup on purpose: the question is \"which documents
+    keep getting re-submitted\", and the dedup layer hides exactly those),
+    one ``batch=<id>`` directory per micro-batch.
+
+    Idempotence differs from the HLL stats sketch by necessity: count-min
+    merges by SUM, and sum-merging a replayed batch into mutable state
+    would double-count. So the state is per-batch-keyed like the drift
+    log — a replay OVERWRITES its own ``batch=<id>`` partition — and
+    readers merge at query time (``heavyhitter_estimate``). State stays
+    bounded by batches × depth × width rows."""
+    regs = cm_registers(
+        batch_df.select(canonical_fingerprint().alias("fp")), "fp"
+    )
+    regs.coalesce(1).write.mode("overwrite").parquet(
+        f"{hh_path}/batch={int(batch_id)}"
+    )
+
+
+def heavyhitter_estimate(
+    spark: SparkSession, hh_path: str, fingerprints: list[str]
+) -> dict[str, int]:
+    """Estimated ingest-attempt counts for canonical ``fingerprints``
+    over the whole stream history: sum-merge every batch's registers
+    (≤ batches × depth × width rows — telemetry-sized), then the
+    standard count-min point estimate. Never underestimates."""
+    if not path_exists(spark, hh_path):
+        return {fp: 0 for fp in fingerprints}
+    merged = (
+        spark.read.schema(CM_SCHEMA)
+        .option("basePath", hh_path)
+        .parquet(f"{hh_path}/batch=*")
+        .groupBy("d", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+    est = cm_estimate(spark, merged, fingerprints)
+    return {r["key"]: int(r["estimate"]) for r in est.collect()}
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -167,6 +214,7 @@ def ingest_batch(
     stats_path: str | None = None,
     drift_path: str | None = None,
     batch_id: int = 0,
+    hh_path: str | None = None,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
     With ``stats_path``, also fold the batch's fingerprint registers into
@@ -179,6 +227,9 @@ def ingest_batch(
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
     corpus = _corpus(spark, corpus_path)
+    if hh_path is not None:
+        # attempts, not survivors — see update_attempt_heavyhitters
+        update_attempt_heavyhitters(spark, batch_df, hh_path, batch_id)
     if drift_path is not None:
         # BEFORE the append (same recacheByPath reasoning as the stats
         # ordering below) — and semantically the baseline must be the
@@ -223,11 +274,12 @@ def run_streaming_ingest(
     max_files: int | None = 1,
     stats_path: str | None = None,
     drift_path: str | None = None,
+    hh_path: str | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
-    micro-batch; optionally maintaining the corpus-stats register sketch
-    and the per-batch PSI drift log."""
+    micro-batch; optionally maintaining the corpus-stats register sketch,
+    the per-batch PSI drift log, and the attempt heavy-hitter counters."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -236,7 +288,7 @@ def run_streaming_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
             spark, batch_df, corpus_path, threshold, stats_path,
-            drift_path, batch_id,
+            drift_path, batch_id, hh_path,
         )
 
     q = (
