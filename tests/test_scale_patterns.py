@@ -453,3 +453,59 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
         assert kind in ("vecs", "tcents")
         frame.unpersist()
     S._IVF_MEMO.clear()
+
+
+def test_pca_reduce_matches_numpy_and_preserves_structure(spark):
+    """pca_reduce vs a from-scratch numpy eigendecomposition on the real
+    embeddings: explained-variance spectrum matches, the projected scores
+    match up to per-component sign (eigenvectors are sign-ambiguous), and
+    on low-rank-plus-noise data the top-k subspace captures nearly all
+    variance — the property that makes ANN-after-PCA work."""
+    import numpy as np
+
+    from ts_etl_spark.operators.similarity import pca_reduce
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = 8
+    projected, info = pca_reduce(vecs, k)
+    rows = projected.select("vec_id", "embedding", "proj").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    P = np.array([r.proj for r in rows], dtype=np.float64)
+
+    Xc = X - X.mean(axis=0)
+    # numpy reference: eigh of the sample covariance (n-1 denominator,
+    # matching Spark ML)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+
+    # spectrum parity
+    np.testing.assert_allclose(
+        info["explained_variance"], (w / w.sum())[:k], rtol=1e-6
+    )
+    # scores parity up to sign per component
+    ref = Xc @ v[:, :k]
+    for j in range(k):
+        same = np.allclose(P[:, j], ref[:, j], atol=1e-6)
+        flipped = np.allclose(P[:, j], -ref[:, j], atol=1e-6)
+        assert same or flipped, j
+    # model dict components match the projection they claim
+    C = np.array(info["components"])  # k x d
+    np.testing.assert_allclose(P, Xc @ C.T, atol=1e-6)
+
+    # low-rank + noise: top-k captures nearly everything
+    rng = np.random.default_rng(7)
+    low = rng.normal(size=(300, 5)) @ rng.normal(size=(5, 64))
+    noisy = low + rng.normal(scale=1e-3, size=low.shape)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(noisy)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    _, info5 = pca_reduce(df, 5)
+    assert sum(info5["explained_variance"]) > 0.999
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        pca_reduce(vecs, 0)
