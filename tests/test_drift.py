@@ -129,3 +129,16 @@ def test_sided_variant_validation(spark):
         psi_drift_sided(empty, F.col("cur"), "v")
     with pytest.raises(ValueError):
         psi_drift_sided(empty, F.col("cur"), "v", n_buckets=1)
+
+
+def test_sided_variant_refuses_null_side_rows(spark):
+    """A NULL side is non-true under both conditional counts — such rows
+    would silently vanish from every share while widening the bucket
+    range. The operator refuses them loudly."""
+    from ts_etl_spark.operators.drift import psi_drift_sided
+
+    df = spark.createDataFrame(
+        [(1.0, True), (2.0, False), (3.0, None)], "v DOUBLE, cur BOOLEAN"
+    )
+    with pytest.raises(ValueError, match="side expression is NULL"):
+        psi_drift_sided(df, F.col("cur"), "v")

@@ -316,3 +316,33 @@ def test_streaming_ingest_tracks_attempt_heavyhitters(spark, tmp_path):
     update_attempt_heavyhitters(spark, b0, hh_path, 0)
     again = heavyhitter_estimate(spark, hh_path, list(fps.values()))
     assert again == est
+
+
+def test_heavyhitter_estimate_skips_torn_batches(spark, tmp_path):
+    """A crash mid-write leaves a batch directory without _SUCCESS; the
+    estimator must skip it (torn-write discipline) instead of failing or
+    merging a partial register set — and an hh_path with zero committed
+    batches estimates zeros."""
+    import os
+
+    from ts_etl_spark.streaming.ingest import (
+        heavyhitter_estimate,
+        update_attempt_heavyhitters,
+    )
+
+    hh_path = str(tmp_path / "hh")
+    docs = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    update_attempt_heavyhitters(spark, docs, hh_path, 0)
+    update_attempt_heavyhitters(spark, docs, hh_path, 1)
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+
+    fp = docs.select(canonical_fingerprint(F.col("text")).alias("f")).first().f
+    assert heavyhitter_estimate(spark, hh_path, [fp])[fp] >= 2
+
+    # tear batch 1
+    os.remove(os.path.join(hh_path, "batch=1", "_SUCCESS"))
+    assert heavyhitter_estimate(spark, hh_path, [fp])[fp] >= 1
+
+    # a directory with ONLY torn batches yields zeros, not an exception
+    os.remove(os.path.join(hh_path, "batch=0", "_SUCCESS"))
+    assert heavyhitter_estimate(spark, hh_path, [fp]) == {fp: 0}

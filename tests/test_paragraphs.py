@@ -112,3 +112,34 @@ def test_validation_and_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_regex_metacharacter_delimiter_is_literal(spark):
+    """The delimiter is a literal, not a regex: '|' must split on pipes
+    only (an unescaped regex '|' matches the empty string and shatters
+    documents into characters), and both engines must agree."""
+    docs = spark.createDataFrame(
+        [(1, "shared part|unique one"), (2, "shared part|unique two")],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_paragraphs)
+        for r in dedup_paragraphs(docs, mode="df", delimiter="|").collect()
+    }
+    assert got[1] == ("unique one", 2)
+    assert got[2] == ("unique two", 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(1, "shared part|unique one"), (2, "shared part|unique two")],
+    )
+    want = {
+        d: (t, n)
+        for d, t, n, _ in con.execute(
+            dedup_paragraphs_sql(mode="df", delimiter="|")
+        ).fetchall()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="delimiter"):
+        dedup_paragraphs(docs, delimiter="")

@@ -509,3 +509,6 @@ def test_pca_reduce_matches_numpy_and_preserves_structure(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         pca_reduce(vecs, 0)
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="at least one row"):
+        pca_reduce(empty, 2)

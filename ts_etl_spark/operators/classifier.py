@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.bpe import WORD_PAT
+from ts_etl_spark.operators.sketches import _hex8_fold_sql as _clf_fold_sql
 
 #: default feature-space size; real deployments size this to the weight
 #: table they trained (2^18 is fastText's default order of magnitude)
@@ -82,6 +83,24 @@ def derived_weight(bucket: Column) -> Column:
     return (_hash8("clfb#", bucket) / F.lit(float(1 << 32)) - 0.5) * 2.0
 
 
+def _derived_parts(
+    words: Column, n_buckets: int, bias: float
+) -> tuple[Column, Column, Column]:
+    """(n_tokens, activation, score) for the derived-weight path over a
+    token ARRAY — the ONE builder behind both ``derived_score_expr`` and
+    ``score_hashed_linear``'s derived branch, so the exactness contract
+    (lockstep with ``score_hashed_linear_sql``) has a single Spark-side
+    definition to keep true."""
+    ws = F.transform(
+        words, lambda w: derived_weight(_hash8("clfw#", w) % n_buckets)
+    )
+    n = F.size(words)
+    m = F.when(n > 0, F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n)
+    act = m + F.lit(bias)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-act))
+    return n, act, score
+
+
 def derived_score_expr(
     text: Column | None = None,
     tokens: Column | None = None,
@@ -100,12 +119,7 @@ def derived_score_expr(
         if tokens is not None
         else F.regexp_extract_all(F.lower(text), F.lit(WORD_PAT), 0)
     )
-    ws = F.transform(
-        words, lambda w: derived_weight(_hash8("clfw#", w) % n_buckets)
-    )
-    n = F.size(words)
-    m = F.when(n > 0, F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n)
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-(m + F.lit(bias))))
+    return _derived_parts(words, n_buckets, bias)[2]
 
 
 def score_hashed_linear(
@@ -119,10 +133,9 @@ def score_hashed_linear(
 ) -> DataFrame:
     """Every document with ``(n_tokens, score)`` where score =
     sigmoid(bias + mean of per-occurrence bucket weights); token-less
-    documents surface with n_tokens = 0 and NULL activation/score (they
-    carry no
-    evidence — the caller's gate decides their fate, same contract as
-    the LM scorer's bigram-less documents).
+    documents surface with n_tokens = 0 and NULL activation/score (no
+    evidence either way — the caller's gate decides their fate, same
+    contract as the LM scorer's bigram-less documents).
 
     ``weights``: optional ``(bucket, weight)`` table from an external
     trainer — explode + broadcast hash join (absent buckets weigh 0, the
@@ -140,16 +153,7 @@ def score_hashed_linear(
             if tokens_col
             else F.regexp_extract_all(F.lower(text_col), F.lit(WORD_PAT), 0)
         )
-        ws = F.transform(
-            words,
-            lambda w: derived_weight(_hash8("clfw#", w) % n_buckets),
-        )
-        n = F.size(words)
-        m = F.when(
-            n > 0, F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / n
-        )
-        act = m + F.lit(bias)
-        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-act))
+        n, act, score = _derived_parts(words, n_buckets, bias)
         return docs.select(
             id_col,
             n.alias("n_tokens"),
@@ -175,14 +179,6 @@ def score_hashed_linear(
             act.alias("activation"),
             score.alias("score"),
         )
-    )
-
-
-def _clf_fold_sql(expr: str) -> str:
-    """DuckDB: integer value of 8 hex chars (same fold as the sketches)."""
-    return (
-        "list_sum([(strpos('0123456789abcdef', substr(" + expr + ", i, 1)) - 1)::BIGINT"
-        " << ((8 - i) * 4) for i in generate_series(1, 8)])"
     )
 
 

@@ -26,6 +26,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bucket_expr(v, lo, hi, n_buckets: int):
+    """The shared bucket-index expression: floor(((v-lo)/(hi-lo))*n),
+    clamped to [0, n_buckets-1], degenerate range => bucket 0. ONE
+    definition on purpose — ``bucket_counts`` and ``psi_drift_sided``
+    must stay IEEE-identical to each other and to the DuckDB oracle for
+    the bit-exact-parity guarantee to hold."""
+    return F.when(
+        F.lit(hi) > F.lit(lo),
+        F.least(
+            F.greatest(
+                F.floor(((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo))) * n_buckets)
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        ),
+    ).otherwise(F.lit(0))
+
+
 def bucket_counts(
     df: DataFrame, col: str, lo, hi, n_buckets: int
 ) -> DataFrame:
@@ -41,17 +60,7 @@ def bucket_counts(
     are free to factor the arithmetic differently and can flip a
     boundary-adjacent value into the neighboring bucket."""
     v = F.col(col).cast("double")
-    b = F.when(
-        F.lit(hi) > F.lit(lo),
-        F.least(
-            F.greatest(
-                F.floor(((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo))) * n_buckets)
-                .cast("int"),
-                F.lit(0),
-            ),
-            F.lit(n_buckets - 1),
-        ),
-    ).otherwise(F.lit(0))
+    b = _bucket_expr(v, lo, hi, n_buckets)
     return (
         df.filter(F.col(col).isNotNull())
         .select(b.alias("bucket"))
@@ -160,27 +169,30 @@ def psi_drift_sided(
             f"no non-null values in {col!r} on either side — nothing to bucket"
         )
     lo, hi = float(lo_hi.lo), float(lo_hi.hi)
-    b = F.when(
-        F.lit(hi) > F.lit(lo),
-        F.least(
-            F.greatest(
-                F.floor(((v - F.lit(lo)) / (F.lit(hi) - F.lit(lo))) * n_buckets)
-                .cast("int"),
-                F.lit(0),
-            ),
-            F.lit(n_buckets - 1),
-        ),
-    ).otherwise(F.lit(0))
-    counted = {
-        r["bucket"]: (r["n_base"], r["n_cur"])
-        for r in df.filter(v.isNotNull())
+    b = _bucket_expr(v, lo, hi, n_buckets)
+    rows = (
+        df.filter(v.isNotNull())
         .groupBy(b.alias("bucket"))
         .agg(
             F.sum(F.when(~side, 1).otherwise(0)).alias("n_base"),
             F.sum(F.when(side, 1).otherwise(0)).alias("n_cur"),
+            # NULL side is non-true under BOTH when() branches — such a
+            # row would silently vanish from every count while its value
+            # still widened the bucket range. The two-frame psi_drift has
+            # no such state (every row belongs to a frame), so refuse it
+            # loudly instead of computing shares over dropped data.
+            F.sum(F.when(side.isNull(), 1).otherwise(0)).alias("n_nullside"),
         )
         .collect()
-    }
+    )
+    dropped = sum(r["n_nullside"] for r in rows)
+    if dropped:
+        raise ValueError(
+            f"side expression is NULL for {dropped} non-null rows — every "
+            "row must belong to exactly one snapshot (coalesce the side "
+            "column first)"
+        )
+    counted = {r["bucket"]: (r["n_base"], r["n_cur"]) for r in rows}
     spark = df.sparkSession
     local = spark.createDataFrame(
         [

@@ -37,6 +37,8 @@ SURVEY §8.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -55,8 +57,15 @@ def split_paragraphs(
 ) -> DataFrame:
     """(id, para_idx, para, fp, blank) — one row per paragraph, in
     document order; ``fp`` is the normalized fingerprint, ``blank``
-    marks whitespace-only paragraphs (kept structural, never deduped)."""
-    parts = F.split(F.col(text_col), F.lit(delimiter), -1)
+    marks whitespace-only paragraphs (kept structural, never deduped).
+
+    ``delimiter`` is a LITERAL string (regex-escaped before the split —
+    ``F.split`` takes a Java regex, and an unescaped "|" would match the
+    empty string and shatter every document into single characters while
+    the DuckDB mirror string_splits literally)."""
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+    parts = F.split(F.col(text_col), F.lit(re.escape(delimiter)), -1)
     return docs.select(
         F.col(id_col),
         F.posexplode(parts).alias("para_idx", "para"),
@@ -131,8 +140,12 @@ def dedup_paragraphs_sql(
     mode: str = "df", min_df: int = 2, delimiter: str = PARA_DELIM
 ) -> str:
     """DuckDB mirror over a ``docs`` relation of (doc_id, text). Keep in
-    lockstep with dedup_paragraphs (same normalization, same policies)."""
-    d = delimiter.replace("\n", "' || chr(10) || '")
+    lockstep with dedup_paragraphs (same normalization, same policies;
+    the delimiter is literal on both sides — quotes SQL-doubled,
+    newlines spliced as chr(10))."""
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+    d = delimiter.replace("'", "''").replace("\n", "' || chr(10) || '")
     delim = f"'{d}'"
     verdict = (
         f"""SELECT fp FROM live GROUP BY fp

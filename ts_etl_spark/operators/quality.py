@@ -51,12 +51,23 @@ LM_K = 0.5
 DRIFT_BUCKETS = 10
 
 
-def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_quality_signals(
+    spark: SparkSession,
+    sf_dir: str,
+    persisted: list[DataFrame] | None = None,
+) -> DataFrame:
     """LM scoring + boilerplate + classifier scoring + drift over
     ``documents`` (see module docstring). Plan shape: each arm keeps its
     own linear plan (explode + two hash joins; gram explode + df
     threshold; a shuffle-free classifier projection; two bounded bucket
-    aggregates) — the union adds no exchange."""
+    aggregates) — the union adds no exchange.
+
+    Cache contract (same as ``pipelines.curation.curate_documents``):
+    the shared tokenized projection is persisted and needed until the
+    RESULT materializes, so release belongs to the caller — pass
+    ``persisted`` (a list) to receive the cached frame and unpersist it
+    after collecting; one-shot bench/driver runs clear the whole cache
+    instead."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ni = F.lit(None).cast("int")
     t = F.lit(True)
@@ -73,6 +84,8 @@ def q_corpus_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__toks"
         ),
     ).persist()
+    if persisted is not None:
+        persisted.append(toked)
 
     uni, bi = train_bigram_lm(toked, tokens_col="__toks")
     lm = score_documents(toked, uni, bi, k=LM_K, tokens_col="__toks").select(

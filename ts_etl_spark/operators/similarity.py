@@ -473,7 +473,12 @@ def pca_reduce(
     from pyspark.ml.feature import PCA as MLPCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    d = len(vecs.select(emb_col).first()[0])
+    first = vecs.select(emb_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            f"pca_reduce needs at least one row with a non-null {emb_col!r}"
+        )
+    d = len(first[0])
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     dv = as_double(F.col(emb_col))

@@ -20,8 +20,12 @@ pipeline adds POLICY, not new computation. Plan shape at 100 TB:
 
 Provenance contract: the returned frame has EVERY input document, `kept`
 boolean, and a `drop_reason` in dropped rows (first failing stage in
-pipeline order: quality → exact_dup → near_dup → language → budget), so
-corpus composition is auditable and each stage's yield is one groupBy away.
+pipeline order: quality → classifier (when `clf_threshold` is set) →
+exact_dup → near_dup → language → budget), so corpus composition is
+auditable and each stage's yield is one groupBy away. When
+`paragraph_dedup` is set, `text` and every metric reflect the
+paragraph-REWRITTEN document, not the stored one — cleaning precedes
+scoring by design.
 """
 
 from __future__ import annotations

@@ -181,6 +181,9 @@ def update_attempt_heavyhitters(
     regs = cm_registers(
         batch_df.select(canonical_fingerprint().alias("fp")), "fp"
     )
+    # overwrite mode leaves a _SUCCESS marker per batch directory;
+    # heavyhitter_estimate reads only committed batches (same torn-write
+    # discipline as the generationed stats sketch)
     regs.coalesce(1).write.mode("overwrite").parquet(
         f"{hh_path}/batch={int(batch_id)}"
     )
@@ -190,15 +193,25 @@ def heavyhitter_estimate(
     spark: SparkSession, hh_path: str, fingerprints: list[str]
 ) -> dict[str, int]:
     """Estimated ingest-attempt counts for canonical ``fingerprints``
-    over the whole stream history: sum-merge every batch's registers
-    (≤ batches × depth × width rows — telemetry-sized), then the
-    standard count-min point estimate. Never underestimates."""
+    over the whole stream history: sum-merge every COMMITTED batch's
+    registers (≤ batches × depth × width rows — telemetry-sized), then
+    the standard count-min point estimate. Never underestimates the
+    committed history. Torn batch directories (no ``_SUCCESS`` — a crash
+    mid-write) are skipped, same discipline as the generationed stats
+    sketch; the stream's replay rewrites them."""
     if not path_exists(spark, hh_path):
+        return {fp: 0 for fp in fingerprints}
+    committed = [
+        f"{hh_path}/{name}"
+        for name in list_subdirs(spark, hh_path)
+        if name.startswith("batch=")
+        and path_exists(spark, f"{hh_path}/{name}/_SUCCESS")
+    ]
+    if not committed:
         return {fp: 0 for fp in fingerprints}
     merged = (
         spark.read.schema(CM_SCHEMA)
-        .option("basePath", hh_path)
-        .parquet(f"{hh_path}/batch=*")
+        .parquet(*committed)
         .groupBy("d", "slot")
         .agg(F.sum("c").alias("c"))
     )
