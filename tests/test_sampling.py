@@ -152,3 +152,51 @@ def test_deterministic_shuffle_plan_is_range_partitioned(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan
     assert df.rdd.getNumPartitions() == 8
+
+
+def test_temperature_shares_math():
+    import pytest as _pytest
+
+    from ts_etl_spark.pipelines.sampling import temperature_shares
+
+    counts = {"en": 800, "de": 150, "mi": 50}
+    nat = temperature_shares(counts, 1.0)
+    assert nat["en"] == _pytest.approx(0.8)
+    uni = temperature_shares(counts, 0.0)
+    assert all(v == _pytest.approx(1 / 3) for v in uni.values())
+    half = temperature_shares(counts, 0.5)
+    # flattening: tail strata gain share, head loses, order preserved
+    assert half["en"] < nat["en"] and half["mi"] > nat["mi"]
+    assert half["en"] > half["de"] > half["mi"]
+    assert sum(half.values()) == _pytest.approx(1.0)
+    assert temperature_shares({"x": 0}, 0.5) == {}
+    with _pytest.raises(ValueError, match="tau"):
+        temperature_shares(counts, 1.5)
+
+
+def test_mix_to_temperature_flattens_composition(spark):
+    """tau=0.5 on a skewed corpus yields a measurably flatter mixture
+    whose realized shares track the temperature targets, with the
+    smallest stratum retained in full (the binding stratum keeps
+    fraction 1.0 — maximum data subject to the mixture)."""
+    import pytest as _pytest
+
+    from ts_etl_spark.pipelines.sampling import (
+        mix_to_temperature,
+        temperature_shares,
+    )
+
+    rows = [(i, "en" if i < 900 else ("de" if i < 980 else "mi"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = mix_to_temperature(df, "lang", 0.5, ["doc_id"])
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # smallest stratum fully retained
+    assert got["mi"] == 20
+    want = temperature_shares({"en": 900, "de": 80, "mi": 20}, 0.5)
+    total = sum(got.values())
+    for lang, n in got.items():
+        # deterministic hash sampling: realized share within a few points
+        assert n / total == _pytest.approx(want[lang], abs=0.05), lang
+    # tau=1 keeps everything (natural shares are already the composition)
+    assert mix_to_temperature(df, "lang", 1.0, ["doc_id"]).count() == 1000

@@ -119,6 +119,47 @@ def target_mixture_fractions(
     }
 
 
+def temperature_shares(
+    counts: Mapping[str, int | float], tau: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture shares from observed stratum counts:
+    share_i = c_i^tau / sum_j c_j^tau — the standard multilingual/domain
+    reweighting knob (tau = 1 keeps the natural proportions, tau = 0 is
+    uniform, 0 < tau < 1 up-weights the tail the way multilingual
+    pretraining mixes low-resource languages). Pure driver math over the
+    #strata-bounded counts dict; feed the result to ``mix_to_target``."""
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError("tau must be in [0, 1] (1 = natural, 0 = uniform)")
+    live = {s: float(c) for s, c in counts.items() if c > 0}
+    if not live:
+        return {}
+    powed = {s: c**tau for s, c in live.items()}
+    total = sum(powed.values())
+    return {s: v / total for s, v in powed.items()}
+
+
+def mix_to_temperature(
+    df: DataFrame,
+    strata_col: str,
+    tau: float,
+    key_cols: Sequence[str],
+    seed: str = "mix",
+) -> DataFrame:
+    """``mix_to_target`` with the targets derived from the corpus's own
+    composition at temperature ``tau`` (one extra #strata-bounded
+    aggregate). tau = 1 is a no-op mixture (natural shares), tau = 0
+    asks for a uniform mix — per ``target_mixture_fractions`` the
+    smallest stratum binds at fraction 1.0 and everything else
+    down-samples to match."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    return mix_to_target(
+        df, strata_col, temperature_shares(counts, tau), key_cols, seed=seed
+    )
+
+
 def mix_to_target(
     df: DataFrame,
     strata_col: str,
