@@ -31,7 +31,7 @@ def _fixture(spark):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING")
 
 
-@pytest.mark.parametrize("mode", ["df", "keep_first"])
+@pytest.mark.parametrize("mode", ["df", "keep_first", "within_doc"])
 def test_matches_duckdb_exactly(spark, mode):
     docs = _fixture(spark)
     got = {
@@ -143,3 +143,16 @@ def test_regex_metacharacter_delimiter_is_literal(spark):
     assert got == want
     with pytest.raises(ValueError, match="delimiter"):
         dedup_paragraphs(docs, delimiter="")
+
+
+def test_within_doc_mode_leaves_cross_document_repeats(spark):
+    """within_doc dedups repetition INSIDE a document only: doc 7's
+    self-repeat collapses, while BOILER shared across docs 1/2/5 stays
+    everywhere (cross-document policy is a separate decision)."""
+    out = {
+        r.doc_id: r
+        for r in dedup_paragraphs(_fixture(spark), mode="within_doc").collect()
+    }
+    assert out[7].text == "Unique seven."
+    for d in (1, 2, 5):
+        assert BOILER in out[d].text, d

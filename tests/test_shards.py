@@ -1,0 +1,131 @@
+"""Training-shard layout: deterministic membership and order, exact
+one-file-per-shard layout, full coverage, balance, and composition with
+sequence packing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.pipelines.shards import assign_shards, write_training_shards
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_membership_is_deterministic_and_partition_independent(spark):
+    docs = _docs(spark)
+    a = {r.doc_id: r.shard for r in assign_shards(docs, 8, ["doc_id"]).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in assign_shards(docs.repartition(13), 8, ["doc_id"]).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(range(8))
+    # a different seed reshuffles membership
+    c = {
+        r.doc_id: r.shard
+        for r in assign_shards(docs, 8, ["doc_id"], seed="other").collect()
+    }
+    assert a != c
+    with pytest.raises(ValueError):
+        assign_shards(docs, 0, ["doc_id"])
+
+
+def test_write_layout_coverage_balance_and_order(spark, tmp_path):
+    docs = _docs(spark)
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, path, 8, ["doc_id"])
+    assert sum(manifest.values()) == n
+    # every shard dir holds EXACTLY one parquet file
+    for k in manifest:
+        files = glob.glob(os.path.join(path, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, k
+    # roughly balanced (md5-uniform): no shard > 2x the fair share
+    assert max(manifest.values()) <= 2 * (n / 8)
+    # coverage: reading back equals the input
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert back.select("doc_id").distinct().count() == n
+    # within-shard order is the sorted key order (read one file directly)
+    f0 = glob.glob(os.path.join(path, "shard=0", "*.parquet"))[0]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f0, columns=["doc_id"])["doc_id"].to_pylist()
+    assert ids == sorted(ids)
+
+
+def test_rewrite_is_byte_stable(spark, tmp_path):
+    """Two independent writes produce identical per-shard row sequences —
+    the reproducible-training-run property."""
+    docs = _docs(spark)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, p1, 4, ["doc_id"])
+    write_training_shards(docs.repartition(7), p2, 4, ["doc_id"])
+    import pyarrow.parquet as pq
+
+    for k in range(4):
+        f1 = glob.glob(os.path.join(p1, f"shard={k}", "*.parquet"))
+        f2 = glob.glob(os.path.join(p2, f"shard={k}", "*.parquet"))
+        if not f1 and not f2:
+            continue
+        t1 = pq.read_table(f1[0], columns=["doc_id"])["doc_id"].to_pylist()
+        t2 = pq.read_table(f2[0], columns=["doc_id"])["doc_id"].to_pylist()
+        assert t1 == t2, k
+
+
+def test_composes_with_sequence_packing(spark, tmp_path):
+    """The trainer flow: pack documents into fixed-token bins, shard the
+    bins — bin identity (pack_group, bin_idx) is the shard key, so a
+    bin's documents travel together."""
+    from ts_etl_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, 2048)
+    path = str(tmp_path / "packed_shards")
+    manifest = write_training_shards(
+        packed, path, 4, ["pack_group", "bin_idx"],
+        order_cols=["pack_group", "bin_idx", "doc_id"],
+    )
+    assert sum(manifest.values()) == packed.count()
+    back = spark.read.parquet(path)
+    # every bin lives wholly in one shard
+    split_bins = (
+        back.groupBy("pack_group", "bin_idx")
+        .agg(F.count_distinct("shard").alias("n_shards"))
+        .filter(F.col("n_shards") > 1)
+        .count()
+    )
+    assert split_bins == 0
+
+
+def test_cli_curate_pack_shard_flow(spark, tmp_path):
+    """The full trainer-prep flow from the CLI surface: curate -> pack ->
+    shard, each stage reading the previous stage's output."""
+    from ts_etl_spark.cli import run_curate, run_pack, run_shard
+
+    curated = str(tmp_path / "curated")
+    packed = str(tmp_path / "packed")
+    shards = str(tmp_path / "shards")
+    run_curate(SF, curated, spark=spark)
+    run_pack(curated, packed, 2048, spark=spark)
+    manifest = run_shard(
+        packed, shards, 4, ["pack_group", "bin_idx"],
+        order=["pack_group", "bin_idx", "doc_id"], spark=spark,
+    )
+    total = sum(manifest.values())
+    assert total == spark.read.parquet(packed).count() > 0
+    for k in manifest:
+        files = glob.glob(os.path.join(shards, f"shard={k}", "*.parquet"))
+        assert len(files) == 1, k

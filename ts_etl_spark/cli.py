@@ -204,7 +204,7 @@ def _curate_main(argv: list[str]) -> int:
     )
     parser.add_argument(
         "--paragraph-dedup",
-        choices=["df", "keep_first"],
+        choices=["df", "keep_first", "within_doc"],
         help="strip repeated paragraphs across the corpus before scoring "
         "(operators/paragraphs.py)",
     )
@@ -270,6 +270,70 @@ def run_pack(
     finally:
         if own_session:
             spark.stop()
+
+
+def run_shard(
+    in_dir: str,
+    out_dir: str,
+    n_shards: int,
+    keys: list[str],
+    order: list[str] | None = None,
+    seed: str = "shard",
+    spark=None,
+) -> dict[int, int]:
+    """Lay a corpus out as deterministic training shards
+    (``pipelines.shards.write_training_shards``): shard=<k> directories,
+    one file each, reproducible membership and order. Returns the
+    per-shard row-count manifest (also logged to stderr)."""
+    from ts_etl_spark.pipelines.shards import write_training_shards
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-shard")
+    try:
+        df = spark.read.parquet(in_dir)
+        manifest = write_training_shards(
+            df, out_dir, n_shards, keys, order_cols=order, seed=seed
+        )
+        for k in sorted(manifest):
+            print(f"shard: {k} = {manifest[k]} rows", file=sys.stderr)
+        return manifest
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _shard_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark shard",
+        description="Write a corpus as deterministic training shards.",
+    )
+    parser.add_argument("in_dir", help="input parquet corpus")
+    parser.add_argument("out_dir", help="output shard directory")
+    parser.add_argument("--n-shards", type=int, default=16)
+    parser.add_argument(
+        "--keys", default="doc_id",
+        help="comma-separated identity columns for shard assignment",
+    )
+    parser.add_argument(
+        "--order", help="comma-separated within-shard order columns "
+        "(defaults to the keys)",
+    )
+    parser.add_argument("--seed", default="shard", help="hash seed")
+    args = parser.parse_args(argv)
+    try:
+        run_shard(
+            args.in_dir,
+            args.out_dir,
+            args.n_shards,
+            args.keys.split(","),
+            order=args.order.split(",") if args.order else None,
+            seed=args.seed,
+        )
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during sharding: {exc}", file=sys.stderr)
+        return 1
+    return 0
 
 
 def _pack_main(argv: list[str]) -> int:
@@ -612,6 +676,8 @@ def main(argv: list[str] | None = None) -> int:
         return _chunk_main(argv[1:])
     if argv and argv[0] == "split":
         return _split_main(argv[1:])
+    if argv and argv[0] == "shard":
+        return _shard_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",

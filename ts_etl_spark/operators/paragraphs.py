@@ -16,6 +16,10 @@ policies:
 - ``mode="keep_first"``: keep the globally earliest occurrence
   (lowest ``(doc_id, para_idx)``) and drop later copies. The
   conservative policy — content survives exactly once.
+- ``mode="within_doc"``: dedup only INSIDE each document (keep a
+  paragraph's first occurrence per document, cross-document repeats
+  untouched) — the repetition-cleanup policy for pages that loop their
+  own content, safe to run before any corpus-level policy.
 
 Normalization for matching is lowercase + whitespace-collapse (md5
 fingerprint, the ``textops`` canonicalization); whitespace-only
@@ -91,26 +95,35 @@ def dedup_paragraphs(
     order (empty string when everything was dropped — the caller's
     min-length gate catches those downstream, same contract as the
     curation pipeline's quality stage)."""
-    if mode not in ("df", "keep_first"):
-        raise ValueError(f"mode must be 'df' or 'keep_first', got {mode!r}")
+    if mode not in ("df", "keep_first", "within_doc"):
+        raise ValueError(
+            f"mode must be 'df', 'keep_first' or 'within_doc', got {mode!r}"
+        )
     paras = split_paragraphs(docs, text_col, id_col, delimiter)
     live = paras.filter(~F.col("blank"))
+    join_keys = ["fp"]
     if mode == "df":
         verdict = live.groupBy("fp").agg(
             F.count_distinct(id_col).alias("df")
         )
         keep = F.col("df") < min_df
-    else:
+    elif mode == "keep_first":
         verdict = live.groupBy("fp").agg(
             F.min(F.struct(id_col, "para_idx")).alias("first")
         )
         keep = (F.col(f"first.{id_col}") == F.col(id_col)) & (
             F.col("first.para_idx") == F.col("para_idx")
         )
+    else:  # within_doc: first occurrence per (doc, fingerprint)
+        join_keys = [id_col, "fp"]
+        verdict = live.groupBy(id_col, "fp").agg(
+            F.min("para_idx").alias("first_idx")
+        )
+        keep = F.col("first_idx") == F.col("para_idx")
     kept = (
-        paras.join(verdict, "fp", "left")
+        paras.join(verdict, join_keys, "left")
         .withColumn("keep", F.col("blank") | keep)
-        .drop("df", "first")
+        .drop("df", "first", "first_idx")
     )
     return (
         kept.groupBy(id_col)
@@ -147,27 +160,20 @@ def dedup_paragraphs_sql(
         raise ValueError("delimiter must be a non-empty literal string")
     d = delimiter.replace("'", "''").replace("\n", "' || chr(10) || '")
     delim = f"'{d}'"
-    verdict = (
-        f"""SELECT fp FROM live GROUP BY fp
+    if mode == "df":
+        verdict = f"""SELECT fp FROM live GROUP BY fp
             HAVING COUNT(DISTINCT doc_id) >= {min_df}"""
-        if mode == "df"
-        else """SELECT doc_id, para_idx, TRUE AS is_first FROM (
+        keep = "p.fp NOT IN (SELECT fp FROM bad)"
+        first_join, cte = "", "bad"
+    else:
+        part = "fp" if mode == "keep_first" else "doc_id, fp"
+        verdict = f"""SELECT doc_id, para_idx, TRUE AS is_first FROM (
             SELECT doc_id, para_idx,
-                   ROW_NUMBER() OVER (PARTITION BY fp
+                   ROW_NUMBER() OVER (PARTITION BY {part}
                                       ORDER BY doc_id, para_idx) AS rn
             FROM live) WHERE rn = 1"""
-    )
-    keep = (
-        "p.fp NOT IN (SELECT fp FROM bad)"
-        if mode == "df"
-        else "COALESCE(f.is_first, FALSE)"
-    )
-    first_join = (
-        ""
-        if mode == "df"
-        else "LEFT JOIN firsts f USING (doc_id, para_idx)"
-    )
-    cte = "bad" if mode == "df" else "firsts"
+        keep = "COALESCE(f.is_first, FALSE)"
+        first_join, cte = "LEFT JOIN firsts f USING (doc_id, para_idx)", "firsts"
     return f"""
         WITH paras AS (
             SELECT doc_id, l[i] AS para, i AS para_idx,
