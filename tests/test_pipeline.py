@@ -288,3 +288,25 @@ def test_paragraph_dedup_stage_rewrites_before_scoring(spark, tmp_path):
     assert cleaned[2].drop_reason == "quality"
     # char-ratio metrics on the empty doc are NULL, not a crash
     assert cleaned[2].alpha_ratio is None
+
+
+def test_blocklist_stage_gates_by_fraction(spark, tmp_path):
+    """With blocklist set, documents over the hit fraction drop with
+    reason 'blocklist' after quality and before the classifier."""
+    good = "a perfectly ordinary informative document with many plain words " * 3
+    spam = ("buy cheap pills now " * 8 + good).strip()
+    rows = [(1, good.strip()), (2, spam), (3, "short")]
+    d = tmp_path / "bl_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in curate_documents(
+            spark, str(d), blocklist=["pills", "cheap"], blocklist_max_frac=0.05
+        ).collect()
+    }
+    assert out[1].drop_reason is None
+    assert out[2].drop_reason == "blocklist"
+    assert out[3].drop_reason == "quality"  # heuristics keep precedence

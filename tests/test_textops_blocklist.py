@@ -1,0 +1,83 @@
+"""Blocklist content filter: path equivalence, DuckDB mirror, whole-token
+semantics, plan shape, and the curation stage."""
+
+from __future__ import annotations
+
+
+
+def test_blocklist_inline_and_join_paths_agree_and_match_duckdb(spark):
+    """Whole-token blocklist matching: the literal-array codegen path and
+    the explode+broadcast-join path must agree exactly, and both must
+    match a DuckDB mirror over the same tokenization."""
+    import duckdb
+
+    from ts_etl_spark.operators.bpe import WORD_PAT
+    from ts_etl_spark.operators.textops import blocklist_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Spam and the CLASSIC class act"),
+            (2, "clean words only here"),
+            (3, ""),
+            (4, "spam spam spam"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    terms = ["spam", "class"]
+    inline = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.n_distinct_hits, r.hit_frac)
+        for r in blocklist_signals(docs, terms).collect()
+    }
+    joined = {
+        r.doc_id: (r.n_tokens, r.n_hits, r.n_distinct_hits, r.hit_frac)
+        for r in blocklist_signals(docs, terms, inline_limit=1).collect()
+    }
+    assert inline == joined
+    # whole-token: "CLASSIC" does not hit "class"; case-insensitive
+    assert inline[1] == (7, 2, 2, 2 / 7)
+    assert inline[2] == (4, 0, 0, 0.0)
+    assert inline[3] == (0, 0, 0, None)
+    assert inline[4] == (3, 3, 1, 1.0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in docs.collect()],
+    )
+    want = {
+        d: (n, h, dh, f)
+        for d, n, h, dh, f in con.execute(
+            f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '{WORD_PAT}') AS t
+                FROM docs
+            )
+            SELECT doc_id, len(t) AS n,
+                   len(list_filter(t, w -> list_contains(['spam','class'], w))) AS h,
+                   len(list_intersect(list_distinct(t), ['spam','class'])) AS dh,
+                   CASE WHEN len(t) > 0 THEN
+                        len(list_filter(t, w -> list_contains(['spam','class'], w)))::DOUBLE / len(t)
+                   END AS f
+            FROM toks
+            """
+        ).fetchall()
+    }
+    assert inline == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        blocklist_signals(docs, [])
+
+
+def test_blocklist_inline_path_is_shuffle_free(spark):
+    from ts_etl_spark.operators.textops import blocklist_signals
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    plan = (
+        blocklist_signals(docs, ["a"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan

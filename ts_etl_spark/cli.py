@@ -118,6 +118,8 @@ def run_curate(
     pack_tokens: int | None = None,
     clf_threshold: float | None = None,
     paragraph_dedup: str | None = None,
+    blocklist: list[str] | None = None,
+    blocklist_max_frac: float = 0.0,
     spark=None,
 ) -> dict[str, int]:
     """Run the corpus-curation pipeline over ``<sf_dir>/documents.parquet``
@@ -145,6 +147,8 @@ def run_curate(
             persisted=caches,
             clf_threshold=clf_threshold,
             paragraph_dedup=paragraph_dedup,
+            blocklist=blocklist,
+            blocklist_max_frac=blocklist_max_frac,
         ).persist()
         caches.append(out)
         # counts from the PERSISTED pre-join frame: the pack join below is
@@ -208,6 +212,15 @@ def _curate_main(argv: list[str]) -> int:
         help="strip repeated paragraphs across the corpus before scoring "
         "(operators/paragraphs.py)",
     )
+    parser.add_argument(
+        "--blocklist",
+        help="comma-separated whole-token blocklist; documents over "
+        "--blocklist-max-frac hit fraction drop with reason 'blocklist'",
+    )
+    parser.add_argument(
+        "--blocklist-max-frac", type=float, default=0.0,
+        help="max tolerated blocklist hit fraction (default 0.0: any hit)",
+    )
     args = parser.parse_args(argv)
     langs = args.languages.split(",") if args.languages else None
     try:
@@ -220,6 +233,8 @@ def _curate_main(argv: list[str]) -> int:
             pack_tokens=args.pack_tokens,
             clf_threshold=args.clf_threshold,
             paragraph_dedup=args.paragraph_dedup,
+            blocklist=args.blocklist.split(",") if args.blocklist else None,
+            blocklist_max_frac=args.blocklist_max_frac,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during curation: {exc}", file=sys.stderr)

@@ -438,3 +438,98 @@ ORACLE = {
         GROUP BY doc_id
     """,
 }
+
+
+def _blocklist_exprs(toks, tset: list):
+    """(n_tokens, n_hits, n_distinct_hits, hit_frac) expressions for the
+    inline (literal-array) blocklist path — ONE definition shared by
+    ``blocklist_signals`` and the curation pipeline's inline gate."""
+    lit_terms = F.array(*[F.lit(t) for t in tset])
+    n = F.size(toks)
+    n_hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_terms, t)))
+    n_distinct = F.size(F.array_intersect(F.array_distinct(toks), lit_terms))
+    frac = F.when(n > 0, n_hits.cast("double") / n)
+    return n, n_hits, n_distinct, frac
+
+
+def blocklist_frac_expr(text, terms):
+    """The blocklist hit FRACTION as one column expression over a text
+    column (NULL for token-less docs) — for inline pipeline gates."""
+    from ts_etl_spark.operators.bpe import WORD_PAT
+
+    tset = sorted({t.lower() for t in terms})
+    if not tset:
+        raise ValueError("terms must be a non-empty collection")
+    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_PAT), 0)
+    return _blocklist_exprs(toks, tset)[3]
+
+
+def blocklist_signals(
+    docs,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    inline_limit: int = 2048,
+):
+    """Whole-token blocklist matching (the term-list content filter every
+    curation pipeline runs — "adult/violence/spam wordlist" style):
+    ``(id, n_tokens, n_hits, n_distinct_hits, hit_frac)`` per document,
+    with ``hit_frac`` NULL for token-less documents (no evidence — same
+    contract as the LM/classifier scorers). Matching is on the shared
+    lowercased ``WORD_PAT`` token, so "class" never matches inside
+    "classic" (substring regexes over raw text are the classic
+    false-positive trap — the Scunthorpe problem).
+
+    Plan shape by list size: at ≤ ``inline_limit`` terms the list ships
+    as a LITERAL array and matching is a shuffle-free codegen projection
+    (array_intersect / filter over the token array — the common case;
+    curation wordlists are hundreds of terms). Past the limit, tokens
+    explode and hash-join the broadcast term table, one partial-
+    aggregated per-doc groupBy — linear either way, never a scan per
+    term."""
+    from ts_etl_spark.operators.bpe import WORD_PAT
+
+    tset = sorted({t.lower() for t in terms})
+    if not tset:
+        raise ValueError("terms must be a non-empty collection")
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(WORD_PAT), 0)
+    if len(tset) <= inline_limit:
+        n, n_hits, n_distinct, frac = _blocklist_exprs(toks, tset)
+        return docs.select(
+            id_col,
+            n.alias("n_tokens"),
+            n_hits.alias("n_hits"),
+            n_distinct.alias("n_distinct_hits"),
+            frac.alias("hit_frac"),
+        )
+    n = F.size(toks)
+    spark = docs.sparkSession
+    term_df = spark.createDataFrame([(t,) for t in tset], "w STRING")
+    exploded = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    per_doc = (
+        exploded.join(F.broadcast(term_df.withColumn("__hit", F.lit(1))), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+            F.count_distinct(F.when(F.col("__hit") == 1, F.col("w"))).alias(
+                "n_distinct_hits"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_distinct_hits", F.lit(0)).cast("int").alias(
+                "n_distinct_hits"
+            ),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("n_hits").cast("double") / F.col("n_tokens"),
+            ).alias("hit_frac"),
+        )
+    )

@@ -20,7 +20,8 @@ pipeline adds POLICY, not new computation. Plan shape at 100 TB:
 
 Provenance contract: the returned frame has EVERY input document, `kept`
 boolean, and a `drop_reason` in dropped rows (first failing stage in
-pipeline order: quality → classifier (when `clf_threshold` is set) →
+pipeline order: quality → blocklist (when `blocklist` is set) →
+classifier (when `clf_threshold` is set) →
 exact_dup → near_dup → language → budget), so corpus composition is
 auditable and each stage's yield is one groupBy away. When
 `paragraph_dedup` is set, `text` and every metric reflect the
@@ -51,6 +52,8 @@ def curate_documents(
     persisted: list[DataFrame] | None = None,
     clf_threshold: float | None = None,
     paragraph_dedup: str | None = None,
+    blocklist: Sequence[str] | None = None,
+    blocklist_max_frac: float = 0.0,
 ) -> DataFrame:
     """Run the curation flow over ``documents``; return every document with
     metrics, signals, and provenance (``kept`` / ``drop_reason``).
@@ -72,6 +75,10 @@ def curate_documents(
       through ``operators.paragraphs.dedup_paragraphs`` (mode ``"df"`` or
       ``"keep_first"``) BEFORE any scoring, so shared boilerplate
       paragraphs never pollute metrics, fingerprints or shingles.
+    - ``blocklist`` (round 5, off by default): whole-token term-list
+      content filter — drop documents whose blocklist hit fraction
+      exceeds ``blocklist_max_frac`` (default 0.0: any hit drops);
+      token-less documents have no evidence and pass to the other gates.
     - ``clf_threshold`` (round 5, off by default): the model-based gate
       after the heuristic one — drop documents whose hashing-trick
       linear score (``operators.classifier``, derived stand-in weights;
@@ -115,6 +122,12 @@ def curate_documents(
         scored = scored.withColumn(
             "clf_score", derived_score_expr(text=F.col("text"))
         )
+    if blocklist is not None:
+        from ts_etl_spark.operators.textops import blocklist_frac_expr
+
+        scored = scored.withColumn(
+            "block_frac", blocklist_frac_expr(F.col("text"), blocklist)
+        )
 
     # exact/canonical dedup: rank within fingerprint, rep = lowest doc_id
     from pyspark.sql.window import Window
@@ -142,6 +155,10 @@ def curate_documents(
     # NULL clf_score (token-less) is not < threshold, so those documents
     # answer to the heuristic gate alone
     reason = F.when(~F.col("quality_pass"), "quality")
+    if blocklist is not None:
+        reason = reason.when(
+            F.col("block_frac") > F.lit(blocklist_max_frac), "blocklist"
+        )
     if clf_threshold is not None:
         reason = reason.when(
             F.col("clf_score") < F.lit(clf_threshold), "classifier"
