@@ -129,3 +129,19 @@ def test_cli_curate_pack_shard_flow(spark, tmp_path):
     for k in manifest:
         files = glob.glob(os.path.join(shards, f"shard={k}", "*.parquet"))
         assert len(files) == 1, k
+
+
+def test_cli_explain_prints_plan_and_registry(spark, capsys):
+    import io
+
+    from ts_etl_spark.cli import run_explain
+
+    buf = io.StringIO()
+    assert run_explain("q6_revenue_forecast", SF, spark=spark, out=buf) == 0
+    plan = buf.getvalue()
+    assert "Physical Plan" in plan and "PushedFilters" in plan
+    buf2 = io.StringIO()
+    assert run_explain("list", spark=spark, out=buf2) == 0
+    names = buf2.getvalue().split()
+    assert "q1_pricing_summary" in names and len(names) == 50
+    assert run_explain("nope_not_a_query", SF, spark=spark) == 1

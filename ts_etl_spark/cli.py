@@ -287,6 +287,65 @@ def run_pack(
             spark.stop()
 
 
+def run_explain(
+    name: str,
+    sf_dir: str = "/root/testdata/sf0.001",
+    mode: str = "formatted",
+    out=None,
+    spark=None,
+) -> int:
+    """Print the optimized physical plan of a registered query — the
+    plan-audit loop (`.explain` and iterate) as a first-class CLI
+    surface. ``name`` is any key of the engine's query registry; pass
+    ``list`` to enumerate them."""
+    from ts_etl_spark.operators import all_queries
+    from ts_etl_spark.plans.audit import plan_str
+
+    out = out if out is not None else sys.stdout
+    registry = all_queries()
+    if name == "list":
+        for k in registry:
+            print(k, file=out)
+        return 0
+    if name not in registry:
+        print(
+            f"Unknown query {name!r}; run `explain list` for the registry",
+            file=sys.stderr,
+        )
+        return 1
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-explain")
+    try:
+        print(plan_str(registry[name](spark, sf_dir), mode), file=out)
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _explain_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark explain",
+        description="Show the optimized physical plan of a registered query.",
+    )
+    parser.add_argument("name", help="registry key, or 'list'")
+    parser.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.001", help="table directory"
+    )
+    parser.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    args = parser.parse_args(argv)
+    try:
+        return run_explain(args.name, args.sf_dir, args.mode)
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during explain: {exc}", file=sys.stderr)
+        return 1
+
+
 def run_shard(
     in_dir: str,
     out_dir: str,
@@ -693,6 +752,8 @@ def main(argv: list[str] | None = None) -> int:
         return _split_main(argv[1:])
     if argv and argv[0] == "shard":
         return _shard_main(argv[1:])
+    if argv and argv[0] == "explain":
+        return _explain_main(argv[1:])
     parser = argparse.ArgumentParser(
         prog="ts-etl-spark",
         description="Convert CSV/PRN on stdin to JSON/HTML on stdout.",
