@@ -156,3 +156,35 @@ def test_within_doc_mode_leaves_cross_document_repeats(spark):
     assert out[7].text == "Unique seven."
     for d in (1, 2, 5):
         assert BOILER in out[d].text, d
+
+
+def test_neardup_pairs_catch_templated_boilerplate(spark):
+    """Templated boilerplate with per-page substitutions never
+    fingerprints equal (exact dedup misses it) but pairs under MinHash
+    Jaccard; unrelated paragraphs never pair."""
+    footer_a = (
+        "copyright 2024 acme gmbh all rights reserved contact the "
+        "operator for takedown requests and licensing terms"
+    )
+    footer_b = footer_a.replace("gmbh", "ltd")
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique body one with its own words\n\n{footer_a}"),
+            (2, f"completely different second body text\n\n{footer_b}"),
+            (3, "nothing shared with anything else at all here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    from ts_etl_spark.operators.paragraphs import paragraph_neardup_pairs
+
+    got = paragraph_neardup_pairs(docs, threshold=0.5).collect()
+    assert len(got) == 1
+    p = got[0]
+    assert (p.doc_a, p.para_a, p.doc_b, p.para_b) == (1, 1, 2, 1)
+    assert p.jaccard >= 0.5
+    # exact paragraph dedup does NOT catch the substitution pair
+    exact = {
+        r.doc_id: r.n_kept
+        for r in dedup_paragraphs(docs, mode="df").collect()
+    }
+    assert exact[1] == 2 and exact[2] == 2  # nothing dropped

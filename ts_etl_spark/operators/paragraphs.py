@@ -192,3 +192,60 @@ def dedup_paragraphs_sql(
         FROM paras p {first_join}
         GROUP BY p.doc_id
     """
+
+
+#: composite paragraph id: doc_id * 2^20 + para_idx. 20 bits of paragraph
+#: index (a million paragraphs per document) leaves 43 bits of doc_id —
+#: both far beyond real corpora; guarded below anyway.
+_PARA_ID_BITS = 20
+
+
+def paragraph_neardup_pairs(
+    docs: DataFrame,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = PARA_DELIM,
+) -> DataFrame:
+    """NEAR-duplicate paragraph pairs across the corpus — the fuzzy
+    counterpart of ``dedup_paragraphs`` (which matches exact normalized
+    fingerprints): templated boilerplate with per-page substitutions
+    ("© 2024 Acme GmbH" vs "© 2024 Acme Ltd") never fingerprints equal,
+    but its word-shingle Jaccard is high. Pure composition: paragraphs
+    from ``split_paragraphs`` become rows of a (doc_id, text) frame with
+    a composite bit-packed id, and ``dedup.minhash_lsh_pairs`` — banding,
+    candidates-then-verify, the 100 TB shape — does the matching.
+    Returns ``(doc_a, para_a, doc_b, para_b, jaccard)``.
+
+    Note the unit of comparison is the PARAGRAPH; short paragraphs
+    (< 3 word tokens) have no shingles and never pair, same contract as
+    document-level MinHash."""
+    from ts_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_lsh_pairs,
+    )
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    paras = split_paragraphs(docs, text_col, id_col, delimiter).filter(
+        ~F.col("blank")
+    )
+    shift = F.lit(1 << _PARA_ID_BITS)
+    # composite ids must be reversible: refuse out-of-range coordinates
+    # loudly rather than silently aliasing two paragraphs into one id
+    guarded = paras.select(
+        F.when(
+            (F.col("para_idx") < shift) & (F.col(id_col) >= 0),
+            F.col(id_col) * shift + F.col("para_idx"),
+        ).alias("doc_id"),
+        F.col("para").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        guarded.filter(F.col("doc_id").isNotNull())
+    ).filter(F.col("jaccard") >= thr)
+    return pairs.select(
+        (F.col("id_a") / shift).cast("long").alias("doc_a"),
+        (F.col("id_a") % shift).cast("int").alias("para_a"),
+        (F.col("id_b") / shift).cast("long").alias("doc_b"),
+        (F.col("id_b") % shift).cast("int").alias("para_b"),
+        "jaccard",
+    )
