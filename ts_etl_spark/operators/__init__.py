@@ -20,9 +20,12 @@ filter_project_sample + scalar_functions). Library-only modules now:
 quantiles_sketches), ``skew`` (salting patterns, exercised by the
 guarded window path), ``classifier`` (round 5; the derived-weight score
 is the gated clf arm of corpus_quality_signals, the weight-table path is
-fixture-tested), and ``paragraphs`` (round 5; paragraph-level corpus
+fixture-tested), ``paragraphs`` (round 5; paragraph-level corpus
 dedup — the synthetic documents carry no newlines, so it is verified by
-fixture tests with an exact DuckDB mirror, tests/test_paragraphs.py).
+fixture tests with an exact DuckDB mirror, tests/test_paragraphs.py),
+and ``embedding`` (round 5; pluggable document-embedding seam with a
+deterministic hashed-BoW default, bit-exact against a pure-Python
+reference, feeding the similarity surface end to end).
 """
 
 from __future__ import annotations
