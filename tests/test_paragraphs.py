@@ -188,3 +188,13 @@ def test_neardup_pairs_catch_templated_boilerplate(spark):
         for r in dedup_paragraphs(docs, mode="df").collect()
     }
     assert exact[1] == 2 and exact[2] == 2  # nothing dropped
+
+
+def test_neardup_threshold_floor_and_sql_mode_validation(spark):
+    from ts_etl_spark.operators.paragraphs import paragraph_neardup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="recall floor"):
+        paragraph_neardup_pairs(docs, threshold=0.2)
+    with pytest.raises(ValueError, match="mode"):
+        dedup_paragraphs_sql(mode="keepfirst")

@@ -20,6 +20,7 @@ def test_blocklist_inline_and_join_paths_agree_and_match_duckdb(spark):
             (2, "clean words only here"),
             (3, ""),
             (4, "spam spam spam"),
+            (5, None),
         ],
         "doc_id LONG, text STRING",
     )
@@ -36,7 +37,9 @@ def test_blocklist_inline_and_join_paths_agree_and_match_duckdb(spark):
     # whole-token: "CLASSIC" does not hit "class"; case-insensitive
     assert inline[1] == (7, 2, 2, 2 / 7)
     assert inline[2] == (4, 0, 0, 0.0)
+    # empty AND NULL text agree across paths: zero tokens, NULL fraction
     assert inline[3] == (0, 0, 0, None)
+    assert inline[5] == (0, 0, 0, None)
     assert inline[4] == (3, 3, 1, 1.0)
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
@@ -50,7 +53,8 @@ def test_blocklist_inline_and_join_paths_agree_and_match_duckdb(spark):
             f"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_extract_all(lower(text), '{WORD_PAT}') AS t
+                       COALESCE(regexp_extract_all(lower(text), '{WORD_PAT}'),
+                                []) AS t
                 FROM docs
             )
             SELECT doc_id, len(t) AS n,
@@ -81,3 +85,13 @@ def test_blocklist_inline_path_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_frac_expr_refuses_oversized_term_lists(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.textops import blocklist_frac_expr
+
+    with _pytest.raises(ValueError, match="inline limit"):
+        blocklist_frac_expr(F.col("text"), [f"t{i}" for i in range(3000)])

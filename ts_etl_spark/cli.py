@@ -233,7 +233,11 @@ def _curate_main(argv: list[str]) -> int:
             pack_tokens=args.pack_tokens,
             clf_threshold=args.clf_threshold,
             paragraph_dedup=args.paragraph_dedup,
-            blocklist=args.blocklist.split(",") if args.blocklist else None,
+            blocklist=(
+                [t.strip() for t in args.blocklist.split(",") if t.strip()]
+                if args.blocklist
+                else None
+            ),
             blocklist_max_frac=args.blocklist_max_frac,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary

@@ -30,13 +30,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.bpe import WORD_PAT
+from ts_etl_spark.operators.classifier import _hash8 as _hash_int
 
 DEFAULT_DIM = 64
-
-
-def _hash_int(prefix: str, col: Column) -> Column:
-    h = F.md5(F.concat(F.lit(prefix), col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
 
 
 def _sign(col: Column) -> Column:

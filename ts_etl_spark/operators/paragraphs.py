@@ -156,6 +156,10 @@ def dedup_paragraphs_sql(
     lockstep with dedup_paragraphs (same normalization, same policies;
     the delimiter is literal on both sides — quotes SQL-doubled,
     newlines spliced as chr(10))."""
+    if mode not in ("df", "keep_first", "within_doc"):
+        raise ValueError(
+            f"mode must be 'df', 'keep_first' or 'within_doc', got {mode!r}"
+        )
     if not delimiter:
         raise ValueError("delimiter must be a non-empty literal string")
     d = delimiter.replace("'", "''").replace("\n", "' || chr(10) || '")
@@ -226,26 +230,49 @@ def paragraph_neardup_pairs(
     )
 
     thr = JACCARD_THRESHOLD if threshold is None else threshold
+    if thr < JACCARD_THRESHOLD:
+        # the banding scheme (bands x rows) is tuned for recall AT the
+        # module threshold and minhash_lsh_pairs hard-filters there —
+        # a lower threshold would silently return nothing below 0.4
+        raise ValueError(
+            f"threshold must be >= {JACCARD_THRESHOLD} (the LSH banding "
+            "recall floor); retune dedup's banding for lower thresholds"
+        )
     paras = split_paragraphs(docs, text_col, id_col, delimiter).filter(
         ~F.col("blank")
     )
     shift = F.lit(1 << _PARA_ID_BITS)
-    # composite ids must be reversible: refuse out-of-range coordinates
-    # loudly rather than silently aliasing two paragraphs into one id
+    # composite ids must be reversible: out-of-range coordinates FAIL the
+    # job (raise_error) rather than silently aliasing two paragraphs into
+    # one id; doc_id large enough to overflow the long multiply already
+    # fails loudly under the session's ANSI mode
     guarded = paras.select(
         F.when(
             (F.col("para_idx") < shift) & (F.col(id_col) >= 0),
             F.col(id_col) * shift + F.col("para_idx"),
-        ).alias("doc_id"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "paragraph coordinates out of composite-id range "
+                    f"(need 0 <= para_idx < 2^{_PARA_ID_BITS} and doc_id >= 0)"
+                )
+            )
+        )
+        .alias("doc_id"),
         F.col("para").alias("text"),
     )
-    pairs = minhash_lsh_pairs(
-        guarded.filter(F.col("doc_id").isNotNull())
-    ).filter(F.col("jaccard") >= thr)
+    pairs = minhash_lsh_pairs(guarded).filter(F.col("jaccard") >= thr)
+    # decode with BIT arithmetic: `/` promotes to double, which rounds
+    # ids above 2^53 and misattributes pairs to neighbouring documents
     return pairs.select(
-        (F.col("id_a") / shift).cast("long").alias("doc_a"),
-        (F.col("id_a") % shift).cast("int").alias("para_a"),
-        (F.col("id_b") / shift).cast("long").alias("doc_b"),
-        (F.col("id_b") % shift).cast("int").alias("para_b"),
+        F.shiftright(F.col("id_a"), _PARA_ID_BITS).alias("doc_a"),
+        F.col("id_a").bitwiseAND(F.lit((1 << _PARA_ID_BITS) - 1))
+        .cast("int")
+        .alias("para_a"),
+        F.shiftright(F.col("id_b"), _PARA_ID_BITS).alias("doc_b"),
+        F.col("id_b").bitwiseAND(F.lit((1 << _PARA_ID_BITS) - 1))
+        .cast("int")
+        .alias("para_b"),
         "jaccard",
     )

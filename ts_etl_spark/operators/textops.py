@@ -440,6 +440,19 @@ ORACLE = {
 }
 
 
+def _tokens_or_empty(text):
+    """Lowercased WORD_PAT tokens with NULL text yielding an EMPTY array:
+    under ANSI Spark, size(regexp_extract_all(NULL)) is NULL, which would
+    make the inline blocklist path disagree with the join path's
+    coalesce-to-0 counts on NULL-text rows."""
+    from ts_etl_spark.operators.bpe import WORD_PAT
+
+    return F.coalesce(
+        F.regexp_extract_all(F.lower(text), F.lit(WORD_PAT), 0),
+        F.array().cast("array<string>"),
+    )
+
+
 def _blocklist_exprs(toks, tset: list):
     """(n_tokens, n_hits, n_distinct_hits, hit_frac) expressions for the
     inline (literal-array) blocklist path — ONE definition shared by
@@ -452,15 +465,24 @@ def _blocklist_exprs(toks, tset: list):
     return n, n_hits, n_distinct, frac
 
 
-def blocklist_frac_expr(text, terms):
+def blocklist_frac_expr(text, terms, inline_limit: int = 2048):
     """The blocklist hit FRACTION as one column expression over a text
-    column (NULL for token-less docs) — for inline pipeline gates."""
+    column (NULL for token-less docs) — for inline pipeline gates.
+    Refuses term lists past ``inline_limit``: a giant literal array would
+    cost O(tokens × terms) per document — use ``blocklist_signals``
+    (which switches to the broadcast-join plan) and join its ``hit_frac``
+    instead."""
     from ts_etl_spark.operators.bpe import WORD_PAT
 
     tset = sorted({t.lower() for t in terms})
     if not tset:
         raise ValueError("terms must be a non-empty collection")
-    toks = F.regexp_extract_all(F.lower(text), F.lit(WORD_PAT), 0)
+    if len(tset) > inline_limit:
+        raise ValueError(
+            f"{len(tset)} terms exceed the inline limit ({inline_limit}); "
+            "use blocklist_signals (broadcast-join path) and join hit_frac"
+        )
+    toks = _tokens_or_empty(text)
     return _blocklist_exprs(toks, tset)[3]
 
 
@@ -492,7 +514,7 @@ def blocklist_signals(
     tset = sorted({t.lower() for t in terms})
     if not tset:
         raise ValueError("terms must be a non-empty collection")
-    toks = F.regexp_extract_all(F.lower(text_col), F.lit(WORD_PAT), 0)
+    toks = _tokens_or_empty(text_col)
     if len(tset) <= inline_limit:
         n, n_hits, n_distinct, frac = _blocklist_exprs(toks, tset)
         return docs.select(
@@ -502,7 +524,6 @@ def blocklist_signals(
             n_distinct.alias("n_distinct_hits"),
             frac.alias("hit_frac"),
         )
-    n = F.size(toks)
     spark = docs.sparkSession
     term_df = spark.createDataFrame([(t,) for t in tset], "w STRING")
     exploded = docs.select(F.col(id_col), F.explode(toks).alias("w"))

@@ -123,11 +123,24 @@ def curate_documents(
             "clf_score", derived_score_expr(text=F.col("text"))
         )
     if blocklist is not None:
-        from ts_etl_spark.operators.textops import blocklist_frac_expr
-
-        scored = scored.withColumn(
-            "block_frac", blocklist_frac_expr(F.col("text"), blocklist)
+        from ts_etl_spark.operators.textops import (
+            blocklist_frac_expr,
+            blocklist_signals,
         )
+
+        tset = sorted({t.lower() for t in blocklist})
+        if len(tset) <= 2048:
+            scored = scored.withColumn(
+                "block_frac", blocklist_frac_expr(F.col("text"), tset)
+            )
+        else:
+            # wordlists past the inline limit go through the broadcast-
+            # join plan (a literal array that size would cost
+            # O(tokens x terms) per document in codegen)
+            sig = blocklist_signals(docs, tset).select(
+                "doc_id", F.col("hit_frac").alias("block_frac")
+            )
+            scored = scored.join(sig, "doc_id", "left")
 
     # exact/canonical dedup: rank within fingerprint, rep = lowest doc_id
     from pyspark.sql.window import Window

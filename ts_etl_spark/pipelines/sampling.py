@@ -104,6 +104,14 @@ def target_mixture_fractions(
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
     }
+    return _fractions_from_counts(counts, target_shares)
+
+
+def _fractions_from_counts(
+    counts: Mapping[str, int], target_shares: Mapping[str, float]
+) -> dict[str, float]:
+    """The driver-side core of ``target_mixture_fractions`` for callers
+    that already hold the per-stratum counts (one scan instead of two)."""
     # the binding stratum minimizes count/share; scale others down to it
     ratios = {
         s: counts[s] / share
@@ -155,8 +163,13 @@ def mix_to_temperature(
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
     }
-    return mix_to_target(
-        df, strata_col, temperature_shares(counts, tau), key_cols, seed=seed
+    shares = temperature_shares(counts, tau)
+    # ONE scan: the counts already parameterize the fractions — going
+    # through mix_to_target would rerun the identical groupBy/collect
+    fracs = _fractions_from_counts(counts, shares)
+    kept = df.filter(F.col(strata_col).isin(*shares.keys())) if shares else df
+    return stratified_sample(
+        kept, strata_col, fracs, key_cols, seed=seed, default_fraction=1.0
     )
 
 

@@ -67,15 +67,23 @@ def write_training_shards(
     ``key_cols``) — with unique keys the shard files are fully
     reproducible row-for-row."""
     order = list(order_cols if order_cols is not None else key_cols)
-    sharded = assign_shards(df, n_shards, key_cols, seed)
-    (
-        sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", *order)
-        .write.mode(mode)
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    return {
-        int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard").agg(F.count("*").alias("n")).collect()
-    }
+    # persist across the write and the manifest aggregate — without it
+    # the manifest would re-scan and re-hash the whole corpus a second
+    # time after the write action already did
+    sharded = assign_shards(df, n_shards, key_cols, seed).persist()
+    try:
+        (
+            sharded.repartition(n_shards, "shard")
+            .sortWithinPartitions("shard", *order)
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        return {
+            int(r["shard"]): r["n"]
+            for r in sharded.groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    finally:
+        sharded.unpersist()
