@@ -198,3 +198,50 @@ def test_neardup_threshold_floor_and_sql_mode_validation(spark):
         paragraph_neardup_pairs(docs, threshold=0.2)
     with pytest.raises(ValueError, match="mode"):
         dedup_paragraphs_sql(mode="keepfirst")
+
+
+def test_roundtrip_identity_property(spark):
+    """When nothing qualifies for dropping, the split/reassemble cycle is
+    the IDENTITY on arbitrary texts — including delimiter runs at the
+    edges, empty paragraphs, unicode, and whitespace-only documents
+    (property-based: the rewrite machinery must never corrupt a document
+    it decided to keep intact)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\x00"
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(texts)
+    def check(batch):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(batch)], "doc_id LONG, text STRING"
+        )
+        # min_df above the corpus size: nothing can qualify in df mode
+        out = {
+            r.doc_id: r.text
+            for r in dedup_paragraphs(
+                docs, mode="df", min_df=len(batch) + 1
+            ).collect()
+        }
+        assert out == dict(enumerate(batch))
+
+    check()
+
+
+def test_within_doc_idempotent(spark):
+    docs = _fixture(spark)
+    once = dedup_paragraphs(docs, mode="within_doc").select("doc_id", "text")
+    twice = dedup_paragraphs(once, mode="within_doc").select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
