@@ -512,3 +512,35 @@ def test_pca_reduce_matches_numpy_and_preserves_structure(spark):
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     with _pytest.raises(ValueError, match="at least one row"):
         pca_reduce(empty, 2)
+
+
+def test_pca_reduce_tolerates_null_embeddings(spark):
+    """NULL embeddings (embed_documents' token-less-doc contract) fit on
+    non-NULL rows only and come back with NULL proj — even when the FIRST
+    row is the NULL one; an all-NULL frame still fails loudly."""
+    import pytest as _pytest
+
+    from ts_etl_spark.operators.similarity import pca_reduce
+
+    df = spark.createDataFrame(
+        [
+            (0, None),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 2.0, 0.0]),
+            (3, [0.0, 0.0, 3.0]),
+            (4, None),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    ).coalesce(1)  # pin row order so the first() sniff sees the NULL row
+    projected, info = pca_reduce(df, 2)
+    rows = {r.vec_id: r.proj for r in projected.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[0] is None and rows[4] is None
+    assert all(rows[i] is not None and len(rows[i]) == 2 for i in (1, 2, 3))
+    assert len(info["mean"]) == 3
+
+    all_null = spark.createDataFrame(
+        [(0, None), (1, None)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(ValueError, match="at least one row"):
+        pca_reduce(all_null, 1)

@@ -46,10 +46,12 @@ def test_write_layout_coverage_balance_and_order(spark, tmp_path):
     path = str(tmp_path / "shards")
     manifest = write_training_shards(docs, path, 8, ["doc_id"])
     assert sum(manifest.values()) == n
-    # every shard dir holds EXACTLY one parquet file
-    for k in manifest:
+    # the manifest is dense over range(n_shards)
+    assert sorted(manifest) == list(range(8))
+    # every occupied shard dir holds EXACTLY one parquet file
+    for k, cnt in manifest.items():
         files = glob.glob(os.path.join(path, f"shard={k}", "*.parquet"))
-        assert len(files) == 1, k
+        assert len(files) == (1 if cnt else 0), k
     # roughly balanced (md5-uniform): no shard > 2x the fair share
     assert max(manifest.values()) <= 2 * (n / 8)
     # coverage: reading back equals the input
@@ -126,9 +128,25 @@ def test_cli_curate_pack_shard_flow(spark, tmp_path):
     )
     total = sum(manifest.values())
     assert total == spark.read.parquet(packed).count() > 0
-    for k in manifest:
+    for k, cnt in manifest.items():
         files = glob.glob(os.path.join(shards, f"shard={k}", "*.parquet"))
-        assert len(files) == 1, k
+        assert len(files) == (1 if cnt else 0), k
+
+
+def test_manifest_is_dense_when_shards_outnumber_rows(spark, tmp_path):
+    """More shards than rows: every shard 0..n-1 still gets a manifest
+    entry (0 for the empty ones), so a loader iterating the manifest
+    never KeyErrors; empty shards have no directory by Hive-layout
+    design."""
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id LONG, text STRING")
+    path = str(tmp_path / "sparse")
+    manifest = write_training_shards(docs, path, 16, ["doc_id"])
+    assert sorted(manifest) == list(range(16))
+    assert sum(manifest.values()) == 2
+    empties = [k for k, c in manifest.items() if c == 0]
+    assert empties, "16 shards over 2 rows must leave empty shards"
+    for k in empties:
+        assert not os.path.isdir(os.path.join(path, f"shard={k}"))
 
 
 def test_cli_explain_prints_plan_and_registry(spark, capsys):
@@ -145,3 +163,18 @@ def test_cli_explain_prints_plan_and_registry(spark, capsys):
     names = buf2.getvalue().split()
     assert "q1_pricing_summary" in names and len(names) == 50
     assert run_explain("nope_not_a_query", SF, spark=spark) == 1
+
+
+def test_cli_explain_leaves_no_caches_in_a_shared_session(spark):
+    """corpus_quality_signals persists its token projection during plan
+    CONSTRUCTION; explain on a caller-owned session must drop whatever
+    plan-building cached before returning (documented clearCache)."""
+    import io
+
+    from ts_etl_spark.cli import run_explain
+
+    jsc = spark.sparkContext._jsc.sc()
+    buf = io.StringIO()
+    assert run_explain("corpus_quality_signals", SF, spark=spark, out=buf) == 0
+    assert "Physical Plan" in buf.getvalue()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -87,6 +87,20 @@ def test_blocklist_inline_path_is_shuffle_free(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_blocklist_paths_share_one_schema(spark):
+    """The inline and broadcast-join plans must emit IDENTICAL dtypes so
+    outputs union cleanly across the inline_limit boundary."""
+    from ts_etl_spark.operators.textops import blocklist_signals
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    inline = blocklist_signals(docs, ["a", "b"])
+    joined = blocklist_signals(docs, ["a", "b"], inline_limit=1)
+    assert inline.dtypes == joined.dtypes
+    assert dict(inline.dtypes)["n_hits"] == "bigint"
+    # and the union a consumer would write is legal + consistent
+    assert inline.unionByName(joined).count() == 2
+
+
 def test_frac_expr_refuses_oversized_term_lists(spark):
     import pytest as _pytest
     from pyspark.sql import functions as F

@@ -301,7 +301,16 @@ def run_explain(
     """Print the optimized physical plan of a registered query — the
     plan-audit loop (`.explain` and iterate) as a first-class CLI
     surface. ``name`` is any key of the engine's query registry; pass
-    ``list`` to enumerate them."""
+    ``list`` to enumerate them.
+
+    Caveat: NOT side-effect-free for every entry. A few queries
+    materialize driver-side scalars while BUILDING their plan (e.g.
+    ``quantiles_sketches`` / ``corpus_quality_signals`` run their heavy
+    aggregates eagerly and the printed plan covers only the
+    local-relation tail), and some persist intermediates; any cache left
+    behind by plan construction is dropped here via
+    ``catalog.clearCache()`` before returning (own sessions just
+    stop)."""
     from ts_etl_spark.operators import all_queries
     from ts_etl_spark.plans.audit import plan_str
 
@@ -326,6 +335,10 @@ def run_explain(
     finally:
         if own_session:
             spark.stop()
+        else:
+            # plan CONSTRUCTION may persist intermediates (see caveat);
+            # don't leave them cached in a caller-owned session
+            spark.catalog.clearCache()
 
 
 def _explain_main(argv: list[str]) -> int:

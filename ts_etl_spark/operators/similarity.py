@@ -446,10 +446,13 @@ def pca_reduce(
     quantization on vectors k/d the size).
 
     Returns ``(projected, model)``: every input row plus ``out_col`` (a
-    length-``k`` double array of centered principal-component scores),
-    and the broadcastable model dict (``mean``: d doubles,
-    ``components``: k×d row-major, ``explained_variance``: k ratios) for
-    projecting future batches or an external engine.
+    length-``k`` double array of centered principal-component scores;
+    NULL for rows with a NULL ``emb_col`` — the same contract as
+    ``embed_documents``'s token-less docs, which are the usual source of
+    NULL embeddings), and the broadcastable model dict (``mean``: d
+    doubles, ``components``: k×d row-major, ``explained_variance``: k
+    ratios) for projecting future batches or an external engine. The fit
+    uses only the non-NULL rows; at least one is required.
 
     Scale shape: the mean is ONE d-wide aggregate; the covariance/SVD run
     inside Spark ML's PCA (distributed Gram accumulation — d×d driver
@@ -473,8 +476,9 @@ def pca_reduce(
     from pyspark.ml.feature import PCA as MLPCA
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    first = vecs.select(emb_col).first()
-    if first is None or first[0] is None:
+    nn = vecs.filter(F.col(emb_col).isNotNull())
+    first = nn.select(emb_col).first()
+    if first is None:
         raise ValueError(
             f"pca_reduce needs at least one row with a non-null {emb_col!r}"
         )
@@ -482,11 +486,11 @@ def pca_reduce(
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     dv = as_double(F.col(emb_col))
-    mean_row = vecs.agg(
+    mean_row = nn.agg(
         *[F.avg(dv.getItem(i)).alias(f"m{i}") for i in range(d)]
     ).first()
     mean = [float(mean_row[i]) for i in range(d)]
-    centered = vecs.withColumn(
+    centered = nn.withColumn(
         "__c",
         array_to_vector(
             F.zip_with(
@@ -497,11 +501,15 @@ def pca_reduce(
         ),
     )
     model = MLPCA(k=k, inputCol="__c", outputCol="__p").fit(centered)
-    projected = (
+    projected_nn = (
         model.transform(centered)
         .withColumn(out_col, vector_to_array(F.col("__p")))
         .drop("__c", "__p")
     )
+    null_rows = vecs.filter(F.col(emb_col).isNull()).withColumn(
+        out_col, F.lit(None).cast("array<double>")
+    )
+    projected = projected_nn.unionByName(null_rows)
     pc = model.pc.toArray()  # d x k, column-major components
     info = {
         "mean": mean,

@@ -508,7 +508,9 @@ def blocklist_signals(
     curation wordlists are hundreds of terms). Past the limit, tokens
     explode and hash-join the broadcast term table, one partial-
     aggregated per-doc groupBy — linear either way, never a scan per
-    term."""
+    term. Both paths emit the SAME schema (bigint counts, int
+    n_distinct_hits, double hit_frac) so outputs union cleanly across
+    the ``inline_limit`` boundary."""
     from ts_etl_spark.operators.bpe import WORD_PAT
 
     tset = sorted({t.lower() for t in terms})
@@ -519,10 +521,10 @@ def blocklist_signals(
         n, n_hits, n_distinct, frac = _blocklist_exprs(toks, tset)
         return docs.select(
             id_col,
-            n.alias("n_tokens"),
-            n_hits.alias("n_hits"),
-            n_distinct.alias("n_distinct_hits"),
-            frac.alias("hit_frac"),
+            n.cast("bigint").alias("n_tokens"),
+            n_hits.cast("bigint").alias("n_hits"),
+            n_distinct.cast("int").alias("n_distinct_hits"),
+            frac.cast("double").alias("hit_frac"),
         )
     spark = docs.sparkSession
     term_df = spark.createDataFrame([(t,) for t in tset], "w STRING")
@@ -543,14 +545,14 @@ def blocklist_signals(
         .join(per_doc, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
             F.coalesce("n_distinct_hits", F.lit(0)).cast("int").alias(
                 "n_distinct_hits"
             ),
             F.when(
                 F.coalesce("n_tokens", F.lit(0)) > 0,
                 F.col("n_hits").cast("double") / F.col("n_tokens"),
-            ).alias("hit_frac"),
+            ).cast("double").alias("hit_frac"),
         )
     )

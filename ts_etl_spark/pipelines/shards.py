@@ -63,6 +63,12 @@ def write_training_shards(
     ``path/shard=<k>/`` (one parquet file per shard) and return the
     per-shard row-count manifest (an ``n_shards``-row collect).
 
+    The manifest always holds EXACTLY ``n_shards`` entries, shards
+    ``0..n_shards-1`` — a shard value no row hashed into appears with
+    count 0 (and, inherent to Hive-style ``partitionBy`` layout, has no
+    ``shard=<k>`` directory on disk; loaders should iterate the manifest,
+    not ``listdir``).
+
     ``order_cols`` fixes the within-shard row order (defaults to
     ``key_cols``) — with unique keys the shard files are fully
     reproducible row-for-row."""
@@ -79,11 +85,12 @@ def write_training_shards(
             .partitionBy("shard")
             .parquet(path)
         )
-        return {
+        occupied = {
             int(r["shard"]): r["n"]
             for r in sharded.groupBy("shard")
             .agg(F.count("*").alias("n"))
             .collect()
         }
+        return {k: occupied.get(k, 0) for k in range(n_shards)}
     finally:
         sharded.unpersist()
