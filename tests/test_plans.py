@@ -182,14 +182,18 @@ def test_ngram_prefix_join_bounded_shuffles(spark):
 def test_neardup_blocking_plan_shape(spark):
     """IVF-blocked near-dup: the centroid assignment join must broadcast
     (the vector table never shuffles pre-assignment), and the whole plan
-    stays within a fixed exchange budget — no all-pairs label self-join."""
+    stays within a fixed exchange budget — no all-pairs label self-join.
+    The budget covers BOTH arms of the tagged union (pair blocking ≤10 +
+    the SemDeDup arm's assignment window / cell self-join / argmax window
+    / provenance left join)."""
     from ts_etl_spark.operators.similarity import q_embed_neardup_label
 
     df = q_embed_neardup_label(spark, SF)
     assert count_nodes(df, "BroadcastNestedLoopJoin") + count_nodes(
         df, "BroadcastHashJoin"
     ) >= 1, plan_str(df)
-    assert num_exchanges(df) <= 10, plan_str(df)
+    assert count_nodes(df, "CartesianProduct") == 0, plan_str(df)
+    assert num_exchanges(df) <= 24, plan_str(df)
 
 
 def test_q2_single_fact_scan(spark):

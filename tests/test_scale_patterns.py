@@ -120,7 +120,9 @@ def test_neardup_blocking_recall_and_soundness(spark):
     SF = "/root/testdata/sf0.01"
     blocked = {
         (r.label, r.id_a, r.id_b, r.cosine)
-        for r in q_embed_neardup_label(spark, SF).collect()
+        for r in q_embed_neardup_label(spark, SF)
+        .filter(F.col("op") == "pair")
+        .collect()
     }
     vecs = _vectors(spark, SF)
     a = vecs.select("label", F.col("vec_id").alias("id_a"),

@@ -110,9 +110,16 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs (cosine ≥ threshold) within a label, via
-    multi-probe IVF blocking — candidates-then-verify, the same shape as
-    ``dedup_minhash_lsh``, never an all-pairs self-join of a label block.
+    """Embedding-space near-duplicate detection as a tagged union
+    (op, label, id_a, id_b, cosine):
+
+    - ``op='pair'`` — near-dup pairs (cosine ≥ threshold) within a label
+      via multi-probe IVF blocking (the original entry, unchanged).
+    - ``op='sem_drop'`` — SemDeDup clustered semantic dedup
+      (``semantic_dedup``): one row per DROPPED vector; ``label`` carries
+      the blocking cell, ``id_b`` the dominating keeper, ``cosine`` the
+      dominating similarity. Same deterministic seed centroids, 1-assign
+      cells, threshold SEMDEDUP_THRESHOLD — fully mirrored in SQL.
 
     The blocking is part of the query SEMANTICS and the oracle reproduces
     the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
@@ -166,12 +173,117 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
+    pair_arm = (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .select("label", "id_a", "id_b", cos.alias("c"))
         .filter(F.col("c") >= NEARDUP_THRESHOLD)
-        .select("label", "id_a", "id_b", F.round("c", 6).alias("cosine"))
+        .select(
+            F.lit("pair").alias("op"),
+            F.col("label").cast("int").alias("label"),
+            "id_a",
+            "id_b",
+            F.round("c", 6).alias("cosine"),
+        )
+    )
+    sem_arm = (
+        semantic_dedup(vecs, cents, SEMDEDUP_THRESHOLD)
+        .filter(~F.col("kept"))
+        .select(
+            F.lit("sem_drop").alias("op"),
+            F.col("cell").cast("int").alias("label"),
+            F.col("vec_id").alias("id_a"),
+            F.col("dup_of").alias("id_b"),
+            F.col("dup_cosine").alias("cosine"),
+        )
+    )
+    return pair_arm.unionByName(sem_arm)
+
+
+#: SemDeDup drop threshold (cell-blocked cosine; rounded to 6 decimals
+#: before comparison so both engines agree at the boundary). Lower than
+#: NEARDUP_THRESHOLD because 1-assign cells see fewer pairs than the
+#: 3-probe within-label blocking — 0.38 yields a stable non-trivial drop
+#: set on the synthetic corpus at every tested SF.
+SEMDEDUP_THRESHOLD = 0.38
+
+
+def semantic_dedup(
+    vecs: DataFrame,
+    cents: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    round_sim: int = 6,
+) -> DataFrame:
+    """SemDeDup-style clustered semantic deduplication (the
+    cluster-then-prune recipe of Abbas et al. 2023, arXiv:2303.09540):
+    assign every vector to its nearest centroid CELL, compute pairwise
+    cosine only WITHIN a cell, and drop near-duplicates above
+    ``threshold`` keeping one representative — the embedding-space
+    near-dup removal that catches paraphrases exact/MinHash dedup cannot.
+
+    Keep policy (deterministic + engine-portable): a vector DROPS iff
+    some smaller-id vector in its cell has rounded cosine ≥ threshold
+    ("dominated by a smaller id" — one self-join and one argmax, no
+    iteration). This drops a superset of the greedy sequential
+    keep-first-scan set (any greedy drop has an earlier kept close
+    neighbor, which dominates it); the superset relation is tested.
+
+    Returns per-vector provenance, never silently filtering:
+    ``(vec_id, cell, kept, dup_of, dup_cosine)`` where ``dup_of`` is the
+    dominating neighbor with the highest rounded cosine (ties → smallest
+    id) and both are NULL for kept rows.
+
+    Scale shape: centroid assignment is one broadcast join (the vector
+    table never shuffles for it); the in-cell self-join is ONE shuffle on
+    ``cell``, pairwise work bounded by cell occupancy — with K ∝ N
+    centroids (the SemDeDup paper's regime) occupancy, and thus cost per
+    vector, stays constant as the corpus grows. Use
+    ``train_ivf_centroids`` for the production quantizer on real
+    clustered embeddings; deterministic seed centroids keep the gated
+    entry oracle-mirrorable."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(vecs, cents, n_assign=1)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
+    )
+    dup_edges = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("cell", "id_a", "id_b", cos.alias("c"))
+        .filter(F.col("c") >= threshold)
+    )
+    w = Window.partitionBy("id_b").orderBy(F.col("c").desc(), F.col("id_a"))
+    drops = (
+        dup_edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("dup_of"),
+            F.col("c").alias("dup_cosine"),
+        )
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "dup_cosine",
+        )
     )
 
 
@@ -564,13 +676,39 @@ ORACLE = {
             SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
             FROM cells a JOIN cells b
               ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        ), cell1 AS (
+            -- SemDeDup arm: 1-assign cells from the SAME centroid ranking
+            SELECT vec_id, c_id AS cell FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, c_id) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        ), sem_edges AS (
+            SELECT a.cell, a.vec_id AS id_k, b.vec_id AS id_d,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS c
+            FROM cell1 a JOIN cell1 b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(va.v, vb.v), 6)
+                  >= {SEMDEDUP_THRESHOLD}
+        ), sem_drop AS (
+            SELECT cell, id_d, id_k, c FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY id_d
+                              ORDER BY c DESC, id_k) AS rn
+                FROM sem_edges
+            ) WHERE rn = 1
         )
-        SELECT cands.label, id_a, id_b,
+        SELECT 'pair' AS op, CAST(cands.label AS INT) AS label, id_a, id_b,
                round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
         FROM cands
         JOIN v va ON va.vec_id = id_a
         JOIN v vb ON vb.vec_id = id_b
         WHERE list_cosine_similarity(va.v, vb.v) >= {NEARDUP_THRESHOLD}
+        UNION ALL
+        SELECT 'sem_drop' AS op, CAST(cell AS INT) AS label,
+               id_d AS id_a, id_k AS id_b, c AS cosine
+        FROM sem_drop
     """,
     "embed_ann_ivf": f"""
         WITH v AS (
