@@ -256,15 +256,18 @@ def test_pii_redaction_shuffle_free_codegen(spark):
 
 def test_contamination_no_cartesian(spark):
     """The contamination join is an equi-join on the gram — never a
-    nested-loop/cartesian product — and needs only the gram join plus the
-    per-doc aggregate (plus at most AQE coalescing), not a self-join
-    explosion."""
+    cartesian product of real cardinality — and stays within a fixed
+    exchange budget (gram join + per-doc aggregate + the bloom bitmap's
+    word groupBy/1-row fold), not a self-join explosion. The ONLY
+    nested-loop join allowed is the 1-row bitmap broadcast (a literal
+    TRUE condition against a single-row build side is O(probe), not a
+    blowup)."""
     from ts_etl_spark.operators.textops import q_text_contamination
 
     df = q_text_contamination(spark, SF)
     assert count_nodes(df, "CartesianProduct") == 0, plan_str(df)
-    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0, plan_str(df)
-    assert num_exchanges(df) <= 5, plan_str(df)
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1, plan_str(df)
+    assert num_exchanges(df) <= 10, plan_str(df)
 
 
 def test_aqe_converts_shuffle_join_to_broadcast_at_runtime(spark):

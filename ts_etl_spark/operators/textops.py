@@ -264,7 +264,11 @@ def _word_grams(n: int):
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: for every corpus document, the
     fraction of its distinct word-5-grams that appear anywhere in the
-    benchmark set (docs with doc_id % 97 == 0 stand in for the eval suite).
+    benchmark set (docs with doc_id % 97 == 0 stand in for the eval
+    suite), PLUS the Bloom-prescreen columns (``operators/bloom.py``):
+    ``n_bloom`` counts the grams the broadcast bitmap flags and
+    ``bloom_no_false_negative`` asserts per gram that every exact match
+    was flagged — the Bloom contract that makes the prescreen sound.
 
     Plan shape at 100 TB: a real benchmark gram set is SMALL and fixed
     (eval suites don't scale with the corpus), so the planner broadcasts it
@@ -273,7 +277,15 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corpus-linear, no self-join. No hard hint: THIS stand-in benchmark is a
     fixed fraction of the corpus (it has no external eval table to read),
     so the threshold + AQE must keep the right to fall back to SMJ — same
-    rule as the scaling-table joins in relational.py."""
+    rule as the scaling-table joins in relational.py. The bloom columns
+    show the cheaper alternative to the exact join: the bitmap aggregates
+    to ONE broadcast row (m/8 bytes however large the benchmark) and each
+    gram probes in O(k) codegen ops — at 100 TB that is the difference
+    between shuffling benchmark rows everywhere and shipping 1 KB; the
+    md5-derived bitmap is reproduced exactly by the oracle, so both
+    engines flag identical gram sets."""
+    from ts_etl_spark.operators.bloom import bloom_bitmap_df, bloom_probe_cols
+
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")
@@ -284,13 +296,26 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    corpus = grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    bf = bloom_bitmap_df(bench, "g")
+    corpus = bloom_probe_cols(
+        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0), bf, "g"
+    )
     scored = (
         corpus.join(bench, "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(F.coalesce("hit", F.lit(0))).alias("n_matched"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("n_bloom"),
+            (
+                F.sum(
+                    F.when(
+                        (F.coalesce("hit", F.lit(0)) == 1) & ~F.col("bloom_hit"),
+                        1,
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("bloom_no_false_negative"),
         )
     )
     return scored.select(
@@ -299,6 +324,8 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matched",
         (F.col("n_matched").cast("double") / F.col("n_grams")).alias("contamination"),
         (F.col("n_matched") > 0).alias("contaminated"),
+        F.col("n_bloom").cast("bigint").alias("n_bloom"),
+        "bloom_no_false_negative",
     )
 
 
@@ -316,6 +343,25 @@ QUERIES = {
     "text_pii_redaction": q_text_pii_redaction,
     "text_contamination": q_text_contamination,
 }
+
+def _BLOOM_POS_SQL(gexpr: str) -> str:
+    """DuckDB bloom position for gram expression ``gexpr`` with the hash
+    index coming from the ``seeds`` CTE's ``j`` column — the j-column
+    variant of ``bloom.bloom_position_sql``, in lockstep with the Spark
+    ``bloom_position`` definition."""
+    from ts_etl_spark.operators.sketches import _hex8_fold_sql
+
+    fold = _hex8_fold_sql(
+        f"substr(md5('bloom' || CAST(j AS VARCHAR) || '#' "
+        f"|| CAST({gexpr} AS VARCHAR)), 1, 8)"
+    )
+    return f"(({fold}) % {_BLOOM_BITS})"
+
+
+from ts_etl_spark.operators.bloom import (  # noqa: E402 — SQL-twin constants
+    BLOOM_BITS as _BLOOM_BITS,
+    BLOOM_K as _BLOOM_K,
+)
 
 _LANG_SCORES_SQL = ",\n".join(
     f"len(regexp_extract_all(lower(text), '{pat}')) AS score_{lang}"
@@ -428,13 +474,34 @@ ORACLE = {
         bench AS (
             SELECT DISTINCT g, 1 AS hit FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
         ),
-        corpus AS (SELECT * FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} != 0)
+        -- Bloom mirror: occupied bit positions of the bench-gram bitmap
+        -- (the md5 fold is the Spark bloom_position definition verbatim;
+        -- position-set membership == bitmap bit test)
+        seeds AS (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j),
+        bloom_pos AS (
+            SELECT DISTINCT {_BLOOM_POS_SQL("bench.g")} AS p
+            FROM bench, seeds
+        ),
+        corpus AS (SELECT * FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} != 0),
+        probed AS (
+            SELECT doc_id, g, bool_and(bp.p IS NOT NULL) AS bloom_hit
+            FROM (SELECT c.doc_id, c.g, {_BLOOM_POS_SQL("c.g")} AS p
+                  FROM corpus c, seeds) cp
+            LEFT JOIN bloom_pos bp USING (p)
+            GROUP BY doc_id, g
+        )
         SELECT doc_id,
                COUNT(*) AS n_grams,
                CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_matched,
                CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*) AS contamination,
-               CAST(SUM(COALESCE(hit, 0)) AS BIGINT) > 0 AS contaminated
-        FROM corpus LEFT JOIN bench USING (g)
+               CAST(SUM(COALESCE(hit, 0)) AS BIGINT) > 0 AS contaminated,
+               CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+               CAST(SUM(CASE WHEN COALESCE(hit, 0) = 1 AND NOT bloom_hit
+                             THEN 1 ELSE 0 END) AS BIGINT) = 0
+                   AS bloom_no_false_negative
+        FROM corpus
+        LEFT JOIN bench USING (g)
+        JOIN probed USING (doc_id, g)
         GROUP BY doc_id
     """,
 }
