@@ -224,13 +224,20 @@ def q_events_time_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_sessions_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization AND the aggregate-share/JSON surface in one
-    tagged union (unified schema: op, k, t, n, v, sum_k, min_k, max_k).
+    """Gap-based sessionization, the aggregate-share/JSON surface, ordered
+    funnel conversion, and weekly cohort retention in one tagged union
+    (unified schema: op, k, t, n, v, sum_k, min_k, max_k).
     Session rows: k = user id, t = session start, n = events, v = session
     value. Share rows: k = event type, v = share of total, plus the JSON
-    property aggregates."""
+    property aggregates. Funnel rows (``operators/funnel.py``): k = the
+    ordered step name, n = users reaching the step, v = conversion from
+    step 1. Retention rows: k = cohort week (Monday), t = week offset,
+    n = active cohort members, v = retention fraction."""
+    from ts_etl_spark.operators.funnel import funnel_counts, retention_cohorts
+
     nb = F.lit(None).cast("bigint")
     ni = F.lit(None).cast("int")
+    ns = F.lit(None).cast("string")
     sessions = q_events_session(spark, sf_dir).select(
         F.lit("session").alias("op"),
         F.col("user_id").cast("string").alias("k"),
@@ -244,14 +251,39 @@ def q_events_sessions_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = q_events_type_share(spark, sf_dir).select(
         F.lit("type_share").alias("op"),
         F.col("event_type").alias("k"),
-        F.lit(None).cast("string").alias("t"),
+        ns.alias("t"),
         "n",
         F.col("share").alias("v"),
         "sum_k",
         "min_k",
         "max_k",
     )
-    return sessions.unionByName(shares)
+    ev = load_table(spark, sf_dir, "events")
+    funnel = funnel_counts(ev).select(
+        F.lit("funnel").alias("op"),
+        F.col("step_name").alias("k"),
+        ns.alias("t"),
+        F.col("n_users").alias("n"),
+        F.col("conversion").alias("v"),
+        nb.alias("sum_k"),
+        ni.alias("min_k"),
+        ni.alias("max_k"),
+    )
+    retention = retention_cohorts(ev).select(
+        F.lit("retention").alias("op"),
+        F.col("cohort").alias("k"),
+        F.col("week_offset").cast("string").alias("t"),
+        F.col("n_active").alias("n"),
+        F.col("retention").alias("v"),
+        nb.alias("sum_k"),
+        ni.alias("min_k"),
+        ni.alias("max_k"),
+    )
+    return (
+        sessions.unionByName(shares)
+        .unionByName(funnel)
+        .unionByName(retention)
+    )
 
 
 QUERIES = {
@@ -259,6 +291,14 @@ QUERIES = {
     "events_sessions_shares": q_events_sessions_shares,
     "stream_stream_join": q_stream_stream_join,
 }
+
+from ts_etl_spark.operators.funnel import (  # noqa: E402 — SQL twins
+    funnel_counts_sql,
+    retention_cohorts_sql,
+)
+
+_FUNNEL_SQL = funnel_counts_sql()
+_RETENTION_SQL = retention_cohorts_sql()
 
 ORACLE = {
     "events_time_rollups": f"""
@@ -369,6 +409,19 @@ ORACLE = {
                MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'funnel' AS op, step_name AS k, CAST(NULL AS VARCHAR) AS t,
+               n_users AS n, conversion AS v,
+               CAST(NULL AS BIGINT) AS sum_k,
+               CAST(NULL AS INT) AS min_k, CAST(NULL AS INT) AS max_k
+        FROM ({_FUNNEL_SQL})
+        UNION ALL
+        SELECT 'retention' AS op, cohort AS k,
+               CAST(week_offset AS VARCHAR) AS t,
+               n_active AS n, retention AS v,
+               CAST(NULL AS BIGINT) AS sum_k,
+               CAST(NULL AS INT) AS min_k, CAST(NULL AS INT) AS max_k
+        FROM ({_RETENTION_SQL})
     """,
     "stream_stream_join": """
         -- floor to whole epoch seconds to mirror Spark's unix_timestamp
