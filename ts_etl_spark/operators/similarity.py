@@ -120,6 +120,10 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       the blocking cell, ``id_b`` the dominating keeper, ``cosine`` the
       dominating similarity. Same deterministic seed centroids, 1-assign
       cells, threshold SEMDEDUP_THRESHOLD — fully mirrored in SQL.
+    - ``op='knn'`` — the corpus-wide k-NN graph (``knn_graph``) over the
+      SAME 1-assign cells: ``id_a`` the source, ``id_b`` the neighbor,
+      ``label`` the neighbor rank 1..KNN_K. Shares the sem arm's cell
+      assignment subplan (identical lineage → one reused exchange).
 
     The blocking is part of the query SEMANTICS and the oracle reproduces
     the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
@@ -197,7 +201,14 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_cosine").alias("cosine"),
         )
     )
-    return pair_arm.unionByName(sem_arm)
+    knn_arm = knn_graph(vecs, cents, KNN_K).select(
+        F.lit("knn").alias("op"),
+        F.col("rank").cast("int").alias("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine",
+    )
+    return pair_arm.unionByName(sem_arm).unionByName(knn_arm)
 
 
 #: SemDeDup drop threshold (cell-blocked cosine; rounded to 6 decimals
@@ -283,6 +294,79 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("kept"),
             "dup_of",
             "dup_cosine",
+        )
+    )
+
+
+#: k-NN graph fan-out: 3 neighbors per vector keeps the gated entry's row
+#: count linear and small while still exercising rank ties and short cells
+KNN_K = 3
+
+
+def knn_graph(
+    vecs: DataFrame,
+    cents: DataFrame,
+    k: int = KNN_K,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Corpus-wide k-nearest-neighbor graph via IVF cell blocking — the
+    backbone structure for SemDeDup-style pruning, graph clustering, and
+    label propagation over a training corpus.
+
+    Every vector goes to its single nearest centroid cell
+    (``ivf_assign`` with n_assign=1 — deterministic: similarity rounded
+    to ``round_sim`` decimals, ties to the smaller centroid id); directed
+    candidate edges are all in-cell ordered pairs; each edge gets an
+    exact cosine (rounded before ranking so cross-engine rank order is
+    identical); per-source ``row_number`` keeps the top ``k`` (ties to
+    the smaller neighbor id). Vectors in singleton cells yield no rows —
+    the graph is honest about what the blocking can see. Recall vs the
+    unblocked exact graph is a property of the quantizer, not the
+    contract (use ``train_ivf_centroids`` on real clustered embeddings;
+    this corpus is uniform random, where 1-cell recall converges to 1/K
+    by construction).
+
+    Returns ``(vec_id, neighbor_id, cosine, rank)``, up to ``k`` rows
+    per vector.
+
+    Scale shape: assignment is one broadcast join (the vector table
+    never shuffles for it); candidates are ONE shuffle on ``cell`` with
+    per-vector work bounded by cell occupancy m; the ranking shuffle
+    carries skinny (src, dst, cosine) rows. With K ∝ N centroids (the
+    SemDeDup regime) m stays constant, so the whole graph is O(N·m) —
+    never all-pairs — and each stage is a single bounded exchange."""
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    assigned = ivf_assign(vecs, cents, n_assign=1)
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
+    )
+    edges = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst"))
+    ).select("src", "dst", cos.alias("c"))
+    w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst"))
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.col("c").alias("cosine"),
+            "rank",
         )
     )
 
