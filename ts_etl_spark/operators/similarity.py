@@ -117,13 +117,17 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       via multi-probe IVF blocking (the original entry, unchanged).
     - ``op='sem_drop'`` — SemDeDup clustered semantic dedup
       (``semantic_dedup``): one row per DROPPED vector; ``label`` carries
-      the blocking cell, ``id_b`` the dominating keeper, ``cosine`` the
-      dominating similarity. Same deterministic seed centroids, 1-assign
-      cells, threshold SEMDEDUP_THRESHOLD — fully mirrored in SQL.
+      the blocking cell, ``id_b`` the dominating (smaller-id) neighbor —
+      not necessarily itself kept (it may in turn be dominated by an even
+      smaller id; the provenance chain, not this row, reaches the keeper)
+      — ``cosine`` the dominating similarity. Same deterministic seed
+      centroids, 1-assign cells, threshold SEMDEDUP_THRESHOLD — fully
+      mirrored in SQL.
     - ``op='knn'`` — the corpus-wide k-NN graph (``knn_graph``) over the
       SAME 1-assign cells: ``id_a`` the source, ``id_b`` the neighbor,
-      ``label`` the neighbor rank 1..KNN_K. Shares the sem arm's cell
-      assignment subplan (identical lineage → one reused exchange).
+      ``label`` the neighbor rank 1..KNN_K. The sem and knn arms share
+      ONE memoized+persisted cell-assignment and in-cell edge frame
+      (``cell_edges``) — the edge self-join runs once, not per arm.
 
     The blocking is part of the query SEMANTICS and the oracle reproduces
     the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
@@ -145,7 +149,7 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate fraction is ~m²/K of all-pairs and cells stay bounded."""
     from pyspark.sql.window import Window
 
-    vecs = _vectors(spark, sf_dir).persist()
+    vecs = _memo(spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist())
     cents = vecs.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + BLOCK_CENTROIDS)
     ).select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
@@ -190,8 +194,22 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cosine"),
         )
     )
+    # ONE 1-assign + in-cell-edge subplan feeds both the sem and knn arms:
+    # memoized + persisted per (application, dataset) — the edge self-join
+    # (the entry's dominant cost) computes once, each arm reads the cached
+    # skinny (cell, src, dst, c) rows.
+    assigned1 = _memo(
+        spark, sf_dir, "neardup_cell1",
+        lambda: ivf_assign(vecs, cents, n_assign=1).persist(),
+    )
+    edges = _memo(
+        spark, sf_dir, "neardup_edges",
+        lambda: cell_edges(assigned1).persist(),
+    )
     sem_arm = (
-        semantic_dedup(vecs, cents, SEMDEDUP_THRESHOLD)
+        semantic_dedup(
+            vecs, cents, SEMDEDUP_THRESHOLD, assigned=assigned1, edges=edges
+        )
         .filter(~F.col("kept"))
         .select(
             F.lit("sem_drop").alias("op"),
@@ -201,7 +219,7 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_cosine").alias("cosine"),
         )
     )
-    knn_arm = knn_graph(vecs, cents, KNN_K).select(
+    knn_arm = knn_graph(vecs, cents, KNN_K, edges=edges).select(
         F.lit("knn").alias("op"),
         F.col("rank").cast("int").alias("label"),
         F.col("vec_id").alias("id_a"),
@@ -219,11 +237,48 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.38
 
 
+def cell_edges(assigned: DataFrame, round_sim: int = 6) -> DataFrame:
+    """DIRECTED in-cell cosine edges ``(cell, src, dst, c)`` over a
+    1-assign frame (an ``ivf_assign(..., n_assign=1)`` result): every
+    ordered pair of distinct vectors sharing a cell, with the exact cosine
+    rounded to ``round_sim`` decimals. The cosine is elementwise-symmetric
+    (IEEE products commute and the summation order is positional), so the
+    two directions of a pair carry identical ``c``.
+
+    This is the shared candidate structure under both ``semantic_dedup``
+    (undirected threshold edges = ``src < dst AND c >= t``) and
+    ``knn_graph`` (per-``src`` top-k) — build it once, persist it, and
+    feed both, instead of running the in-cell self-join per consumer.
+
+    Scale shape: ONE shuffle on ``cell``; output is O(N·m) skinny rows at
+    cell occupancy m (constant when K ∝ N centroids)."""
+    a = assigned.select(
+        "cell",
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
+    )
+    return a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst"))
+    ).select("cell", "src", "dst", cos.alias("c"))
+
+
 def semantic_dedup(
     vecs: DataFrame,
     cents: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
     round_sim: int = 6,
+    assigned: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style clustered semantic deduplication (the
     cluster-then-prune recipe of Abbas et al. 2023, arXiv:2303.09540):
@@ -251,29 +306,24 @@ def semantic_dedup(
     vector, stays constant as the corpus grows. Use
     ``train_ivf_centroids`` for the production quantizer on real
     clustered embeddings; deterministic seed centroids keep the gated
-    entry oracle-mirrorable."""
+    entry oracle-mirrorable.
+
+    ``assigned`` / ``edges`` let a caller inject the pre-built (persisted)
+    1-assign frame and ``cell_edges`` result so sibling consumers (the
+    knn arm, incremental dedup) share one subplan instead of re-running
+    the in-cell self-join."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(vecs, cents, n_assign=1)
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
-    )
-    dup_edges = (
-        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("cell", "id_a", "id_b", cos.alias("c"))
-        .filter(F.col("c") >= threshold)
+    if assigned is None:
+        assigned = ivf_assign(vecs, cents, n_assign=1)
+    if edges is None:
+        edges = cell_edges(assigned, round_sim)
+    # undirected threshold edges: the directed frame carries each pair
+    # twice with identical rounded c — keep the src<dst direction
+    dup_edges = edges.filter(
+        (F.col("src") < F.col("dst")) & (F.col("c") >= threshold)
+    ).select(
+        "cell", F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "c"
     )
     w = Window.partitionBy("id_b").orderBy(F.col("c").desc(), F.col("id_a"))
     drops = (
@@ -308,6 +358,8 @@ def knn_graph(
     cents: DataFrame,
     k: int = KNN_K,
     round_sim: int = 6,
+    assigned: DataFrame | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide k-nearest-neighbor graph via IVF cell blocking — the
     backbone structure for SemDeDup-style pruning, graph clustering, and
@@ -334,30 +386,19 @@ def knn_graph(
     per-vector work bounded by cell occupancy m; the ranking shuffle
     carries skinny (src, dst, cosine) rows. With K ∝ N centroids (the
     SemDeDup regime) m stays constant, so the whole graph is O(N·m) —
-    never all-pairs — and each stage is a single bounded exchange."""
+    never all-pairs — and each stage is a single bounded exchange.
+
+    ``assigned`` / ``edges`` inject a pre-built 1-assign frame /
+    ``cell_edges`` result (see ``semantic_dedup``) so the in-cell
+    self-join is shared, not recomputed, when both consumers run."""
     from pyspark.sql.window import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    assigned = ivf_assign(vecs, cents, n_assign=1)
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("src"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("vec_id").alias("dst"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
-    )
-    edges = a.join(
-        b, (F.col("cell") == F.col("cell_b")) & (F.col("src") != F.col("dst"))
-    ).select("src", "dst", cos.alias("c"))
+    if edges is None:
+        if assigned is None:
+            assigned = ivf_assign(vecs, cents, n_assign=1)
+        edges = cell_edges(assigned, round_sim)
     w = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst"))
     return (
         edges.withColumn("rank", F.row_number().over(w))
@@ -782,6 +823,20 @@ ORACLE = {
                               ORDER BY c DESC, id_k) AS rn
                 FROM sem_edges
             ) WHERE rn = 1
+        ), knn_edges AS (
+            -- knn arm: DIRECTED in-cell pairs over the SAME 1-assign cells
+            -- (cell_edges' SQL twin — src != dst, rounded cosine)
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(va.v, vb.v), 6) AS c
+            FROM cell1 a JOIN cell1 b
+              ON a.cell = b.cell AND a.vec_id != b.vec_id
+            JOIN v va ON va.vec_id = a.vec_id
+            JOIN v vb ON vb.vec_id = b.vec_id
+        ), knn AS (
+            SELECT src, dst, c,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY c DESC, dst) AS INT) AS rank
+            FROM knn_edges
         )
         SELECT 'pair' AS op, CAST(cands.label AS INT) AS label, id_a, id_b,
                round(list_cosine_similarity(va.v, vb.v), 6) AS cosine
@@ -793,6 +848,10 @@ ORACLE = {
         SELECT 'sem_drop' AS op, CAST(cell AS INT) AS label,
                id_d AS id_a, id_k AS id_b, c AS cosine
         FROM sem_drop
+        UNION ALL
+        SELECT 'knn' AS op, rank AS label, src AS id_a, dst AS id_b,
+               c AS cosine
+        FROM knn WHERE rank <= {KNN_K}
     """,
     "embed_ann_ivf": f"""
         WITH v AS (
