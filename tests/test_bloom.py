@@ -120,3 +120,23 @@ def test_duckdb_position_mirror_matches_spark_bitmap(spark):
             ).fetchall()
         }
     assert spark_bits == duck_bits
+
+
+def test_caller_bf_column_survives_probe(spark):
+    """Internals live under __bloom_* names, so a caller column named
+    'bf' passes through the probe untouched."""
+    members = ["a", "b"]
+    bf = bloom_bitmap_df(_items(spark, members))
+    df = _items(spark, members + ["z"]).withColumn("bf", F.lit(7))
+    probed = bloom_probe_cols(df, bf)
+    assert set(probed.columns) == {"g", "bf", "bloom_hit"}
+    rows = probed.collect()
+    assert all(r.bf == 7 for r in rows)
+    assert all(r.bloom_hit for r in rows if r.g in members)
+
+
+def test_reserved_internal_name_collision_raises(spark):
+    bf = bloom_bitmap_df(_items(spark, ["a"]))
+    clash = _items(spark, ["a"]).withColumn("__bloom_p0", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        bloom_probe_cols(clash, bf)

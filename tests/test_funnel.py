@@ -133,3 +133,30 @@ def test_funnel_and_retention_plans_reduce_before_shuffling(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+def test_sql_twins_escape_quoted_names(spark):
+    """Step/cohort names containing a single quote must produce valid,
+    non-injectable SQL in the DuckDB twins (matching the Spark side,
+    which compares them as plain values)."""
+    import duckdb
+
+    t = datetime
+    rows = [
+        (1, "o'view", t(2024, 1, 1, 10)), (1, "o'buy", t(2024, 1, 1, 11)),
+        (2, "o'view", t(2024, 1, 2, 10)),
+    ]
+    ev = _ev(spark, rows)
+    steps = ("o'view", "o'buy")
+    got = sorted(map(tuple, funnel_counts(ev, steps=steps).collect()))
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    want = sorted(map(tuple, con.execute(funnel_counts_sql(steps)).fetchall()))
+    assert got == want and got[0][2] == 2
+    got_r = sorted(
+        map(tuple, retention_cohorts(ev, cohort_event="o'view").collect())
+    )
+    want_r = sorted(
+        con.execute(retention_cohorts_sql("o'view")).fetchall()
+    )
+    assert got_r == [tuple(r) for r in want_r] and len(got_r) >= 1

@@ -167,14 +167,36 @@ def test_cli_explain_prints_plan_and_registry(spark, capsys):
 
 def test_cli_explain_leaves_no_caches_in_a_shared_session(spark):
     """corpus_quality_signals persists its token projection during plan
-    CONSTRUCTION; explain on a caller-owned session must drop whatever
-    plan-building cached before returning (documented clearCache)."""
+    CONSTRUCTION; explain on a caller-owned session must release exactly
+    what plan-building persisted — no NEW persistent RDDs afterwards —
+    while the caller's own caches survive untouched (a global clearCache
+    would wipe them)."""
     import io
 
     from ts_etl_spark.cli import run_explain
 
-    jsc = spark.sparkContext._jsc.sc()
-    buf = io.StringIO()
-    assert run_explain("corpus_quality_signals", SF, spark=spark, out=buf) == 0
-    assert "Physical Plan" in buf.getvalue()
-    assert jsc.getPersistentRDDs().size() == 0
+    jsc = spark.sparkContext._jsc
+    own = spark.range(3).select(F.col("id").alias("caller_own"))
+    own.persist()
+    own.count()
+    spark.range(2).createOrReplaceTempView("__explain_keep")
+    spark.catalog.cacheTable("__explain_keep")
+    try:
+        before = set(jsc.getPersistentRDDs().keySet())
+        buf = io.StringIO()
+        assert (
+            run_explain("corpus_quality_signals", SF, spark=spark, out=buf) == 0
+        )
+        assert "Physical Plan" in buf.getvalue()
+        after = set(jsc.getPersistentRDDs().keySet())
+        assert after <= before, "explain left new caches behind"
+        assert spark.catalog.isCached("__explain_keep"), (
+            "explain wiped a caller-owned table cache"
+        )
+        assert own.storageLevel.useMemory, (
+            "explain unpersisted a caller-owned DataFrame"
+        )
+    finally:
+        own.unpersist()
+        spark.catalog.uncacheTable("__explain_keep")
+        spark.catalog.dropTempView("__explain_keep")

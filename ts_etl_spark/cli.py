@@ -16,6 +16,7 @@ import argparse
 import os
 import sys
 import tempfile
+from contextlib import contextmanager
 
 from ts_etl_spark import sinks, sources
 from ts_etl_spark.session import get_spark
@@ -307,10 +308,10 @@ def run_explain(
     materialize driver-side scalars while BUILDING their plan (e.g.
     ``quantiles_sketches`` / ``corpus_quality_signals`` run their heavy
     aggregates eagerly and the printed plan covers only the
-    local-relation tail), and some persist intermediates; any cache left
-    behind by plan construction is dropped here via
-    ``catalog.clearCache()`` before returning (own sessions just
-    stop)."""
+    local-relation tail), and some persist intermediates; exactly the
+    DataFrames persisted DURING plan construction are unpersisted before
+    returning — a caller-owned session's own caches are never touched
+    (own sessions just stop)."""
     from ts_etl_spark.operators import all_queries
     from ts_etl_spark.plans.audit import plan_str
 
@@ -329,16 +330,49 @@ def run_explain(
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-explain")
+    persisted: list = []
     try:
-        print(plan_str(registry[name](spark, sf_dir), mode), file=out)
+        with _track_persists(persisted):
+            df = registry[name](spark, sf_dir)
+        print(plan_str(df, mode), file=out)
         return 0
     finally:
         if own_session:
             spark.stop()
         else:
             # plan CONSTRUCTION may persist intermediates (see caveat);
-            # don't leave them cached in a caller-owned session
-            spark.catalog.clearCache()
+            # release exactly those — never the caller's own caches
+            for pdf in persisted:
+                pdf.unpersist()
+
+
+@contextmanager
+def _track_persists(recorded: list):
+    """Append every DataFrame persisted while the block runs to
+    ``recorded``, so callers can release exactly the caches a
+    query-construction side effect created — ``catalog.clearCache()``
+    would also wipe the embedding application's own cached frames/tables.
+
+    Patches ``persist``/``cache`` on the concrete (classic) DataFrame
+    class for the duration; ``cache()`` does not route through
+    ``persist()`` in PySpark, so both are wrapped."""
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    orig_persist, orig_cache = _CDF.persist, _CDF.cache
+
+    def persist(self, *a, **kw):
+        recorded.append(self)
+        return orig_persist(self, *a, **kw)
+
+    def cache(self):
+        recorded.append(self)
+        return orig_cache(self)
+
+    _CDF.persist, _CDF.cache = persist, cache
+    try:
+        yield recorded
+    finally:
+        _CDF.persist, _CDF.cache = orig_persist, orig_cache
 
 
 def _explain_main(argv: list[str]) -> int:

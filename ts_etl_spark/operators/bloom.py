@@ -112,20 +112,34 @@ def bloom_probe_cols(
     """``df`` plus boolean ``out_col`` — TRUE iff every one of the k bits
     for ``df.col`` is set in the broadcast bitmap ``bf`` (a
     ``bloom_bitmap_df`` result). NULL values probe false. The join is a
-    1-row broadcast; each probe is k element_at+shift ops in codegen."""
-    probed = df.join(F.broadcast(bf), F.lit(True))
+    1-row broadcast; each probe is k element_at+shift ops in codegen.
+
+    The bitmap and position intermediates live under collision-proof
+    ``__bloom_*`` names; a caller column named like one of them would
+    bind ambiguously or get silently dropped, so that's an error."""
+    reserved = {"__bloom_bf", *(f"__bloom_p{j}" for j in range(k))}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"df columns collide with bloom_probe_cols internals: {sorted(clash)}"
+        )
+    probed = df.join(
+        F.broadcast(bf.select(F.col("bf").alias("__bloom_bf"))), F.lit(True)
+    )
     hit = F.lit(True)
     out = probed
     for j in range(k):
-        out = out.withColumn(f"__bp{j}", bloom_position(F.col(col), j, n_bits))
+        out = out.withColumn(
+            f"__bloom_p{j}", bloom_position(F.col(col), j, n_bits)
+        )
         bit = F.expr(
-            f"(element_at(bf, CAST(__bp{j} / 64 AS INT) + 1)"
-            f" >> CAST(__bp{j} % 64 AS INT)) & 1"
+            f"(element_at(__bloom_bf, CAST(__bloom_p{j} / 64 AS INT) + 1)"
+            f" >> CAST(__bloom_p{j} % 64 AS INT)) & 1"
         )
         hit = hit & (bit == 1)
     return out.withColumn(
         out_col, F.coalesce(hit, F.lit(False))
-    ).drop("bf", *[f"__bp{j}" for j in range(k)])
+    ).drop("__bloom_bf", *[f"__bloom_p{j}" for j in range(k)])
 
 
 def bloom_fpp(n_items: int, n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> float:

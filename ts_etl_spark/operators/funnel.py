@@ -156,6 +156,13 @@ def retention_cohorts(
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a value for inclusion in a single-quoted SQL literal —
+    caller-supplied step/cohort names must not be able to break (or
+    inject into) the generated twin."""
+    return s.replace("'", "''")
+
+
 def funnel_counts_sql(
     steps: Sequence[str] = FUNNEL_STEPS,
     horizon_seconds: int = FUNNEL_HORIZON_S,
@@ -165,21 +172,21 @@ def funnel_counts_sql(
     microsecond-precision comparisons)."""
     ctes = [
         f"f1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
-        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+        f"WHERE event_type = '{_sql_str(steps[0])}' GROUP BY 1)"
     ]
     for i, step in enumerate(steps[1:], start=2):
         # each f{i} carries t1 forward so the horizon check never re-joins f1
         ctes.append(
             f"f{i} AS (SELECT e.user_id, MIN(p.t1) AS t1, MIN(e.ts) AS t{i} "
             f"FROM events e JOIN f{i - 1} p USING (user_id) "
-            f"WHERE e.event_type = '{step}' AND e.ts > p.t{i - 1} "
+            f"WHERE e.event_type = '{_sql_str(step)}' AND e.ts > p.t{i - 1} "
             f"AND e.ts <= p.t1 + INTERVAL '{int(horizon_seconds)} seconds' "
             f"GROUP BY 1)"
         )
     selects = []
     for i, step in enumerate(steps, start=1):
         selects.append(
-            f"SELECT {i} AS step, '{i}_{step}' AS step_name, "
+            f"SELECT {i} AS step, '{_sql_str(f'{i}_{step}')}' AS step_name, "
             f"(SELECT COUNT(*) FROM f{i}) AS n_users, "
             f"CASE WHEN (SELECT COUNT(*) FROM f1) > 0 THEN "
             f"CAST((SELECT COUNT(*) FROM f{i}) AS DOUBLE) "
@@ -195,7 +202,7 @@ def retention_cohorts_sql(
     return f"""
         WITH rf AS (
             SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
-            FROM events WHERE event_type = '{cohort_event}' GROUP BY 1
+            FROM events WHERE event_type = '{_sql_str(cohort_event)}' GROUP BY 1
         ), ra AS (
             SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
         ), rj AS (
