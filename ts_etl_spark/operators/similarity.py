@@ -348,6 +348,98 @@ def semantic_dedup(
     )
 
 
+def semantic_dedup_incremental(
+    batch: DataFrame,
+    corpus_assigned: DataFrame,
+    cents: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    round_sim: int = 6,
+) -> DataFrame:
+    """SemDeDup a NEW batch of vectors against an EXISTING corpus without
+    ever re-running the corpus×corpus self-join — the per-ingest form of
+    ``semantic_dedup`` (the ``dedup_incremental`` pattern at the
+    embedding layer: paraphrase-level dedup no longer requires a
+    full-corpus recuration).
+
+    ``batch`` is a (vec_id, v, nrm) frame; ``corpus_assigned`` is the
+    MATERIALIZED 1-assign frame (vec_id, v, nrm, cell) of every vector
+    PREVIOUSLY SEEN — an ``ivf_assign(..., n_assign=1)`` result kept as a
+    table and only APPENDED per ingest, so the per-batch cost is linear
+    in the batch and the occupancy of the cells it touches, never the
+    corpus. Batch ids must be greater than corpus ids (ingest order), the
+    same contract as ``dedup_incremental``.
+
+    A batch vector DROPS iff some smaller-id vector in its cell — from
+    the corpus or earlier in the batch — has rounded cosine ≥
+    ``threshold``; because batch ids exceed corpus ids, corpus verdicts
+    are unaffected by the batch, so incremental ingestion converges to
+    exactly the one-shot ``semantic_dedup`` over the union restricted to
+    batch rows (tested equivalence). Returns the batch's provenance frame
+    ``(vec_id, cell, kept, dup_of, dup_cosine)``.
+
+    To advance the corpus append ALL batch rows' (vec_id, v, nrm, cell) —
+    kept AND dropped — to ``corpus_assigned``'s table: under the
+    dominated-by-smaller-id policy dropped vectors still dominate later
+    arrivals (cosine is not transitive, so their dominators cannot stand
+    in for them), and a kept-only index would make verdicts depend on
+    where the batch boundaries happened to fall. The index therefore
+    grows with vectors SEEN, the price of batch-boundary-independent,
+    engine-portable one-shot semantics. NOTE: dropped batch rows may name
+    a dropped earlier row as ``dup_of`` (dominating neighbor, not keeper).
+
+    Plan shape at 100 TB: ONE broadcast assign of the batch, then one
+    join keyed on ``cell`` between the batch and (corpus ∪ batch) — the
+    corpus side is a skinny pre-assigned scan that partition-prunes to
+    the batch's cells when the table is laid out by cell."""
+    b_assigned = ivf_assign(batch, cents, n_assign=1)
+    both = corpus_assigned.select("cell", "vec_id", "v", "nrm").unionByName(
+        b_assigned.select("cell", "vec_id", "v", "nrm")
+    )
+    a = both.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = b_assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_sim
+    )
+    dup_edges = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("cell", "id_a", "id_b", cos.alias("c"))
+        .filter(F.col("c") >= threshold)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_b").orderBy(F.col("c").desc(), F.col("id_a"))
+    drops = (
+        dup_edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_b").alias("vec_id"),
+            F.col("id_a").alias("dup_of"),
+            F.col("c").alias("dup_cosine"),
+        )
+    )
+    return (
+        b_assigned.select("vec_id", "cell")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+            "dup_cosine",
+        )
+    )
+
+
 #: k-NN graph fan-out: 3 neighbors per vector keeps the gated entry's row
 #: count linear and small while still exercising rank ties and short cells
 KNN_K = 3

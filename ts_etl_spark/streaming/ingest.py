@@ -45,6 +45,88 @@ DOCS_SCHEMA = "doc_id LONG, text STRING"
 
 STATS_SCHEMA = "bucket STRING, rho INT"
 
+#: materialized semantic index: every KEPT document's embedding with its
+#: 1-assign cell — appended per ingest, never recomputed from the corpus
+SEM_INDEX_SCHEMA = "vec_id LONG, cell INT, v ARRAY<DOUBLE>, nrm DOUBLE"
+#: offline-trained coarse quantizer (train_ivf_centroids output written
+#: to parquet) — fixed across ingests so cells stay comparable
+SEM_CENTS_SCHEMA = "c_id INT, cv ARRAY<DOUBLE>, cn DOUBLE"
+
+
+def _sem_index(spark: SparkSession, path: str) -> DataFrame:
+    if path_exists(spark, path):
+        return spark.read.schema(SEM_INDEX_SCHEMA).parquet(path)
+    return spark.createDataFrame([], SEM_INDEX_SCHEMA)
+
+
+def semantic_gate(
+    spark: SparkSession,
+    docs: DataFrame,
+    sem_index_path: str,
+    sem_cents_path: str,
+    threshold: float | None = None,
+    persisted: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Paraphrase-level dedup of a batch of documents against the
+    materialized semantic index — the embedding-layer sibling of
+    ``dedup_incremental`` (which sees only fingerprint/MinHash surface
+    duplicates). Embeds the batch (``embed_documents``; swap the seam for
+    a real model in production), runs ``semantic_dedup_incremental``
+    against the index at ``sem_index_path`` with the offline-trained
+    centroids at ``sem_cents_path``, and returns
+    ``(survivors, index_delta)``:
+
+    - ``survivors`` — the input docs minus semantic drops (documents with
+      a NULL embedding carry no evidence and always survive);
+    - ``index_delta`` — EVERY embedded batch vector's (vec_id, cell, v,
+      nrm) row, kept AND dropped (the dominated-by-smaller-id policy
+      needs dropped vectors as future dominators — see
+      ``semantic_dedup_incremental`` — so the index records vectors SEEN,
+      while the corpus records documents KEPT), ANTI-JOINED against the
+      existing index so appending it is idempotent under batch replay (a
+      crash between the index append and the corpus append re-derives the
+      same delta, which no-ops).
+
+    Caller appends ``index_delta`` to the index path BEFORE appending
+    survivors to the corpus (see ``ingest_batch`` ordering rationale).
+    Like ``dedup_incremental``, intermediate frames this function persists
+    are handed to ``persisted`` for release after materialization."""
+    from ts_etl_spark.operators.embedding import embed_documents
+    from ts_etl_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        as_double,
+        norm,
+        semantic_dedup_incremental,
+    )
+
+    if threshold is None:
+        threshold = SEMDEDUP_THRESHOLD
+    cents = spark.read.schema(SEM_CENTS_SCHEMA).parquet(sem_cents_path)
+    v = as_double(F.col("embedding"))
+    vecs = (
+        embed_documents(docs)
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            F.col("doc_id").alias("vec_id"), v.alias("v"), norm(v).alias("nrm")
+        )
+        .persist()
+    )
+    index = _sem_index(spark, sem_index_path)
+    prov = semantic_dedup_incremental(vecs, index, cents, threshold).persist()
+    if persisted is not None:
+        persisted += [vecs, prov]
+    drop_ids = prov.filter(~F.col("kept")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    survivors = docs.join(drop_ids, "doc_id", "left_anti")
+    index_delta = (
+        prov.select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .join(vecs, "vec_id")
+        .select("vec_id", "cell", "v", "nrm")
+        .join(index.select("vec_id"), "vec_id", "left_anti")
+    )
+    return survivors, index_delta
+
 
 def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     # existence via the Hadoop FileSystem API — os.path would silently
@@ -228,17 +310,37 @@ def ingest_batch(
     drift_path: str | None = None,
     batch_id: int = 0,
     hh_path: str | None = None,
+    sem_index_path: str | None = None,
+    sem_cents_path: str | None = None,
+    sem_threshold: float | None = None,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
     With ``stats_path``, also fold the batch's fingerprint registers into
     the corpus-stats sketch (distinct-document telemetry per ingest); with
     ``drift_path``, record the batch's PSI against the corpus-so-far
-    (``monitor_batch_drift``).
+    (``monitor_batch_drift``); with ``sem_index_path`` (+
+    ``sem_cents_path``, required), additionally drop paraphrase-level
+    near-duplicates via the semantic gate and maintain the embedding
+    index the gate reads.
+
+    Semantic ordering/idempotence: the index delta is appended BEFORE the
+    corpus append. A crash between the two replays cleanly — the replayed
+    batch's surviving docs are not yet fingerprint-dropped, the semantic
+    verdicts re-derive identically (the index now holds the batch's own
+    kept vectors, but domination is strict-smaller-id, so a vector never
+    drops against its own copy), and the delta's anti-join against the
+    grown index no-ops. The reverse order would lose index rows forever:
+    once the corpus append lands, a replay exact-drops the whole batch
+    and the delta is never rebuilt.
 
     The shingle-set frames dedup_incremental caches are unpersisted once
     the append materializes them — a stream runs this every micro-batch,
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
+    if (sem_index_path is None) != (sem_cents_path is None):
+        raise ValueError(
+            "sem_index_path and sem_cents_path must be given together"
+        )
     corpus = _corpus(spark, corpus_path)
     if hh_path is not None:
         # attempts, not survivors — see update_attempt_heavyhitters
@@ -261,6 +363,13 @@ def ingest_batch(
     )
     persisted.append(kept)
     try:
+        if sem_index_path is not None:
+            kept, index_delta = semantic_gate(
+                spark, kept, sem_index_path, sem_cents_path,
+                sem_threshold, persisted,
+            )
+            kept = kept.persist()
+            persisted.append(kept)
         # stats BEFORE the append: appending to corpus_path makes Spark
         # invalidate every cached plan that reads that path (recacheByPath),
         # and `kept`'s lineage reads the corpus — an after-append traversal
@@ -272,6 +381,9 @@ def ingest_batch(
         # fingerprint-idempotent corpus append).
         if stats_path is not None:
             update_corpus_stats(spark, kept, stats_path)
+        if sem_index_path is not None:
+            # index BEFORE corpus — see the docstring's replay analysis
+            index_delta.write.mode("append").parquet(sem_index_path)
         kept.write.mode("append").parquet(corpus_path)
     finally:
         for df in persisted:
@@ -288,11 +400,16 @@ def run_streaming_ingest(
     stats_path: str | None = None,
     drift_path: str | None = None,
     hh_path: str | None = None,
+    sem_index_path: str | None = None,
+    sem_cents_path: str | None = None,
+    sem_threshold: float | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
     micro-batch; optionally maintaining the corpus-stats register sketch,
-    the per-batch PSI drift log, and the attempt heavy-hitter counters."""
+    the per-batch PSI drift log, the attempt heavy-hitter counters, and —
+    with ``sem_index_path``/``sem_cents_path`` — the paraphrase-level
+    semantic gate plus its embedding index."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -301,7 +418,8 @@ def run_streaming_ingest(
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         ingest_batch(
             spark, batch_df, corpus_path, threshold, stats_path,
-            drift_path, batch_id, hh_path,
+            drift_path, batch_id, hh_path, sem_index_path,
+            sem_cents_path, sem_threshold,
         )
 
     q = (
