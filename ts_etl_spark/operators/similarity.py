@@ -156,13 +156,24 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
     assign_w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id"))
-    cells = (
-        vecs.join(F.broadcast(cents), F.lit(True))
-        .select("vec_id", "label", "c_id", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") <= BLOCK_ASSIGN)
-        .select("vec_id", "label", F.col("c_id").alias("cell"))
+    # ONE broadcast centroid join + ranking window serves all three arms:
+    # rn <= 3 rows are the pair arm's multi-probe cells, the rn == 1 slice
+    # is the sem/knn arms' 1-assign frame. Memoized + persisted per
+    # (application, dataset) so repeated plan builds reuse it.
+    ranked3 = _memo(
+        spark, sf_dir, "neardup_ranked3",
+        lambda: (
+            vecs.join(F.broadcast(cents), F.lit(True))
+            .select("vec_id", "label", "v", "nrm", "c_id", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(assign_w))
+            .filter(F.col("rn") <= BLOCK_ASSIGN)
+            .select(
+                "vec_id", "label", "v", "nrm", F.col("c_id").alias("cell"), "rn"
+            )
+            .persist()
+        ),
     )
+    cells = ranked3.select("vec_id", "label", "cell")
     a = cells.select("label", "cell", F.col("vec_id").alias("id_a"))
     b = cells.select(
         F.col("label").alias("label_b"), F.col("cell").alias("cell_b"),
@@ -194,13 +205,11 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("c", 6).alias("cosine"),
         )
     )
-    # ONE 1-assign + in-cell-edge subplan feeds both the sem and knn arms:
-    # memoized + persisted per (application, dataset) — the edge self-join
-    # (the entry's dominant cost) computes once, each arm reads the cached
-    # skinny (cell, src, dst, c) rows.
-    assigned1 = _memo(
-        spark, sf_dir, "neardup_cell1",
-        lambda: ivf_assign(vecs, cents, n_assign=1).persist(),
+    # the edge self-join (the entry's dominant cost) computes once over
+    # the 1-assign slice; each arm reads the cached skinny
+    # (cell, src, dst, c) rows
+    assigned1 = ranked3.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "nrm", "cell"
     )
     edges = _memo(
         spark, sf_dir, "neardup_edges",
