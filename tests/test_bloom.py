@@ -140,3 +140,26 @@ def test_reserved_internal_name_collision_raises(spark):
     clash = _items(spark, ["a"]).withColumn("__bloom_p0", F.lit(1))
     with pytest.raises(ValueError, match="collide"):
         bloom_probe_cols(clash, bf)
+
+
+def test_optimal_sizing_holds_target_fpp_empirically(spark):
+    """The sizing math (bloom_size) as evidence, not formula: build at a
+    target fpp=0.01 for 400 members and measure the observed
+    false-positive rate on 2000 held-out grams — it must stay within 2x
+    of the target (the registered 8192-bit entry deliberately runs lossy;
+    THIS is the production regime)."""
+    target = 0.01
+    members = [f"in-{i}" for i in range(400)]
+    held_out = [f"out-{i}" for i in range(2000)]
+    n_bits, k = bloom_size(len(members), target)
+    assert bloom_fpp(len(members), n_bits, k) <= target
+    bf = bloom_bitmap_df(_items(spark, members), n_bits=n_bits, k=k)
+    probed = bloom_probe_cols(
+        _items(spark, held_out), bf, n_bits=n_bits, k=k
+    )
+    fp = probed.filter(F.col("bloom_hit")).count()
+    observed = fp / len(held_out)
+    assert observed <= 2 * target, (n_bits, k, fp, observed)
+    # and the no-false-negative side at this sizing too
+    hits = bloom_probe_cols(_items(spark, members), bf, n_bits=n_bits, k=k)
+    assert hits.filter(~F.col("bloom_hit")).count() == 0
