@@ -1,0 +1,154 @@
+"""URL normalization/domain extraction and per-domain caps: hand-derived
+cases, DuckDB twin lockstep, the skew-guard plan shape, and equivalence
+of domain_cap with the gated window arm."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.urls import (
+    domain_cap,
+    normalize_url,
+    registered_domain,
+    registered_domain_sql,
+    strip_www,
+    strip_www_sql,
+    url_host,
+    url_host_sql,
+)
+
+CASES = [
+    ("https://www.Example.COM/Path?q=1#frag", "example.com", "example.com"),
+    ("http://sub.a.b.example.org:8080/x", "sub.a.b.example.org", "example.org"),
+    ("ftp://user:pw@Files.Site.net/pub", "files.site.net", "site.net"),
+    ("https://localhost/admin", "localhost", "localhost"),
+    ("not a url at all", None, None),
+    ("/relative/path", None, None),
+    ("https://www.x.co.uk/", "x.co.uk", "co.uk"),  # naive PSL limitation, documented
+]
+
+
+def _urls(spark):
+    return spark.createDataFrame([(u,) for u, _, _ in CASES], "url STRING")
+
+
+def test_host_and_registered_domain_hand_cases(spark):
+    rows = (
+        _urls(spark)
+        .select(
+            "url",
+            strip_www(url_host(F.col("url"))).alias("host"),
+            registered_domain(F.col("url")).alias("reg"),
+        )
+        .collect()
+    )
+    got = {r.url: (r.host, r.reg) for r in rows}
+    for u, host, reg in CASES:
+        assert got[u] == (host, reg), u
+
+
+def test_sql_twins_lockstep_with_spark(spark):
+    spark_rows = sorted(
+        map(
+            tuple,
+            _urls(spark)
+            .select(
+                strip_www(url_host(F.col("url"))).alias("h"),
+                registered_domain(F.col("url")).alias("r"),
+            )
+            .collect(),
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(u,) for u, _, _ in CASES])
+    duck_rows = sorted(
+        con.execute(
+            f"SELECT {strip_www_sql(url_host_sql('url'))} AS h, "
+            f"{registered_domain_sql('url')} AS r FROM u"
+        ).fetchall(),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert spark_rows == duck_rows
+
+
+def test_normalize_url_hand_cases(spark):
+    cases = {
+        "HTTPS://WWW.Example.COM:443/A/B?x=1#top": "https://example.com/A/B?x=1",
+        "http://site.org:80/p": "http://site.org/p",
+        "http://site.org:8080/p": "http://site.org:8080/p",
+        "https://a.net/path?": "https://a.net/path",
+        "https://a.net/Path?Q=Mixed": "https://a.net/Path?Q=Mixed",  # path/query preserved
+        "garbage": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url STRING")
+    got = {r.url: r.n for r in df.select("url", normalize_url("url").alias("n")).collect()}
+    assert got == cases
+
+
+def test_domain_cap_provenance_and_determinism(spark):
+    rows = [(i, f"d{i % 3}") for i in range(10)] + [(100, "solo")]
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    out = {r.doc_id: r for r in domain_cap(df, "domain", cap=2).collect()}
+    assert len(out) == 11, "full provenance: every input row, once"
+    # d0 holds {0,3,6,9}: ranked by doc_id, keep 2
+    assert [out[i].kept for i in (0, 3, 6, 9)] == [True, True, False, False]
+    assert [out[i].rank for i in (0, 3, 6, 9)] == [1, 2, 3, 4]
+    # under-cap domain: trivially kept, never ranked
+    assert out[100].kept and out[100].rank is None
+
+
+def test_domain_cap_equals_gated_window_arm(spark, sf_correct):
+    """The skew-guarded domain_cap and q_dedup_exact's plain-window
+    domain_drop arm agree on every verdict over the real corpus."""
+    from ts_etl_spark.operators.dedup import DOMAIN_CAP, q_dedup_exact
+    from ts_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_correct, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed"),
+    )
+    keyed = docs.select(
+        "doc_id", "n_chars", strip_www(url_host(url)).alias("domain")
+    )
+    prov = domain_cap(
+        keyed, "domain", DOMAIN_CAP,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    lib_drops = {
+        (r.doc_id, r.rank, r.domain)
+        for r in prov.filter(~F.col("kept")).collect()
+    }
+    arm_drops = {
+        (r.doc_id, int(r.n), r.key)
+        for r in q_dedup_exact(spark, sf_correct)
+        .filter(F.col("op") == "domain_drop")
+        .collect()
+    }
+    assert lib_drops == arm_drops and len(arm_drops) > 0
+
+
+def test_domain_cap_skew_guard_plan(spark):
+    """Under-cap rows must not enter the ranking window: the window's
+    input subtree is the over-cap semi-join, so a corpus of ONLY
+    under-cap domains yields a window over zero rows."""
+    rows = [(i, f"d{i}") for i in range(50)]  # 50 domains, 1 doc each
+    df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")
+    out = domain_cap(df, "domain", cap=5)
+    assert out.filter(~F.col("kept")).count() == 0
+    assert out.filter(F.col("rank").isNotNull()).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # structure present...
+    # ...but fed by the semi-join against over-cap domains only
+    assert "LeftSemi" in plan
+
+
+def test_domain_cap_validates_cap(spark):
+    df = spark.createDataFrame([(1, "d")], "doc_id LONG, domain STRING")
+    with pytest.raises(ValueError, match="cap must be"):
+        domain_cap(df, "domain", 0)

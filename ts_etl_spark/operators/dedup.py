@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.operators.urls import (
+    strip_www_sql as _strip_www_sql,
+    url_host_sql as _url_host_sql,
+)
 from ts_etl_spark.sources.tables import load_table
 
 N_MINHASH = 64
@@ -72,12 +76,64 @@ def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_sets(docs)
 
 
+#: per-domain document cap for the domain_drop arm — sized so sf0.01's
+#: 25-docs-per-source corpus drops a non-trivial tail (5/domain) and the
+#: arm scales linearly with the corpus
+DOMAIN_CAP = 20
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups: representative = min(doc_id) per text."""
+    """Corpus pruning provenance as a tagged union (op, doc_id, n, key):
+
+    - ``op='exact_group'`` — exact duplicate groups (the original entry):
+      ``doc_id`` the representative (min id per text), ``n`` the copy
+      count, ``key`` the text.
+    - ``op='domain_drop'`` — per-domain cap (``operators.urls``): each
+      document gets a synthetic absolute URL built from its ``source``
+      (deterministic, so the oracle reproduces it), the domain key is
+      ``strip_www(url_host(url))``, and within a domain documents rank by
+      (n_chars DESC, doc_id) — prefer longer documents; rows ranked past
+      DOMAIN_CAP are emitted as drops with ``n`` the rank and ``key`` the
+      domain. Exercises the engine-portable URL extraction in the gated
+      path; the skew-guarded ``domain_cap`` (count-prefiltered window)
+      provides the same verdicts as provenance (equivalence tested)."""
+    from pyspark.sql.window import Window
+
+    from ts_etl_spark.operators.urls import strip_www, url_host
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies")
-    ).select("rep_doc_id", "n_copies", "text")
+    exact_arm = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("n_copies"))
+        .select(
+            F.lit("exact_group").alias("op"),
+            F.col("rep_doc_id").alias("doc_id"),
+            F.col("n_copies").alias("n"),
+            F.col("text").alias("key"),
+        )
+    )
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), "doc_id")
+    domain_arm = (
+        docs.select("doc_id", "n_chars", strip_www(url_host(url)).alias("domain"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") > DOMAIN_CAP)
+        .select(
+            F.lit("domain_drop").alias("op"),
+            "doc_id",
+            F.col("rank").cast("long").alias("n"),
+            F.col("domain").alias("key"),
+        )
+    )
+    return exact_arm.unionByName(domain_arm)
 
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,9 +677,29 @@ _SHINGLES_CTE = r"""
 """
 
 ORACLE = {
-    "dedup_exact": """
-        SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies, text
+    "dedup_exact": f"""
+        WITH urls AS (
+            SELECT doc_id, n_chars,
+                   'https://www.' || source || '.example.com/' || lang || '/'
+                       || CAST(doc_id AS VARCHAR) || '?utm_source=feed' AS url
+            FROM documents
+        ), dom AS (
+            SELECT doc_id, n_chars,
+                   {_strip_www_sql(_url_host_sql('url'))} AS domain
+            FROM urls
+        ), ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (PARTITION BY domain
+                        ORDER BY n_chars DESC, doc_id) AS rank
+            FROM dom
+        )
+        SELECT 'exact_group' AS op, MIN(doc_id) AS doc_id,
+               COUNT(*) AS n, text AS key
         FROM documents GROUP BY text
+        UNION ALL
+        SELECT 'domain_drop' AS op, doc_id, CAST(rank AS BIGINT) AS n,
+               domain AS key
+        FROM ranked WHERE rank > {DOMAIN_CAP}
     """,
     "dedup_ngram_topk": f"""
         WITH {_SHINGLES_CTE}

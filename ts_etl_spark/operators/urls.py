@@ -1,0 +1,166 @@
+"""URL normalization, domain extraction, and per-domain document caps —
+web-corpus curation staples (Common-Crawl-style pipelines cap documents
+per site so no single domain dominates the training mixture, and key
+dedup/blocklists on a canonical URL form).
+
+Everything here is engine-portable: host/domain extraction is ONE
+``regexp_extract`` whose pattern parses identically under Java regex
+(Spark) and RE2 (DuckDB) — no ``parse_url`` (Spark-only) and no UDFs —
+so the gated arm hash-matches and the SQL twins stay in lockstep.
+
+Scale shapes:
+
+- extraction/normalization: pure map-side column expressions inside
+  whole-stage codegen — zero shuffles at any corpus size.
+- ``domain_cap``: the naive form is one window over EVERY row keyed by
+  domain — a hot-domain skew trap (one giant site = one straggler
+  partition). This implementation prefilters with a per-domain count
+  (partial-aggregated, skew-proof) and runs the ranking window ONLY over
+  rows of OVER-cap domains; under-cap rows never enter the ranking
+  shuffle. On web corpora the over-cap tail is a small fraction of rows,
+  so the expensive shuffle shrinks by that factor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: host of an absolute URL: scheme, optional userinfo, then everything up
+#: to the first '/', ':', '?' or '#'. Deliberately restricted to the
+#: common subset both regex engines treat identically.
+_HOST_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?([^/:?#]+)"
+#: last two dot-labels — the NAIVE registered domain. Correct for
+#: `.com`-style suffixes; multi-label public suffixes (`.co.uk`) need the
+#: Public Suffix List, a data dependency this container doesn't carry —
+#: swap `registered_domain` for a PSL-backed broadcast-join lookup in
+#: production (the pluggable-decoder seam pattern).
+_REG_DOMAIN_PAT = r"([^.]+\.[^.]+)$"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL; NULL for values the pattern
+    cannot parse (relative references, garbage) rather than a guess."""
+    h = F.regexp_extract(url, _HOST_PAT, 1)
+    return F.when(h != "", F.lower(h))
+
+
+def strip_www(host: Column) -> Column:
+    """Host minus one leading ``www.`` label (the canonical-host merge
+    every URL dedup does first)."""
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def registered_domain(url: Column | str) -> Column:
+    """Naive registered domain (last two labels) of the URL's host —
+    ``https://www.a.b.example.com/x`` → ``example.com``. Single-label
+    hosts (``localhost``) return the host itself. See ``_REG_DOMAIN_PAT``
+    for the Public-Suffix-List production seam."""
+    h = strip_www(url_host(url))
+    reg = F.regexp_extract(h, _REG_DOMAIN_PAT, 1)
+    return F.when(reg != "", reg).otherwise(h)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL form for dedup/blocklist keying: lowercase scheme and
+    host, strip the fragment, strip a trailing ``?`` (empty query), strip
+    default ports (``:80`` for http, ``:443`` for https), drop one leading
+    ``www.`` label. Path and query are preserved byte-for-byte otherwise
+    (semantics-changing rewrites like param sorting or utm-stripping are a
+    policy layer, not canonicalization). NULL for unparseable values."""
+    c = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    no_empty_q = F.regexp_replace(no_frag, r"\?$", "")
+    scheme = F.lower(F.regexp_extract(no_empty_q, r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", 1))
+    host = strip_www(url_host(no_empty_q))
+    port = F.regexp_extract(
+        no_empty_q, _HOST_PAT[: -len("([^/:?#]+)")] + r"[^/:?#]+:(\d+)", 1
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rest = F.regexp_replace(
+        no_empty_q, r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?[^/?#]*", ""
+    )
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            rest,
+        ),
+    )
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str,
+    cap: int,
+    order_cols: Sequence[Column] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, deterministically:
+    rows rank within their domain by ``order_cols`` (default: ``id_col``
+    ascending — pass e.g. ``[F.col("n_chars").desc(), F.col("doc_id")]``
+    to prefer longer documents) and rows ranked past ``cap`` drop.
+
+    Returns full provenance ``(id_col, domain_col, rank, kept)`` — rank
+    is NULL for rows of under-cap domains (they are trivially kept and,
+    by design, never enter the ranking shuffle: a per-domain count
+    prefilters, so the window runs only over over-cap domains' rows — the
+    hot-domain skew guard described in the module docstring)."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = list(order_cols) if order_cols else [F.col(id_col)]
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("__dn"))
+    over = counts.filter(F.col("__dn") > cap).select(domain_col)
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    # no forced broadcast on `over`: usually tiny (AQE broadcasts it),
+    # but a web corpus can have millions of over-cap domains, where a
+    # forced broadcast would be the bug
+    ranked = (
+        docs.join(over, domain_col, "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .select(id_col, domain_col, "rank")
+    )
+    return (
+        docs.select(id_col, domain_col)
+        .join(ranked, [id_col, domain_col], "left")
+        .select(
+            id_col,
+            domain_col,
+            "rank",
+            (F.col("rank").isNull() | (F.col("rank") <= cap)).alias("kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB twins — keep in lockstep with the Spark definitions above
+# --------------------------------------------------------------------------
+
+
+def url_host_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN regexp_extract({expr}, '{_HOST_PAT}', 1) != '' "
+        f"THEN lower(regexp_extract({expr}, '{_HOST_PAT}', 1)) END"
+    )
+
+
+def strip_www_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '^www\\.', '')"
+
+
+def registered_domain_sql(expr: str) -> str:
+    h = strip_www_sql(url_host_sql(expr))
+    return (
+        f"CASE WHEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) != '' "
+        f"THEN regexp_extract({h}, '([^.]+\\.[^.]+)$', 1) ELSE {h} END"
+    )
