@@ -410,18 +410,47 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sorted member list joined to a comma string (scalar columns only).
     The oracle reproduces the components with a recursive CTE."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labels = min_label_components(pairs)
+    members = F.sort_array(F.collect_list("node"))
+    return labels.groupBy(F.col("comp").alias("rep_doc_id")).agg(
+        F.count("*").alias("n_members"),
+        F.array_join(F.transform(members, lambda m: m.cast("string")), ",").alias(
+            "members"
+        ),
+    )
+
+
+def min_label_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected (id_a, id_b) pair list by
+    iterative min-label propagation (the Pregel/GraphFrames recipe) —
+    returns (node, comp) with comp the component's min node id.
+
+    ``nodes`` optionally names the full vertex frame (one ``node``
+    column); isolated vertices then appear with comp = their own id.
+    Without it, only endpoints of edges are labeled.
+
+    Each iteration is a pair of hash joins + a grouped min — all
+    distributed; the driver loop checks one scalar convergence count per
+    round, rounds bounded by component diameter (near-dup clusters are
+    near-cliques: 2-3 rounds in practice; ``max_iter`` caps adversarial
+    chains). The returned frame is persisted; caller unpersists after
+    materializing downstream results."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-        .persist()
+    base = (
+        nodes.select("node")
+        if nodes is not None
+        else edges.select(F.col("src").alias("node")).distinct()
     )
-    for _ in range(20):
+    labels = base.select("node", F.col("node").alias("comp")).persist()
+    for _ in range(max_iter):
         nb = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -448,13 +477,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    members = F.sort_array(F.collect_list("node"))
-    return labels.groupBy(F.col("comp").alias("rep_doc_id")).agg(
-        F.count("*").alias("n_members"),
-        F.array_join(F.transform(members, lambda m: m.cast("string")), ",").alias(
-            "members"
-        ),
-    )
+    edges.unpersist()
+    return labels
 
 
 def canonical_fingerprint(c=None):

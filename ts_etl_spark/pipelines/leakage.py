@@ -1,0 +1,163 @@
+"""Train/eval split hygiene: the leakage audit a split must pass before
+it ships. A test document that is an exact or near duplicate of a train
+document lets the model see the eval set's paraphrases at train time and
+silently inflates every metric computed on it — the INTERNAL counterpart
+of the external-benchmark ``text_contamination`` check.
+
+Two layers, mirroring the dedup stack's exact/near split:
+
+- exact: canonical-fingerprint equality (trim/case/whitespace-insensitive
+  — ``operators.dedup.canonical_fingerprint``) across different splits;
+- near: MinHash-LSH candidate pairs verified by exact shingle Jaccard ≥
+  threshold (``operators.dedup.minhash_lsh_pairs``) across different
+  splits, minus pairs the exact layer already reported.
+
+Scale shape: the exact layer is one skinny fingerprint self-join (linear
+in duplicate-group mass); the near layer inherits the banded-LSH plan
+(never all-pairs); split labels join on doc_id as skinny (id, split)
+rows. Nothing here scans text more than the shared shingle projection.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    canonical_fingerprint,
+    minhash_lsh_pairs,
+)
+from ts_etl_spark.pipelines.sampling import assign_splits
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    weights: Mapping[str, float] | None = None,
+    key_cols: Sequence[str] = ("doc_id",),
+    seed: str = "split",
+    split_col: str | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+    persisted: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Document pairs that leak across split boundaries.
+
+    ``docs`` is a (doc_id, text, ...) frame. Either name an existing
+    assignment column via ``split_col``, or pass ``weights`` (+
+    ``key_cols``/``seed``) to assign splits here with the deterministic
+    ``assign_splits`` — the audit then checks exactly the split the
+    trainer would materialize.
+
+    Returns ``(kind, id_a, id_b, split_a, split_b, jaccard)`` with
+    ``id_a < id_b``:
+
+    - ``kind='exact'`` — canonical fingerprints equal; ``jaccard`` NULL
+      (not computed — fingerprint equality is the stronger statement).
+    - ``kind='near'`` — shingle Jaccard ≥ ``threshold``, excluding pairs
+      already reported exact.
+
+    An empty result is the PASS condition. A non-empty result names the
+    offending pairs; the standard remediations are re-splitting on a
+    near-dup-component key (all members of a duplicate component share a
+    split) or dropping the eval-side member.
+
+    ``persisted`` receives the internal shingle-set cache (the
+    ``minhash_lsh_pairs`` contract) for caller-side release."""
+    if (split_col is None) == (weights is None):
+        raise ValueError("pass exactly one of split_col or weights")
+    if split_col is None:
+        assigned = assign_splits(docs, weights, list(key_cols), seed)
+        split_col = "split"
+    else:
+        if split_col not in docs.columns:
+            raise ValueError(f"split_col {split_col!r} not in docs")
+        assigned = docs
+    labels = assigned.select("doc_id", F.col(split_col).alias("__sp"))
+    la = labels.select(F.col("doc_id").alias("id_a"), F.col("__sp").alias("split_a"))
+    lb = labels.select(F.col("doc_id").alias("id_b"), F.col("__sp").alias("split_b"))
+
+    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    exact_pairs = (
+        fa.join(fb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    exact_out = exact_pairs.select(
+        F.lit("exact").alias("kind"),
+        "id_a",
+        "id_b",
+        "split_a",
+        "split_b",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    near = (
+        minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
+        .filter(F.col("jaccard") >= threshold)
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .join(
+            exact_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
+        .select(
+            F.lit("near").alias("kind"),
+            "id_a",
+            "id_b",
+            "split_a",
+            "split_b",
+            "jaccard",
+        )
+    )
+    return exact_out.unionByName(near)
+
+
+def component_safe_splits(
+    docs: DataFrame,
+    weights: Mapping[str, float],
+    seed: str = "split",
+    threshold: float = JACCARD_THRESHOLD,
+    persisted: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The remediation: assign splits on the near-dup COMPONENT, not the
+    document — every member of a connected near-dup/exact-dup group lands
+    in the same split, so ``split_leakage_audit`` passes by construction
+    (tested). Components are the union-find closure over exact-fingerprint
+    and verified near-dup edges, computed as the usual Pregel-style
+    min-label iteration on the skinny edge list; the component
+    representative (its min doc_id) is the split hash key, so adding
+    unrelated documents never moves an existing component.
+
+    Returns docs plus ``component`` (min doc_id of the group; own id for
+    isolated docs) and ``split``."""
+    from ts_etl_spark.operators.dedup import min_label_components
+
+    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    exact_edges = fa.join(
+        fb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    near_edges = (
+        minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    edges = exact_edges.unionByName(near_edges).distinct()
+    labels = min_label_components(
+        edges, nodes=docs.select(F.col("doc_id").alias("node"))
+    )
+    if persisted is not None:
+        persisted.append(labels)
+    with_comp = docs.join(
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("comp").alias("component")
+        ),
+        "doc_id",
+    )
+    return assign_splits(with_comp, weights, key_cols=["component"], seed=seed)
