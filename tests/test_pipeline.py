@@ -310,3 +310,92 @@ def test_blocklist_stage_gates_by_fraction(spark, tmp_path):
     assert out[1].drop_reason is None
     assert out[2].drop_reason == "blocklist"
     assert out[3].drop_reason == "quality"  # heuristics keep precedence
+
+
+def test_domain_cap_stage(spark, tmp_path):
+    """domain_cap_n keeps the N longest docs per source; excess drops
+    with reason 'domain_cap' (after dedup, before language)."""
+    texts = [
+        "astronomy telescopes reveal distant spiral galaxies through careful nightly "
+        "observation sessions conducted yearly from remote mountain observatories",
+        "gardening manuals describe pruning mature fruit trees during dormant winter "
+        "months while protecting tender roots beneath thick organic mulch layers",
+        "sailing vessels navigate treacherous coastal waters using paper charts "
+        "magnetic compasses and printed tide tables kept aboard every voyage",
+        "pottery students shape delicate clay bowls on spinning wheels inside "
+        "sunlit studios while instructors demonstrate glazing techniques nearby",
+    ]
+    rows = [
+        (i, texts[i], "srcA", 500 - i) for i in range(4)
+    ] + [
+        (
+            10,
+            "bakery apprentices knead sourdough loaves before dawn while wood "
+            "fired ovens warm slowly toward their steady baking temperature",
+            "srcB",
+            80,
+        )
+    ]
+    d = tmp_path / "cap_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, source STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in curate_documents(spark, str(d), domain_cap_n=2).collect()
+    }
+    # srcA: ranked by n_chars desc (500-i) -> docs 0,1 kept; 2,3 capped
+    assert out[2].drop_reason == "domain_cap"
+    assert out[3].drop_reason == "domain_cap"
+    assert out[0].drop_reason is None and out[1].drop_reason is None
+    assert out[10].drop_reason is None  # under-cap domain untouched
+
+
+def test_substring_mask_stage(spark, tmp_path):
+    """substring_mask strips cross-document repeated spans BEFORE
+    scoring, so shared boilerplate cannot create near-dup pairs."""
+    boiler = "this license text is repeated verbatim across unrelated documents always"
+    a = "completely original analysis of interesting topics with unique vocabulary choices"
+    b = "different thoughtful writing about other matters using separate wording entirely"
+    rows = [(1, f"{a} {boiler}"), (2, f"{boiler} {b}")]
+    d = tmp_path / "sm_sf"
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.mode(
+        "overwrite"
+    ).parquet(str(d / "documents.parquet"))
+    plain = {
+        r.doc_id: r for r in curate_documents(spark, str(d)).collect()
+    }
+    masked = {
+        r.doc_id: r
+        for r in curate_documents(
+            spark, str(d), substring_mask=(4, 6, 2)
+        ).collect()
+    }
+    for w in boiler.split():
+        assert w not in masked[1].text.split()
+        assert w not in masked[2].text.split()
+    assert "original" in masked[1].text and "thoughtful" in masked[2].text
+
+
+def test_cli_curate_accepts_new_flags(spark, sf_smoke, tmp_path, monkeypatch):
+    import ts_etl_spark.cli as cli
+
+    seen = {}
+
+    def fake_run_curate(*a, **kw):
+        seen.update(kw)
+        return {}
+
+    monkeypatch.setattr(cli, "run_curate", fake_run_curate)
+    rc = cli._curate_main(
+        [sf_smoke, str(tmp_path / "o"), "--substring-mask", "5,8,3",
+         "--domain-cap", "7"]
+    )
+    assert rc == 0
+    assert seen["substring_mask"] == (5, 8, 3)
+    assert seen["domain_cap_n"] == 7
+    seen.clear()
+    rc = cli._curate_main([sf_smoke, str(tmp_path / "o2"), "--substring-mask"])
+    assert rc == 0 and seen["substring_mask"] is True

@@ -121,6 +121,8 @@ def run_curate(
     paragraph_dedup: str | None = None,
     blocklist: list[str] | None = None,
     blocklist_max_frac: float = 0.0,
+    substring_mask: bool | tuple[int, int, int] | None = None,
+    domain_cap_n: int | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Run the corpus-curation pipeline over ``<sf_dir>/documents.parquet``
@@ -150,6 +152,8 @@ def run_curate(
             paragraph_dedup=paragraph_dedup,
             blocklist=blocklist,
             blocklist_max_frac=blocklist_max_frac,
+            substring_mask=substring_mask,
+            domain_cap_n=domain_cap_n,
         ).persist()
         caches.append(out)
         # counts from the PERSISTED pre-join frame: the pack join below is
@@ -222,6 +226,21 @@ def _curate_main(argv: list[str]) -> int:
         "--blocklist-max-frac", type=float, default=0.0,
         help="max tolerated blocklist hit fraction (default 0.0: any hit)",
     )
+    parser.add_argument(
+        "--substring-mask",
+        nargs="?",
+        const="default",
+        metavar="K,W,MIN_DOCS",
+        help="strip cross-document repeated spans before scoring "
+        "(operators/substrings.py winnowing); optional K,W,MIN_DOCS "
+        "override the defaults",
+    )
+    parser.add_argument(
+        "--domain-cap",
+        type=int,
+        help="keep at most N documents per source (longest first); excess "
+        "drops with reason 'domain_cap'",
+    )
     args = parser.parse_args(argv)
     langs = args.languages.split(",") if args.languages else None
     try:
@@ -240,6 +259,14 @@ def _curate_main(argv: list[str]) -> int:
                 else None
             ),
             blocklist_max_frac=args.blocklist_max_frac,
+            substring_mask=(
+                True
+                if args.substring_mask == "default"
+                else tuple(int(x) for x in args.substring_mask.split(","))
+                if args.substring_mask
+                else None
+            ),
+            domain_cap_n=args.domain_cap,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during curation: {exc}", file=sys.stderr)

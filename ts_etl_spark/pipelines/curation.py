@@ -54,6 +54,8 @@ def curate_documents(
     paragraph_dedup: str | None = None,
     blocklist: Sequence[str] | None = None,
     blocklist_max_frac: float = 0.0,
+    substring_mask: bool | tuple[int, int, int] | None = None,
+    domain_cap_n: int | None = None,
 ) -> DataFrame:
     """Run the curation flow over ``documents``; return every document with
     metrics, signals, and provenance (``kept`` / ``drop_reason``).
@@ -85,6 +87,20 @@ def curate_documents(
       pre-score the corpus yourself for externally-trained weights)
       falls below the threshold. Token-less documents score NULL and
       pass through to the heuristic gate's verdict.
+    - ``substring_mask`` (round 7, off by default): rewrite documents
+      through ``operators.substrings.mask_repeated_spans`` (True for the
+      module defaults, or a ``(k, w, min_docs)`` tuple) BEFORE any
+      scoring — cross-document repeated spans (license boilerplate,
+      chrome) vanish before they pollute metrics, fingerprints or
+      shingles, the same slot as ``paragraph_dedup`` (compose both:
+      paragraphs first, spans second).
+    - ``domain_cap_n`` (round 7, off by default): keep at most N
+      documents per ``source`` (longest-first by n_chars, ties by
+      doc_id — the ``operators.urls.domain_cap`` policy); excess drops
+      with reason ``domain_cap``. Verdicts are computed over the FULL
+      corpus ordering, not post-filter survivors — deterministic and
+      policy-stable (re-running with a different quality gate never
+      reshuffles which documents the cap selects).
     - token budget is greedy by ascending doc_id over BPE-ish token counts
       of documents that survived every other stage: a document is in budget
       while the cumulative count BEFORE it is under the budget (so the
@@ -111,6 +127,22 @@ def curate_documents(
 
         docs = dedup_paragraphs(docs, mode=paragraph_dedup).select(
             "doc_id", "text"
+        )
+    if substring_mask:
+        from ts_etl_spark.operators.substrings import (
+            MIN_DOCS,
+            WINNOW_K,
+            WINNOW_W,
+            mask_repeated_spans,
+        )
+
+        k_, w_, m_ = (
+            substring_mask
+            if isinstance(substring_mask, (tuple, list))
+            else (WINNOW_K, WINNOW_W, MIN_DOCS)
+        )
+        docs = mask_repeated_spans(docs, k=k_, w=w_, min_docs=m_).select(
+            "doc_id", F.col("clean_text").alias("text")
         )
     docs = docs.repartition(par, "doc_id").persist()
     if persisted is not None:
@@ -164,6 +196,27 @@ def curate_documents(
     )
     scored = scored.withColumn("lang_ok", lang_ok)
 
+    if domain_cap_n is not None:
+        from ts_etl_spark.operators.urls import domain_cap
+
+        src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        capped = domain_cap(
+            src,
+            "source",
+            domain_cap_n,
+            order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+        )
+        over_cap = (
+            capped.filter(~F.col("kept"))
+            .select("doc_id")
+            .withColumn("over_domain_cap", F.lit(True))
+        )
+        scored = scored.join(over_cap, "doc_id", "left").withColumn(
+            "over_domain_cap", F.coalesce("over_domain_cap", F.lit(False))
+        )
+
     # first failing stage in pipeline order (null = survived all gates);
     # NULL clf_score (token-less) is not < threshold, so those documents
     # answer to the heuristic gate alone
@@ -176,11 +229,12 @@ def curate_documents(
         reason = reason.when(
             F.col("clf_score") < F.lit(clf_threshold), "classifier"
         )
-    reason = (
-        reason.when(F.col("is_exact_dup"), "exact_dup")
-        .when(F.col("is_near_dup"), "near_dup")
-        .when(~F.col("lang_ok"), "language")
+    reason = reason.when(F.col("is_exact_dup"), "exact_dup").when(
+        F.col("is_near_dup"), "near_dup"
     )
+    if domain_cap_n is not None:
+        reason = reason.when(F.col("over_domain_cap"), "domain_cap")
+    reason = reason.when(~F.col("lang_ok"), "language")
     scored = scored.withColumn("drop_reason", reason)
 
     if token_budget is None:
