@@ -1,0 +1,151 @@
+"""Corpus data cards — the per-slice composition report every training
+dataset ships with (datasheets/data-statements practice): for each
+(source, lang) slice, document and token counts, length distribution,
+quality-gate pass rate, exact-duplicate rate, and share of the corpus.
+``pipelines.maintenance.profile_table`` profiles arbitrary COLUMNS; this
+profiles the CORPUS as training data.
+
+Everything is one scan plus one fingerprint shuffle, all
+partial-aggregatable, and every statistic is engine-portable (exact
+counts/sums, linear-interpolation percentiles that Spark ``percentile``
+and DuckDB ``quantile_cont`` define identically, the shared canonical
+fingerprint) — the DuckDB twin reproduces the card value-for-value.
+
+Scale shape: metrics aggregate map-side per slice (one groupBy); the
+exact-dup flag is one fingerprint-keyed window over skinny (fingerprint,
+doc_id) rows; the corpus share is a broadcast of the ONE-row total. At
+100 TB the whole card is two shuffles of pre-aggregated rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.dedup import canonical_fingerprint
+
+#: length percentiles reported per slice
+CARD_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def corpus_data_card(
+    docs: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per slice (the distinct values of ``group_cols``):
+
+    - ``n_docs``, ``doc_share`` (fraction of all docs, exact),
+    - ``n_ws_tokens`` (whitespace tokens, summed), ``n_chars`` (summed),
+    - ``chars_p50/p90/p99`` (linear-interpolation percentiles of doc
+      length, rounded to 6),
+    - ``quality_rate`` (share passing the textops gate: ≥10 tokens,
+      ≥100 chars, alpha ratio ≥ 0.5),
+    - ``exact_dup_rate`` (share of docs whose canonical fingerprint has
+      a smaller-id twin ANYWHERE in the corpus — cross-slice on purpose:
+      a mirror site in another slice still makes these docs duplicates).
+
+    Deterministic output; empty slices cannot occur (groupBy only emits
+    observed combinations)."""
+    raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # split("") yields [''] (size 1); empty docs have zero tokens
+    n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(
+        F.size(raw_toks)
+    )
+    n_chars = F.length(text_col)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    quality = (
+        (n_toks >= 10)
+        & (n_chars >= 100)
+        & (F.when(n_chars > 0, alpha.cast("double") / n_chars) >= 0.5)
+    )
+    from pyspark.sql.window import Window
+
+    fp_w = Window.partitionBy("__fp").orderBy(id_col)
+    flagged = docs.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(text_col),
+        canonical_fingerprint(F.col(text_col)).alias("__fp"),
+    ).withColumn("__is_dup", F.row_number().over(fp_w) > 1)
+    per_slice = flagged.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_toks).alias("n_ws_tokens"),
+        F.sum(n_chars).alias("n_chars"),
+        *[
+            F.round(F.percentile(n_chars, q), 6).alias(
+                f"chars_p{int(q * 100)}"
+            )
+            for q in CARD_QUANTILES
+        ],
+        F.round(F.avg(quality.cast("double")), 6).alias("quality_rate"),
+        F.round(F.avg(F.col("__is_dup").cast("double")), 6).alias(
+            "exact_dup_rate"
+        ),
+    )
+    total = flagged.agg(F.count("*").alias("__total"))
+    return per_slice.join(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__total"), 6).alias("doc_share"),
+        "n_ws_tokens",
+        "n_chars",
+        *[f"chars_p{int(q * 100)}" for q in CARD_QUANTILES],
+        "quality_rate",
+        "exact_dup_rate",
+    )
+
+
+def corpus_data_card_sql(
+    table: str = "documents",
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``corpus_data_card`` — keep in lockstep."""
+    g = ", ".join(group_cols)
+    toks = f"len(list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> x != ''))"
+    alpha_ratio = (
+        f"CASE WHEN length({text_col}) > 0 THEN "
+        f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        f" / length({text_col}) END"
+    )
+    quality = (
+        f"({toks} >= 10 AND length({text_col}) >= 100 AND {alpha_ratio} >= 0.5)"
+    )
+    qcols = ", ".join(
+        f"round(quantile_cont(length({text_col}), {q}), 6) AS chars_p{int(q * 100)}"
+        for q in CARD_QUANTILES
+    )
+    return f"""
+        WITH fp AS (
+            SELECT {g}, {id_col}, {text_col},
+                   md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS f
+            FROM {table}
+        ), flagged AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY {id_col}) > 1
+                      AS is_dup
+            FROM fp
+        ), per_slice AS (
+            SELECT {g},
+                   COUNT(*) AS n_docs,
+                   SUM({toks}) AS n_ws_tokens,
+                   SUM(length({text_col})) AS n_chars,
+                   {qcols},
+                   round(AVG(CASE WHEN {quality} THEN 1.0 ELSE 0.0 END), 6)
+                       AS quality_rate,
+                   round(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 6)
+                       AS exact_dup_rate
+            FROM flagged GROUP BY {g}
+        )
+        SELECT {g}, n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                     / (SELECT COUNT(*) FROM {table}), 6) AS doc_share,
+               n_ws_tokens, n_chars,
+               {", ".join(f"chars_p{int(q * 100)}" for q in CARD_QUANTILES)},
+               quality_rate, exact_dup_rate
+        FROM per_slice
+    """
