@@ -57,10 +57,13 @@ def test_ingest_batch_releases_caches(spark, tmp_path):
     blocks across micro-batches."""
     corpus_path = str(tmp_path / "corpus")
     batch = spark.createDataFrame([(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING")
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    # compare RDD id SETS, not counts: the ContextCleaner may ASYNCHRONOUSLY
+    # unpersist earlier tests' out-of-scope checkpointed RDDs between the
+    # two measurements, so a count can legitimately shrink
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     ingest_batch(spark, batch, corpus_path)
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert after == before
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert not (after - before), "ingest_batch left new cached RDDs behind"
 
 
 def test_ingest_into_empty_and_existing_corpus_paths(spark, tmp_path):

@@ -177,3 +177,20 @@ def test_validation(spark):
         split_leakage_audit(docs, weights={"a": 1}, split_col="split")
     with pytest.raises(ValueError, match="not in docs"):
         split_leakage_audit(docs.drop("split"), split_col="split")
+
+
+def test_min_label_components_raises_on_non_convergence(spark):
+    """A chain longer than the iteration budget must fail loudly, not
+    return split components (review finding: silent truncation would
+    break component_safe_splits' by-construction guarantee)."""
+    from ts_etl_spark.operators.dedup import min_label_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a LONG, id_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_components(chain, max_iter=2)
+    # ...and converges fine with budget for the diameter
+    labels = min_label_components(chain, max_iter=10)
+    assert {r.comp for r in labels.collect()} == {0}
+    labels.unpersist()

@@ -50,18 +50,17 @@ def corpus_data_card(
 
     Deterministic output; empty slices cannot occur (groupBy only emits
     observed combinations)."""
+    from ts_etl_spark.operators.textops import quality_pass_expr
+
     raw_toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # split("") yields [''] (size 1); empty docs have zero tokens
     n_toks = F.when(F.trim(F.col(text_col)) == "", 0).otherwise(
         F.size(raw_toks)
     )
     n_chars = F.length(text_col)
-    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
-    quality = (
-        (n_toks >= 10)
-        & (n_chars >= 100)
-        & (F.when(n_chars > 0, alpha.cast("double") / n_chars) >= 0.5)
-    )
+    # the ONE shared gate definition (textops) — the card must report the
+    # rate of exactly the gate the curation pipeline applies
+    quality = quality_pass_expr(F.col(text_col))
     from pyspark.sql.window import Window
 
     fp_w = Window.partitionBy("__fp").orderBy(id_col)
@@ -105,17 +104,15 @@ def corpus_data_card_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of ``corpus_data_card`` — keep in lockstep."""
+    """DuckDB twin of ``corpus_data_card`` — interpolates the SHARED
+    gate/fingerprint twins (textops.quality_pass_sql,
+    dedup.canonical_fingerprint_sql), not restatements."""
+    from ts_etl_spark.operators.dedup import canonical_fingerprint_sql
+    from ts_etl_spark.operators.textops import quality_pass_sql
+
     g = ", ".join(group_cols)
     toks = f"len(list_filter(regexp_split_to_array(trim({text_col}), '\\s+'), x -> x != ''))"
-    alpha_ratio = (
-        f"CASE WHEN length({text_col}) > 0 THEN "
-        f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
-        f" / length({text_col}) END"
-    )
-    quality = (
-        f"({toks} >= 10 AND length({text_col}) >= 100 AND {alpha_ratio} >= 0.5)"
-    )
+    quality = quality_pass_sql(text_col)
     qcols = ", ".join(
         f"round(quantile_cont(length({text_col}), {q}), 6) AS chars_p{int(q * 100)}"
         for q in CARD_QUANTILES
@@ -123,7 +120,7 @@ def corpus_data_card_sql(
     return f"""
         WITH fp AS (
             SELECT {g}, {id_col}, {text_col},
-                   md5(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))) AS f
+                   {canonical_fingerprint_sql(text_col)} AS f
             FROM {table}
         ), flagged AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY {id_col}) > 1

@@ -437,19 +437,34 @@ def min_label_components(
     distributed; the driver loop checks one scalar convergence count per
     round, rounds bounded by component diameter (near-dup clusters are
     near-cliques: 2-3 rounds in practice; ``max_iter`` caps adversarial
-    chains). The returned frame is persisted; caller unpersists after
-    materializing downstream results."""
+    chains). Exhausting ``max_iter`` without converging RAISES rather
+    than returning silently-wrong labels — a chain longer than the
+    iteration budget would otherwise split one component in two, and
+    consumers like ``component_safe_splits`` build correctness
+    guarantees on these labels.
+
+    Every round ``localCheckpoint``s the new label frame: each iteration
+    references the previous labels TWICE (neighbor min + the update
+    join), so without lineage truncation the logical plan DOUBLES per
+    round and Catalyst analysis goes exponential — a 9-round chain hangs
+    the driver before any executor works. This is the same
+    checkpoint-interval discipline GraphFrames applies to its Pregel
+    loops. The returned frame is materialized; caller unpersists after
+    its downstream results are computed."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     base = (
         nodes.select("node")
         if nodes is not None
         else edges.select(F.col("src").alias("node")).distinct()
     )
-    labels = base.select("node", F.col("node").alias("comp")).persist()
+    labels = base.select("node", F.col("node").alias("comp")).localCheckpoint(
+        eager=True
+    )
+    converged = False
     for _ in range(max_iter):
         nb = (
             edges.join(labels, edges.dst == labels.node)
@@ -464,7 +479,7 @@ def min_label_components(
                     F.col("comp"), F.coalesce("nb_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -476,8 +491,16 @@ def min_label_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"min_label_components did not converge within {max_iter} "
+            "iterations (a component chain longer than the budget); "
+            "raise max_iter"
+        )
     return labels
 
 
@@ -486,6 +509,12 @@ def canonical_fingerprint(c=None):
     curation pipeline dedups on (catches trivially-reformatted copies)."""
     c = F.col("text") if c is None else c
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def canonical_fingerprint_sql(expr: str = "text") -> str:
+    """DuckDB twin of ``canonical_fingerprint`` — the one definition SQL
+    mirrors should interpolate instead of restating the normalization."""
+    return f"md5(trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g')))"
 
 
 def dedup_incremental(

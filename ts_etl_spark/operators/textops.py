@@ -72,6 +72,38 @@ def _rep_ratio(n: int):
     ).otherwise(F.lit(None).cast("double"))
 
 
+def quality_pass_expr(text=None):
+    """The classic pre-training quality gate — ≥10 whitespace tokens,
+    ≥100 chars, alphabetic ratio ≥ 0.5 — as ONE shared definition
+    (consumed by ``_metric_cols``, the curation pipeline through it, and
+    ``operators.datacard``; change it here and every surface moves
+    together). Empty documents gate FALSE, never NULL: the char-count
+    conjunct is plain FALSE and three-valued AND short-circuits."""
+    c = F.col("text") if text is None else text
+    n_chars = F.length(c)
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", ""))
+    ratio = F.when(n_chars > 0, alpha.cast("double") / n_chars)
+    return (
+        (F.size(F.split(F.trim(c), r"\s+")) >= 10)
+        & (n_chars >= 100)
+        & (ratio >= 0.5)
+    )
+
+
+def quality_pass_sql(expr: str = "text") -> str:
+    """DuckDB twin of ``quality_pass_expr`` — keep in lockstep."""
+    toks = (
+        f"len(list_filter(regexp_split_to_array(trim({expr}), '\\s+'),"
+        " x -> x != ''))"
+    )
+    ratio = (
+        f"CASE WHEN length({expr}) > 0 THEN "
+        f"CAST(length(regexp_replace({expr}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)"
+        f" / length({expr}) END"
+    )
+    return f"({toks} >= 10 AND length({expr}) >= 100 AND {ratio} >= 0.5)"
+
+
 def _metric_cols() -> list:
     """Corpus-metric columns: token counts (whitespace + BPE-ish regex
     pretokenizer — the cheap proxy for LLM token budgeting), char-class
@@ -94,7 +126,7 @@ def _metric_cols() -> list:
         return F.when(n_chars > 0, x.cast("double") / n_chars)
 
     alpha_ratio = per_char(alpha)
-    quality_pass = (n_tokens >= 10) & (n_chars >= 100) & (alpha_ratio >= 0.5)
+    quality_pass = quality_pass_expr()
     return [
         n_tokens.alias("n_tokens"),
         F.regexp_count(F.col("text"), F.lit(BPE_PAT)).alias("n_bpe_tokens"),

@@ -33,6 +33,18 @@ from ts_etl_spark.operators.dedup import (
 from ts_etl_spark.pipelines.sampling import assign_splits
 
 
+def _exact_pair_edges(docs: DataFrame) -> DataFrame:
+    """(id_a, id_b) pairs with equal canonical fingerprints, id_a < id_b
+    — the exact-duplicate edge list both the audit and the component
+    splitter build on (one definition, not two drifting copies)."""
+    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
+    fa = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return fa.join(
+        fb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+
+
 def split_leakage_audit(
     docs: DataFrame,
     weights: Mapping[str, float] | None = None,
@@ -78,16 +90,18 @@ def split_leakage_audit(
     la = labels.select(F.col("doc_id").alias("id_a"), F.col("__sp").alias("split_a"))
     lb = labels.select(F.col("doc_id").alias("id_b"), F.col("__sp").alias("split_b"))
 
-    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
-    fa = fp.select(F.col("doc_id").alias("id_a"), "fp")
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    # persisted: feeds both the exact arm and the near arm's anti-join —
+    # without the cache the fingerprint self-join (O(g²) per duplicate
+    # group) runs once per consumer
     exact_pairs = (
-        fa.join(fb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
+        _exact_pair_edges(docs)
         .join(la, "id_a")
         .join(lb, "id_b")
         .filter(F.col("split_a") != F.col("split_b"))
+        .persist()
     )
+    if persisted is not None:
+        persisted.append(exact_pairs)
     exact_out = exact_pairs.select(
         F.lit("exact").alias("kind"),
         "id_a",
@@ -137,12 +151,7 @@ def component_safe_splits(
     isolated docs) and ``split``."""
     from ts_etl_spark.operators.dedup import min_label_components
 
-    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
-    fa = fp.select(F.col("doc_id").alias("id_a"), "fp")
-    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
-    exact_edges = fa.join(
-        fb, (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b"))
-    ).select("id_a", "id_b")
+    exact_edges = _exact_pair_edges(docs)
     near_edges = (
         minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
         .filter(F.col("jaccard") >= threshold)

@@ -368,8 +368,19 @@ def ingest_batch(
                 spark, kept, sem_index_path, sem_cents_path,
                 sem_threshold, persisted,
             )
-            kept = kept.persist()
+            # localCheckpoint (eager), not persist: BOTH frames' lineage
+            # reads sem_index_path, and the index append below triggers
+            # recacheByPath, which drops any mere cache of such plans —
+            # the corpus append would then re-run the gate's dominant
+            # cell-join against the grown index every micro-batch.
+            # Checkpointing cuts the lineage, so the appends read
+            # materialized blocks. (Verdicts would be identical either
+            # way — strict-smaller-id domination — this is purely the
+            # don't-compute-the-gate-twice guarantee.)
+            kept = kept.localCheckpoint(eager=True)
+            index_delta = index_delta.localCheckpoint(eager=True)
             persisted.append(kept)
+            persisted.append(index_delta)
         # stats BEFORE the append: appending to corpus_path makes Spark
         # invalidate every cached plan that reads that path (recacheByPath),
         # and `kept`'s lineage reads the corpus — an after-append traversal
