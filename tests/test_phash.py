@@ -1,0 +1,118 @@
+"""Perceptual image dedup: bit-exact driver-side reference parity,
+identical/near-identical payload behavior, the banding recall guarantee
+(property over controlled bit flips), NULL handling, validation, and
+plan shape."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.phash import (
+    DEFAULT_MAX_HAMMING,
+    PHASH_BANDS,
+    fake_pixels,
+    image_phash,
+    phash64,
+    phash_neardup_pairs,
+)
+
+
+def _payloads(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+
+
+def test_spark_hash_matches_driver_reference(spark):
+    rng = random.Random(3)
+    rows = [(i, bytes(rng.randrange(256) for _ in range(rng.randrange(5, 400)))) for i in range(12)]
+    got = {
+        r.doc_id: r.phash
+        for r in image_phash(_payloads(spark, rows)).collect()
+    }
+    want = {i: phash64(fake_pixels(p)) for i, p in rows}
+    assert got == want
+
+
+def test_identical_payloads_hash_equal_and_pair_at_zero(spark):
+    p = bytes(range(200))
+    rows = [(1, p), (2, p), (3, bytes(reversed(range(200))))]
+    hashes = image_phash(_payloads(spark, rows))
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(hashes).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+
+
+def test_banding_guarantee_over_bit_flips(spark):
+    """Any pair within hamming <= bands-1 MUST be found: plant hashes at
+    controlled flip distances and check recall 1.0 up to the guarantee."""
+    rng = random.Random(11)
+    base = rng.getrandbits(64)
+    rows, want = [], set()
+    nid = 0
+    for d in range(0, PHASH_BANDS):  # distances 0..7, all <= bands-1
+        a, b = nid, nid + 1
+        nid += 2
+        flipped = base
+        for pos in rng.sample(range(64), d):
+            flipped ^= 1 << pos
+        rows += [
+            (a, int(np.int64(np.uint64(base)))),
+            (b, int(np.int64(np.uint64(flipped)))),
+        ]
+        if d <= PHASH_BANDS - 1:
+            want.add((a, b, d))
+        base = rng.getrandbits(64)  # fresh base per trial
+    hashes = spark.createDataFrame(rows, "doc_id LONG, phash LONG")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(
+            hashes, max_hamming=PHASH_BANDS - 1
+        ).collect()
+        # only planted pairs; cross-trial collisions are possible but
+        # astronomically unlikely to fall under the threshold
+        if r.id_b == r.id_a + 1 and r.id_a % 2 == 0
+    }
+    assert got == want
+
+
+def test_null_payloads_yield_no_rows(spark):
+    rows = [(1, bytes(100)), (2, None)]
+    out = image_phash(_payloads(spark, rows)).collect()
+    assert {r.doc_id for r in out} == {1}
+
+
+def test_max_hamming_beyond_guarantee_refused(spark):
+    hashes = spark.createDataFrame([(1, 5)], "doc_id LONG, phash LONG")
+    with pytest.raises(ValueError, match="banding guarantee"):
+        phash_neardup_pairs(hashes, max_hamming=PHASH_BANDS)
+    from ts_etl_spark.operators.phash import phash_bands
+
+    with pytest.raises(ValueError, match="divide 64"):
+        phash_bands(hashes, bands=7)
+
+
+def test_real_corpus_plan_and_determinism(spark):
+    from ts_etl_spark.operators.multimodal import binary_payloads
+
+    payloads = binary_payloads(spark, "/root/testdata/sf0.001")
+    # plant one re-ingested copy (same bytes, new id) — the canonical
+    # perceptual-dup case the operator exists to catch
+    copy = payloads.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "payload"
+    )
+    hashes = image_phash(payloads.unionByName(copy)).persist()
+    try:
+        pairs = phash_neardup_pairs(hashes, DEFAULT_MAX_HAMMING)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        one = sorted(map(tuple, pairs.collect()))
+        two = sorted(map(tuple, pairs.collect()))
+        assert one == two
+        assert (0, 1_000_000, 0) in one, "planted byte-identical copy found"
+    finally:
+        hashes.unpersist()
