@@ -97,7 +97,14 @@ def q_corpus_quality_signals(
         t.alias("ok"),
     )
 
-    boiler = boilerplate_scores(docs, n=BOILER_N).select(
+    # the boiler arm's exploded gram frame feeds TWO consumers (df
+    # aggregate + scoring join); cache it under the entry's documented
+    # contract — caller-released via `persisted`, or (bench/driver
+    # one-shots) cleared with the whole cache, same as `toked` above
+    _boiler_caches = persisted if persisted is not None else []
+    boiler = boilerplate_scores(
+        docs, n=BOILER_N, persisted=_boiler_caches
+    ).select(
         F.lit("boiler").alias("op"),
         "doc_id",
         F.col("n_grams").cast("int").alias("n"),
