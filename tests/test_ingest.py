@@ -349,3 +349,49 @@ def test_heavyhitter_estimate_skips_torn_batches(spark, tmp_path):
     # a directory with ONLY torn batches yields zeros, not an exception
     os.remove(os.path.join(hh_path, "batch=0", "_SUCCESS"))
     assert heavyhitter_estimate(spark, hh_path, [fp]) == {fp: 0}
+
+
+def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
+    """The full operational story from the CLI layer: sem-train writes a
+    centroid table, ingest drains the landing dir through the dedup
+    stack with the semantic gate, and the paraphrase arriving in a LATER
+    micro-batch drops against the earlier batch's indexed vector."""
+    from ts_etl_spark.cli import run_ingest, run_sem_train
+
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write(str(d / "b0.parquet"), [(1, A), (2, THIRD)])
+    _write(
+        str(d / "b1.parquet"),
+        [(10, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+         (11, NOVEL)],
+    )
+    import os as _os, time as _time
+
+    now = _time.time()
+    _os.utime(d / "b0.parquet", (now - 40, now - 40))
+    _os.utime(d / "b1.parquet", (now - 20, now - 20))
+
+    seed = tmp_path / "seed"
+    seed.mkdir()
+    _write(
+        str(seed / "docs.parquet"),
+        [(i, f"seed words w{i} w{i+1}") for i in range(10)],
+    )
+    n_cents = run_sem_train(
+        str(seed / "docs.parquet"), str(tmp_path / "cents"), k=3,
+        max_iter=2, spark=spark,
+    )
+    assert n_cents == 3
+    out = run_ingest(
+        str(d), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        sem_index_path=str(tmp_path / "idx"),
+        sem_cents_path=str(tmp_path / "cents"),
+        spark=spark,
+    )
+    corpus = sorted(
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert corpus == [1, 2, 11], "bag-of-words paraphrase 10 dropped cross-batch"
+    assert out == {"corpus_docs": 3}

@@ -811,9 +811,181 @@ def _sql_main(argv: list[str]) -> int:
     return 0
 
 
+def run_sem_train(
+    docs_path: str,
+    out_cents: str,
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 5,
+    spark=None,
+) -> int:
+    """Train the semantic-gate coarse quantizer OFFLINE: read a
+    (doc_id, text) parquet corpus, embed it (``embed_documents`` —
+    hashing default; swap the seam in library use), k-means the vectors
+    (``train_ivf_centroids``), and write the centroid table in the
+    ``streaming.ingest.SEM_CENTS_SCHEMA`` layout that ``ingest
+    --sem-index`` consumes. Returns the number of centroids written."""
+    from ts_etl_spark.operators.embedding import embed_documents
+    from ts_etl_spark.operators.similarity import (
+        as_double,
+        norm,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-sem-train")
+    try:
+        docs = spark.read.parquet(docs_path).select("doc_id", "text")
+        v = as_double(F.col("embedding"))
+        vecs = (
+            embed_documents(docs)
+            .filter(F.col("embedding").isNotNull())
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                v.alias("v"),
+                norm(v).alias("nrm"),
+            )
+        )
+        cents = train_ivf_centroids(vecs, k=k, seed=seed, max_iter=max_iter)
+        cents.write.mode("overwrite").parquet(out_cents)
+        n = spark.read.parquet(out_cents).count()
+        print(f"sem-train: wrote {n} centroids to {out_cents}", file=sys.stderr)
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _sem_train_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark sem-train",
+        description="Train the semantic-gate quantizer from a document corpus.",
+    )
+    parser.add_argument("docs_path", help="(doc_id, text) parquet corpus")
+    parser.add_argument("out_cents", help="centroid table output path")
+    parser.add_argument("--k", type=int, default=16, help="number of centroids")
+    parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--max-iter", type=int, default=5)
+    args = parser.parse_args(argv)
+    try:
+        run_sem_train(
+            args.docs_path, args.out_cents, args.k, args.seed, args.max_iter
+        )
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during sem-train: {exc}", file=sys.stderr)
+        return 1
+
+
+def run_ingest(
+    landing_dir: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float | None = None,
+    max_files: int | None = 1,
+    stats_path: str | None = None,
+    drift_path: str | None = None,
+    hh_path: str | None = None,
+    sem_index_path: str | None = None,
+    sem_cents_path: str | None = None,
+    sem_threshold: float | None = None,
+    spark=None,
+) -> dict[str, int]:
+    """Drain the landing directory into the corpus through the full
+    dedup-on-ingest stack (``streaming.ingest.run_streaming_ingest``) —
+    fingerprint/MinHash incremental dedup, optional corpus-stats sketch,
+    PSI drift log, attempt heavy hitters, and (with ``sem_index_path`` +
+    ``sem_cents_path``) the paraphrase-level semantic gate. Returns
+    {"corpus_docs": N} after the drain (also logged to stderr)."""
+    from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
+    from ts_etl_spark.streaming.ingest import run_streaming_ingest
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-ingest")
+    try:
+        run_streaming_ingest(
+            spark,
+            landing_dir,
+            corpus_path,
+            checkpoint,
+            threshold if threshold is not None else JACCARD_THRESHOLD,
+            max_files,
+            stats_path,
+            drift_path,
+            hh_path,
+            sem_index_path,
+            sem_cents_path,
+            sem_threshold,
+        )
+        n = spark.read.parquet(corpus_path).count()
+        print(f"ingest: corpus now holds {n} documents", file=sys.stderr)
+        return {"corpus_docs": n}
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _ingest_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark ingest",
+        description="Stream a landing directory into a deduped corpus.",
+    )
+    parser.add_argument("landing_dir", help="parquet landing directory")
+    parser.add_argument("corpus_path", help="corpus parquet path (appended)")
+    parser.add_argument("checkpoint", help="streaming checkpoint location")
+    parser.add_argument(
+        "--threshold", type=float, help="near-dup Jaccard threshold (default 0.4)"
+    )
+    parser.add_argument(
+        "--max-files", type=int, default=1,
+        help="files per micro-batch (default 1; 0 = unbounded)",
+    )
+    parser.add_argument("--stats", help="corpus-stats sketch path")
+    parser.add_argument("--drift", help="per-batch PSI drift log path")
+    parser.add_argument("--hh", help="attempt heavy-hitter register path")
+    parser.add_argument(
+        "--sem-index",
+        help="semantic-gate embedding index path (requires --sem-cents)",
+    )
+    parser.add_argument(
+        "--sem-cents",
+        help="trained centroid table (see the sem-train subcommand)",
+    )
+    parser.add_argument(
+        "--sem-threshold", type=float,
+        help="semantic drop threshold (default SEMDEDUP_THRESHOLD)",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_ingest(
+            args.landing_dir,
+            args.corpus_path,
+            args.checkpoint,
+            threshold=args.threshold,
+            max_files=args.max_files if args.max_files != 0 else None,
+            stats_path=args.stats,
+            drift_path=args.drift,
+            hh_path=args.hh,
+            sem_index_path=args.sem_index,
+            sem_cents_path=args.sem_cents,
+            sem_threshold=args.sem_threshold,
+        )
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during ingest: {exc}", file=sys.stderr)
+        return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    if argv and argv[0] == "ingest":
+        return _ingest_main(argv[1:])
+    if argv and argv[0] == "sem-train":
+        return _sem_train_main(argv[1:])
     if argv and argv[0] == "curate":
         return _curate_main(argv[1:])
     if argv and argv[0] == "sql":
