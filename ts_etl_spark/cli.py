@@ -382,7 +382,10 @@ def _track_persists(recorded: list):
 
     Patches ``persist``/``cache`` on the concrete (classic) DataFrame
     class for the duration; ``cache()`` does not route through
-    ``persist()`` in PySpark, so both are wrapped."""
+    ``persist()`` in PySpark, so both are wrapped. ``localCheckpoint``
+    blocks (e.g. the component queries' Pregel rounds) are NOT tracked:
+    they belong to frames that go out of scope when the explain returns,
+    and the ContextCleaner releases them on GC."""
     from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
     orig_persist, orig_cache = _CDF.persist, _CDF.cache
