@@ -64,3 +64,52 @@ def test_single_scan_partial_agg_plan(spark):
     assert plan.count("FileScan parquet") <= 2  # slice agg + 1-row total
     assert "CartesianProduct" not in plan
     assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_top_ngrams_hand_fixture(spark):
+    from ts_etl_spark.operators.datacard import top_ngrams
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    top = [tuple(r) for r in top_ngrams(docs, n=2, k=3).collect()]
+    # "the cat" occurs in docs 1 and 2 (2 occurrences, 2 docs) — rank 1;
+    # every other bigram occurs once, so ties order alphabetically
+    assert top[0] == ("the cat", 2, 2)
+    assert top[1:] == [("a dog", 1, 1), ("cat ran", 1, 1)]
+
+
+def test_top_ngrams_mirror_and_by_docs(spark):
+    import duckdb
+
+    from ts_etl_spark.operators.datacard import top_ngrams, top_ngrams_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    for by in ("occurrences", "docs"):
+        got = [tuple(r) for r in top_ngrams(docs, n=3, k=25, by=by).collect()]
+        want = [
+            (g, int(o), int(d))
+            for g, o, d in con.execute(
+                top_ngrams_sql(n=3, k=25, by=by)
+            ).fetchall()
+        ]
+        assert got == want and len(got) == 25
+
+
+def test_top_ngrams_validation(spark):
+    import pytest as _pytest
+
+    from ts_etl_spark.operators.datacard import top_ngrams
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError, match="by must be"):
+        top_ngrams(docs, by="nope")
+    with _pytest.raises(ValueError, match="n and k"):
+        top_ngrams(docs, n=0)

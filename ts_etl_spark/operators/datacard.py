@@ -98,6 +98,78 @@ def corpus_data_card(
     )
 
 
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    by: str = "occurrences",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus's top-``k`` word-n-grams (the other half of a data
+    card: WHAT the corpus says, not just how much) —
+    ``(gram, n_occurrences, n_docs)`` ordered by ``by`` (``occurrences``
+    or ``docs``) descending, ties by gram ascending — fully
+    deterministic, exact (the streaming ingest path keeps count-min
+    sketches for the same question under memory bounds; this is the
+    batch-exact report).
+
+    Plan: explode grams once, pre-aggregate per (gram, doc) — the
+    partial-agg step that both bounds the per-gram-distinct computation
+    and absorbs document-level skew — then one groupBy per gram and a
+    ``TakeOrdered`` top-k (no global sort materialization). Zipf bounds
+    the gram table; nothing is quadratic."""
+    if by not in ("occurrences", "docs"):
+        raise ValueError(f"by must be 'occurrences' or 'docs', got {by!r}")
+    if n < 1 or k < 1:
+        raise ValueError(f"n and k must be >= 1, got n={n} k={k}")
+    from ts_etl_spark.operators.textops import ngram_array
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(ngram_array(toks, n)).alias("gram")
+    )
+    per_doc = grams.groupBy("gram", id_col).agg(F.count("*").alias("__c"))
+    counts = per_doc.groupBy("gram").agg(
+        F.sum("__c").alias("n_occurrences"), F.count("*").alias("n_docs")
+    )
+    metric = F.col("n_occurrences" if by == "occurrences" else "n_docs")
+    return counts.orderBy(metric.desc(), F.col("gram")).limit(k)
+
+
+def top_ngrams_sql(
+    table: str = "documents",
+    n: int = 3,
+    k: int = 50,
+    by: str = "occurrences",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``top_ngrams`` — keep in lockstep."""
+    metric = "n_occurrences" if by == "occurrences" else "n_docs"
+    return f"""
+        WITH toks AS (
+            SELECT {id_col},
+                   list_filter(regexp_split_to_array(trim(lower({text_col})),
+                                                     '\\s+'), x -> x != '') AS t
+            FROM {table}
+        ), grams AS (
+            SELECT {id_col},
+                   array_to_string(t[gi + 1 : gi + {n}], ' ') AS gram
+            FROM toks, unnest(generate_series(0, greatest(len(t) - {n}, -1)))
+                 AS u(gi)
+        ), per_doc AS (
+            SELECT gram, {id_col}, COUNT(*) AS c FROM grams GROUP BY 1, 2
+        )
+        SELECT gram, SUM(c) AS n_occurrences, COUNT(*) AS n_docs
+        FROM per_doc GROUP BY gram
+        ORDER BY {metric} DESC, gram LIMIT {k}
+    """
+
+
 def corpus_data_card_sql(
     table: str = "documents",
     group_cols: Sequence[str] = ("source", "lang"),
