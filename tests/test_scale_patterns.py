@@ -546,3 +546,31 @@ def test_pca_reduce_tolerates_null_embeddings(spark):
     )
     with _pytest.raises(ValueError, match="at least one row"):
         pca_reduce(all_null, 1)
+
+
+def test_round7_operators_plan_shapes(spark):
+    """Plan-shape sweep over the round-7 operators on the real corpus:
+    no cartesian products anywhere, winnowing's gram assembly is the
+    lead-window relational plan (not array HOFs), and the leakage
+    audit's near arm goes through the banded LSH join (bounded buckets,
+    never all-pairs)."""
+    from ts_etl_spark.operators.substrings import (
+        mask_repeated_spans,
+        winnow_fingerprints,
+    )
+    from ts_etl_spark.pipelines.leakage import split_leakage_audit
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    for df in (
+        winnow_fingerprints(docs),
+        mask_repeated_spans(docs),
+        split_leakage_audit(docs, weights={"a": 0.5, "b": 0.5}),
+    ):
+        plan = plan_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    wplan = plan_str(winnow_fingerprints(docs))
+    assert "Window" in wplan  # lead-gram assembly + sliding min, relational
+    # candidate generation in the audit joins on band keys, not text
+    aplan = plan_str(split_leakage_audit(docs, weights={"a": 0.5, "b": 0.5}))
+    assert "bh" in aplan and "band" in aplan
