@@ -92,3 +92,67 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     a = sorted(r.doc_id for r in spark.read.parquet(frag).select("doc_id").collect())
     b = sorted(r.doc_id for r in spark.read.parquet(out).select("doc_id").collect())
     assert a == b
+
+
+def test_content_hash_order_partition_independent_and_sensitive(spark):
+    from ts_etl_spark.pipelines.maintenance import table_content_hash
+
+    df = spark.range(500).select(
+        F.col("id").alias("a"), (F.col("id") * 7 % 13).alias("b")
+    )
+    h1 = table_content_hash(df)
+    h2 = table_content_hash(df.repartition(17).sortWithinPartitions(F.desc("b")))
+    assert h1 == h2, "repartition/reorder must not move the hash"
+    # any single changed value moves it
+    mutated = df.withColumn(
+        "b", F.when(F.col("a") == 250, F.col("b") + 1).otherwise(F.col("b"))
+    )
+    assert table_content_hash(mutated) != h1
+    # a dropped row moves it; duplicate multiplicity counts
+    assert table_content_hash(df.filter(F.col("a") != 0)) != h1
+    assert table_content_hash(df.unionAll(df.limit(1))) != h1
+    # NULL is distinct from the string 'null'
+    n1 = spark.createDataFrame([(None,)], "x STRING")
+    n2 = spark.createDataFrame([("null",)], "x STRING")
+    assert table_content_hash(n1) != table_content_hash(n2)
+    # empty table: stable zero
+    assert table_content_hash(df.filter(F.lit(False))) == 0
+
+
+def test_content_hash_duckdb_twin(spark, tmp_path):
+    import duckdb
+
+    from ts_etl_spark.pipelines.maintenance import (
+        table_content_hash,
+        table_content_hash_sql,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(200).select(
+        F.col("id").alias("a"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    got = table_content_hash(df, cols=["a", "s"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = con.execute(table_content_hash_sql("t", ["a", "s"])).fetchone()[0]
+    assert got == int(want)
+
+
+def test_content_hash_attests_compaction(spark, tmp_path):
+    """The intended use: a compaction rewrite preserves content
+    exactly, and the hash proves it."""
+    from ts_etl_spark.pipelines.maintenance import (
+        compact_parquet,
+        table_content_hash,
+    )
+
+    src = str(tmp_path / "small_files")
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(50).write.parquet(src)
+    before = table_content_hash(spark.read.parquet(src))
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, src, out)
+    assert table_content_hash(spark.read.parquet(out)) == before

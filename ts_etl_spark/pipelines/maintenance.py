@@ -19,6 +19,55 @@ from ts_etl_spark.fs import dir_bytes
 #: profile: HLL++ relative error (same sketch the approx entries use)
 PROFILE_RSD = 0.05
 
+_HASH_MOD = 1 << 62  # sums of 32-bit row hashes never overflow a long
+
+
+def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
+    """Order- and partition-INDEPENDENT content hash of a table: each
+    row's canonical rendering (``#``-joined string casts of ``cols``,
+    default all columns sorted by name; NULL renders as the reserved
+    token ``\\0null``) hashes through the repo's engine-portable md5
+    fold, and the row hashes SUM mod 2^62 — addition commutes, so any
+    repartition, shuffle, or file order yields the identical value,
+    while any changed/added/dropped row moves it.
+
+    The attestation primitive behind "did this rewrite change the
+    data?": compare before/after compaction, Z-order, shard relayout.
+    Duplicate-row multiplicity counts (a sum, not a set-hash). ONE
+    partial-aggregated pass; the shuffle carries one partial sum per
+    partition. DuckDB twin: ``table_content_hash_sql``."""
+    from ts_etl_spark.operators.classifier import _hash8
+
+    use = sorted(df.columns) if cols is None else list(cols)
+    rendered = F.concat_ws(
+        "#", *[F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in use]
+    )
+    # accumulate in DECIMAL(38,0): a LONG sum of 2^32-bounded row hashes
+    # overflows (ANSI: aborts) past ~2^31 rows — exactly the scale this
+    # exists for. 38 digits cover ~1e28 rows.
+    row = df.agg(
+        (
+            F.sum(_hash8("tch#", rendered).cast("decimal(38,0)"))
+            % F.lit(_HASH_MOD)
+        ).alias("h")
+    ).first()
+    return int(row.h) if row.h is not None else 0
+
+
+def table_content_hash_sql(table: str, cols: list[str]) -> str:
+    """DuckDB twin of ``table_content_hash`` (pass the same column list;
+    DuckDB cannot introspect-and-sort here) — keep in lockstep."""
+    from ts_etl_spark.operators.sketches import _hex8_fold_sql
+
+    rendered = " || '#' || ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols
+    )
+    fold = _hex8_fold_sql(f"substr(md5('tch#' || ({rendered})), 1, 8)")
+    return (
+        f"SELECT CAST(COALESCE(SUM({fold}), 0) % {_HASH_MOD} AS BIGINT) AS h "
+        f"FROM {table}"
+    )
+
 
 def profile_table(df: DataFrame) -> DataFrame:
     """Per-column data-quality profile in ONE aggregate pass: row count,
