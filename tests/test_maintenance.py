@@ -156,3 +156,16 @@ def test_content_hash_attests_compaction(spark, tmp_path):
     out = str(tmp_path / "compacted")
     compact_parquet(spark, src, out)
     assert table_content_hash(spark.read.parquet(out)) == before
+
+
+def test_content_hash_field_rendering_is_injective(spark):
+    """Length-prefixed rendering: values sliding across field boundaries
+    must not collide (('a#b','c') vs ('a','b#c'))."""
+    from ts_etl_spark.pipelines.maintenance import table_content_hash
+
+    d1 = spark.createDataFrame([("a#b", "c")], "x STRING, y STRING")
+    d2 = spark.createDataFrame([("a", "b#c")], "x STRING, y STRING")
+    assert table_content_hash(d1) != table_content_hash(d2)
+    d3 = spark.createDataFrame([("v1:a", None)], "x STRING, y STRING")
+    d4 = spark.createDataFrame([("v1:a" + "n", None)], "x STRING, y STRING")
+    assert table_content_hash(d3) != table_content_hash(d4)

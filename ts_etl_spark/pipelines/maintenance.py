@@ -24,12 +24,15 @@ _HASH_MOD = 1 << 62  # sums of 32-bit row hashes never overflow a long
 
 def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     """Order- and partition-INDEPENDENT content hash of a table: each
-    row's canonical rendering (``#``-joined string casts of ``cols``,
-    default all columns sorted by name; NULL renders as the reserved
-    token ``\\0null``) hashes through the repo's engine-portable md5
-    fold, and the row hashes SUM mod 2^62 — addition commutes, so any
-    repartition, shuffle, or file order yields the identical value,
-    while any changed/added/dropped row moves it.
+    row's canonical rendering — per field ``v<charlen>:<value>`` (NULL
+    is the bare token ``n``), fields concatenated, over ``cols`` (default
+    all columns sorted by name) — hashes through the repo's
+    engine-portable md5 fold, and the row hashes SUM mod 2^62. Addition
+    commutes, so any repartition, shuffle, or file order yields the
+    identical value, while any changed/added/dropped row moves it. The
+    length prefix makes the rendering INJECTIVE: without it,
+    ("a#b", "c") and ("a", "b#c") would collide by construction under
+    any separator-joined form.
 
     The attestation primitive behind "did this rewrite change the
     data?": compare before/after compaction, Z-order, shard relayout.
@@ -39,9 +42,14 @@ def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     from ts_etl_spark.operators.classifier import _hash8
 
     use = sorted(df.columns) if cols is None else list(cols)
-    rendered = F.concat_ws(
-        "#", *[F.coalesce(F.col(c).cast("string"), F.lit("\0null")) for c in use]
-    )
+
+    def field(c):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    rendered = F.concat(*[field(c) for c in use])
     # accumulate in DECIMAL(38,0): a LONG sum of 2^32-bounded row hashes
     # overflows (ANSI: aborts) past ~2^31 rows — exactly the scale this
     # exists for. 38 digits cover ~1e28 rows.
@@ -59,8 +67,11 @@ def table_content_hash_sql(table: str, cols: list[str]) -> str:
     DuckDB cannot introspect-and-sort here) — keep in lockstep."""
     from ts_etl_spark.operators.sketches import _hex8_fold_sql
 
-    rendered = " || '#' || ".join(
-        f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols
+    rendered = " || ".join(
+        f"CASE WHEN CAST({c} AS VARCHAR) IS NULL THEN 'n' "
+        f"ELSE 'v' || CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST({c} AS VARCHAR) END"
+        for c in cols
     )
     fold = _hex8_fold_sql(f"substr(md5('tch#' || ({rendered})), 1, 8)")
     return (
