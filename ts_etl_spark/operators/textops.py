@@ -142,23 +142,40 @@ def _metric_cols() -> list:
     ]
 
 
-def _signature_cols() -> list:
-    """Identity-signal columns: marker-count language ID with deterministic
-    argmax (ties resolved in declaration order, zh only on CJK presence,
-    else 'und'), canonical-form md5 fingerprint (lower/whitespace-collapsed),
-    and a polynomial rolling hash over the character stream (mod 2^31-1 —
-    seed-free, reproducible in any engine, pmod-bounded so ANSI overflow
-    checking never trips)."""
-    scores = {
-        lang: F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+def lang_scores_exprs(text=None) -> dict:
+    """Per-language marker-count score expressions over a text column —
+    ONE shared definition (document signatures, per-paragraph
+    code-switch detection)."""
+    c = F.col("text") if text is None else text
+    return {
+        lang: F.regexp_count(F.lower(c), F.lit(pat))
         for lang, pat in LANG_MARKERS.items()
     }
-    cjk = F.regexp_count(F.col("text"), F.lit(CJK))
+
+
+def pred_lang_expr(text=None):
+    """Marker-count language ID with deterministic argmax (ties in
+    declaration order, zh only on CJK presence, else 'und') — the shared
+    definition ``_signature_cols`` and ``mixed_language_signals``
+    consume."""
+    c = F.col("text") if text is None else text
+    scores = lang_scores_exprs(c)
+    cjk = F.regexp_count(c, F.lit(CJK))
     best = F.greatest(*scores.values())
     pred = F.when(cjk > 0, F.lit("zh"))
     for lang in LANG_MARKERS:  # declaration order = tie-break order
         pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
-    pred = pred.otherwise(F.lit("und"))
+    return pred.otherwise(F.lit("und"))
+
+
+def _signature_cols() -> list:
+    """Identity-signal columns: marker-count language ID with deterministic
+    argmax (``pred_lang_expr``), canonical-form md5 fingerprint
+    (lower/whitespace-collapsed), and a polynomial rolling hash over the
+    character stream (mod 2^31-1 — seed-free, reproducible in any engine,
+    pmod-bounded so ANSI overflow checking never trips)."""
+    scores = lang_scores_exprs()
+    pred = pred_lang_expr()
     canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
     rhash = F.aggregate(
@@ -655,3 +672,120 @@ def blocklist_signals(
             ).cast("double").alias("hit_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# code-switch / mixed-language detection (round 7)
+# --------------------------------------------------------------------------
+
+
+def mixed_language_signals(
+    docs,
+    delimiter: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document code-switching report: each PARAGRAPH gets the shared
+    marker lang-ID (``pred_lang_expr``), and the document summarizes to
+    ``(id, n_paragraphs, n_langs, dominant_lang, dominant_frac, mixed)``:
+
+    - ``n_paragraphs``: all delimiter-split parts (blank included — the
+      structural count, mirroring ``split_paragraphs``);
+    - ``n_langs``: DISTINCT identified (non-'und') paragraph languages;
+    - ``dominant_lang``: the modal identified language (count ties →
+      lexicographically smallest; 'und' when nothing identifies);
+    - ``dominant_frac``: the dominant language's share of IDENTIFIED
+      paragraphs (NULL when none identify — no evidence, not 0);
+    - ``mixed``: ``n_langs >= 2`` — the doc switches languages, the case
+      a whole-document lang-ID silently mislabels and a per-language
+      corpus split contaminates.
+
+    Why paragraph-grained: whole-doc marker counts just pick the majority
+    language; real code-switched web text (forums, wiki talk, quoted
+    posts) alternates in blocks, which the paragraph grain sees.
+
+    Plan: literal split + posexplode (corpus-linear), one (doc, lang)
+    partial-aggregated groupBy, one per-doc aggregate; modal selection is
+    ``min(struct(-count, lang))`` — no window, no second scan."""
+    from ts_etl_spark.operators.paragraphs import PARA_DELIM, split_paragraphs
+
+    delim = PARA_DELIM if delimiter is None else delimiter
+    paras = split_paragraphs(docs, text_col, id_col, delim).select(
+        id_col, pred_lang_expr(F.col("para")).alias("plang")
+    )
+    per = paras.groupBy(id_col, "plang").agg(F.count("*").alias("cnt"))
+    known = F.col("plang") != "und"
+    agg = per.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_paragraphs"),
+        F.count(F.when(known, 1)).alias("n_langs"),
+        F.min(
+            F.when(
+                known,
+                F.struct((-F.col("cnt")).alias("nc"), F.col("plang").alias("l")),
+            )
+        ).alias("__dom"),
+        F.sum(F.when(known, F.col("cnt"))).alias("__n_known"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
+        F.col("n_langs").cast("int").alias("n_langs"),
+        F.coalesce(F.col("__dom.l"), F.lit("und")).alias("dominant_lang"),
+        F.when(
+            F.col("__n_known") > 0,
+            (-F.col("__dom.nc")).cast("double") / F.col("__n_known"),
+        ).alias("dominant_frac"),
+        (F.col("n_langs") >= 2).alias("mixed"),
+    )
+
+
+def mixed_language_sql(
+    table: str = "documents", delimiter: str = "\n\n"
+) -> str:
+    """DuckDB twin of ``mixed_language_signals`` — same split, scores,
+    argmax tie order, and modal rule; keep in lockstep."""
+    delim = "'" + delimiter.replace("\\", "\\\\").replace("'", "''").replace(
+        "\n", "' || chr(10) || '"
+    ) + "'"
+    score_cols = ",\n".join(
+        f"len(regexp_extract_all(lower(p), '{pat}')) AS score_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"score_{l}" for l in LANG_MARKERS) + ")"
+    pred = "CASE WHEN score_cjk > 0 THEN 'zh'\n"
+    for lang in LANG_MARKERS:
+        pred += (
+            f" WHEN {best} > 0 AND score_{lang} = {best} THEN '{lang}'\n"
+        )
+    pred += " ELSE 'und' END"
+    return f"""
+        WITH paras AS (
+            SELECT doc_id, unnest(string_split(text, {delim})) AS p
+            FROM {table}
+        ), scored AS (
+            SELECT doc_id, {score_cols},
+                   len(regexp_extract_all(p, '{CJK}')) AS score_cjk
+            FROM paras
+        ), langed AS (
+            SELECT doc_id, {pred} AS plang FROM scored
+        ), per AS (
+            SELECT doc_id, plang, COUNT(*) AS cnt
+            FROM langed GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS INT) AS n_paragraphs,
+                   CAST(COUNT(*) FILTER (plang != 'und') AS INT) AS n_langs,
+                   MIN(CASE WHEN plang != 'und'
+                            THEN struct_pack(nc := -cnt, l := plang) END)
+                       AS dom,
+                   SUM(CASE WHEN plang != 'und' THEN cnt END) AS n_known
+            FROM per GROUP BY doc_id
+        )
+        SELECT doc_id, n_paragraphs, n_langs,
+               COALESCE(dom.l, 'und') AS dominant_lang,
+               CASE WHEN n_known > 0
+                    THEN CAST(-dom.nc AS DOUBLE) / n_known END
+                   AS dominant_frac,
+               n_langs >= 2 AS mixed
+        FROM agg
+    """
