@@ -169,6 +169,37 @@ def test_component_safe_splits_pass_the_audit(spark):
             df.unpersist()
 
 
+def test_star_edges_linear_in_group_size_same_components(spark):
+    """The splitter's exact edges are the star construction: a planted
+    1000-copy group yields exactly g−1 = 999 edges (the pair join would
+    make 499,500), and the components they induce are identical."""
+    from ts_etl_spark.operators.dedup import min_label_components
+    from ts_etl_spark.pipelines.leakage import (
+        _exact_pair_edges,
+        _exact_star_edges,
+    )
+
+    g = 1000
+    rows = [(i, "the same boilerplate text every crawler keeps finding") for i in range(g)]
+    rows += [(g, "first unique document"), (g + 1, "second unique document")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    star = _exact_star_edges(docs)
+    assert star.count() == g - 1
+    hub = {r.id_a for r in star.collect()}
+    assert hub == {0}, "hub is the group's min doc_id"
+
+    small = docs.filter(F.col("doc_id") >= g - 5)  # 5 copies + 2 uniques
+    nodes = small.select(F.col("doc_id").alias("node"))
+
+    def comps(edges):
+        return {
+            (r.node, r.comp)
+            for r in min_label_components(edges, nodes=nodes).collect()
+        }
+
+    assert comps(_exact_star_edges(small)) == comps(_exact_pair_edges(small))
+
+
 def test_validation(spark):
     docs = _fix(spark)
     with pytest.raises(ValueError, match="exactly one"):

@@ -17,6 +17,7 @@ from ts_etl_spark.operators.phash import (
     fake_pixels,
     image_phash,
     phash64,
+    phash_candidate_pairs,
     phash_neardup_pairs,
 )
 
@@ -94,6 +95,86 @@ def test_max_hamming_beyond_guarantee_refused(spark):
 
     with pytest.raises(ValueError, match="divide 64"):
         phash_bands(hashes, bands=7)
+
+
+def _sgn(u):
+    return int(np.int64(np.uint64(u)))
+
+
+def test_max_bucket_gives_linear_candidate_bound(spark):
+    """The scale knob's contract: with ``max_bucket`` set, candidate count
+    obeys the linear bound N·bands·max_bucket/2 — and when N doubles on
+    the same hash distribution, candidates grow ~linearly, not
+    quadratically (the uncapped 8×8-bit banding is quadratic once its
+    2048 buckets saturate)."""
+    rng = random.Random(7)
+    cap, bands = 4, PHASH_BANDS
+
+    def corpus(n):
+        rows = [(i, _sgn(rng.getrandbits(64))) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id LONG, phash LONG")
+
+    counts = {}
+    for n in (1500, 3000):
+        c = phash_candidate_pairs(corpus(n), bands=bands, max_bucket=cap).count()
+        assert c <= n * bands * cap / 2, f"linear bound violated at N={n}"
+        counts[n] = c
+    # uncapped, 1500→3000 random hashes over 2048 saturated buckets
+    # roughly quadruples candidates; capped must stay ~linear
+    assert counts[3000] <= 2.5 * counts[1500] + 50
+
+
+def test_max_bucket_drops_hot_bucket_keeps_cold_pairs(spark):
+    """A saturated bucket (10k byte-identical boilerplate images) is
+    dropped under the cap; a planted near-dup pair in cold buckets
+    survives with full recall."""
+    hot = [(i, 12345) for i in range(100)]  # one mega-group, every band hot
+    a, b = _sgn(0xDEADBEEFCAFE0000), _sgn(0xDEADBEEFCAFE0001)  # hamming 1
+    rows = hot + [(1000, a), (1001, b)]
+    hashes = spark.createDataFrame(rows, "doc_id LONG, phash LONG")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(hashes, max_hamming=1, max_bucket=4).collect()
+    }
+    assert got == {(1000, 1001, 1)}
+    with pytest.raises(ValueError, match="max_bucket"):
+        phash_candidate_pairs(hashes, max_bucket=1)
+
+
+def test_block_col_composes_into_join_key(spark):
+    """With block_col set, identical hashes in DIFFERENT blocks never
+    meet; same-block near-dups keep full recall."""
+    h = _sgn(0xABCD_EF01_2345_6789)
+    rows = [(1, h, "s"), (2, h, "s"), (3, h, "t")]
+    hashes = spark.createDataFrame(rows, "doc_id LONG, phash LONG, cell STRING")
+    got = {
+        (r.id_a, r.id_b)
+        for r in phash_neardup_pairs(hashes, block_col="cell").collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_wider_bands_guarantee_hamming3(spark):
+    """bands=4 (the large-corpus default: 16-bit slices, 262k buckets)
+    guarantees recall for hamming <= 3."""
+    rng = random.Random(23)
+    rows, want = [], set()
+    nid = 0
+    for d in range(0, 4):
+        base = rng.getrandbits(64)
+        flipped = base
+        for pos in rng.sample(range(64), d):
+            flipped ^= 1 << pos
+        rows += [(nid, _sgn(base)), (nid + 1, _sgn(flipped))]
+        want.add((nid, nid + 1, d))
+        nid += 2
+    hashes = spark.createDataFrame(rows, "doc_id LONG, phash LONG")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in phash_neardup_pairs(hashes, max_hamming=3, bands=4).collect()
+        if r.id_b == r.id_a + 1 and r.id_a % 2 == 0
+    }
+    assert got == want
 
 
 def test_real_corpus_plan_and_determinism(spark):

@@ -190,6 +190,19 @@ def test_crash_between_index_and_corpus_append_replays_cleanly(
     assert index == [1, 2, 3], "anti-join makes the delta replay a no-op"
 
 
+def test_gate_rejects_out_of_order_batch_ids(spark, tmp_path, sem_paths):
+    """An out-of-order batch (ids below already-indexed foreign ids)
+    breaks smaller-id domination silently — the gate must raise instead.
+    Crash REPLAY of the same ids stays legal (covered above)."""
+    sem_index_path, cents_path = sem_paths
+    first = _docs(spark, [(10, DOC_A), (11, DOC_B)])
+    _, delta = semantic_gate(spark, first, sem_index_path, cents_path)
+    delta.write.mode("append").parquet(sem_index_path)
+    late = _docs(spark, [(5, DOC_A_PARA)])  # id below the indexed 10/11
+    with pytest.raises(ValueError, match="ingest order"):
+        survivors, _ = semantic_gate(spark, late, sem_index_path, cents_path)
+
+
 def test_sem_paths_must_come_together(spark, tmp_path):
     with pytest.raises(ValueError, match="together"):
         ingest_batch(

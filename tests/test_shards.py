@@ -200,3 +200,23 @@ def test_cli_explain_leaves_no_caches_in_a_shared_session(spark):
         own.unpersist()
         spark.catalog.uncacheTable("__explain_keep")
         spark.catalog.dropTempView("__explain_keep")
+
+
+def test_cli_explain_preserves_application_lifetime_memo(spark):
+    """The similarity memo caches frames for the application lifetime and
+    its build lambdas never re-run; explain's cache release must skip
+    them, or every later consumer silently recomputes the shared
+    centroid-ranking/cell-edge subplans against unpersisted frames."""
+    import io
+
+    from ts_etl_spark.cli import run_explain
+    from ts_etl_spark.operators import similarity
+
+    buf = io.StringIO()
+    assert run_explain("embed_neardup_label", SF, spark=spark, out=buf) == 0
+    app = spark.sparkContext.applicationId
+    vecs = similarity._IVF_MEMO.get((app, SF, "vecs"))
+    edges = similarity._IVF_MEMO.get((app, SF, "neardup_edges"))
+    assert vecs is not None and edges is not None, "explain populated the memo"
+    assert vecs.storageLevel.useMemory, "explain unpersisted the memoized vecs"
+    assert edges.storageLevel.useMemory, "explain unpersisted the memoized edges"

@@ -82,6 +82,10 @@ def test_normalize_url_hand_cases(spark):
         "http://site.org:8080/p": "http://site.org:8080/p",
         "https://a.net/path?": "https://a.net/path",
         "https://a.net/Path?Q=Mixed": "https://a.net/Path?Q=Mixed",  # path/query preserved
+        # userinfo removal is POLICY (documented): credential variants
+        # merge, and the canonical key never embeds secrets
+        "https://user@h.io/p": "https://h.io/p",
+        "https://user:pw@h.io/p": "https://h.io/p",
         "garbage": None,
     }
     df = spark.createDataFrame([(u,) for u in cases], "url STRING")

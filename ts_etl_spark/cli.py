@@ -368,9 +368,16 @@ def run_explain(
             spark.stop()
         else:
             # plan CONSTRUCTION may persist intermediates (see caveat);
-            # release exactly those — never the caller's own caches
+            # release exactly those — never the caller's own caches, and
+            # never frames the similarity memo retains for the application
+            # lifetime (the memo would keep handing out unpersisted frames
+            # and the shared subplan would silently recompute per consumer)
+            from ts_etl_spark.operators.similarity import memoized_frame_ids
+
+            keep = memoized_frame_ids()
             for pdf in persisted:
-                pdf.unpersist()
+                if id(pdf) not in keep:
+                    pdf.unpersist()
 
 
 @contextmanager
@@ -385,7 +392,13 @@ def _track_persists(recorded: list):
     ``persist()`` in PySpark, so both are wrapped. ``localCheckpoint``
     blocks (e.g. the component queries' Pregel rounds) are NOT tracked:
     they belong to frames that go out of scope when the explain returns,
-    and the ContextCleaner releases them on GC."""
+    and the ContextCleaner releases them on GC.
+
+    NOT safe under concurrent plan construction: the patch is global to
+    the class, so persist() calls from a concurrent thread's job land in
+    ``recorded`` and get released by this caller. run_explain is a
+    single-threaded CLI/debug surface; keep it that way or scope the
+    recording by thread."""
     from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
     orig_persist, orig_cache = _CDF.persist, _CDF.cache

@@ -24,9 +24,35 @@ self-join (skinny (band, value, id) rows — the SimHash banding plan)
 yields a candidate superset, and one codegen ``bit_count(a XOR b)``
 verifies. Guarantee tested as a property.
 
-Scale shape: hashing is one Arrow-batched pass (no shuffle); banding is
-one explode + one equality self-join keyed on (band, value) — linear in
-band-bucket occupancy; verification touches candidates only.
+Scale model — the honest version. A band of width w has only 2**w
+possible values, so the join has at most ``bands * 2**w`` buckets
+TOTAL; once the corpus outgrows that, bucket occupancy grows
+linearly with N and the candidate set grows QUADRATICALLY
+(~ bands * N²/2 / 2**w pairs for uniform hashes; real pHash values
+cluster, making it worse). With the recall-friendly default of 8
+bands of 8 bits that ceiling is 2048 buckets — fine for thousands of
+images, catastrophic for billions (~N²/512 candidates). The knobs,
+in order of preference at scale:
+
+1. ``bands=4`` (16-bit slices → 262,144 buckets, pigeonhole
+   guarantee hamming ≤ 3) — the large-corpus default; complete
+   recall for re-encodes, which land within 2-3 bits in practice.
+2. ``block_col`` — compose a cheap second blocking key (e.g. a size
+   class or IVF cell from image metadata) into the join key;
+   multiplies the bucket space by the key's cardinality. Recall
+   caveat: near-dups must agree on the key.
+3. ``max_bucket`` — drop (band, value[, block]) buckets whose
+   occupancy exceeds the cap BEFORE the self-join (one extra
+   partial-agg pass; the blocklist_frac_expr route-by-size
+   pattern). Bounds candidates ≤ N·bands·max_bucket/2 — linear in
+   N by construction. Recall caveat: a pair whose ONLY agreeing
+   band lands in a dropped bucket is missed; saturated buckets are
+   near-uninformative (everything matches everything), so this is
+   the standard hot-bucket treatment (same contract as dropping
+   stopword grams in PPJoin prefixes).
+
+Hashing itself is one Arrow-batched pass (no shuffle); verification
+touches candidates only.
 """
 
 from __future__ import annotations
@@ -172,39 +198,75 @@ def phash_bands(
     )
 
 
+def phash_candidate_pairs(
+    hashes: DataFrame,
+    bands: int = PHASH_BANDS,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    block_col: str | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from the band-equality
+    self-join, id_a < id_b — the blocking stage of
+    :func:`phash_neardup_pairs`, exposed so the linear-candidate bound
+    under ``max_bucket`` is directly testable.
+
+    ``block_col`` (a column of ``hashes``) is composed into the join
+    key. ``max_bucket`` drops over-occupied buckets first: a groupBy
+    count over the skinny band rows, joined back — candidates are then
+    ≤ N·bands·max_bucket/2 by construction (each surviving bucket of
+    size s ≤ max_bucket contributes s·(s-1)/2 ≤ s·max_bucket/2 pairs,
+    and bucket sizes sum to ≤ N·bands). See the module docstring for
+    the recall contract of both knobs."""
+    key = ["band", "bv"] + ([block_col] if block_col else [])
+    b = phash_bands(hashes, bands, id_col, hash_col)
+    if block_col:
+        b = b.join(hashes.select(id_col, block_col), id_col)
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        sizes = b.groupBy(*key).agg(F.count("*").alias("_occ"))
+        b = (
+            b.join(sizes, key)
+            .filter(F.col("_occ") <= max_bucket)
+            .drop("_occ")
+        )
+    x = b.select(*key, F.col(id_col).alias("id_a"))
+    y = b.select(
+        *[F.col(c).alias(f"{c}_y") for c in key],
+        F.col(id_col).alias("id_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in key:
+        cond = cond & (F.col(c) == F.col(f"{c}_y"))
+    return x.join(y, cond).select("id_a", "id_b").distinct()
+
+
 def phash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = DEFAULT_MAX_HAMMING,
     bands: int = PHASH_BANDS,
     id_col: str = "doc_id",
     hash_col: str = "phash",
+    block_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with hamming(phash_a, phash_b) ≤
     ``max_hamming``, id_a < id_b. COMPLETE whenever ``max_hamming ≤
     bands - 1`` (pigeonhole: some band slice is untouched and matches
-    exactly); a larger ``max_hamming`` is refused rather than silently
-    losing recall."""
+    exactly) AND neither ``block_col`` nor ``max_bucket`` is set; a
+    ``max_hamming`` beyond the pigeonhole guarantee is refused rather
+    than silently losing recall. The default 8×8-bit banding has only
+    2048 buckets total — quadratic candidates past ~10⁴ images; at
+    corpus scale use ``bands=4`` (hamming ≤ 3, 262k buckets) plus
+    ``block_col``/``max_bucket`` per the module-docstring scale model."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the banding guarantee "
             f"(bands - 1 = {bands - 1}); raise bands"
         )
-    b = phash_bands(hashes, bands, id_col, hash_col)
-    x = b.select("band", "bv", F.col(id_col).alias("id_a"))
-    y = b.select(
-        F.col("band").alias("band_y"),
-        F.col("bv").alias("bv_y"),
-        F.col(id_col).alias("id_b"),
-    )
-    cands = (
-        x.join(
-            y,
-            (F.col("band") == F.col("band_y"))
-            & (F.col("bv") == F.col("bv_y"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    cands = phash_candidate_pairs(
+        hashes, bands, id_col, hash_col, block_col, max_bucket
     )
     ha = hashes.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("ph_a"))
     hb = hashes.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("ph_b"))

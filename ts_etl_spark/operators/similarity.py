@@ -376,7 +376,9 @@ def semantic_dedup_incremental(
     table and only APPENDED per ingest, so the per-batch cost is linear
     in the batch and the occupancy of the cells it touches, never the
     corpus. Batch ids must be greater than corpus ids (ingest order), the
-    same contract as ``dedup_incremental``.
+    same contract as ``dedup_incremental`` — VALIDATED by
+    ``streaming.ingest.semantic_gate`` (an out-of-order id in the index
+    raises there); callers invoking this directly own the check.
 
     A batch vector DROPS iff some smaller-id vector in its cell — from
     the corpus or earlier in the batch — has rounded cosine ≥
@@ -539,6 +541,16 @@ def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
     if key not in _IVF_MEMO:
         _IVF_MEMO[key] = build()
     return _IVF_MEMO[key]
+
+
+def memoized_frame_ids() -> set[int]:
+    """``id()`` of every DataFrame the application-lifetime memo holds.
+    Cache-releasing callers that tracked persist() calls during plan
+    construction (``cli.run_explain``) MUST skip these: the memo keeps
+    returning the same frame objects and the build lambda never re-runs,
+    so unpersisting one silently downgrades every later consumer to
+    recomputing the shared subplan the memo exists to amortize."""
+    return {id(v) for v in _IVF_MEMO.values()}
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,7 +67,11 @@ def normalize_url(url: Column | str) -> Column:
     """Canonical URL form for dedup/blocklist keying: lowercase scheme and
     host, strip the fragment, strip a trailing ``?`` (empty query), strip
     default ports (``:80`` for http, ``:443`` for https), drop one leading
-    ``www.`` label. Path and query are preserved byte-for-byte otherwise
+    ``www.`` label, and DROP any ``userinfo@`` authority component —
+    credential variants of a URL name the same resource, and a dedup/
+    blocklist key must not embed secrets (``https://user:pw@h/p`` →
+    ``https://h/p``; URLs differing only in credentials deliberately
+    merge). Path and query are preserved byte-for-byte otherwise
     (semantics-changing rewrites like param sorting or utm-stripping are a
     policy layer, not canonicalization). NULL for unparseable values."""
     c = F.col(url) if isinstance(url, str) else url

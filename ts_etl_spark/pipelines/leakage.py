@@ -45,6 +45,24 @@ def _exact_pair_edges(docs: DataFrame) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+def _exact_star_edges(docs: DataFrame) -> DataFrame:
+    """(id_a, id_b) STAR edges per exact-duplicate group: the group's min
+    doc_id is the hub, one edge per other member — g−1 edges for a
+    g-member group instead of the pair join's g·(g−1)/2, with IDENTICAL
+    connected components (every member touches the hub). This is the
+    splitter's edge construction: a raw pre-dedup corpus can hold a
+    multi-million-copy boilerplate group, and the splitter only needs
+    connectivity, never the pair list. One groupBy + one fingerprint
+    join — linear in corpus size."""
+    fp = docs.select("doc_id", canonical_fingerprint().alias("fp"))
+    hubs = fp.groupBy("fp").agg(F.min("doc_id").alias("id_a"))
+    return (
+        fp.join(hubs, "fp")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
+
+
 def split_leakage_audit(
     docs: DataFrame,
     weights: Mapping[str, float] | None = None,
@@ -151,7 +169,10 @@ def component_safe_splits(
     isolated docs) and ``split``."""
     from ts_etl_spark.operators.dedup import min_label_components
 
-    exact_edges = _exact_pair_edges(docs)
+    # star edges, NOT the audit's pair join: connectivity is all the
+    # splitter needs, and one 10M-copy boilerplate group must cost 10M-1
+    # edges, not 5·10¹³
+    exact_edges = _exact_star_edges(docs)
     near_edges = (
         minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
         .filter(F.col("jaccard") >= threshold)

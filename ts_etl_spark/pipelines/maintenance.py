@@ -38,7 +38,17 @@ def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     data?": compare before/after compaction, Z-order, shard relayout.
     Duplicate-row multiplicity counts (a sum, not a set-hash). ONE
     partial-aggregated pass; the shuffle carries one partial sum per
-    partition. DuckDB twin: ``table_content_hash_sql``."""
+    partition. DuckDB twin: ``table_content_hash_sql``.
+
+    Cross-ENGINE equality (Spark hash == DuckDB twin hash) is guaranteed
+    only for string / integer / boolean / date columns, whose
+    cast-to-string renderings are identical in both engines. DOUBLE /
+    FLOAT / TIMESTAMP render differently (Spark ``1.0E30`` vs DuckDB
+    ``1e+30``; timestamp ``T`` separators), so for such columns either
+    pre-render them yourself with one explicit portable format expression
+    on both sides, or treat the attestation as WITHIN-engine only —
+    within one engine the hash is exact for every type either way (the
+    rewrite-attestation use case runs before/after in the same engine)."""
     from ts_etl_spark.operators.classifier import _hash8
 
     use = sorted(df.columns) if cols is None else list(cols)
@@ -64,7 +74,10 @@ def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
 
 def table_content_hash_sql(table: str, cols: list[str]) -> str:
     """DuckDB twin of ``table_content_hash`` (pass the same column list;
-    DuckDB cannot introspect-and-sort here) — keep in lockstep."""
+    DuckDB cannot introspect-and-sort here) — keep in lockstep. Value
+    parity with the Spark side holds for string/integer/boolean/date
+    columns only; see the cross-engine caveat on ``table_content_hash``
+    for float/timestamp columns."""
     from ts_etl_spark.operators.sketches import _hex8_fold_sql
 
     rendered = " || ".join(

@@ -90,7 +90,16 @@ def semantic_gate(
     Caller appends ``index_delta`` to the index path BEFORE appending
     survivors to the corpus (see ``ingest_batch`` ordering rationale).
     Like ``dedup_incremental``, intermediate frames this function persists
-    are handed to ``persisted`` for release after materialization."""
+    are handed to ``persisted`` for release after materialization.
+
+    ENFORCES the ingest-order id contract ``semantic_dedup_incremental``
+    assumes (new ids above every previously-seen id): a batch vector
+    whose vec_id is ≤ the index's max seen id and is NOT itself already
+    indexed (indexed ids re-appear under crash replay, which stays
+    legal) arrived out of order — the earlier-landed larger-id vectors
+    were judged without it, so strict smaller-id domination would
+    silently miss duplicates; the gate raises instead. One max() on the
+    skinny index scan plus one filtered anti-join probe per batch."""
     from ts_etl_spark.operators.embedding import embed_documents
     from ts_etl_spark.operators.similarity import (
         SEMDEDUP_THRESHOLD,
@@ -112,6 +121,22 @@ def semantic_gate(
         .persist()
     )
     index = _sem_index(spark, sem_index_path)
+    max_seen = index.agg(F.max("vec_id")).first()[0]
+    if max_seen is not None:
+        stale = (
+            vecs.select("vec_id")
+            .filter(F.col("vec_id") <= max_seen)
+            .join(index.select("vec_id"), "vec_id", "left_anti")
+            .first()
+        )
+        if stale is not None:
+            raise ValueError(
+                f"batch vec_id {stale[0]} is <= the semantic index's max "
+                f"seen id {max_seen} and not a replay of an indexed id: "
+                "genuinely-new ids must exceed all previously-ingested ids "
+                "(ingest order) — smaller-id domination misses duplicates "
+                "otherwise"
+            )
     prov = semantic_dedup_incremental(vecs, index, cents, threshold).persist()
     if persisted is not None:
         persisted += [vecs, prov]
