@@ -69,7 +69,9 @@ HEADLINE = [
     "join_variants",
     "agg_extensions",
     "window_functions",
-    "topk_orders",
+    # topk_orders folded into set_operations in round 8 (slot freed for
+    # corpus_report); the set_operations entry now carries the topk arm
+    "set_operations",
     "events_time_rollups",
     "events_sessions_shares",
     "temporal_joins",
@@ -90,6 +92,9 @@ HEADLINE = [
     "corpus_quality_signals",
     "trainer_prep",
     "multimodal_audio",
+    # round-8 addition: the corpus report (data card + top-k n-grams +
+    # content hash + mixed-language + phash planted recall)
+    "corpus_report",
 ]
 
 # Timed under the same protocol as HEADLINE but NOT `queries()` entries:

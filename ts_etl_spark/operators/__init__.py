@@ -37,6 +37,7 @@ from ts_etl_spark.operators import (
     multimodal,
     quality,
     relational,
+    report,
     similarity,
     textops,
 )
@@ -54,6 +55,7 @@ _MODULES = (
     textops,
     quality,
     multimodal,
+    report,
     curation,
     trainer_prep,
     events,

@@ -339,7 +339,10 @@ def _grouping_extensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k without a global sort (TakeOrderedAndProject)."""
+    """Global top-k without a global sort (TakeOrderedAndProject).
+    Registered as the ``topk`` arm of ``set_operations`` since round 8
+    (the 50-entry cap — the freed slot went to ``corpus_report``); kept
+    as a standalone callable for tests and the bench supplement."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select(
@@ -355,12 +358,15 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT / UNION (set semantics, incl. the implicit DISTINCT) and
     EXCEPT ALL / INTERSECT ALL (bag semantics, multiplicity-aware), plus
     the reshape surface (pivot → unpivot round-trip, folded in when the
-    registry consolidated ``pivot_unpivot`` — the 50-entry cap). Each
-    branch is a single keyed shuffle (the pivot arm one grouped
-    aggregation + a shuffle-free Expand); the union concatenates
-    partitions without any extra exchange. Unified schema
-    ``(op, k1, k2, n)``: set rows carry the customer key in k1; pivot
-    rows carry (status, priority, count)."""
+    registry consolidated ``pivot_unpivot`` — the 50-entry cap), plus the
+    global top-k arm (``q_topk_orders`` folded in round 8: TakeOrdered,
+    never a global sort). Each branch is a single keyed shuffle (the
+    pivot arm one grouped aggregation + a shuffle-free Expand; the topk
+    arm a TakeOrderedAndProject); the union concatenates partitions
+    without any extra exchange. Unified schema ``(op, k1, k2, n, v)``:
+    set rows carry the customer key in k1; pivot rows carry (status,
+    priority, count); topk rows carry (orderkey, orderdate, custkey,
+    totalprice)."""
     orders = load_table(spark, sf_dir, "orders")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -374,6 +380,7 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     ns = F.lit(None).cast("string")
     nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
     out = None
     for tag, df in branches:
         tagged = df.select(
@@ -381,6 +388,7 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").cast("string").alias("k1"),
             ns.alias("k2"),
             nb.alias("n"),
+            nd.alias("v"),
         )
         out = tagged if out is None else out.unionByName(tagged)
     from ts_etl_spark.operators.advanced import q_pivot_unpivot
@@ -390,8 +398,16 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("k1"),
         F.col("priority").alias("k2"),
         "n",
+        nd.alias("v"),
     )
-    return out.unionByName(pivoted)
+    topk = q_topk_orders(spark, sf_dir).select(
+        F.lit("topk").alias("op"),
+        F.col("o_orderkey").cast("string").alias("k1"),
+        F.col("o_orderdate").alias("k2"),
+        F.col("o_custkey").cast("bigint").alias("n"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    return out.unionByName(pivoted).unionByName(topk)
 
 
 # --------------------------------------------------------------------------
@@ -1216,7 +1232,6 @@ QUERIES = {
     "scalar_projections": q_scalar_projections,
     "join_variants": q_join_variants,
     "agg_extensions": q_agg_extensions,
-    "topk_orders": q_topk_orders,
     "set_operations": q_set_operations,
     "window_functions": q_window_functions,
     "quantiles_sketches": q_quantiles_sketches,
@@ -1578,11 +1593,6 @@ ORACLE = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    "topk_orders": """
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
-        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
     "set_operations": """
         WITH tagged AS (
             SELECT 'intersect' AS op, o_custkey FROM (
@@ -1611,10 +1621,18 @@ ORACLE = {
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         )
         SELECT op, CAST(o_custkey AS VARCHAR) AS k1,
-               CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n
+               CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS v
         FROM tagged
         UNION ALL
-        SELECT 'pivot' AS op, o_orderstatus AS k1, priority AS k2, n
+        SELECT 'topk' AS op, CAST(o_orderkey AS VARCHAR) AS k1,
+               strftime(o_orderdate, '%Y-%m-%d') AS k2,
+               o_custkey AS n, CAST(o_totalprice AS DOUBLE) AS v
+        FROM (SELECT * FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
+        UNION ALL
+        SELECT 'pivot' AS op, o_orderstatus AS k1, priority AS k2, n,
+               CAST(NULL AS DOUBLE) AS v
         FROM (
             WITH wide AS (
                 SELECT o_orderstatus,

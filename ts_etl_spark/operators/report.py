@@ -1,0 +1,217 @@
+"""Corpus report — the round-7 library operators folded into ONE
+driver-gated long-format entry (the registry is capped at 50 entries;
+same consolidation pattern as ``trainer_prep`` / ``corpus_quality_signals``):
+
+Unified schema ``(sec, ks, kl, s, v, ok)``:
+
+- ``sec='card'`` — ``operators.datacard.corpus_data_card`` unpivoted:
+  one row per (source, lang) slice per metric; ks = ``source|lang``,
+  s = metric name, v = value. Value-exact DuckDB twin
+  (``corpus_data_card_sql`` reshaped the same way).
+- ``sec='ngram'`` — ``datacard.top_ngrams`` (exact top-50 word
+  3-grams): ks = gram, kl = n_docs, v = n_occurrences. Exact twin.
+- ``sec='tablehash'`` — ``pipelines.maintenance.table_content_hash``
+  of the documents table (order/partition-independent rewrite
+  attestation): ks = table name, kl = the 62-bit hash. The documents
+  columns are all string/bigint, the domain where the cross-engine
+  value guarantee holds (see the ``table_content_hash`` caveat).
+- ``sec='mixlang'`` — ``textops.mixed_language_signals`` per document:
+  ks = dominant_lang, kl = doc_id, s = ``n_paragraphs|n_langs|y/n``
+  (mixed flag), v = dominant_frac. Exact twin (``mixed_language_sql``).
+- ``sec='phash'`` — perceptual image dedup (``operators.phash``) gated
+  by PLANTED RECALL: every document payload is re-ingested as a copy
+  under ``doc_id + PLANT_OFFSET`` (the canonical byte-identical
+  re-crawl), hashes flow through the full Arrow pass + wide-band
+  (bands=4) candidate join + bit_count verification, and the entry
+  emits one row per ORIGINAL document whose planted pair was found at
+  hamming 0 — so the oracle is simply one row per document (kl =
+  doc_id, v = 0.0): a lost pair anywhere in decode → DCT → pack →
+  band → join → verify drops a row and breaks the count/hash. (The
+  DCT itself is bit-pinned against a driver-side reference in
+  tests/test_phash.py; SQL cannot express it, so the gate checks the
+  pipeline's recall contract — the ``quantiles_sketches`` pattern.)
+
+Scale shape: card/ngram/mixlang are one-scan partial-agg plans
+(their module docstrings); the content hash is one partial-agg pass;
+the phash arm is one Arrow hashing pass + a 16-bit-band equality join
+(262k buckets — the scale-default banding). The union concatenates
+without extra exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.datacard import (
+    CARD_QUANTILES,
+    corpus_data_card,
+    corpus_data_card_sql,
+    top_ngrams,
+    top_ngrams_sql,
+)
+from ts_etl_spark.operators.multimodal import binary_payloads
+from ts_etl_spark.operators.phash import image_phash, phash_neardup_pairs
+from ts_etl_spark.operators.textops import (
+    mixed_language_signals,
+    mixed_language_sql,
+)
+from ts_etl_spark.pipelines.maintenance import (
+    table_content_hash_frame,
+    table_content_hash_sql,
+)
+from ts_etl_spark.sources.tables import load_table
+
+#: planted-copy id offset for the phash recall arm — far above any
+#: corpus doc_id at every SF
+PLANT_OFFSET = 1_000_000
+#: wide banding (16-bit slices) — the documented large-corpus default
+PHASH_REPORT_BANDS = 4
+#: per-slice metrics, in the card's column order
+CARD_METRICS = (
+    "n_docs",
+    "doc_share",
+    "n_ws_tokens",
+    "n_chars",
+    *[f"chars_p{int(q * 100)}" for q in CARD_QUANTILES],
+    "quality_rate",
+    "exact_dup_rate",
+)
+
+#: the documents table's columns, sorted — pinned explicitly so the
+#: attestation hash is stable against incidental column additions
+DOC_HASH_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. One entry, five arms, all value-gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    ns = F.lit(None).cast("string")
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    t = F.lit(True)
+
+    metric_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"), F.col(m).cast("double").alias("val")
+            )
+            for m in CARD_METRICS
+        ]
+    )
+    card = (
+        corpus_data_card(docs)
+        .select(
+            F.concat_ws("|", "source", "lang").alias("ks"),
+            F.explode(metric_structs).alias("e"),
+        )
+        .select(
+            F.lit("card").alias("sec"),
+            "ks",
+            nb.alias("kl"),
+            F.col("e.m").alias("s"),
+            F.col("e.val").alias("v"),
+            t.alias("ok"),
+        )
+    )
+
+    ngrams = top_ngrams(docs).select(
+        F.lit("ngram").alias("sec"),
+        F.col("gram").alias("ks"),
+        F.col("n_docs").cast("bigint").alias("kl"),
+        ns.alias("s"),
+        F.col("n_occurrences").cast("double").alias("v"),
+        t.alias("ok"),
+    )
+
+    thash = table_content_hash_frame(docs, DOC_HASH_COLS).select(
+        F.lit("tablehash").alias("sec"),
+        F.lit("documents").alias("ks"),
+        F.col("h").alias("kl"),
+        ns.alias("s"),
+        nd.alias("v"),
+        t.alias("ok"),
+    )
+
+    mix = mixed_language_signals(docs).select(
+        F.lit("mixlang").alias("sec"),
+        F.col("dominant_lang").alias("ks"),
+        F.col("doc_id").alias("kl"),
+        F.concat_ws(
+            "|",
+            F.col("n_paragraphs").cast("string"),
+            F.col("n_langs").cast("string"),
+            F.when(F.col("mixed"), "y").otherwise("n"),
+        ).alias("s"),
+        F.col("dominant_frac").alias("v"),
+        t.alias("ok"),
+    )
+
+    payloads = binary_payloads(spark, sf_dir)
+    planted = payloads.select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "payload"
+    )
+    hashes = image_phash(payloads.unionByName(planted))
+    found = (
+        phash_neardup_pairs(hashes, max_hamming=0, bands=PHASH_REPORT_BANDS)
+        .filter(
+            (F.col("id_a") < PLANT_OFFSET)
+            & (F.col("id_b") == F.col("id_a") + PLANT_OFFSET)
+        )
+        .select(
+            F.lit("phash").alias("sec"),
+            ns.alias("ks"),
+            F.col("id_a").alias("kl"),
+            ns.alias("s"),
+            F.col("hamming").cast("double").alias("v"),
+            t.alias("ok"),
+        )
+    )
+
+    return (
+        card.unionByName(ngrams)
+        .unionByName(thash)
+        .unionByName(mix)
+        .unionByName(found)
+    )
+
+
+def _card_long_sql() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT 'card' AS sec, source || '|' || lang AS ks, "
+        f"CAST(NULL AS BIGINT) AS kl, '{m}' AS s, "
+        f"CAST({m} AS DOUBLE) AS v, TRUE AS ok FROM card"
+        for m in CARD_METRICS
+    )
+    return f"WITH card AS ({corpus_data_card_sql()}) {branches}"
+
+
+def _corpus_report_oracle_sql() -> str:
+    return f"""
+        SELECT * FROM ({_card_long_sql()})
+        UNION ALL
+        SELECT 'ngram', gram, CAST(n_docs AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(n_occurrences AS DOUBLE), TRUE
+        FROM ({top_ngrams_sql()})
+        UNION ALL
+        SELECT 'tablehash', 'documents', h, CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), TRUE
+        FROM ({table_content_hash_sql("documents", DOC_HASH_COLS)})
+        UNION ALL
+        SELECT 'mixlang', dominant_lang, doc_id,
+               CAST(n_paragraphs AS VARCHAR) || '|'
+                   || CAST(n_langs AS VARCHAR) || '|'
+                   || CASE WHEN mixed THEN 'y' ELSE 'n' END,
+               dominant_frac, TRUE
+        FROM ({mixed_language_sql()})
+        UNION ALL
+        -- phash planted recall: every document's byte-identical planted
+        -- copy MUST pair at hamming 0 (see module docstring)
+        SELECT 'phash', CAST(NULL AS VARCHAR), doc_id,
+               CAST(NULL AS VARCHAR), 0.0, TRUE
+        FROM documents
+    """
+
+
+QUERIES = {"corpus_report": q_corpus_report}
+ORACLE = {"corpus_report": _corpus_report_oracle_sql()}

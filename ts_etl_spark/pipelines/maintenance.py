@@ -49,6 +49,18 @@ def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     on both sides, or treat the attestation as WITHIN-engine only —
     within one engine the hash is exact for every type either way (the
     rewrite-attestation use case runs before/after in the same engine)."""
+    row = table_content_hash_frame(df, cols).first()
+    return int(row.h) if row.h is not None else 0
+
+
+def table_content_hash_frame(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """The LAZY one-row ``(h bigint)`` frame behind ``table_content_hash``
+    (same contract) — for compositions that embed the attestation in a
+    larger plan without forcing a driver-side action at construction
+    time (``operators.report``). NULL h on an empty table (the eager
+    wrapper maps it to 0)."""
     from ts_etl_spark.operators.classifier import _hash8
 
     use = sorted(df.columns) if cols is None else list(cols)
@@ -63,13 +75,14 @@ def table_content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     # accumulate in DECIMAL(38,0): a LONG sum of 2^32-bounded row hashes
     # overflows (ANSI: aborts) past ~2^31 rows — exactly the scale this
     # exists for. 38 digits cover ~1e28 rows.
-    row = df.agg(
+    return df.agg(
         (
             F.sum(_hash8("tch#", rendered).cast("decimal(38,0)"))
             % F.lit(_HASH_MOD)
-        ).alias("h")
-    ).first()
-    return int(row.h) if row.h is not None else 0
+        )
+        .cast("bigint")
+        .alias("h")
+    )
 
 
 def table_content_hash_sql(table: str, cols: list[str]) -> str:
