@@ -664,12 +664,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs AND the LSH-pair connected components in one
-    tagged union (the registry-consolidation pattern; each arm keeps its
-    own standalone plan — banded signature self-join; Pregel min-label
-    loop — and the union adds no exchange). Unified schema
-    ``(op, k1, k2, n, s)``: simhash rows carry (id_a, id_b, hamming);
-    component rows carry (rep_doc_id, NULL, n_members, member list)."""
+    """SimHash near-dup pairs, the LSH-pair connected components, AND the
+    winnowed repeated-substring audit in one tagged union (the
+    registry-consolidation pattern; each arm keeps its own standalone
+    plan — banded signature self-join; Pregel min-label loop; winnow
+    window + fingerprint groupBy — and the union adds no exchange).
+    Unified schema ``(op, k1, k2, n, s)``: simhash rows carry
+    (id_a, id_b, hamming); component rows carry (rep_doc_id, NULL,
+    n_members, member list); winnow rows (round 8 — the
+    ``operators.substrings`` MOSS-style substring-dedup audit behind the
+    driver gate) carry (doc_id, span start pos, n_docs sharing the
+    fingerprint, fingerprint as string)."""
+    from ts_etl_spark.operators.substrings import repeated_spans
+
     ns = F.lit(None).cast("string")
     sim = q_dedup_simhash(spark, sf_dir).select(
         F.lit("simhash").alias("op"),
@@ -685,7 +692,15 @@ def q_dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").alias("n"),
         F.col("members").alias("s"),
     )
-    return sim.unionByName(comp)
+    docs = load_table(spark, sf_dir, "documents")
+    winnow = repeated_spans(docs).select(
+        F.lit("winnow").alias("op"),
+        F.col("doc_id").alias("k1"),
+        F.col("pos").cast("bigint").alias("k2"),
+        F.col("n_docs").alias("n"),
+        F.col("fp").cast("string").alias("s"),
+    )
+    return sim.unionByName(comp).unionByName(winnow)
 
 
 QUERIES = {
@@ -813,6 +828,24 @@ ORACLE = {
     """,
 }
 
+def _winnow_arm_sql() -> str:
+    from ts_etl_spark.operators.substrings import (
+        MIN_DOCS,
+        winnow_fingerprints_sql,
+    )
+
+    return f"""
+        WITH fps AS ({winnow_fingerprints_sql()}),
+        rep AS (
+            SELECT fp, COUNT(*) AS n_docs
+            FROM (SELECT DISTINCT doc_id, fp FROM fps)
+            GROUP BY fp HAVING COUNT(*) >= {MIN_DOCS}
+        )
+        SELECT f.doc_id, f.pos, f.fp, r.n_docs
+        FROM fps f JOIN rep r USING (fp)
+    """
+
+
 ORACLE["dedup_simhash_components"] = f"""
     SELECT 'simhash' AS op, id_a AS k1, id_b AS k2,
            CAST(hamming AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS s
@@ -821,4 +854,8 @@ ORACLE["dedup_simhash_components"] = f"""
     SELECT 'component' AS op, rep_doc_id AS k1, CAST(NULL AS BIGINT) AS k2,
            n_members AS n, members AS s
     FROM ({ORACLE.pop("_components_arm")})
+    UNION ALL
+    SELECT 'winnow' AS op, doc_id AS k1, CAST(pos AS BIGINT) AS k2,
+           n_docs AS n, CAST(fp AS VARCHAR) AS s
+    FROM ({_winnow_arm_sql()})
 """

@@ -48,6 +48,10 @@ NEARDUP_THRESHOLD = 0.42
 #: linear in candidates, never all-pairs-within-label.
 BLOCK_CENTROIDS = 16
 BLOCK_ASSIGN = 3
+#: inc-arm corpus/batch boundary: vec_id < INC_SPLIT is the "previously
+#: ingested" corpus, the rest the landing batch (embeddings carry 500+
+#: vectors at every SF, so both sides are non-trivial everywhere)
+INC_SPLIT = 250
 IVF_CENTROIDS = 8
 # On clustered (real) embeddings few probes suffice; the synthetic corpus is
 # UNIFORM random, where IVF recall converges to nprobe/K by construction —
@@ -128,6 +132,10 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``label`` the neighbor rank 1..KNN_K. The sem and knn arms share
       ONE memoized+persisted cell-assignment and in-cell edge frame
       (``cell_edges``) — the edge self-join runs once, not per arm.
+    - ``op='inc'`` — ``semantic_dedup_incremental`` of the batch slice
+      (vec_id ≥ INC_SPLIT) against the corpus slice below it; the
+      oracle is the sem arm restricted to batch ids via the proven
+      batch-boundary equivalence (see the arm's inline comment).
 
     The blocking is part of the query SEMANTICS and the oracle reproduces
     the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
@@ -235,7 +243,31 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("id_b"),
         "cosine",
     )
-    return pair_arm.unionByName(sem_arm).unionByName(knn_arm)
+    # inc arm (round 8): semantic_dedup_incremental behind the driver
+    # gate — the corpus is the 1-assign slice below INC_SPLIT, the batch
+    # everything at/above it, and the PROVEN batch-boundary equivalence
+    # (incremental == one-shot over the union restricted to batch rows,
+    # tests/test_semantic_incremental.py) makes the oracle exactly the
+    # sem arm's drop rows filtered to batch ids: if the incremental code
+    # path ever diverges from the one-shot semantics, the hash breaks.
+    inc_prov = semantic_dedup_incremental(
+        vecs.filter(F.col("vec_id") >= INC_SPLIT).select("vec_id", "v", "nrm"),
+        assigned1.filter(F.col("vec_id") < INC_SPLIT),
+        cents,
+        SEMDEDUP_THRESHOLD,
+    )
+    inc_arm = inc_prov.filter(~F.col("kept")).select(
+        F.lit("inc").alias("op"),
+        F.col("cell").cast("int").alias("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("dup_of").alias("id_b"),
+        F.col("dup_cosine").alias("cosine"),
+    )
+    return (
+        pair_arm.unionByName(sem_arm)
+        .unionByName(knn_arm)
+        .unionByName(inc_arm)
+    )
 
 
 #: SemDeDup drop threshold (cell-blocked cosine; rounded to 6 decimals
@@ -965,6 +997,14 @@ ORACLE = {
         SELECT 'knn' AS op, rank AS label, src AS id_a, dst AS id_b,
                c AS cosine
         FROM knn WHERE rank <= {KNN_K}
+        UNION ALL
+        -- inc arm: by the tested batch-boundary equivalence, incremental
+        -- semantic dedup of the batch (vec_id >= INC_SPLIT) against the
+        -- corpus slice below it drops EXACTLY the one-shot drops among
+        -- batch ids
+        SELECT 'inc' AS op, CAST(cell AS INT) AS label,
+               id_d AS id_a, id_k AS id_b, c AS cosine
+        FROM sem_drop WHERE id_d >= {INC_SPLIT}
     """,
     "embed_ann_ivf": f"""
         WITH v AS (

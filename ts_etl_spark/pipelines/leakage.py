@@ -71,6 +71,7 @@ def split_leakage_audit(
     split_col: str | None = None,
     threshold: float = JACCARD_THRESHOLD,
     persisted: list[DataFrame] | None = None,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs that leak across split boundaries.
 
@@ -94,7 +95,12 @@ def split_leakage_audit(
     split) or dropping the eval-side member.
 
     ``persisted`` receives the internal shingle-set cache (the
-    ``minhash_lsh_pairs`` contract) for caller-side release."""
+    ``minhash_lsh_pairs`` contract) for caller-side release.
+
+    ``near_pairs`` (optional) supplies a precomputed
+    ``minhash_lsh_pairs``-shaped frame ``(id_a, id_b, jaccard)`` so a
+    caller auditing several splits of the same corpus (or also building
+    ``component_safe_splits``) pays the LSH pass once."""
     if (split_col is None) == (weights is None):
         raise ValueError("pass exactly one of split_col or weights")
     if split_col is None:
@@ -128,8 +134,10 @@ def split_leakage_audit(
         "split_b",
         F.lit(None).cast("double").alias("jaccard"),
     )
+    if near_pairs is None:
+        near_pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
     near = (
-        minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
+        near_pairs
         .filter(F.col("jaccard") >= threshold)
         .join(la, "id_a")
         .join(lb, "id_b")
@@ -155,6 +163,7 @@ def component_safe_splits(
     seed: str = "split",
     threshold: float = JACCARD_THRESHOLD,
     persisted: list[DataFrame] | None = None,
+    near_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The remediation: assign splits on the near-dup COMPONENT, not the
     document — every member of a connected near-dup/exact-dup group lands
@@ -166,15 +175,18 @@ def component_safe_splits(
     unrelated documents never moves an existing component.
 
     Returns docs plus ``component`` (min doc_id of the group; own id for
-    isolated docs) and ``split``."""
+    isolated docs) and ``split``. ``near_pairs`` as in
+    ``split_leakage_audit`` (share one LSH pass across audit + splits)."""
     from ts_etl_spark.operators.dedup import min_label_components
 
     # star edges, NOT the audit's pair join: connectivity is all the
     # splitter needs, and one 10M-copy boilerplate group must cost 10M-1
     # edges, not 5·10¹³
     exact_edges = _exact_star_edges(docs)
+    if near_pairs is None:
+        near_pairs = minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
     near_edges = (
-        minhash_lsh_pairs(docs.select("doc_id", "text"), persisted)
+        near_pairs
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )

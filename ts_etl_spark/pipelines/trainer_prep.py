@@ -27,6 +27,19 @@ Unified schema ``(op, k1, k2, s, v, ok)``:
   booleans the oracle asserts TRUE (bin ASSIGNMENT depends on xxhash64
   grouping, which only Spark can compute — the bounded-boolean pattern
   of ``quantiles_sketches``).
+- ``leak`` rows (round 8 — ``pipelines.leakage`` behind the driver
+  gate): one row per document pair leaking across THE SPLIT THE SPLIT
+  ARM EMITS (exact canonical-fingerprint / near shingle-Jaccard ≥
+  threshold): k1/k2 = the pair, s = ``kind|split_a|split_b``,
+  v = jaccard (NULL for exact). Fully value-mirrored: the oracle
+  re-derives the md5 split, fingerprint equality, and exact Jaccard
+  (LSH output == exact at the threshold, the ``dedup_minhash_lsh``
+  recall contract).
+- ``leak_safe`` row: re-auditing the corpus under
+  ``component_safe_splits`` (exact star edges + near edges → min-label
+  components → per-component split) must find ZERO leaks — the
+  passes-by-construction property as a driver-gated boolean. Both
+  leakage arms share ONE LSH pass (``near_pairs``).
 """
 
 from __future__ import annotations
@@ -179,13 +192,71 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.ok").alias("ok"),
     )
 
-    return chunks.unionByName(splits).unionByName(bpe).unionByName(pack)
+    from ts_etl_spark.operators.dedup import minhash_lsh_pairs
+    from ts_etl_spark.pipelines.leakage import (
+        component_safe_splits,
+        split_leakage_audit,
+    )
+
+    # one LSH pass feeds the audit AND the component splitter; the band
+    # join is the arm's dominant cost, so share it across consumers
+    near = minhash_lsh_pairs(docs).persist()
+    audit = split_leakage_audit(
+        docs, weights=SPLIT_WEIGHTS, key_cols=["doc_id"], seed="split",
+        near_pairs=near,
+    )
+    leak = audit.select(
+        F.lit("leak").alias("op"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"),
+        F.concat_ws("|", "kind", "split_a", "split_b").alias("s"),
+        F.col("jaccard").alias("v"),
+        t.alias("ok"),
+    )
+    safe = component_safe_splits(
+        docs, SPLIT_WEIGHTS, seed="split", near_pairs=near
+    )
+    leak_safe = (
+        split_leakage_audit(
+            safe.select("doc_id", "text", "split"),
+            split_col="split",
+            near_pairs=near,
+        )
+        .agg((F.count("*") == 0).alias("__ok"))
+        .select(
+            F.lit("leak_safe").alias("op"),
+            nb.alias("k1"),
+            nb.alias("k2"),
+            ns.alias("s"),
+            nd.alias("v"),
+            F.col("__ok").alias("ok"),
+        )
+    )
+
+    return (
+        chunks.unionByName(splits)
+        .unionByName(bpe)
+        .unionByName(pack)
+        .unionByName(leak)
+        .unionByName(leak_safe)
+    )
 
 
 def _trainer_prep_oracle_sql() -> str:
+    from ts_etl_spark.operators.dedup import (
+        _SHINGLES_CTE,
+        JACCARD_THRESHOLD,
+        canonical_fingerprint_sql,
+    )
+
     stride = CHUNK_CHARS - CHUNK_OVERLAP
     return rf"""
-        WITH starts AS (
+        WITH {_SHINGLES_CTE},
+        fp AS (
+            SELECT doc_id, {canonical_fingerprint_sql('text')} AS f
+            FROM documents
+        ),
+        starts AS (
             SELECT doc_id, text,
                    unnest(generate_series(
                        0, greatest(length(text) - {CHUNK_OVERLAP + 1}, 0),
@@ -204,6 +275,29 @@ def _trainer_prep_oracle_sql() -> str:
                         << ((8 - i) * 4) for i in generate_series(1, 8)]
                    ) AS DOUBLE) / 4294967296.0 AS u
             FROM hashed
+        ),
+        labels AS (
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS sp
+            FROM u
+        ),
+        exact_leak AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, la.sp AS sa, lb.sp AS sb
+            FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            JOIN labels la ON la.doc_id = a.doc_id
+            JOIN labels lb ON lb.doc_id = b.doc_id
+            WHERE la.sp != lb.sp
+        ),
+        near_leak AS (
+            SELECT j.id_a, j.id_b, la.sp AS sa, lb.sp AS sb, j.jaccard
+            FROM jac j
+            JOIN labels la ON la.doc_id = j.id_a
+            JOIN labels lb ON lb.doc_id = j.id_b
+            WHERE j.jaccard >= {JACCARD_THRESHOLD} AND la.sp != lb.sp
+              AND NOT EXISTS (SELECT 1 FROM exact_leak e
+                              WHERE e.id_a = j.id_a AND e.id_b = j.id_b)
         )
         SELECT 'chunk' AS op, doc_id AS k1,
                CAST(st / {stride} AS BIGINT) AS k2,
@@ -231,6 +325,18 @@ def _trainer_prep_oracle_sql() -> str:
         SELECT 'pack', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                m, CAST(NULL AS DOUBLE), TRUE
         FROM (VALUES ('capacity_ok'), ('oversize_ok'), ('waste_ok')) AS t(m)
+        UNION ALL
+        SELECT 'leak', id_a, id_b, 'exact|' || sa || '|' || sb,
+               CAST(NULL AS DOUBLE), TRUE
+        FROM exact_leak
+        UNION ALL
+        SELECT 'leak', id_a, id_b, 'near|' || sa || '|' || sb, jaccard, TRUE
+        FROM near_leak
+        UNION ALL
+        -- component-safe splits pass the audit by construction; the Spark
+        -- side re-runs the audit under them and gates the emptiness
+        SELECT 'leak_safe', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), TRUE
     """
 
 
