@@ -11,16 +11,21 @@ from ts_etl_spark.pipelines import curate_documents, write_curated
 
 
 def test_curation_single_documents_scan(spark, sf_smoke):
-    """The pipeline's two text consumers (metric projection, LSH pass) share
-    ONE cached parquet scan of documents — at 100 TB the corpus is never
-    read or re-tokenized twice."""
+    """The pipeline's text consumers (masking phases, metric projection,
+    LSH pass) share ONE cached parquet scan of the TEXT column — at
+    100 TB the corpus text is never read or re-tokenized twice. The only
+    other allowed scan is the domain-cap arm's skinny
+    (doc_id, source, n_chars) projection, which carries no text."""
     import re
 
     from ts_etl_spark.pipelines.curation import q_pipeline_curation
     from ts_etl_spark.plans.audit import plan_str
 
     p = plan_str(q_pipeline_curation(spark, sf_smoke), "formatted")
-    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    text_scans = len(re.findall(r"ReadSchema:[^\n]*\btext\b", p))
+    assert text_scans == 1, f"text column scanned {text_scans}x"
+    assert scans <= 2, f"{scans} parquet scans (expected text + skinny cap)"
     assert "InMemoryTableScan" in p
 
 

@@ -129,6 +129,44 @@ def test_duckdb_twin_matches_exactly(spark):
     assert not any(r[0] == 4 for r in got)
 
 
+def test_mask_duckdb_twin_matches_exactly(spark):
+    """mask_repeated_spans vs its SQL twin: value-for-value on a mix of
+    masked candidates, clean docs, and sub-k docs."""
+    from ts_etl_spark.operators.substrings import mask_repeated_spans_sql
+
+    rng = random.Random(7)
+    shared = _rand_words(rng, 14)
+    rows = [
+        (1, f"{_rand_words(rng, 10)} {shared}"),
+        (2, f"{shared} {_rand_words(rng, 8)}"),
+        (3, _rand_words(rng, 30)),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    k, w, m = 4, 6, 2
+    got = sorted(
+        map(
+            tuple,
+            mask_repeated_spans(_docs(spark, rows), k=k, w=w, min_docs=m)
+            .select("doc_id", "clean_text", "n_tokens_removed")
+            .collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(mask_repeated_spans_sql(k=k, w=w, min_docs=m)).fetchall(),
+        )
+    )
+    assert got == want
+    removed = {r[0]: r[2] for r in got}
+    assert removed[1] > 0 and removed[2] > 0, "shared run masked"
+    assert removed[3] == 0 and removed[4] == 0 and removed[5] == 0
+
+
 def test_partition_independence(spark):
     rng = random.Random(9)
     rows = [(i, _rand_words(rng, 60)) for i in range(20)]

@@ -238,6 +238,68 @@ def mask_repeated_spans(
     )
 
 
+def mask_repeated_spans_sql(
+    table: str = "documents",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_docs: int = MIN_DOCS,
+) -> str:
+    """DuckDB twin of ``mask_repeated_spans`` — same two-phase plan
+    (winnowed candidate selection, then per-candidate gram frequency and
+    covered-token removal) producing ``(doc_id, clean_text,
+    n_tokens_removed)``; keep in lockstep. The per-token coverage test is
+    a list comprehension over 0-based token indices, exactly the Spark
+    side's ``exists`` filter."""
+    fold = _hex8_fold_sql(
+        "substr(md5('win#' || array_to_string(toks[gi + 1 : gi + "
+        + str(k)
+        + "], ' ')), 1, 8)"
+    )
+    return f"""
+        WITH fps AS ({winnow_fingerprints_sql(table, k, w)}),
+        rep AS (
+            SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+            GROUP BY fp HAVING COUNT(*) >= {min_docs}
+        ),
+        cand AS (SELECT DISTINCT doc_id FROM fps JOIN rep USING (fp)),
+        dt AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+'), x -> x != '')
+                       AS toks
+            FROM {table}
+        ),
+        cg AS (
+            SELECT d.doc_id, CAST(gi AS INT) AS pos,
+                   CAST({fold} AS BIGINT) AS gh
+            FROM (SELECT dt.* FROM dt JOIN cand USING (doc_id)
+                  WHERE len(toks) >= {k}) d,
+                 unnest(generate_series(0, len(d.toks) - {k})) AS u(gi)
+        ),
+        gfreq AS (
+            SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM cg)
+            GROUP BY gh HAVING COUNT(*) >= {min_docs}
+        ),
+        flagged AS (
+            SELECT doc_id, list(pos) AS starts
+            FROM cg JOIN gfreq USING (gh) GROUP BY doc_id
+        ),
+        kept AS (
+            SELECT dt.doc_id, dt.toks,
+                   [dt.toks[idx + 1] for idx in generate_series(0, len(dt.toks) - 1)
+                    if len(list_filter(COALESCE(f.starts, []),
+                           p -> p <= idx AND idx <= p + {k - 1})) = 0] AS kt
+            FROM dt LEFT JOIN flagged f USING (doc_id)
+        )
+        -- generate_series(0, -1) makes the comprehension NULL (not []) on
+        -- token-less docs; they mask to the empty string like Spark's
+        SELECT doc_id, COALESCE(array_to_string(kt, ' '), '') AS clean_text,
+               CAST(COALESCE(len(toks) - len(kt), 0) AS INT)
+                   AS n_tokens_removed
+        FROM kept
+    """
+
+
 def winnow_fingerprints_sql(
     table: str = "documents",
     k: int = WINNOW_K,

@@ -141,6 +141,12 @@ def curate_documents(
             if isinstance(substring_mask, (tuple, list))
             else (WINNOW_K, WINNOW_W, MIN_DOCS)
         )
+        # masking reads its input several times (winnow selection, the
+        # candidate gram phase, the final rebuild join) — cache the raw
+        # text projection so those are memory reads, not corpus rescans
+        docs = docs.repartition(par, "doc_id").persist()
+        if persisted is not None:
+            persisted.append(docs)
         docs = mask_repeated_spans(docs, k=k_, w=w_, min_docs=m_).select(
             "doc_id", F.col("clean_text").alias("text")
         )
@@ -199,9 +205,16 @@ def curate_documents(
     if domain_cap_n is not None:
         from ts_etl_spark.operators.urls import domain_cap
 
-        src = load_table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "n_chars"
+        # skinny (id, source, n_chars) projection — no text column; cached
+        # because domain_cap consumes it three times (count prefilter,
+        # ranking join, provenance join)
+        src = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .persist()
         )
+        if persisted is not None:
+            persisted.append(src)
         capped = domain_cap(
             src,
             "source",
@@ -297,20 +310,34 @@ def write_curated(df: DataFrame, path: str) -> None:
 #: policy constants for the registered entry (mirrored in the oracle SQL)
 CURATION_LANGS = ("en", "de", "fr", "es")
 CURATION_BUDGET = 10_000
+#: per-source document cap for the registered policy (the urls.domain_cap
+#: stage; same cap as the dedup_exact domain_drop arm)
+CURATION_DOMAIN_CAP = 20
 
 
 def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END curation pipeline as one oracle-checked query:
-    curate with the standard policy (language allowlist + token budget),
-    then report corpus composition — document and BPE-token counts per
-    (outcome stage, predicted language). Every stage of the flow (quality
-    gate, canonical exact dedup, MinHash-LSH near-dup removal, language
-    filter, greedy token budget) contributes to the summary, so a
-    regression anywhere in the composition breaks the hash. The summary
-    grain keeps the driver row narrow while the full per-document
-    provenance frame stays available via ``curate_documents``."""
+    curate with the standard policy (substring masking + language
+    allowlist + per-source domain cap + token budget), then report corpus
+    composition — document and BPE-token counts per (outcome stage,
+    predicted language). Every stage of the flow (winnowed repeated-span
+    masking, quality gate, canonical exact dedup, MinHash-LSH near-dup
+    removal, per-domain cap, language filter, greedy token budget)
+    contributes to the summary, so a regression anywhere in the
+    composition breaks the hash — since round 8 the REGISTERED policy
+    includes the round-7 ``substring_mask`` and ``domain_cap_n`` stages
+    (the README's full composed pipeline), each mirrored in the oracle
+    (``substrings.mask_repeated_spans_sql``; the domain ranking window).
+    The summary grain keeps the driver row narrow while the full
+    per-document provenance frame stays available via
+    ``curate_documents``."""
     cur = curate_documents(
-        spark, sf_dir, languages=CURATION_LANGS, token_budget=CURATION_BUDGET
+        spark,
+        sf_dir,
+        languages=CURATION_LANGS,
+        token_budget=CURATION_BUDGET,
+        substring_mask=True,
+        domain_cap_n=CURATION_DOMAIN_CAP,
     )
     return cur.groupBy(
         F.coalesce("drop_reason", F.lit("kept")).alias("stage"),
@@ -322,11 +349,15 @@ def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_oracle_sql() -> str:
-    """DuckDB mirror of the full pipeline: textops metric/signature
-    expressions + fingerprint window + the exact-Jaccard pair CTE (the
-    LSH-equivalent answer, same as the dedup_minhash_lsh oracle) + the
-    budget running sum + the summary aggregate."""
+    """DuckDB mirror of the full pipeline: the repeated-span masking twin
+    (documents are REWRITTEN before any scoring — every downstream
+    expression reads ``mdocs``) + textops metric/signature expressions +
+    fingerprint window + the exact-Jaccard pair CTE (the LSH-equivalent
+    answer, same as the dedup_minhash_lsh oracle) over the MASKED text +
+    the per-source cap ranking (over the ORIGINAL table's n_chars, like
+    the Spark side) + the budget running sum + the summary aggregate."""
     from ts_etl_spark.operators.dedup import _SHINGLES_CTE
+    from ts_etl_spark.operators.substrings import mask_repeated_spans_sql
     from ts_etl_spark.operators.textops import BPE_PAT, CJK, LANG_MARKERS
 
     lang_scores = ",\n".join(
@@ -334,8 +365,21 @@ def _curation_oracle_sql() -> str:
         for lang, pat in LANG_MARKERS.items()
     )
     langs_in = ", ".join(f"'{lang}'" for lang in CURATION_LANGS)
+    # one shingle/jaccard definition (dedup's), retargeted at the masked
+    # corpus — near-dup pairs are computed over what the pipeline scores
+    shingles_masked = _SHINGLES_CTE.replace("FROM documents", "FROM mdocs")
     return rf"""
-        WITH {_SHINGLES_CTE},
+        WITH mdocs AS (
+            SELECT doc_id, clean_text AS text
+            FROM ({mask_repeated_spans_sql()})
+        ),
+        {shingles_masked},
+        ranked_src AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        ),
         scored AS (
             SELECT doc_id,
                    {lang_scores},
@@ -346,7 +390,7 @@ def _curation_oracle_sql() -> str:
                     AND CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
                             / length(text) >= 0.5) AS quality_pass,
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-            FROM documents
+            FROM mdocs
         ),
         sig AS (
             SELECT doc_id, n_bpe_tokens, quality_pass,
@@ -369,9 +413,12 @@ def _curation_oracle_sql() -> str:
                    CASE WHEN NOT s.quality_pass THEN 'quality'
                         WHEN s.is_exact_dup THEN 'exact_dup'
                         WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                        WHEN r.rnk > {CURATION_DOMAIN_CAP} THEN 'domain_cap'
                         WHEN s.pred_lang NOT IN ({langs_in}) THEN 'language'
                         END AS drop_reason0
-            FROM sig s LEFT JOIN near n USING (doc_id)
+            FROM sig s
+            LEFT JOIN near n USING (doc_id)
+            JOIN ranked_src r USING (doc_id)
         ),
         budget AS (
             SELECT doc_id,
