@@ -93,6 +93,71 @@ def test_normalize_url_hand_cases(spark):
     assert got == cases
 
 
+PSL_FIXTURE = [
+    # a 20-rule slice of the PSL shape: plain TLDs, multi-label suffixes,
+    # and a 3-label suffix — wildcards pre-expanded per the contract
+    "com", "org", "net", "io", "de", "fr", "jp", "uk",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "co.jp", "ne.jp",
+    "com.br", "co.nz",
+    "pvt.k12.ma.us", "k12.ma.us",
+]
+
+
+def test_registered_domain_psl_lookup_and_fallback(spark):
+    from ts_etl_spark.operators.urls import registered_domain_psl
+
+    psl = spark.createDataFrame([(s,) for s in PSL_FIXTURE], "suffix STRING")
+    cases = {
+        # multi-label suffixes: naive last-two would say co.uk / ma.us
+        "https://www.example.co.uk/x": "example.co.uk",
+        "https://a.b.shop.co.uk": "shop.co.uk",
+        "https://news.bbc.ac.uk/y?z=1": "bbc.ac.uk",
+        "https://host.pvt.k12.ma.us": "host.pvt.k12.ma.us",  # longest rule wins
+        "https://sub.site.com.au": "site.com.au",
+        # plain TLD rules behave like the naive form
+        "https://www.a.b.example.com/x": "example.com",
+        "http://example.de": "example.de",
+        # host EQUAL to a suffix: no registrable label -> naive fallback
+        "https://co.uk/": "co.uk",
+        # unmatched TLD -> naive fallback (last two labels)
+        "https://deep.sub.example.xyz": "example.xyz",
+        "http://localhost:8080/p": "localhost",
+        "garbage": None,
+    }
+    docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "doc_id LONG, url STRING"
+    )
+    out = registered_domain_psl(docs, "url", psl)
+    got = {r.url: r.reg_domain for r in out.collect()}
+    assert got == cases
+    # psl=None routes through the naive rule unchanged
+    naive = {
+        r.url: r.reg_domain
+        for r in registered_domain_psl(docs, "url", None).collect()
+    }
+    assert naive["https://www.example.co.uk/x"] == "co.uk"
+    assert naive["https://www.a.b.example.com/x"] == "example.com"
+
+
+def test_registered_domain_psl_plan_broadcasts(spark):
+    """The suffix join must broadcast (never shuffle the corpus) and the
+    corpus-side plan stays cartesian-free."""
+    from ts_etl_spark.operators.urls import registered_domain_psl
+
+    psl = spark.createDataFrame([(s,) for s in PSL_FIXTURE], "suffix STRING")
+    docs = spark.createDataFrame(
+        [(i, f"https://d{i}.example.co.uk/p") for i in range(50)],
+        "doc_id LONG, url STRING",
+    )
+    plan = (
+        registered_domain_psl(docs, "url", psl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_domain_cap_provenance_and_determinism(spark):
     rows = [(i, f"d{i % 3}") for i in range(10)] + [(100, "solo")]
     df = spark.createDataFrame(rows, "doc_id LONG, domain STRING")

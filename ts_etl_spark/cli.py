@@ -907,13 +907,15 @@ def run_ingest(
     sem_index_path: str | None = None,
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
+    win_index_path: str | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Drain the landing directory into the corpus through the full
     dedup-on-ingest stack (``streaming.ingest.run_streaming_ingest``) —
     fingerprint/MinHash incremental dedup, optional corpus-stats sketch,
     PSI drift log, attempt heavy hitters, and (with ``sem_index_path`` +
-    ``sem_cents_path``) the paraphrase-level semantic gate. Returns
+    ``sem_cents_path``) the paraphrase-level semantic gate, and (with
+    ``win_index_path``) the incremental substring gate. Returns
     {"corpus_docs": N} after the drain (also logged to stderr)."""
     from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
     from ts_etl_spark.streaming.ingest import run_streaming_ingest
@@ -935,6 +937,7 @@ def run_ingest(
             sem_index_path,
             sem_cents_path,
             sem_threshold,
+            win_index_path,
         )
         n = spark.read.parquet(corpus_path).count()
         print(f"ingest: corpus now holds {n} documents", file=sys.stderr)
@@ -974,6 +977,10 @@ def _ingest_main(argv: list[str]) -> int:
         "--sem-threshold", type=float,
         help="semantic drop threshold (default SEMDEDUP_THRESHOLD)",
     )
+    parser.add_argument(
+        "--win-index",
+        help="substring-gate winnow-fingerprint index path",
+    )
     args = parser.parse_args(argv)
     try:
         run_ingest(
@@ -988,6 +995,7 @@ def _ingest_main(argv: list[str]) -> int:
             sem_index_path=args.sem_index,
             sem_cents_path=args.sem_cents,
             sem_threshold=args.sem_threshold,
+            win_index_path=args.win_index,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary

@@ -222,6 +222,21 @@ def mask_repeated_spans(
         .groupBy(id_col)
         .agg(F.collect_list("pos").alias("__flagged"))
     )
+    return _rebuild_masked(docs, flagged, k, text_col, id_col, out_col)
+
+
+def _rebuild_masked(
+    docs: DataFrame,
+    flagged: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared mask rebuild: drop every token covered by a flagged k-token
+    span start (``flagged`` = (id_col, __flagged array<int>)); docs
+    absent from ``flagged`` pass through with zero removals. Map-side
+    per-token ``exists`` over the (small) per-doc start list."""
     joined = docs.join(flagged, id_col, "left")
     toks = _tokens(F.col(text_col))
     starts = F.coalesce(
@@ -236,6 +251,45 @@ def mask_repeated_spans(
         F.array_join(kept, " ").alias(out_col),
         (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
     )
+
+
+def mask_winnowed_spans(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_docs: int = MIN_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+    fps: DataFrame | None = None,
+) -> DataFrame:
+    """Mask every SELECTED winnow span whose fingerprint recurs in ≥
+    ``min_docs`` documents — the fingerprint-grained sibling of
+    ``mask_repeated_spans`` and the ONE-SHOT counterpart of the streaming
+    ``substring_gate`` (``streaming.ingest``): span verdicts depend only
+    on the SET of per-document fingerprints, a pure union, so the
+    incremental gate reproduces this function over seen ∪ batch exactly
+    (tested equivalence, the ``semantic_dedup_incremental`` pattern).
+
+    Coverage contract vs ``mask_repeated_spans``: a qualifying shared run
+    (≥ w+k-1 tokens, ≥ min_docs docs) is ATTENUATED — every selected
+    fingerprint inside it masks its k-token span (expected ~2/(w+1)
+    selection density), and at least one span per run is guaranteed by
+    the winnow property — but not removed wall-to-wall; run the two-phase
+    ``mask_repeated_spans`` at recuration for complete removal. In
+    exchange the verdict needs no gram-level second phase, which is what
+    makes the per-batch incremental form exact and index-bounded.
+
+    ``fps`` optionally supplies precomputed ``winnow_fingerprints`` rows."""
+    if fps is None:
+        fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    rep = repeated_fingerprints(fps, min_docs, id_col)
+    flagged = (
+        fps.join(rep, "fp")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__flagged"))
+    )
+    return _rebuild_masked(docs, flagged, k, text_col, id_col, out_col)
 
 
 def mask_repeated_spans_sql(

@@ -35,8 +35,9 @@ _HOST_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?([^/:?#]+)"
 #: last two dot-labels — the NAIVE registered domain. Correct for
 #: `.com`-style suffixes; multi-label public suffixes (`.co.uk`) need the
 #: Public Suffix List, a data dependency this container doesn't carry —
-#: swap `registered_domain` for a PSL-backed broadcast-join lookup in
-#: production (the pluggable-decoder seam pattern).
+#: `registered_domain_psl` fills the seam: pass it a PSL suffix table
+#: (broadcast-joined against distinct hosts) and it falls back to this
+#: rule for unmatched hosts.
 _REG_DOMAIN_PAT = r"([^.]+\.[^.]+)$"
 
 
@@ -57,10 +58,84 @@ def registered_domain(url: Column | str) -> Column:
     """Naive registered domain (last two labels) of the URL's host —
     ``https://www.a.b.example.com/x`` → ``example.com``. Single-label
     hosts (``localhost``) return the host itself. See ``_REG_DOMAIN_PAT``
-    for the Public-Suffix-List production seam."""
+    for the Public-Suffix-List production seam; pass a PSL table to
+    ``registered_domain_psl`` for ``.co.uk``-class correctness."""
     h = strip_www(url_host(url))
     reg = F.regexp_extract(h, _REG_DOMAIN_PAT, 1)
     return F.when(reg != "", reg).otherwise(h)
+
+
+def registered_domain_psl(
+    docs: DataFrame,
+    url_col: str,
+    psl: DataFrame | None = None,
+    out_col: str = "reg_domain",
+) -> DataFrame:
+    """Registered domain with an optional Public-Suffix-List lookup — the
+    production fill for the ``_REG_DOMAIN_PAT`` seam. ``psl`` is a
+    one-column ``suffix`` DataFrame of public suffixes (``com``,
+    ``co.uk``, …; the PSL file's rules, pre-lowered, no wildcards — feed
+    ``*.ck``-style wildcard rules expanded); rows whose host ends in a
+    listed suffix get ``<label>.<suffix>`` with one extra label, LONGEST
+    matching suffix winning (the PSL algorithm); hosts matching no rule —
+    and every host when ``psl`` is None — fall back to the naive
+    last-two-labels ``registered_domain``.
+
+    Scale shape: registered domain is a function of the HOST alone, so
+    the lookup runs over the DISTINCT hosts (the classic dimension
+    pattern): explode each distinct host's label tails (a host of L
+    labels yields L candidates, L ≤ ~10), one broadcast semi-join
+    against the suffix table, one max-by-length pick per host, then one
+    broadcast-able join of the skinny (host → domain) map back to the
+    corpus. Corpus-linear, no UDFs. Returns ``docs`` plus ``out_col``."""
+    if psl is None:
+        return docs.select(
+            "*", registered_domain(F.col(url_col)).alias(out_col)
+        )
+    host_expr = strip_www(url_host(F.col(url_col)))
+    with_host = docs.select("*", host_expr.alias("__host"))
+    hosts = with_host.select("__host").distinct().filter(
+        F.col("__host").isNotNull()
+    )
+    labels = F.split(F.col("__host"), r"\.")
+    n = F.size(labels)
+    # tails[j] = labels[j..] joined: the host's candidate suffixes, each
+    # with its label count (slice is 1-based; over-length is clamped)
+    tails = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda j: F.struct(
+            F.array_join(F.slice(labels, j, n), ".").alias("tail"),
+            (n - j + F.lit(1)).alias("tail_len"),
+        ),
+    )
+    cand = hosts.select("__host", F.explode(tails).alias("__t")).select(
+        "__host",
+        F.col("__t.tail").alias("__tail"),
+        F.col("__t.tail_len").alias("__tail_len"),
+    )
+    suffixes = psl.select(F.lower("suffix").alias("__tail"))
+    best = (
+        cand.join(F.broadcast(suffixes), "__tail", "left_semi")
+        .groupBy("__host")
+        .agg(F.max("__tail_len").alias("__best_len"))
+    )
+    # naive fallback re-derived from the host (one definition with
+    # registered_domain: last two labels, else the host itself)
+    hnaive = F.regexp_extract(F.col("__host"), _REG_DOMAIN_PAT, 1)
+    naive = F.when(hnaive != "", hnaive).otherwise(F.col("__host"))
+    # longest matching suffix + one extra label; hosts EQUAL to a suffix
+    # (no registrable label left) and unmatched hosts fall back to naive
+    reg = F.when(
+        F.col("__best_len").isNotNull() & (n > F.col("__best_len")),
+        F.array_join(
+            F.slice(labels, n - F.col("__best_len"), F.col("__best_len") + F.lit(1)),
+            ".",
+        ),
+    ).otherwise(naive)
+    host_map = hosts.join(best, "__host", "left").select(
+        "__host", reg.alias(out_col)
+    )
+    return with_host.join(host_map, "__host", "left").drop("__host")
 
 
 def normalize_url(url: Column | str) -> Column:

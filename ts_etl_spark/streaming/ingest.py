@@ -153,6 +153,91 @@ def semantic_gate(
     return survivors, index_delta
 
 
+#: materialized winnow-fingerprint index: every SEEN document's selected
+#: fingerprints (original text, pre-masking) — appended per ingest
+WIN_INDEX_SCHEMA = "doc_id LONG, fp LONG"
+
+
+def _win_index(spark: SparkSession, path: str) -> DataFrame:
+    if path_exists(spark, path):
+        return spark.read.schema(WIN_INDEX_SCHEMA).parquet(path)
+    return spark.createDataFrame([], WIN_INDEX_SCHEMA)
+
+
+def substring_gate(
+    spark: SparkSession,
+    docs: DataFrame,
+    win_index_path: str,
+    k: int | None = None,
+    w: int | None = None,
+    min_docs: int | None = None,
+    persisted: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental winnowed-substring masking of a batch against the
+    materialized fingerprint index — the substring-layer sibling of
+    ``semantic_gate``: license boilerplate and chrome repeated across
+    ingests is attenuated AT INGEST TIME instead of waiting for a full
+    recuration. Returns ``(masked, index_delta)``:
+
+    - ``masked`` — the batch with ``text`` REWRITTEN through
+      ``operators.substrings.mask_winnowed_spans`` semantics over
+      seen ∪ batch (plus ``n_tokens_removed``): a selected span masks
+      iff its fingerprint occurs in ≥ ``min_docs`` distinct documents
+      among everything ever ingested plus this batch. Fingerprint
+      occurrence is a pure SET union — no id-ordering contract is even
+      needed (unlike the semantic gate's smaller-id domination), and the
+      result equals the one-shot ``mask_winnowed_spans`` over the union
+      restricted to batch rows EXACTLY (tested).
+    - ``index_delta`` — the batch's (doc_id, fp) selected fingerprints
+      of the ORIGINAL text, anti-joined by doc_id against the existing
+      index so appending it is idempotent under crash replay (the
+      ``semantic_gate`` contract: append the delta BEFORE the corpus
+      append).
+
+    Scale shape: winnowing the batch is the linear winnow plan; the
+    verdict is one groupBy over the skinny (doc, fp) union — the index
+    grows with selected fingerprints (~2/(w+1) of the token stream),
+    and at real scale the groupBy prunes to the batch's fingerprints
+    via a semi-join (small-batch case) or partial aggregation."""
+    from ts_etl_spark.operators.substrings import (
+        MIN_DOCS,
+        WINNOW_K,
+        WINNOW_W,
+        _rebuild_masked,
+        repeated_fingerprints,
+        winnow_fingerprints,
+    )
+
+    k = WINNOW_K if k is None else k
+    w = WINNOW_W if w is None else w
+    min_docs = MIN_DOCS if min_docs is None else min_docs
+    index = _win_index(spark, win_index_path)
+    bfps = winnow_fingerprints(docs, k, w).persist()
+    if persisted is not None:
+        persisted.append(bfps)
+    union_fps = index.unionByName(bfps.select("doc_id", "fp"))
+    rep = repeated_fingerprints(union_fps, min_docs)
+    # batch spans flagged by UNION-wide repetition, rebuilt through the
+    # one-shot path's shared mask (same covered-token rule)
+    flagged = (
+        bfps.join(rep.select("fp"), "fp")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("__flagged"))
+    )
+    masked = _rebuild_masked(docs, flagged, k, "text", "doc_id", "__clean")
+    masked = masked.select(
+        *[c for c in docs.columns if c != "text"],
+        F.col("__clean").alias("text"),
+        "n_tokens_removed",
+    )
+    index_delta = (
+        bfps.select("doc_id", "fp")
+        .distinct()
+        .join(index.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    return masked, index_delta
+
+
 def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     # existence via the Hadoop FileSystem API — os.path would silently
     # report an hdfs:// or s3a:// corpus as absent
@@ -338,6 +423,7 @@ def ingest_batch(
     sem_index_path: str | None = None,
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
+    win_index_path: str | None = None,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
     With ``stats_path``, also fold the batch's fingerprint registers into
@@ -346,7 +432,10 @@ def ingest_batch(
     (``monitor_batch_drift``); with ``sem_index_path`` (+
     ``sem_cents_path``, required), additionally drop paraphrase-level
     near-duplicates via the semantic gate and maintain the embedding
-    index the gate reads.
+    index the gate reads; with ``win_index_path``, FIRST rewrite the
+    batch through the incremental substring gate (``substring_gate`` —
+    cross-ingest repeated spans masked before any other gate sees the
+    text) and maintain the winnow-fingerprint index it reads.
 
     Semantic ordering/idempotence: the index delta is appended BEFORE the
     corpus append. A crash between the two replays cleanly — the replayed
@@ -373,9 +462,26 @@ def ingest_batch(
     if drift_path is not None:
         # BEFORE the append (same recacheByPath reasoning as the stats
         # ordering below) — and semantically the baseline must be the
-        # corpus as it stood when the batch arrived
+        # corpus as it stood when the batch arrived; the raw batch, since
+        # the question is what LANDED, not what the gates rewrote
         monitor_batch_drift(spark, corpus, batch_df, drift_path, batch_id)
     persisted: list[DataFrame] = []
+    win_delta = None
+    if win_index_path is not None:
+        # substring gate FIRST: masking rewrites text, and every
+        # downstream gate (fingerprint/MinHash/semantic) must see the
+        # cleaned text — the curation pipeline's stage order. Index fps
+        # come from the ORIGINAL batch text (the gate contract).
+        masked, win_delta = substring_gate(
+            spark, batch_df.select("doc_id", "text"), win_index_path,
+            persisted=persisted,
+        )
+        # same recacheByPath reasoning as the semantic gate below: both
+        # frames' lineage reads win_index_path, which gets appended to
+        batch_df = masked.select("doc_id", "text").localCheckpoint(eager=True)
+        win_delta = win_delta.localCheckpoint(eager=True)
+        persisted.append(batch_df)
+        persisted.append(win_delta)
     kept = (
         dedup_incremental(
             corpus, batch_df.select("doc_id", "text"), threshold, persisted
@@ -417,6 +523,12 @@ def ingest_batch(
         # fingerprint-idempotent corpus append).
         if stats_path is not None:
             update_corpus_stats(spark, kept, stats_path)
+        if win_delta is not None:
+            # index BEFORE corpus (the semantic gate's crash-window
+            # contract): a replay re-derives the same delta, whose
+            # doc_id anti-join no-ops, and the fp-set union makes the
+            # re-derived masking verdicts identical
+            win_delta.write.mode("append").parquet(win_index_path)
         if sem_index_path is not None:
             # index BEFORE corpus — see the docstring's replay analysis
             index_delta.write.mode("append").parquet(sem_index_path)
@@ -439,13 +551,15 @@ def run_streaming_ingest(
     sem_index_path: str | None = None,
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
+    win_index_path: str | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
     micro-batch; optionally maintaining the corpus-stats register sketch,
-    the per-batch PSI drift log, the attempt heavy-hitter counters, and —
-    with ``sem_index_path``/``sem_cents_path`` — the paraphrase-level
-    semantic gate plus its embedding index."""
+    the per-batch PSI drift log, the attempt heavy-hitter counters, with
+    ``sem_index_path``/``sem_cents_path`` the paraphrase-level semantic
+    gate plus its embedding index, and with ``win_index_path`` the
+    incremental substring gate plus its winnow-fingerprint index."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -455,7 +569,7 @@ def run_streaming_ingest(
         ingest_batch(
             spark, batch_df, corpus_path, threshold, stats_path,
             drift_path, batch_id, hh_path, sem_index_path,
-            sem_cents_path, sem_threshold,
+            sem_cents_path, sem_threshold, win_index_path,
         )
 
     q = (
