@@ -11,11 +11,13 @@ from ts_etl_spark.pipelines import curate_documents, write_curated
 
 
 def test_curation_single_documents_scan(spark, sf_smoke):
-    """The pipeline's text consumers (masking phases, metric projection,
-    LSH pass) share ONE cached parquet scan of the TEXT column — at
-    100 TB the corpus text is never read or re-tokenized twice. The only
-    other allowed scan is the domain-cap arm's skinny
-    (doc_id, source, n_chars) projection, which carries no text."""
+    """The pipeline's text consumers never rescan the corpus: the masking
+    stage reads the text column through ONE cached scan while it
+    materializes into a localCheckpoint at construction, so the final
+    plan reads the checkpointed masked frame (an RDD leaf) — no text
+    parquet scan at all. The only parquet scan left is the domain-cap
+    arm's skinny (doc_id, source, n_chars) projection, which carries no
+    text."""
     import re
 
     from ts_etl_spark.pipelines.curation import q_pipeline_curation
@@ -24,9 +26,10 @@ def test_curation_single_documents_scan(spark, sf_smoke):
     p = plan_str(q_pipeline_curation(spark, sf_smoke), "formatted")
     scans = len(re.findall(r"\(\d+\) Scan parquet", p))
     text_scans = len(re.findall(r"ReadSchema:[^\n]*\btext\b", p))
-    assert text_scans == 1, f"text column scanned {text_scans}x"
-    assert scans <= 2, f"{scans} parquet scans (expected text + skinny cap)"
-    assert "InMemoryTableScan" in p
+    assert text_scans == 0, f"text column scanned {text_scans}x post-mask"
+    assert scans <= 1, f"{scans} parquet scans (expected only the skinny cap)"
+    assert "Scan ExistingRDD" in p, "masked frame read from the checkpoint"
+    assert "InMemoryTableScan" in p, "scored projection cached"
 
 
 def test_provenance_covers_every_document(spark, sf_smoke):

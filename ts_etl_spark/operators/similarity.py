@@ -49,9 +49,14 @@ NEARDUP_THRESHOLD = 0.42
 BLOCK_CENTROIDS = 16
 BLOCK_ASSIGN = 3
 #: inc-arm corpus/batch boundary: vec_id < INC_SPLIT is the "previously
-#: ingested" corpus, the rest the landing batch (embeddings carry 500+
-#: vectors at every SF, so both sides are non-trivial everywhere)
+#: ingested" corpus, [INC_SPLIT, INC_END) the landing batch — a FIXED
+#: window (embeddings carry 500+ vectors at every SF) so the arm's cost
+#: is SF-constant. Ignoring ids ≥ INC_END is sound: domination is
+#: strict-smaller-id, so verdicts for ids < INC_END never depend on
+#: later vectors, and the one-shot equivalence restricted to the batch
+#: window is unchanged.
 INC_SPLIT = 250
+INC_END = 500
 IVF_CENTROIDS = 8
 # On clustered (real) embeddings few probes suffice; the synthetic corpus is
 # UNIFORM random, where IVF recall converges to nprobe/K by construction —
@@ -132,10 +137,13 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``label`` the neighbor rank 1..KNN_K. The sem and knn arms share
       ONE memoized+persisted cell-assignment and in-cell edge frame
       (``cell_edges``) — the edge self-join runs once, not per arm.
-    - ``op='inc'`` — ``semantic_dedup_incremental`` of the batch slice
-      (vec_id ≥ INC_SPLIT) against the corpus slice below it; the
-      oracle is the sem arm restricted to batch ids via the proven
-      batch-boundary equivalence (see the arm's inline comment).
+    - ``op='inc'`` — ``semantic_dedup_incremental`` of the fixed batch
+      window (vec_id in [INC_SPLIT, INC_END)) against the corpus slice
+      below it; the oracle is the sem arm restricted to batch ids via
+      the proven batch-boundary equivalence (see the arm's inline
+      comment). The window is SF-constant so the arm's cost doesn't
+      scale with the corpus — gating the code path, not re-deduping the
+      world.
 
     The blocking is part of the query SEMANTICS and the oracle reproduces
     the cell assignment in SQL: each vector goes to its BLOCK_ASSIGN=3
@@ -251,7 +259,9 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sem arm's drop rows filtered to batch ids: if the incremental code
     # path ever diverges from the one-shot semantics, the hash breaks.
     inc_prov = semantic_dedup_incremental(
-        vecs.filter(F.col("vec_id") >= INC_SPLIT).select("vec_id", "v", "nrm"),
+        vecs.filter(
+            (F.col("vec_id") >= INC_SPLIT) & (F.col("vec_id") < INC_END)
+        ).select("vec_id", "v", "nrm"),
         assigned1.filter(F.col("vec_id") < INC_SPLIT),
         cents,
         SEMDEDUP_THRESHOLD,
@@ -999,12 +1009,13 @@ ORACLE = {
         FROM knn WHERE rank <= {KNN_K}
         UNION ALL
         -- inc arm: by the tested batch-boundary equivalence, incremental
-        -- semantic dedup of the batch (vec_id >= INC_SPLIT) against the
-        -- corpus slice below it drops EXACTLY the one-shot drops among
-        -- batch ids
+        -- semantic dedup of the fixed batch window against the corpus
+        -- slice below it drops EXACTLY the one-shot drops among batch
+        -- ids (domination is strict-smaller-id, so ids >= INC_END are
+        -- irrelevant to these verdicts)
         SELECT 'inc' AS op, CAST(cell AS INT) AS label,
                id_d AS id_a, id_k AS id_b, c AS cosine
-        FROM sem_drop WHERE id_d >= {INC_SPLIT}
+        FROM sem_drop WHERE id_d >= {INC_SPLIT} AND id_d < {INC_END}
     """,
     "embed_ann_ivf": f"""
         WITH v AS (

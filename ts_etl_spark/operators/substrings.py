@@ -176,6 +176,7 @@ def mask_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clean_text",
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Rewrite each document with cross-document repeated spans removed —
     TWO-PHASE, so the dense work never touches the whole corpus:
@@ -203,8 +204,17 @@ def mask_repeated_spans(
     the candidate subset only (on real corpora a small fraction), one
     distinct + groupBy for cross-doc counts, one skinny join back, one
     per-doc collect of flagged starts, then a map-side per-token
-    ``exists`` rebuild."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    ``exists`` rebuild.
+
+    The winnowed selection feeds two consumers (the repeated-fingerprint
+    count and the candidate join), so the skinny fps frame is persisted —
+    without the cache the two-window winnow plan (the function's dominant
+    cost) runs twice. ``persisted`` (a list, the repo's cache-release
+    contract) receives it for caller-side unpersist once the lazy result
+    is materialized."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
+    if persisted is not None:
+        persisted.append(fps)
     rep = repeated_fingerprints(fps, min_docs, id_col)
     cand_ids = fps.join(rep, "fp").select(id_col).distinct()
     cand_docs = docs.join(cand_ids, id_col, "left_semi")

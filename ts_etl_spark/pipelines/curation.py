@@ -112,7 +112,11 @@ def curate_documents(
     receive the cached frames — a long-lived session that skips this keeps
     the corpus-scan cache resident forever (``cli.run_curate`` is the
     reference usage; one-shot bench/driver runs clear the whole cache
-    instead).
+    instead). EXCEPTION: with ``substring_mask`` the masking stage
+    materializes EAGERLY at call time into a localCheckpoint (its
+    lineage otherwise rides inside every downstream stage — see the
+    inline comment), and its temporary raw/winnow caches are released
+    here, not via ``persisted``.
     """
     # ONE cached scan of documents feeds both the metric projection and the
     # LSH near-dup pass (the pipeline's two text consumers) — at 100 TB you
@@ -144,14 +148,31 @@ def curate_documents(
         # masking reads its input several times (winnow selection, the
         # candidate gram phase, the final rebuild join) — cache the raw
         # text projection so those are memory reads, not corpus rescans
+        raw = docs.repartition(par, "doc_id").persist()
+        mask_caches: list[DataFrame] = []
+        masked = mask_repeated_spans(
+            raw, k=k_, w=w_, min_docs=m_, persisted=mask_caches
+        ).select("doc_id", F.col("clean_text").alias("text"))
+        # localCheckpoint, not persist: every downstream stage (metrics,
+        # fingerprints, LSH, cap, budget) references the masked frame,
+        # and a mere cache keeps the whole winnow lineage inside each
+        # reference — measured ~5 s of pure driver planning/AQE overhead
+        # per run at sf0.1 on the resulting mega-plan. Checkpointing cuts
+        # the plan at a leaf (11 s → 6 s for the registered entry) and
+        # lets the raw/winnow caches release immediately; blocks are
+        # freed by the ContextCleaner when the frame is GC'd (the
+        # _track_persists contract). Trade-off: the masking stage
+        # materializes EAGERLY at construction time (documented — the
+        # rest of the result stays lazy).
+        docs = masked.localCheckpoint(eager=True)
+        raw.unpersist()
+        for df in mask_caches:
+            df.unpersist()
+    else:
         docs = docs.repartition(par, "doc_id").persist()
-        if persisted is not None:
-            persisted.append(docs)
-        docs = mask_repeated_spans(docs, k=k_, w=w_, min_docs=m_).select(
-            "doc_id", F.col("clean_text").alias("text")
-        )
-    docs = docs.repartition(par, "doc_id").persist()
-    if persisted is not None:
+    if persisted is not None and not substring_mask:
+        # the masked path's docs is a checkpoint, not a cache — nothing
+        # for the caller to release (ContextCleaner owns the blocks)
         persisted.append(docs)
     scored = docs.select("doc_id", "text", *_metric_cols(), *_signature_cols())
     if clf_threshold is not None:

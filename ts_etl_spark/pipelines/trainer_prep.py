@@ -199,10 +199,15 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # one LSH pass feeds the audit AND the component splitter; the band
-    # join is the arm's dominant cost, so share it across consumers
-    near = minhash_lsh_pairs(docs).persist()
+    # join is the arm's dominant cost, so share it across consumers.
+    # Repartition first: the local test file is a single input split and
+    # the shingle/signature projection is the compute-heavy step (the
+    # shingle_sets_df rationale — AQE coalesces this away at real scale)
+    par = spark.sparkContext.defaultParallelism
+    ldocs = docs.repartition(par, "doc_id")
+    near = minhash_lsh_pairs(ldocs).persist()
     audit = split_leakage_audit(
-        docs, weights=SPLIT_WEIGHTS, key_cols=["doc_id"], seed="split",
+        ldocs, weights=SPLIT_WEIGHTS, key_cols=["doc_id"], seed="split",
         near_pairs=near,
     )
     leak = audit.select(
@@ -214,7 +219,7 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("ok"),
     )
     safe = component_safe_splits(
-        docs, SPLIT_WEIGHTS, seed="split", near_pairs=near
+        ldocs, SPLIT_WEIGHTS, seed="split", near_pairs=near
     )
     leak_safe = (
         split_leakage_audit(
