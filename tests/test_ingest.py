@@ -395,3 +395,48 @@ def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
     )
     assert corpus == [1, 2, 11], "bag-of-words paraphrase 10 dropped cross-batch"
     assert out == {"corpus_docs": 3}
+
+
+def test_cli_ingest_with_substring_gate(spark, tmp_path):
+    """--win-index from the CLI layer: boilerplate repeated across two
+    micro-batches is attenuated in the later batch's stored text and the
+    winnow index materializes. Construction is guarantee-based, not
+    seed-based: the unique regions are large (80 tokens) so the two docs
+    are NOT MinHash near-dups even unmasked (shared-shingle fraction far
+    below the threshold), and the 40-token shared run is over the
+    winnowing guarantee length, so at least one full k-token span of
+    doc 2's boiler is provably removed."""
+    import random
+
+    from ts_etl_spark.cli import run_ingest
+
+    rng = random.Random(17)
+    boiler = " ".join(f"w{rng.randrange(10_000)}" for _ in range(40))
+    uniq1 = " ".join(f"u{rng.randrange(10_000)}" for _ in range(80))
+    uniq2 = " ".join(f"v{rng.randrange(10_000)}" for _ in range(80))
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write(str(d / "b0.parquet"), [(1, f"{boiler} {uniq1}")])
+    _write(str(d / "b1.parquet"), [(2, f"{uniq2} {boiler}")])
+    import os as _os, time as _time
+
+    now = _time.time()
+    _os.utime(d / "b0.parquet", (now - 40, now - 40))
+    _os.utime(d / "b1.parquet", (now - 20, now - 20))
+    out = run_ingest(
+        str(d), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        win_index_path=str(tmp_path / "win"),
+        spark=spark,
+    )
+    assert out == {"corpus_docs": 2}
+    stored = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert len(stored[1].split()) == 120, "first batch saw no prior fps"
+    # >= one shared selected fingerprint (winnow guarantee) => >= one
+    # full 8-token span of doc 2's boiler removed; unique text survives
+    n2 = len(stored[2].split())
+    assert n2 <= 112, "cross-batch boilerplate attenuated"
+    assert n2 >= 80, "unique region untouched"
+    assert spark.read.parquet(str(tmp_path / "win")).count() > 0

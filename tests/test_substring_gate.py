@@ -106,23 +106,28 @@ def test_crash_window_replay_idempotent(spark, tmp_path, corpus_rows):
 
 
 def test_ingest_batch_with_substring_gate(spark, tmp_path):
-    """End-to-end: boilerplate repeated across two ingests is masked from
-    the second batch's stored documents (module defaults need a >= 32
-    token shared run), and replay leaves corpus + index unchanged."""
+    """End-to-end: boilerplate repeated across two ingests is attenuated
+    in the second batch's stored documents (module defaults need a >= 32
+    token shared run), and replay leaves corpus + index unchanged. Large
+    unique regions keep the docs below the MinHash near-dup threshold
+    even unmasked, so the assertion tests the SUBSTRING gate, not the
+    near-dup gate (guarantee-based, not seed-based)."""
     rng = random.Random(41)
     boiler = _rand_words(rng, 40)
     corpus_path = str(tmp_path / "corpus")
     win_path = str(tmp_path / "win")
-    b1 = _docs(spark, [(1, f"{boiler} {_rand_words(rng, 10)}")])
-    b2 = _docs(spark, [(2, f"{_rand_words(rng, 8)} {boiler}")])
+    b1 = _docs(spark, [(1, f"{boiler} {_rand_words(rng, 80)}")])
+    b2 = _docs(spark, [(2, f"{_rand_words(rng, 80)} {boiler}")])
     ingest_batch(spark, b1, corpus_path, win_index_path=win_path)
     ingest_batch(spark, b2, corpus_path, win_index_path=win_path)
     stored = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
     assert set(stored) == {1, 2}
     # batch 1 saw no prior fps -> stored intact (lowercased canonical form)
-    assert len(stored[1].split()) == 50
-    # batch 2's shared run attenuated before storage
-    assert len(stored[2].split()) < 48
+    assert len(stored[1].split()) == 120
+    # batch 2's shared run attenuated before storage: the winnow
+    # guarantee flags >= one full 8-token span; unique text survives
+    n2 = len(stored[2].split())
+    assert 80 <= n2 <= 112
     ingest_batch(spark, b2, corpus_path, win_index_path=win_path)  # replay
     stored2 = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
     idx = spark.read.parquet(win_path)

@@ -41,7 +41,11 @@ def corpus_data_card(
     - ``n_docs``, ``doc_share`` (fraction of all docs, exact),
     - ``n_ws_tokens`` (whitespace tokens, summed), ``n_chars`` (summed),
     - ``chars_p50/p90/p99`` (linear-interpolation percentiles of doc
-      length, rounded to 6),
+      length, rounded to 6 — EXACT ``F.percentile``, deliberately not
+      the repo's usual ``percentile_approx`` route: exactness is
+      load-bearing for the DuckDB ``quantile_cont`` value parity, and
+      the aggregation buffer is bounded by DISTINCT doc-length values
+      per slice, which stays small at any corpus size),
     - ``quality_rate`` (share passing the textops gate: ≥10 tokens,
       ≥100 chars, alpha ratio ≥ 0.5),
     - ``exact_dup_rate`` (share of docs whose canonical fingerprint has
