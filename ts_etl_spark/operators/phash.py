@@ -212,7 +212,9 @@ def phash_candidate_pairs(
     under ``max_bucket`` is directly testable.
 
     ``block_col`` (a column of ``hashes``) is composed into the join
-    key. ``max_bucket`` drops over-occupied buckets first: a groupBy
+    key; rows with a NULL block key never pair (NULL ≠ NULL in the
+    equality join) — assign a sentinel block first if NULLs should form
+    a bucket. ``max_bucket`` drops over-occupied buckets first: a groupBy
     count over the skinny band rows, joined back — candidates are then
     ≤ N·bands·max_bucket/2 by construction (each surviving bucket of
     size s ≤ max_bucket contributes s·(s-1)/2 ≤ s·max_bucket/2 pairs,
