@@ -574,3 +574,36 @@ def test_round7_operators_plan_shapes(spark):
     # candidate generation in the audit joins on band keys, not text
     aplan = plan_str(split_leakage_audit(docs, weights={"a": 0.5, "b": 0.5}))
     assert "bh" in aplan and "band" in aplan
+
+
+def test_round8_operators_plan_shapes(spark, tmp_path):
+    """Plan-shape sweep over the round-8 operators: the substring gate's
+    union-fp verdict and the star-edge construction stay cartesian-free;
+    the capped phash candidate join carries the occupancy prefilter (a
+    count aggregate feeding the join) rather than any nested-loop shape;
+    the splitter's exact edges come from a groupBy-min star, visible as
+    a partial_min aggregate instead of a second fingerprint self-join."""
+    from ts_etl_spark.operators.phash import image_phash, phash_candidate_pairs
+    from ts_etl_spark.operators.multimodal import binary_payloads
+    from ts_etl_spark.pipelines.leakage import _exact_star_edges
+    from ts_etl_spark.streaming.ingest import substring_gate
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    masked, delta = substring_gate(
+        spark, docs, str(tmp_path / "win_idx_never_written")
+    )
+    hashes = image_phash(binary_payloads(spark, SF))
+    capped = phash_candidate_pairs(hashes, bands=4, max_bucket=8)
+    star = _exact_star_edges(docs)
+    for df in (masked, delta, capped, star):
+        plan = plan_str(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    splan = plan_str(star)
+    assert "min(doc_id" in splan or "partial_min" in splan.lower(), (
+        "star edges built from the groupBy-min hub, not a pair self-join"
+    )
+    cplan = plan_str(capped)
+    assert "count(1)" in cplan or "count(" in cplan, (
+        "occupancy prefilter present in the capped candidate plan"
+    )
