@@ -120,6 +120,9 @@ def test_registered_domain_psl_lookup_and_fallback(spark):
         "http://example.de": "example.de",
         # host EQUAL to a suffix: no registrable label -> naive fallback
         "https://co.uk/": "co.uk",
+        # www can BE the registrable label: PSL matching runs on the
+        # full host (no premature www-strip)
+        "https://www.co.uk/": "www.co.uk",
         # unmatched TLD -> naive fallback (last two labels)
         "https://deep.sub.example.xyz": "example.xyz",
         "http://localhost:8080/p": "localhost",
@@ -154,7 +157,8 @@ def test_registered_domain_psl_plan_broadcasts(spark):
         registered_domain_psl(docs, "url", psl)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan, "suffix lookup must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

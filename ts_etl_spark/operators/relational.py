@@ -342,7 +342,7 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k without a global sort (TakeOrderedAndProject).
     Registered as the ``topk`` arm of ``set_operations`` since round 8
     (the 50-entry cap — the freed slot went to ``corpus_report``); kept
-    as a standalone callable for tests and the bench supplement."""
+    as a standalone callable for the plan-shape tests."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select(

@@ -148,6 +148,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     payloads = binary_payloads(spark, sf_dir)
+    # ENFORCED, not assumed: a corpus slice with ids at/above the offset
+    # would collide planted ids with real ones and corrupt the recall
+    # gate silently. One cheap skinny agg at construction.
+    max_id = payloads.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= PLANT_OFFSET:
+        raise ValueError(
+            f"documents carry doc_id {max_id} >= PLANT_OFFSET "
+            f"{PLANT_OFFSET}; raise the offset so planted copies cannot "
+            "collide with real ids"
+        )
     planted = payloads.select(
         (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "payload"
     )

@@ -130,12 +130,20 @@ def repeated_spans(
     min_docs: int = MIN_DOCS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document flagged span starts: ``(id_col, pos, fp, n_docs)`` —
     every selected fingerprint position whose fingerprint recurs in ≥
     ``min_docs`` documents. The audit surface (what would
-    ``mask_repeated_spans`` remove, and how widely is it shared?)."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col)
+    ``mask_repeated_spans`` remove, and how widely is it shared?).
+
+    The winnowed selection feeds two consumers (the repeated count and
+    the join back), so the skinny fps frame is persisted — the
+    ``mask_repeated_spans`` rationale; ``persisted`` receives it for
+    caller-side release."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).persist()
+    if persisted is not None:
+        persisted.append(fps)
     rep = repeated_fingerprints(fps, min_docs, id_col)
     return fps.join(rep, "fp").select(id_col, "pos", "fp", "n_docs")
 

@@ -92,7 +92,13 @@ def registered_domain_psl(
         return docs.select(
             "*", registered_domain(F.col(url_col)).alias(out_col)
         )
-    host_expr = strip_www(url_host(F.col(url_col)))
+    # the UN-stripped host: the PSL algorithm runs on the full host, and
+    # `www` can itself be the registrable label (www.co.uk is a real
+    # registrable domain — stripping it first would collapse that host
+    # into its public suffix). A leading www never changes the naive
+    # last-two-labels fallback, so the fallback stays registered_domain-
+    # consistent.
+    host_expr = url_host(F.col(url_col))
     with_host = docs.select("*", host_expr.alias("__host"))
     hosts = with_host.select("__host").distinct().filter(
         F.col("__host").isNotNull()
@@ -119,10 +125,12 @@ def registered_domain_psl(
         .groupBy("__host")
         .agg(F.max("__tail_len").alias("__best_len"))
     )
-    # naive fallback re-derived from the host (one definition with
-    # registered_domain: last two labels, else the host itself)
-    hnaive = F.regexp_extract(F.col("__host"), _REG_DOMAIN_PAT, 1)
-    naive = F.when(hnaive != "", hnaive).otherwise(F.col("__host"))
+    # naive fallback re-derived from the host, EXACTLY as
+    # registered_domain computes it (strip one www label, then last two
+    # labels, else the remaining host)
+    stripped = strip_www(F.col("__host"))
+    hnaive = F.regexp_extract(stripped, _REG_DOMAIN_PAT, 1)
+    naive = F.when(hnaive != "", hnaive).otherwise(stripped)
     # longest matching suffix + one extra label; hosts EQUAL to a suffix
     # (no registrable label left) and unmatched hosts fall back to naive
     reg = F.when(

@@ -120,6 +120,12 @@ def semantic_gate(
         )
         .persist()
     )
+    # register the cache BEFORE the contract check so a rejected batch
+    # never leaks it (a long-lived service catches the ValueError per
+    # batch and continues); callers without a release list get an
+    # explicit unpersist on the raise path
+    if persisted is not None:
+        persisted.append(vecs)
     index = _sem_index(spark, sem_index_path)
     max_seen = index.agg(F.max("vec_id")).first()[0]
     if max_seen is not None:
@@ -130,6 +136,8 @@ def semantic_gate(
             .first()
         )
         if stale is not None:
+            if persisted is None:
+                vecs.unpersist()
             raise ValueError(
                 f"batch vec_id {stale[0]} is <= the semantic index's max "
                 f"seen id {max_seen} and not a replay of an indexed id: "
@@ -139,7 +147,7 @@ def semantic_gate(
             )
     prov = semantic_dedup_incremental(vecs, index, cents, threshold).persist()
     if persisted is not None:
-        persisted += [vecs, prov]
+        persisted.append(prov)
     drop_ids = prov.filter(~F.col("kept")).select(
         F.col("vec_id").alias("doc_id")
     )
@@ -230,10 +238,13 @@ def substring_gate(
         F.col("__clean").alias("text"),
         "n_tokens_removed",
     )
+    # no distinct on the anti-join's build side: duplicate keys there
+    # cannot change anti-join semantics, and the aggregate would rescan
+    # the ever-growing index every micro-batch for nothing
     index_delta = (
         bfps.select("doc_id", "fp")
         .distinct()
-        .join(index.select("doc_id").distinct(), "doc_id", "left_anti")
+        .join(index.select("doc_id"), "doc_id", "left_anti")
     )
     return masked, index_delta
 
