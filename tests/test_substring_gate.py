@@ -105,6 +105,87 @@ def test_crash_window_replay_idempotent(spark, tmp_path, corpus_rows):
     assert delta2 == [], "replayed delta no-ops"
 
 
+def test_ingest_all_three_gates_compose(spark, tmp_path):
+    """The full gate stack in one ingest flow — substring gate first
+    (text rewrite), then fingerprint/MinHash incremental dedup, then the
+    semantic gate — each case landing at its documented gate across two
+    batches. Two interplay contracts this test pins down:
+
+    - a full-document duplicate is ALSO a full-substring duplicate, so
+      the substring gate attenuates it FIRST and the duplicate then
+      drops at the NEAR-dup (MinHash) layer, not the exact-fingerprint
+      layer — the conservative direction (still dropped, one gate
+      earlier in evidence, one later in verdict);
+    - the hashed-BoW embedding seam makes LONG documents look alike
+      (counts over 64 dims concentrate: the two 120-token docs here
+      measure cosine 0.9953 under the pinned seed), so the composed
+      flow pins the semantic threshold at 0.999: only true bag-equal
+      paraphrases (cosine exactly 1.0) drop — the deterministic
+      contract a fake-embedding test can assert. A real embedding model
+      does not saturate this way; the threshold is a property of the
+      test seam, not of the gate."""
+    from ts_etl_spark.operators.embedding import embed_documents
+    from ts_etl_spark.operators.similarity import (
+        as_double,
+        norm,
+        train_ivf_centroids,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(53)
+    boiler = _rand_words(rng, 40)
+    uniq1 = _rand_words(rng, 80)
+    uniq2 = _rand_words(rng, 80)
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    A_PARA = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    idx_path = str(tmp_path / "sem_idx")
+    cents_path = str(tmp_path / "cents")
+
+    seed_docs = _docs(
+        spark, [(i, f"seed doc {i} w{i} w{i+1}") for i in range(10)]
+    )
+    v = as_double(SF.col("embedding"))
+    seed_vecs = (
+        embed_documents(seed_docs)
+        .filter(SF.col("embedding").isNotNull())
+        .select(SF.col("doc_id").alias("vec_id"), v.alias("v"), norm(v).alias("nrm"))
+    )
+    train_ivf_centroids(seed_vecs, k=3, seed=7, max_iter=2).write.parquet(
+        cents_path
+    )
+
+    kw = dict(
+        win_index_path=win_path,
+        sem_index_path=idx_path,
+        sem_cents_path=cents_path,
+        sem_threshold=0.999,
+    )
+    b1 = _docs(spark, [(1, f"{boiler} {uniq1}"), (2, A)])
+    ingest_batch(spark, b1, corpus_path, **kw)
+    b2 = _docs(
+        spark,
+        [
+            (10, f"{uniq2} {boiler}"),  # boilerplate: attenuated, kept
+            (11, f"{boiler} {uniq1}"),  # full copy of 1 -> masked, then near-dup drop
+            (12, A_PARA),  # bag-equal paraphrase of 2 -> semantic gate
+            (13, "totally novel words about entirely different topics here now"),
+        ],
+    )
+    ingest_batch(spark, b2, corpus_path, **kw)
+    stored = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
+    assert set(stored) == {1, 2, 10, 13}, (
+        "duplicate 11 and paraphrase 12 dropped; boiler doc 10 and novel 13 kept"
+    )
+    n10 = len(stored[10].split())
+    assert 80 <= n10 <= 112, "doc 10's cross-batch boilerplate attenuated"
+    # semantic index records vectors SEEN among semantic-gate arrivals
+    sem_ids = {r.vec_id for r in spark.read.parquet(idx_path).collect()}
+    assert 12 in sem_ids, "dropped paraphrase indexed as future dominator"
+    assert 11 not in sem_ids, "near-dup-dropped doc never reached the semantic gate"
+
+
 def test_ingest_batch_with_substring_gate(spark, tmp_path):
     """End-to-end: boilerplate repeated across two ingests is attenuated
     in the second batch's stored documents (module defaults need a >= 32

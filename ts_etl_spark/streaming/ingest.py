@@ -448,6 +448,15 @@ def ingest_batch(
     cross-ingest repeated spans masked before any other gate sees the
     text) and maintain the winnow-fingerprint index it reads.
 
+    Gate-order interplay (deliberate, tested): a full-document duplicate
+    is also a full-substring duplicate, so with the substring gate on,
+    re-submitted documents are ATTENUATED first and then drop at the
+    NEAR-dup (MinHash) layer rather than the exact-fingerprint layer —
+    the verdict is the same, the provenance gate differs. If exact-dup
+    provenance matters (re-crawl accounting), read the attempt
+    heavy-hitter counters (pre-gate by design) or run without the
+    substring gate.
+
     Semantic ordering/idempotence: the index delta is appended BEFORE the
     corpus append. A crash between the two replays cleanly — the replayed
     batch's surviving docs are not yet fingerprint-dropped, the semantic
