@@ -219,9 +219,42 @@ def test_min_label_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a LONG, id_b LONG"
     )
+    # small_edges=0 forces the distributed Pregel path (the local
+    # union-find is exact at any diameter and would mask the budget)
     with pytest.raises(RuntimeError, match="did not converge"):
-        min_label_components(chain, max_iter=2)
+        min_label_components(chain, max_iter=2, small_edges=0)
     # ...and converges fine with budget for the diameter
-    labels = min_label_components(chain, max_iter=10)
+    labels = min_label_components(chain, max_iter=10, small_edges=0)
     assert {r.comp for r in labels.collect()} == {0}
     labels.unpersist()
+
+
+def test_local_union_find_equals_distributed(spark):
+    """The route-by-size fast path: driver-local union-find labels equal
+    the distributed Pregel labels on a mixed graph (chain + clique +
+    isolated nodes), with and without an explicit node frame."""
+    import random
+
+    from ts_etl_spark.operators.dedup import min_label_components
+
+    rng = random.Random(31)
+    edges = [(i, i + 1) for i in range(10, 18)]  # a 9-node chain
+    edges += [(a, b) for a in range(4) for b in range(4) if a < b]  # clique
+    edges += [(rng.randrange(100, 200), rng.randrange(100, 200)) for _ in range(30)]
+    edges = [e for e in edges if e[0] != e[1]]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    nodes = spark.createDataFrame(
+        [(n,) for n in range(250)], "node LONG"
+    )
+
+    def lab(**kw):
+        df = min_label_components(pairs, **kw)
+        out = {(r.node, r.comp) for r in df.collect()}
+        df.unpersist()
+        return out
+
+    assert lab() == lab(small_edges=0)
+    assert lab(nodes=nodes) == lab(nodes=nodes, small_edges=0)
+    got = dict(lab(nodes=nodes))
+    assert got[249] == 249, "isolated node labels itself"
+    assert all(got[i] == 10 for i in range(10, 19)), "chain collapses to min"

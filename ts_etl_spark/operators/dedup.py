@@ -420,28 +420,71 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: edge-count threshold below which components run as a driver-local
+#: union-find instead of the distributed Pregel loop (route-by-size,
+#: the blocklist_frac_expr pattern): each Pregel round costs a fixed
+#: ~0.4 s of job/checkpoint overhead regardless of data size, which
+#: dwarfs a millisecond union-find on the small pair lists dedup
+#: pipelines actually produce. 100k edges collect to a few MB.
+SMALL_COMPONENT_EDGES = 100_000
+
+
+def _local_union_find(edge_rows) -> dict[int, int]:
+    """Min-label components of a small collected edge list: classic
+    union-find with path compression; labels canonicalized to the
+    component's min node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by MIN so the root is already the canonical label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def min_label_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 20,
+    small_edges: int = SMALL_COMPONENT_EDGES,
 ) -> DataFrame:
-    """Connected components over an undirected (id_a, id_b) pair list by
-    iterative min-label propagation (the Pregel/GraphFrames recipe) —
+    """Connected components over an undirected (id_a, id_b) pair list —
     returns (node, comp) with comp the component's min node id.
+
+    ROUTE BY SIZE: a bounded ``limit(small_edges + 1)`` probe collects
+    the edge list when it fits (the ``bpe.py`` capped-collect pattern);
+    small graphs — the common case, since the pair lists feeding this
+    are already deduplicated candidate sets — resolve as a driver-local
+    union-find in milliseconds, with exactly the same labels. Larger
+    graphs run the iterative min-label propagation (the
+    Pregel/GraphFrames recipe) below; pass ``small_edges=0`` to force
+    it. ``nodes`` never collects: isolated vertices label themselves
+    through a distributed left join either way.
 
     ``nodes`` optionally names the full vertex frame (one ``node``
     column); isolated vertices then appear with comp = their own id.
     Without it, only endpoints of edges are labeled.
 
-    Each iteration is a pair of hash joins + a grouped min — all
-    distributed; the driver loop checks one scalar convergence count per
-    round, rounds bounded by component diameter (near-dup clusters are
-    near-cliques: 2-3 rounds in practice; ``max_iter`` caps adversarial
-    chains). Exhausting ``max_iter`` without converging RAISES rather
-    than returning silently-wrong labels — a chain longer than the
-    iteration budget would otherwise split one component in two, and
-    consumers like ``component_safe_splits`` build correctness
-    guarantees on these labels.
+    Distributed path: each iteration is a pair of hash joins + a grouped
+    min — all distributed; the driver loop checks one scalar convergence
+    count per round, rounds bounded by component diameter (near-dup
+    clusters are near-cliques: 2-3 rounds in practice; ``max_iter`` caps
+    adversarial chains). Exhausting ``max_iter`` without converging
+    RAISES rather than returning silently-wrong labels — a chain longer
+    than the iteration budget would otherwise split one component in
+    two, and consumers like ``component_safe_splits`` build correctness
+    guarantees on these labels. (The local path is exact for ANY
+    diameter — no budget.)
 
     Every round ``localCheckpoint``s the new label frame: each iteration
     references the previous labels TWICE (neighbor min + the update
@@ -450,7 +493,28 @@ def min_label_components(
     the driver before any executor works. This is the same
     checkpoint-interval discipline GraphFrames applies to its Pregel
     loops. The returned frame is materialized; caller unpersists after
-    its downstream results are computed."""
+    its downstream results are computed (a no-op for the local path's
+    plain frame)."""
+    if small_edges:
+        probe = (
+            pairs.select("id_a", "id_b").limit(small_edges + 1).collect()
+        )
+        if len(probe) <= small_edges:
+            spark = pairs.sparkSession
+            labels_map = _local_union_find((r[0], r[1]) for r in probe)
+            local = spark.createDataFrame(
+                list(labels_map.items()) or [],
+                "node LONG, comp LONG",
+            )
+            if nodes is None:
+                return local
+            return (
+                nodes.select("node")
+                .join(local.withColumnRenamed("comp", "__c"), "node", "left")
+                .select(
+                    "node", F.coalesce("__c", F.col("node")).alias("comp")
+                )
+            )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
