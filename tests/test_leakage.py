@@ -200,6 +200,47 @@ def test_star_edges_linear_in_group_size_same_components(spark):
     assert comps(_exact_star_edges(small)) == comps(_exact_pair_edges(small))
 
 
+def test_edge_violations_equivalent_to_audit_emptiness(spark):
+    """split_edge_violations' emptiness gate: nonempty exactly when the
+    full audit is nonempty on the leaking hand fixture, empty on
+    component-safe splits, and linear on a planted degenerate group
+    (star edges, never the audit's O(g²) pairs)."""
+    from ts_etl_spark.pipelines.leakage import split_edge_violations
+
+    fix = _fix(spark)
+    labels = fix.select("doc_id", "split")
+    viol = split_edge_violations(fix, labels).collect()
+    assert viol, "leaking fixture shows crossing edges"
+    persisted = []
+    audit = split_leakage_audit(fix, split_col="split", persisted=persisted)
+    assert audit.count() > 0
+    for df in persisted:
+        df.unpersist()
+    # every audited leak's component is represented among edge kinds
+    kinds = {r.kind for r in viol}
+    assert kinds <= {"exact", "near"} and kinds
+
+    safe = component_safe_splits(fix, {"train": 0.5, "test": 0.5})
+    assert (
+        split_edge_violations(fix, safe.select("doc_id", "split")).count() == 0
+    ), "component-safe splits show zero crossing edges"
+
+    # planted 1000-copy group straddling a split: the EXACT layer sees
+    # it through g-1 star edges, never the audit's 499500 pairs (the
+    # near layer is LSH's clique on not-yet-deduped identical text —
+    # the documented reason this gate runs post-exact-dedup in practice)
+    g = 1000
+    rows = [(i, "same boilerplate text that every crawler keeps finding") for i in range(g)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    bad = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test").alias("split"),
+    )
+    v = split_edge_violations(docs, bad)
+    n_exact = v.filter(F.col("kind") == "exact").count()
+    assert 0 < n_exact <= g - 1, f"exact layer linear, got {n_exact}"
+
+
 def test_validation(spark):
     docs = _fix(spark)
     with pytest.raises(ValueError, match="exactly one"):

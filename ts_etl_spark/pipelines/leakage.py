@@ -157,6 +157,56 @@ def split_leakage_audit(
     return exact_out.unionByName(near)
 
 
+def split_edge_violations(
+    docs: DataFrame,
+    labels: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    near_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """EDGES (exact star + verified near) whose endpoints land in
+    different splits: ``(kind, id_a, id_b, split_a, split_b)``.
+    ``labels`` is a (doc_id, split) frame.
+
+    EMPTINESS of this frame is EQUIVALENT to emptiness of the full
+    ``split_leakage_audit`` whenever splits are constant on the
+    exact/near connected components (the ``component_safe_splits``
+    output): an audit 'exact' pair (a, b) crossing splits means a
+    fingerprint group spans two splits, so one of its STAR edges (every
+    member ↔ the group hub) crosses too; an audit 'near' pair IS an
+    edge. The converse is immediate (every edge the audit's layers
+    would also report). This is therefore the scale-honest way to GATE
+    that a split assignment passes the audit: the audit's EXACT layer
+    materializes O(g²) pairs per duplicate group — fine when pairs are
+    the requested OUTPUT, a pathological blowup when a raw corpus holds
+    a multi-million-copy group and all you need is the boolean — while
+    the star construction here costs g−1 edges per group. The NEAR
+    layer is the banded-LSH pair list either way (linear in band-bucket
+    occupancy; a not-yet-deduped identical-copy mass is a clique there
+    too — which is why production runs this gate AFTER exact dedup has
+    collapsed such groups, the order ``curate_documents`` implements)."""
+    la = labels.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    if near_pairs is None:
+        near_pairs = minhash_lsh_pairs(docs.select("doc_id", "text"))
+    near = near_pairs.filter(F.col("jaccard") >= threshold).select(
+        F.lit("near").alias("kind"), "id_a", "id_b"
+    )
+    star = _exact_star_edges(docs).select(
+        F.lit("exact").alias("kind"), "id_a", "id_b"
+    )
+    return (
+        star.unionByName(near)
+        .join(la, "id_a")
+        .join(lb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("kind", "id_a", "id_b", "split_a", "split_b")
+    )
+
+
 def component_safe_splits(
     docs: DataFrame,
     weights: Mapping[str, float],

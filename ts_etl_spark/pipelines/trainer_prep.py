@@ -35,11 +35,13 @@ Unified schema ``(op, k1, k2, s, v, ok)``:
   re-derives the md5 split, fingerprint equality, and exact Jaccard
   (LSH output == exact at the threshold, the ``dedup_minhash_lsh``
   recall contract).
-- ``leak_safe`` row: re-auditing the corpus under
-  ``component_safe_splits`` (exact star edges + near edges → min-label
-  components → per-component split) must find ZERO leaks — the
-  passes-by-construction property as a driver-gated boolean. Both
-  leakage arms share ONE LSH pass (``near_pairs``).
+- ``leak_safe`` row: the corpus under ``component_safe_splits`` (exact
+  star edges + near edges → min-label components → per-component
+  split) must show ZERO cross-split EDGES — equivalent to the full
+  audit coming back empty (``leakage.split_edge_violations`` proves
+  the equivalence) while staying linear on degenerate duplicate
+  groups. The passes-by-construction property as a driver-gated
+  boolean; both leakage arms share ONE LSH pass (``near_pairs``).
 """
 
 from __future__ import annotations
@@ -195,6 +197,7 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ts_etl_spark.operators.dedup import minhash_lsh_pairs
     from ts_etl_spark.pipelines.leakage import (
         component_safe_splits,
+        split_edge_violations,
         split_leakage_audit,
     )
 
@@ -221,11 +224,13 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe = component_safe_splits(
         ldocs, SPLIT_WEIGHTS, seed="split", near_pairs=near
     )
+    # emptiness via the EDGE-level check, not a second pair-grained
+    # audit: provably equivalent under per-component splits (see
+    # split_edge_violations) and linear in degenerate duplicate groups
+    # where the audit's exact pair join is O(g²)
     leak_safe = (
-        split_leakage_audit(
-            safe.select("doc_id", "text", "split"),
-            split_col="split",
-            near_pairs=near,
+        split_edge_violations(
+            ldocs, safe.select("doc_id", "split"), near_pairs=near
         )
         .agg((F.count("*") == 0).alias("__ok"))
         .select(
