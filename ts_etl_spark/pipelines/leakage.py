@@ -94,6 +94,14 @@ def split_leakage_audit(
     near-dup-component key (all members of a duplicate component share a
     split) or dropping the eval-side member.
 
+    Output-size contract: the exact layer is pair-grained BY DESIGN
+    (pairs are what an auditor reads), so a not-yet-deduped corpus with
+    a g-copy boilerplate group can emit O(g²) exact rows. When you only
+    need the PASS boolean, use ``split_edge_violations`` (emptiness-
+    equivalent, g−1 exact edges per group); when you need the pair
+    report on a raw corpus, run exact dedup first — the pipeline order
+    ``curate_documents`` implements.
+
     ``persisted`` receives the internal shingle-set cache (the
     ``minhash_lsh_pairs`` contract) for caller-side release.
 
