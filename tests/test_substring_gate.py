@@ -111,11 +111,12 @@ def test_ingest_all_three_gates_compose(spark, tmp_path):
     semantic gate — each case landing at its documented gate across two
     batches. Two interplay contracts this test pins down:
 
-    - a full-document duplicate is ALSO a full-substring duplicate, so
-      the substring gate attenuates it FIRST and the duplicate then
-      drops at the NEAR-dup (MinHash) layer, not the exact-fingerprint
-      layer — the conservative direction (still dropped, one gate
-      earlier in evidence, one later in verdict);
+    - a full-document duplicate drops at the PRE-mask exact layer
+      (round 9): the raw batch is fingerprint-checked against the
+      corpus BEFORE the substring gate rewrites text, so byte-identical
+      re-submissions never reach masking at all (see
+      test_long_duplicate_drops_exact_premask for why post-mask
+      verdicts alone are not enough);
     - the hashed-BoW embedding seam makes LONG documents look alike
       (counts over 64 dims concentrate: the two 120-token docs here
       measure cosine 0.9953 under the pinned seed), so the composed
@@ -186,6 +187,42 @@ def test_ingest_all_three_gates_compose(spark, tmp_path):
     assert 11 not in sem_ids, "near-dup-dropped doc never reached the semantic gate"
 
 
+def test_long_duplicate_drops_exact_premask(spark, tmp_path):
+    """Round-9 regression (r8 ADVICE, high): a byte-identical
+    re-submission of a LONG stored document must drop even though
+    substring masking would gut it below the MinHash threshold — at
+    module defaults (k=8, w=25, min_docs=2) a full duplicate of a
+    240-token doc shares every winnow fingerprint with its stored
+    original, so every selected span flags and the masked copy measures
+    3-gram Jaccard ~0.35 vs the original, under JACCARD_THRESHOLD=0.4.
+    Before the pre-mask exact gate, that mangled copy was re-admitted.
+    Also pins: a case-variant duplicate drops too (the canonical
+    fingerprint is case/whitespace-normalized and unflagged originals
+    are stored byte-identical), and exact-dropped docs contribute no
+    winnow-index rows (re-crawls cannot inflate repetition counts)."""
+    rng = random.Random(97)
+    text = _rand_words(rng, 240)
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    ingest_batch(
+        spark, _docs(spark, [(1, text)]), corpus_path,
+        win_index_path=win_path,
+    )
+    ingest_batch(
+        spark,
+        _docs(spark, [(11, text), (12, text.upper())]),
+        corpus_path,
+        win_index_path=win_path,
+    )
+    stored = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
+    assert set(stored) == {1}, "byte- and case-variant duplicates dropped"
+    assert stored[1] == text, "unflagged original stored byte-identical"
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(win_path).select("doc_id").collect()
+    }
+    assert idx_ids == {1}, "exact-dropped duplicates left no index rows"
+
+
 def test_ingest_batch_with_substring_gate(spark, tmp_path):
     """End-to-end: boilerplate repeated across two ingests is attenuated
     in the second batch's stored documents (module defaults need a >= 32
@@ -203,7 +240,7 @@ def test_ingest_batch_with_substring_gate(spark, tmp_path):
     ingest_batch(spark, b2, corpus_path, win_index_path=win_path)
     stored = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
     assert set(stored) == {1, 2}
-    # batch 1 saw no prior fps -> stored intact (lowercased canonical form)
+    # batch 1 saw no prior fps -> unflagged, stored byte-identical
     assert len(stored[1].split()) == 120
     # batch 2's shared run attenuated before storage: the winnow
     # guarantee flags >= one full 8-token span; unique text survives

@@ -127,6 +127,12 @@ def test_registered_domain_psl_lookup_and_fallback(spark):
         "https://deep.sub.example.xyz": "example.xyz",
         "http://localhost:8080/p": "localhost",
         "garbage": None,
+        # mixed-case hosts (hosts are case-insensitive; raw crawl URLs
+        # commonly carry uppercase): url_host lowercases at extraction,
+        # so PSL matching and the naive fallback both see the folded
+        # host — r8-ADVICE claimed otherwise; pinned as a regression
+        "https://foo.Example.CO.UK/x": "example.co.uk",
+        "https://WWW.GOOGLE.COM/a": "google.com",
     }
     docs = spark.createDataFrame(
         [(i, u) for i, u in enumerate(cases)], "doc_id LONG, url STRING"

@@ -212,10 +212,14 @@ def mask_repeated_spans(
     fully removed; runs in [k, w+k-1) may be partially removed (only in
     docs that are candidates via some OTHER qualifying run) or kept —
     below the winnow threshold by design, tune ``w`` down for a lower
-    one. Returns every input row plus ``out_col`` (tokens joined by
-    single spaces — the canonical whitespace the fingerprinting
-    tokenizer sees; byte preservation and span masking are incompatible
-    goals) and ``n_tokens_removed`` (0 for untouched docs).
+    one. Returns every input row plus ``out_col`` and
+    ``n_tokens_removed``: UNTOUCHED documents pass through
+    byte-identical with 0 removed (masking is not corpus-wide
+    normalization); documents with flagged spans are rebuilt as their
+    surviving tokens joined by single spaces — the canonical whitespace
+    the fingerprinting tokenizer sees; byte preservation and span
+    REMOVAL are incompatible goals, and the lossy rebuild is confined
+    to documents that actually lose spans.
 
     Scale shape: phase 1 is the winnow plan; phase 2 explodes grams for
     the candidate subset only (on real corpora a small fraction), one
@@ -262,8 +266,16 @@ def _rebuild_masked(
 ) -> DataFrame:
     """Shared mask rebuild: drop every token covered by a flagged k-token
     span start (``flagged`` = (id_col, __flagged array<int>)); docs
-    absent from ``flagged`` pass through with zero removals. Map-side
-    per-token ``exists`` over the (small) per-doc start list."""
+    absent from ``flagged`` pass through BYTE-IDENTICAL with zero
+    removals — masking is an opt-in rewrite, not corpus-wide
+    normalization, so casing/punctuation/whitespace of untouched
+    documents survive the gate (round-9 fix: the rebuild used to emit
+    the lowercased single-spaced token join for every document).
+    FLAGGED docs are rebuilt from the fingerprinting tokenizer's
+    normalized tokens (lowercase, single-space) — span removal and byte
+    preservation are incompatible there, documented in
+    ``mask_repeated_spans``. Map-side per-token ``exists`` over the
+    (small) per-doc start list."""
     joined = docs.join(flagged, id_col, "left")
     toks = _tokens(F.col(text_col))
     starts = F.coalesce(
@@ -273,10 +285,15 @@ def _rebuild_masked(
         starts, lambda p: (p <= idx) & (idx <= p + F.lit(k - 1))
     )
     kept = F.filter(toks, lambda t, i: ~covered(i))
+    untouched = F.col("__flagged").isNull()
     return joined.select(
         *[c for c in docs.columns],
-        F.array_join(kept, " ").alias(out_col),
-        (F.size(toks) - F.size(kept)).alias("n_tokens_removed"),
+        F.when(untouched, F.col(text_col))
+        .otherwise(F.array_join(kept, " "))
+        .alias(out_col),
+        F.when(untouched, F.lit(0))
+        .otherwise(F.size(toks) - F.size(kept))
+        .alias("n_tokens_removed"),
     )
 
 
@@ -366,18 +383,24 @@ def mask_repeated_spans_sql(
             FROM cg JOIN gfreq USING (gh) GROUP BY doc_id
         ),
         kept AS (
-            SELECT dt.doc_id, dt.toks,
+            SELECT dt.doc_id, dt.toks, f.starts,
                    [dt.toks[idx + 1] for idx in generate_series(0, len(dt.toks) - 1)
                     if len(list_filter(COALESCE(f.starts, []),
                            p -> p <= idx AND idx <= p + {k - 1})) = 0] AS kt
             FROM dt LEFT JOIN flagged f USING (doc_id)
         )
-        -- generate_series(0, -1) makes the comprehension NULL (not []) on
-        -- token-less docs; they mask to the empty string like Spark's
-        SELECT doc_id, COALESCE(array_to_string(kt, ' '), '') AS clean_text,
-               CAST(COALESCE(len(toks) - len(kt), 0) AS INT)
+        -- unflagged docs pass through byte-identical (round-9 contract);
+        -- flagged docs rebuild from normalized tokens like the Spark side
+        -- (generate_series(0, -1) makes the comprehension NULL, hence the
+        -- COALESCEs in the flagged branch)
+        SELECT d.doc_id,
+               CASE WHEN kp.starts IS NULL THEN d.text
+                    ELSE COALESCE(array_to_string(kp.kt, ' '), '') END
+                   AS clean_text,
+               CAST(CASE WHEN kp.starts IS NULL THEN 0
+                    ELSE COALESCE(len(kp.toks) - len(kp.kt), 0) END AS INT)
                    AS n_tokens_removed
-        FROM kept
+        FROM {table} d JOIN kept kp USING (doc_id)
     """
 
 

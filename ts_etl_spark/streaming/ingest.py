@@ -448,14 +448,26 @@ def ingest_batch(
     cross-ingest repeated spans masked before any other gate sees the
     text) and maintain the winnow-fingerprint index it reads.
 
-    Gate-order interplay (deliberate, tested): a full-document duplicate
-    is also a full-substring duplicate, so with the substring gate on,
-    re-submitted documents are ATTENUATED first and then drop at the
-    NEAR-dup (MinHash) layer rather than the exact-fingerprint layer —
-    the verdict is the same, the provenance gate differs. If exact-dup
-    provenance matters (re-crawl accounting), read the attempt
-    heavy-hitter counters (pre-gate by design) or run without the
-    substring gate.
+    Gate-order interplay (round 9, tested): with the substring gate on,
+    the EXACT canonical-fingerprint layer runs FIRST, on PRE-mask text,
+    against the corpus. Masking rewrites text, so gating it earlier
+    would mangle a byte-identical re-submission into a copy that
+    matches the stored original at NEITHER the exact layer (text now
+    differs) nor — for long documents — the MinHash layer (a masked
+    copy of a 240-token doc measures 3-gram Jaccard ~0.35 against its
+    unmasked original, below JACCARD_THRESHOLD) and silently re-admit
+    it. ``canonical_fingerprint`` is whitespace/case-normalized and the
+    gate stores unflagged documents byte-identical, so raw
+    re-submissions of unmasked originals drop here with no substring
+    work at all; re-submissions of documents that WERE masked at their
+    own ingest re-mask identically (the fingerprint-set union is
+    stable) and drop at ``dedup_incremental``'s exact layer instead —
+    either way the duplicate never lands. A deliberate side effect:
+    exact re-submissions no longer inflate the winnow index's
+    span-repetition counts (re-crawls of one document are not distinct
+    documents, so spammed content cannot talk itself into
+    "boilerplate"); the attempt heavy-hitter counters (pre-gate by
+    design) still record them.
 
     Semantic ordering/idempotence: the index delta is appended BEFORE the
     corpus append. A crash between the two replays cleanly — the replayed
@@ -488,10 +500,18 @@ def ingest_batch(
     persisted: list[DataFrame] = []
     win_delta = None
     if win_index_path is not None:
-        # substring gate FIRST: masking rewrites text, and every
-        # downstream gate (fingerprint/MinHash/semantic) must see the
-        # cleaned text — the curation pipeline's stage order. Index fps
-        # come from the ORIGINAL batch text (the gate contract).
+        # exact corpus dedup BEFORE masking, on raw text (see the
+        # docstring's gate-order analysis): one skinny fingerprint
+        # semi-join — in production the corpus fingerprint set is the
+        # same materialized index dedup_incremental reads
+        c_fp = corpus.select(canonical_fingerprint().alias("fp")).distinct()
+        b_fp = batch_df.select("doc_id", canonical_fingerprint().alias("fp"))
+        pre_dropped = b_fp.join(c_fp, "fp", "left_semi").select("doc_id")
+        batch_df = batch_df.join(pre_dropped, "doc_id", "left_anti")
+        # substring gate next: every later gate (fingerprint/MinHash/
+        # semantic) must see the cleaned text — the curation pipeline's
+        # stage order. Index fps come from the ORIGINAL batch text (the
+        # gate contract), and exact-dropped docs contribute none.
         masked, win_delta = substring_gate(
             spark, batch_df.select("doc_id", "text"), win_index_path,
             persisted=persisted,
