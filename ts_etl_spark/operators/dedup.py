@@ -81,6 +81,11 @@ def shingle_sets_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: arm scales linearly with the corpus
 DOMAIN_CAP = 20
 
+#: planted paragraphs for the para arm (the synthetic docs carry no
+#: newlines) — mirrored verbatim in the oracle SQL
+PARA_HEADER = "shared corpus header boilerplate paragraph"
+PARA_FOOTER = "standard license footer paragraph text"
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus pruning provenance as a tagged union (op, doc_id, n, key):
@@ -96,7 +101,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       DOMAIN_CAP are emitted as drops with ``n`` the rank and ``key`` the
       domain. Exercises the engine-portable URL extraction in the gated
       path; the skew-guarded ``domain_cap`` (count-prefiltered window)
-      provides the same verdicts as provenance (equivalence tested)."""
+      provides the same verdicts as provenance (equivalence tested).
+    - ``op='para'`` (round 9) — CCNet-style paragraph-level dedup
+      (``operators.paragraphs.dedup_paragraphs``, mode ``df``): the
+      synthetic documents carry no newlines, so the arm PLANTS
+      deterministic multi-paragraph documents (the ``text_pii_redaction``
+      planting pattern): a corpus-wide shared header paragraph, the
+      document's own text, then a shared license footer on every 4th doc
+      or a doc_id-unique tail otherwise — mirrored expression-for-
+      expression in the oracle. The rewritten document is the verdict:
+      the header drops everywhere, the footer drops on the %4 docs, the
+      body paragraph drops exactly where the raw text is an exact
+      cross-document duplicate (cross-checked by the exact_group arm),
+      unique tails survive. ``doc_id`` the document, ``n`` the kept-
+      paragraph count, ``key`` the rewritten text."""
     from pyspark.sql.window import Window
 
     from ts_etl_spark.operators.urls import strip_www, url_host
@@ -133,7 +151,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("domain").alias("key"),
         )
     )
-    return exact_arm.unionByName(domain_arm)
+    from ts_etl_spark.operators.paragraphs import dedup_paragraphs
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(PARA_HEADER),
+            F.lit("\n\n"),
+            F.col("text"),
+            F.lit("\n\n"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(PARA_FOOTER)).otherwise(
+                F.concat(
+                    F.lit("unique tail paragraph "),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        ).alias("text"),
+    )
+    para_arm = dedup_paragraphs(planted, mode="df", min_df=2).select(
+        F.lit("para").alias("op"),
+        "doc_id",
+        F.col("n_kept").alias("n"),
+        F.col("text").alias("key"),
+    )
+    return exact_arm.unionByName(domain_arm).unionByName(para_arm)
 
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +849,14 @@ _SHINGLES_CTE = r"""
     )
 """
 
+def _para_arm_sql() -> str:
+    """Paragraph-dedup oracle body (DuckDB) — reads the planted ``docs``
+    CTE from the enclosing dedup_exact oracle query."""
+    from ts_etl_spark.operators.paragraphs import dedup_paragraphs_sql
+
+    return dedup_paragraphs_sql(mode="df", min_df=2)
+
+
 ORACLE = {
     "dedup_exact": f"""
         WITH urls AS (
@@ -824,6 +873,16 @@ ORACLE = {
                    ROW_NUMBER() OVER (PARTITION BY domain
                         ORDER BY n_chars DESC, doc_id) AS rank
             FROM dom
+        ), docs AS (
+            -- the para arm's planted multi-paragraph corpus: keep in
+            -- lockstep with q_dedup_exact's `planted` expression
+            SELECT doc_id,
+                   '{PARA_HEADER}' || chr(10) || chr(10) || text
+                       || chr(10) || chr(10)
+                       || CASE WHEN doc_id % 4 = 0 THEN '{PARA_FOOTER}'
+                          ELSE 'unique tail paragraph '
+                               || CAST(doc_id AS VARCHAR) END AS text
+            FROM documents
         )
         SELECT 'exact_group' AS op, MIN(doc_id) AS doc_id,
                COUNT(*) AS n, text AS key
@@ -832,6 +891,10 @@ ORACLE = {
         SELECT 'domain_drop' AS op, doc_id, CAST(rank AS BIGINT) AS n,
                domain AS key
         FROM ranked WHERE rank > {DOMAIN_CAP}
+        UNION ALL
+        SELECT 'para' AS op, doc_id, CAST(n_kept AS BIGINT) AS n,
+               text AS key
+        FROM ({_para_arm_sql()})
     """,
     "dedup_ngram_topk": f"""
         WITH {_SHINGLES_CTE}

@@ -30,12 +30,35 @@ Unified schema ``(sec, ks, kl, s, v, ok)``:
   DCT itself is bit-pinned against a driver-side reference in
   tests/test_phash.py; SQL cannot express it, so the gate checks the
   pipeline's recall contract — the ``quantiles_sketches`` pattern.)
+- ``sec='maint'`` (round 9) — the table-maintenance surface behind the
+  driver gate:
+
+  * ``s='scd1'`` — ``pipelines.upsert.merge_upsert`` over a versioned
+    table derived deterministically from documents (key = doc_id % 100,
+    ts = doc_id, val = n_chars; every 3rd doc is the "updates" side):
+    one row per key with the winning (ts, val) — the full merge window
+    is value-mirrored by the oracle's ROW_NUMBER twin.
+  * ``s='scd2|<valid_to>|<y/n>'`` — ``pipelines.upsert.scd2_apply``
+    over the same versioned derivation: one row per VERSION carrying
+    (valid_from, valid_to, is_current, val), oracle-mirrored by the
+    LEAD window twin.
+  * ``s='compact_hash_preserved'`` / ``s='zorder_hash_preserved'`` —
+    rewrite attestation: a derived slice of documents is written to a
+    temp directory, rewritten through ``maintenance.compact_parquet``
+    and ``layout.cluster_parquet``, and the order/partition-independent
+    ``table_content_hash`` must be IDENTICAL before and after each
+    rewrite (the attestation runs eagerly at construction, the same
+    pattern as the phash plant guard; temp dirs are removed before
+    return). The oracle asserts the booleans TRUE — rewrites have no
+    SQL mirror, the bounded-boolean pattern.
 
 Scale shape: card/ngram/mixlang are one-scan partial-agg plans
 (their module docstrings); the content hash is one partial-agg pass;
 the phash arm is one Arrow hashing pass + a 16-bit-band equality join
-(262k buckets — the scale-default banding). The union concatenates
-without extra exchanges.
+(262k buckets — the scale-default banding); the SCD arms are one keyed
+window each over a skinny derived projection; the rewrite attestation
+is two copy-on-write rewrites + three hash passes over a fixed-fraction
+slice. The union concatenates without extra exchanges.
 """
 
 from __future__ import annotations
@@ -67,6 +90,9 @@ from ts_etl_spark.sources.tables import load_table
 PLANT_OFFSET = 1_000_000
 #: wide banding (16-bit slices) — the documented large-corpus default
 PHASH_REPORT_BANDS = 4
+#: business-key modulus for the maint arm's SCD derivation — ~5 versions
+#: per key at sf0.01, ~50 at sf0.1, so both windows carry real history
+SCD_KEYS = 100
 #: per-slice metrics, in the card's column order
 CARD_METRICS = (
     "n_docs",
@@ -178,12 +204,92 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # --- maint arm: SCD-1/SCD-2 value rows + rewrite attestation ---
+    from ts_etl_spark.pipelines.upsert import merge_upsert, scd2_apply
+
+    scdsrc = docs.select(
+        (F.col("doc_id") % SCD_KEYS).alias("key"),
+        F.col("doc_id").alias("ts"),
+        F.col("n_chars").cast("bigint").alias("val"),
+    )
+    cur = scdsrc.filter(F.col("ts") % 3 != 0)
+    upd = scdsrc.filter(F.col("ts") % 3 == 0)
+    scd1 = merge_upsert(cur, upd, ["key"], "ts").select(
+        F.lit("maint").alias("sec"),
+        F.col("key").cast("string").alias("ks"),
+        F.col("ts").alias("kl"),
+        F.lit("scd1").alias("s"),
+        F.col("val").cast("double").alias("v"),
+        t.alias("ok"),
+    )
+    hist = cur.select("key", "val", F.col("ts").alias("valid_from"))
+    scd2 = scd2_apply(
+        hist, upd.select("key", "val", "ts"), ["key"], "ts"
+    ).select(
+        F.lit("maint").alias("sec"),
+        F.col("key").cast("string").alias("ks"),
+        F.col("valid_from").alias("kl"),
+        F.concat(
+            F.lit("scd2|"),
+            F.coalesce(F.col("valid_to").cast("string"), F.lit("")),
+            F.lit("|"),
+            F.when(F.col("is_current"), "y").otherwise("n"),
+        ).alias("s"),
+        F.col("val").cast("double").alias("v"),
+        t.alias("ok"),
+    )
+    attest = _rewrite_attestation(spark, docs)
+    maint_bools = spark.createDataFrame(
+        [
+            ("maint", None, None, f"{name}_hash_preserved", None, ok)
+            for name, ok in attest
+        ],
+        "sec STRING, ks STRING, kl BIGINT, s STRING, v DOUBLE, ok BOOLEAN",
+    )
+
     return (
         card.unionByName(ngrams)
         .unionByName(thash)
         .unionByName(mix)
         .unionByName(found)
+        .unionByName(scd1)
+        .unionByName(scd2)
+        .unionByName(maint_bools)
     )
+
+
+def _rewrite_attestation(
+    spark: SparkSession, docs: DataFrame
+) -> list[tuple[str, bool]]:
+    """Run compaction and Z-order rewrites on a derived slice of the
+    corpus and attest content preservation via ``table_content_hash``
+    (order/partition-independent, so the round-robin repartition and the
+    zkey range-sort both must leave it fixed). Eager by necessity — the
+    verdicts are driver-side booleans; every temp artifact is deleted
+    before return. The slice is a fixed 1-in-5 fraction, so the cost
+    scales with the corpus like every other arm."""
+    import shutil
+    import tempfile
+
+    from ts_etl_spark.pipelines.layout import cluster_parquet
+    from ts_etl_spark.pipelines.maintenance import (
+        compact_parquet,
+        table_content_hash,
+    )
+
+    d = tempfile.mkdtemp(prefix="tsetl_maint_")
+    try:
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            *DOC_HASH_COLS
+        ).write.parquet(f"{d}/t0")
+        h0 = table_content_hash(spark.read.parquet(f"{d}/t0"), DOC_HASH_COLS)
+        compact_parquet(spark, f"{d}/t0", f"{d}/t1")
+        h1 = table_content_hash(spark.read.parquet(f"{d}/t1"), DOC_HASH_COLS)
+        cluster_parquet(spark, f"{d}/t0", f"{d}/t2", cols=["n_chars", "doc_id"])
+        h2 = table_content_hash(spark.read.parquet(f"{d}/t2"), DOC_HASH_COLS)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return [("compact", h1 == h0), ("zorder", h2 == h0)]
 
 
 def _card_long_sql() -> str:
@@ -220,6 +326,41 @@ def _corpus_report_oracle_sql() -> str:
         SELECT 'phash', CAST(NULL AS VARCHAR), doc_id,
                CAST(NULL AS VARCHAR), 0.0, TRUE
         FROM documents
+        UNION ALL
+        -- maint/scd1: merge_upsert's keyed window, value-mirrored
+        SELECT 'maint', CAST(key AS VARCHAR), ts, 'scd1',
+               CAST(val AS DOUBLE), TRUE
+        FROM (
+            SELECT key, ts, val,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                        ORDER BY ts DESC, src DESC) AS rn
+            FROM (
+                SELECT doc_id % {SCD_KEYS} AS key, doc_id AS ts,
+                       CAST(n_chars AS BIGINT) AS val,
+                       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS src
+                FROM documents
+            )
+        ) WHERE rn = 1
+        UNION ALL
+        -- maint/scd2: the validity-interval rebuild (LEAD twin)
+        SELECT 'maint', CAST(key AS VARCHAR), valid_from,
+               'scd2|' || COALESCE(CAST(valid_to AS VARCHAR), '') || '|'
+                   || CASE WHEN valid_to IS NULL THEN 'y' ELSE 'n' END,
+               CAST(val AS DOUBLE), TRUE
+        FROM (
+            SELECT doc_id % {SCD_KEYS} AS key, doc_id AS valid_from,
+                   CAST(n_chars AS BIGINT) AS val,
+                   LEAD(doc_id) OVER (PARTITION BY doc_id % {SCD_KEYS}
+                        ORDER BY doc_id) AS valid_to
+            FROM documents
+        )
+        UNION ALL
+        -- maint rewrite attestation: compaction and Z-order have no SQL
+        -- mirror; Spark attests content-hash preservation (bounded-
+        -- boolean pattern)
+        SELECT 'maint', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               name || '_hash_preserved', CAST(NULL AS DOUBLE), TRUE
+        FROM (SELECT unnest(['compact', 'zorder']) AS name)
     """
 
 

@@ -566,6 +566,13 @@ IVF_TRAIN_SEED = 7
 IVF_TRAIN_ITER = 3
 TRAINED_RECALL_FLOOR = 0.2
 
+#: int8 arm gates (round 9): per-query floors sit well under the measured
+#: minimums (recall min 0.8 at sf0.01, 1.0 at sf0.1; |Δcosine| max 0.0024
+#: at both SFs — the 1/254-per-coordinate quantization bound) so the
+#: booleans are SF-stable while a quantization regression still flips them.
+Q8_RECALL_FLOOR = 0.5
+Q8_ERR_BOUND = 0.02
+
 #: per-(application, sf_dir) memo for the ann entry's two expensive
 #: artifacts: the persisted vector projection and the k-means-trained
 #: centroid frame. MLlib's fit is an ACTION that necessarily runs at
@@ -616,7 +623,17 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative float k-means) asserts the boolean TRUE — the
     ``quantiles_sketches`` bounded-error-property pattern.  A regression
     anywhere in training, assignment, or probing flips the boolean and
-    breaks the hash."""
+    breaks the hash.
+
+    ``q8_recall_ok`` / ``q8_err_ok`` (round 9) put the int8-quantized
+    path (``quantized_topk`` — 8× smaller vectors, integer arithmetic,
+    the storage/bandwidth lever at 100 TB) behind the same gate: per
+    query, the quantized top-k must recall ≥ Q8_RECALL_FLOOR of the
+    exact double-space top-k, and on the intersection pairs the
+    quantized cosine must stay within Q8_ERR_BOUND of the exact score.
+    The oracle (which cannot reproduce float→int8 rounding) asserts
+    both booleans TRUE; the exact brute-force frame is computed ONCE
+    and shared by the trained-recall and q8 gates."""
     vecs = _memo(
         spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist()
     )
@@ -639,19 +656,57 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained = ivf_topk(vecs, tcents, q, nprobe=IVF_NPROBE).select(
         "q_id", "neighbor_id"
     )
-    exact = brute_topk(vecs, q).select("q_id", "neighbor_id")
+    # ONE brute-force pass (the entry's dominant cost) feeds both the
+    # trained-recall gate and the q8 gates; memoized + persisted like
+    # vecs/tcents — N_QUERIES·TOP_K rows, bounded
+    exact_full = _memo(
+        spark,
+        sf_dir,
+        "exact",
+        lambda: brute_topk(vecs, q)
+        .select("q_id", "neighbor_id", "cosine")
+        .persist(),
+    )
+    exact = exact_full.select("q_id", "neighbor_id")
     hits = trained.join(exact, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
         F.count("*").alias("__nh")
     )
-    ok = q.select("q_id").join(hits, "q_id", "left").select(
-        "q_id",
-        (
-            F.coalesce("__nh", F.lit(0)) / F.lit(TOP_K)
-            >= F.lit(TRAINED_RECALL_FLOOR)
-        ).alias("trained_recall_ok"),
+    q8 = quantized_topk(vecs, q).select("q_id", "neighbor_id", "qcos")
+    q8_stats = (
+        q8.join(exact_full, ["q_id", "neighbor_id"])
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("__qh"),
+            F.max(F.abs(F.col("qcos") - F.col("cosine"))).alias("__qerr"),
+        )
+    )
+    ok = (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .join(q8_stats, "q_id", "left")
+        .select(
+            "q_id",
+            (
+                F.coalesce("__nh", F.lit(0)) / F.lit(TOP_K)
+                >= F.lit(TRAINED_RECALL_FLOOR)
+            ).alias("trained_recall_ok"),
+            (
+                F.coalesce("__qh", F.lit(0)) / F.lit(TOP_K)
+                >= F.lit(Q8_RECALL_FLOOR)
+            ).alias("q8_recall_ok"),
+            (
+                F.coalesce("__qerr", F.lit(0.0)) <= F.lit(Q8_ERR_BOUND)
+            ).alias("q8_err_ok"),
+        )
     )
     return seed_topk.join(ok, "q_id").select(
-        "q_id", "neighbor_id", "cosine", "rn", "trained_recall_ok"
+        "q_id",
+        "neighbor_id",
+        "cosine",
+        "rn",
+        "trained_recall_ok",
+        "q8_recall_ok",
+        "q8_err_ok",
     )
 
 
@@ -1058,7 +1113,15 @@ ORACLE = {
                -- floor; iterative float k-means has no SQL mirror, so the
                -- oracle asserts the bounded property (quantiles_sketches
                -- pattern)
-               TRUE AS trained_recall_ok
+               TRUE AS trained_recall_ok,
+               -- round-9 int8 arm: float->int8 rounding has no SQL
+               -- mirror either; Spark computes per-query quantized
+               -- recall vs the same brute-force frame and the max
+               -- |quantized - exact| cosine gap on intersection pairs,
+               -- asserting both clear their floors (Q8_RECALL_FLOOR,
+               -- Q8_ERR_BOUND)
+               TRUE AS q8_recall_ok,
+               TRUE AS q8_err_ok
         FROM ranked WHERE rn <= {TOP_K}
     """,
 }
