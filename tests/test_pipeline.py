@@ -387,6 +387,32 @@ def test_substring_mask_stage(spark, tmp_path):
     assert "original" in masked[1].text and "thoughtful" in masked[2].text
 
 
+def test_substring_mask_reliable_barrier_identical(spark, sf_smoke, tmp_path):
+    """checkpoint_dir stages the masked corpus to storage instead of the
+    executor-local localCheckpoint (the 100 TB reliability barrier — a
+    localCheckpoint block dies with its executor; staged parquet
+    re-reads). The output must be IDENTICAL either way, and the staged
+    directory must exist afterwards (it is the recovery point, never
+    auto-deleted)."""
+    ck = str(tmp_path / "mask_stage")
+    cols = ["doc_id", "text", "kept", "drop_reason", "n_bpe_tokens"]
+    local = sorted(
+        (tuple(r[c] for c in cols) for r in
+         curate_documents(spark, sf_smoke, substring_mask=True)
+         .select(*cols).collect())
+    )
+    staged = sorted(
+        (tuple(r[c] for c in cols) for r in
+         curate_documents(
+             spark, sf_smoke, substring_mask=True, checkpoint_dir=ck
+         ).select(*cols).collect())
+    )
+    assert staged == local
+    assert os.path.isdir(ck) and any(
+        f.endswith(".parquet") for f in os.listdir(ck)
+    ), "staged barrier persisted to reliable storage"
+
+
 def test_cli_curate_accepts_new_flags(spark, sf_smoke, tmp_path, monkeypatch):
     import ts_etl_spark.cli as cli
 

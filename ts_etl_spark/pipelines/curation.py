@@ -56,6 +56,7 @@ def curate_documents(
     blocklist_max_frac: float = 0.0,
     substring_mask: bool | tuple[int, int, int] | None = None,
     domain_cap_n: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the curation flow over ``documents``; return every document with
     metrics, signals, and provenance (``kept`` / ``drop_reason``).
@@ -117,6 +118,16 @@ def curate_documents(
     lineage otherwise rides inside every downstream stage — see the
     inline comment), and its temporary raw/winnow caches are released
     here, not via ``persisted``.
+
+    ``checkpoint_dir`` (round 9): localCheckpoint blocks are
+    executor-LOCAL and non-replicated — after lineage truncation, a
+    single executor loss fails the job, the one reliability gap
+    acceptable on local[n] but not on a 1000-executor run. Pass a
+    reliable-storage directory (HDFS/S3 in production) and the masked
+    corpus STAGES there as parquet instead; the downstream stages read
+    the staged files, so executor loss just re-reads. Identical output
+    either way (tested); the staged directory is the caller's to manage
+    (it is the recovery point, so it is NOT auto-deleted).
     """
     # ONE cached scan of documents feeds both the metric projection and the
     # LSH near-dup pass (the pipeline's two text consumers) — at 100 TB you
@@ -163,8 +174,15 @@ def curate_documents(
         # freed by the ContextCleaner when the frame is GC'd (the
         # _track_persists contract). Trade-off: the masking stage
         # materializes EAGERLY at construction time (documented — the
-        # rest of the result stays lazy).
-        docs = masked.localCheckpoint(eager=True)
+        # rest of the result stays lazy). CAVEAT: localCheckpoint blocks
+        # are executor-local, non-replicated — an executor loss after
+        # truncation fails the job; callers needing the reliable barrier
+        # pass checkpoint_dir and the masked frame stages to storage.
+        if checkpoint_dir is not None:
+            masked.write.mode("overwrite").parquet(checkpoint_dir)
+            docs = spark.read.parquet(checkpoint_dir)
+        else:
+            docs = masked.localCheckpoint(eager=True)
         raw.unpersist()
         for df in mask_caches:
             df.unpersist()
