@@ -449,10 +449,12 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
     S.q_embed_ann_ivf(spark, SF)
     first = dict(S._IVF_MEMO)
     S.q_embed_ann_ivf(spark, SF)
-    assert S._IVF_MEMO == first  # same two entries, same objects
-    assert len(first) == 2  # vecs + trained centroids
-    for (_, _, kind), frame in first.items():
-        assert kind in ("vecs", "tcents")
+    assert S._IVF_MEMO == first  # same three entries, same objects
+    # vecs + trained centroids + the shared brute-force exact frame that
+    # feeds both the trained-recall gate and the q8 recall/error gates
+    assert len(first) == 3
+    assert {kind for (_, _, kind) in first} == {"vecs", "tcents", "exact"}
+    for (_, _, _kind), frame in first.items():
         frame.unpersist()
     S._IVF_MEMO.clear()
 
