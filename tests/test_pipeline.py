@@ -4,6 +4,7 @@ write layout."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD, q_dedup_minhash_lsh
@@ -411,6 +412,16 @@ def test_substring_mask_reliable_barrier_identical(spark, sf_smoke, tmp_path):
     assert os.path.isdir(ck) and any(
         f.endswith(".parquet") for f in os.listdir(ck)
     ), "staged barrier persisted to reliable storage"
+    # round-10 guard: the staging write is mode('overwrite'), so a
+    # populated checkpoint_dir — a mispointed corpus, or this very
+    # staging from the previous run — must be refused, not erased
+    with pytest.raises(ValueError, match="non-empty"):
+        curate_documents(
+            spark, sf_smoke, substring_mask=True, checkpoint_dir=ck
+        )
+    assert any(f.endswith(".parquet") for f in os.listdir(ck)), (
+        "refusal left the existing content untouched"
+    )
 
 
 def test_cli_curate_accepts_new_flags(spark, sf_smoke, tmp_path, monkeypatch):

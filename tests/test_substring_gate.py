@@ -223,6 +223,141 @@ def test_long_duplicate_drops_exact_premask(spark, tmp_path):
     assert idx_ids == {1}, "exact-dropped duplicates left no index rows"
 
 
+def test_recrawl_new_id_of_masked_doc_drops(spark, tmp_path):
+    """Round-10 regression (r9 ADVICE, medium): a NEW-doc_id re-crawl of a
+    document that was MASKED at its own ingest must drop. Pre-fix, the
+    re-crawl's ingest-1 fingerprints sat in the winnow index, so every
+    selected span of the re-crawl counted ≥2 distinct docs and it
+    re-masked MORE aggressively than the stored copy — missing the exact
+    layer (texts differ) and, for long docs, the MinHash layer (the
+    fully-masked copy measures Jaccard below threshold against the
+    partially-masked stored text) — and was re-admitted. The
+    original-fingerprint index catches it at the pre-mask gate."""
+    rng = random.Random(71)
+    boiler = _rand_words(rng, 40)
+    orig2 = f"{_rand_words(rng, 200)} {boiler}"
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    ingest_batch(
+        spark, _docs(spark, [(1, f"{boiler} {_rand_words(rng, 200)}")]),
+        corpus_path, win_index_path=win_path,
+    )
+    ingest_batch(
+        spark, _docs(spark, [(2, orig2)]), corpus_path,
+        win_index_path=win_path,
+    )
+    stored = {r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()}
+    assert set(stored) == {1, 2}
+    assert len(stored[2].split()) < 240, "doc 2 stored masked (precondition)"
+    # re-crawl of doc 2's ORIGINAL text under a brand-new id
+    ingest_batch(
+        spark, _docs(spark, [(30, orig2)]), corpus_path,
+        win_index_path=win_path,
+    )
+    stored2 = {r.doc_id for r in spark.read.parquet(corpus_path).collect()}
+    assert stored2 == {1, 2}, "new-id re-crawl of a masked doc re-admitted"
+    idx_ids = {
+        r.doc_id for r in spark.read.parquet(win_path).select("doc_id").collect()
+    }
+    assert 30 not in idx_ids, "pre-dropped re-crawl left winnow index rows"
+
+
+def test_recrawl_of_later_gate_dropped_doc_drops(spark, tmp_path):
+    """A document dropped at the MinHash layer is still a gate ENTRANT:
+    its original fingerprint is indexed, so a new-id copy of the same
+    text pre-drops instead of replaying the (masking-divergent) path."""
+    rng = random.Random(83)
+    words = _rand_words(rng, 240).split()
+    base = " ".join(words)
+    # every 8th word mutated: longest shared run = 7 tokens < WINNOW_K=8,
+    # so the substring gate flags NOTHING, while 3-gram Jaccard stays
+    # ~0.45 > JACCARD_THRESHOLD=0.4 — the doc reaches and drops at the
+    # MinHash layer unmasked
+    mutated = list(words)
+    for i in range(0, len(mutated), 8):
+        mutated[i] = f"x{i}"
+    neardup = " ".join(mutated)
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    ingest_batch(
+        spark, _docs(spark, [(1, base)]), corpus_path, win_index_path=win_path
+    )
+    ingest_batch(
+        spark, _docs(spark, [(2, neardup)]), corpus_path,
+        win_index_path=win_path,
+    )
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1}, (
+        "near-dup dropped (precondition)"
+    )
+    ingest_batch(
+        spark, _docs(spark, [(20, neardup)]), corpus_path,
+        win_index_path=win_path,
+    )
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {1}, (
+        "new-id copy of a near-dup-dropped doc re-admitted"
+    )
+
+
+def test_fp_index_bootstraps_from_preexisting_corpus(spark, tmp_path):
+    """Adopting the substring gate on a corpus built WITHOUT it: the
+    original-fingerprint index seeds from stored corpus text, so
+    byte-identical re-submissions of stored docs still pre-drop on the
+    very first gated batch (the pre-index probe semantics)."""
+    rng = random.Random(59)
+    text = _rand_words(rng, 240)
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    ingest_batch(spark, _docs(spark, [(1, text)]), corpus_path)  # no gate
+    ingest_batch(
+        spark,
+        _docs(spark, [(10, text), (11, _rand_words(rng, 30))]),
+        corpus_path,
+        win_index_path=win_path,
+    )
+    assert {r.doc_id for r in spark.read.parquet(corpus_path).collect()} == {
+        1,
+        11,
+    }, "stored duplicate pre-dropped via bootstrap; novel doc kept"
+
+
+def test_fp_index_crash_window_replay_converges(spark, tmp_path):
+    """The fp delta lands strictly AFTER the corpus append. Simulate a
+    crash in that window (corpus grown, fp index not) by rolling the fp
+    index back to its pre-batch file set, then replay: the corpus must
+    not double-ingest, and the replayed delta must converge the index
+    (a subsequent new-id re-crawl pre-drops)."""
+    import os
+
+    from ts_etl_spark.streaming.ingest import orig_fp_index_path
+
+    rng = random.Random(67)
+    boiler = _rand_words(rng, 40)
+    orig2 = f"{_rand_words(rng, 200)} {boiler}"
+    corpus_path = str(tmp_path / "corpus")
+    win_path = str(tmp_path / "win")
+    fp_path = orig_fp_index_path(win_path)
+    ingest_batch(
+        spark, _docs(spark, [(1, f"{boiler} {_rand_words(rng, 200)}")]),
+        corpus_path, win_index_path=win_path,
+    )
+    before = set(os.listdir(fp_path))
+    batch2 = _docs(spark, [(2, orig2)])
+    ingest_batch(spark, batch2, corpus_path, win_index_path=win_path)
+    for name in set(os.listdir(fp_path)) - before:  # ...crash here
+        os.remove(os.path.join(fp_path, name))
+    ingest_batch(spark, batch2, corpus_path, win_index_path=win_path)  # replay
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 2], "replay double-ingested or lost the batch"
+    ingest_batch(
+        spark, _docs(spark, [(30, orig2)]), corpus_path,
+        win_index_path=win_path,
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    ) == [1, 2], "index did not converge: post-replay re-crawl re-admitted"
+
+
 def test_ingest_batch_with_substring_gate(spark, tmp_path):
     """End-to-end: boilerplate repeated across two ingests is attenuated
     in the second batch's stored documents (module defaults need a >= 32

@@ -59,6 +59,20 @@ the phash arm is one Arrow hashing pass + a 16-bit-band equality join
 window each over a skinny derived projection; the rewrite attestation
 is two copy-on-write rewrites + three hash passes over a fixed-fraction
 slice. The union concatenates without extra exchanges.
+
+EAGER-AT-CONSTRUCTION inventory (bench attribution — work that runs
+when the entry is BUILT, before any action on the returned frame):
+
+- phash plant guard (``q_corpus_report``): one scalar max(doc_id)
+  check that the plant offset clears the corpus ids;
+- rewrite attestation (``_rewrite_attestation``): two parquet rewrites
+  plus three ``table_content_hash`` actions over the 1-in-5 slice —
+  the dominant construction-time cost of this entry.
+
+(The repo-wide set also includes ``pipelines.curation``'s masking
+barrier — localCheckpoint or checkpoint_dir staging — documented
+there.) Anything timing ``queries()['corpus_report']`` measures these
+at construction, not at collect.
 """
 
 from __future__ import annotations
@@ -258,8 +272,16 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session conf key naming a SHARED-filesystem staging directory for the
+#: maintenance attestation rewrites. On a real cluster this MUST be set
+#: (HDFS/S3 path): the default driver-local tempfile is invisible to
+#: executors on other machines. On local[n] driver and executors share
+#: the box, so the tempfile default is correct and zero-config.
+MAINT_STAGING_CONF = "spark.ts_etl.maintStagingDir"
+
+
 def _rewrite_attestation(
-    spark: SparkSession, docs: DataFrame
+    spark: SparkSession, docs: DataFrame, work_dir: str | None = None
 ) -> list[tuple[str, bool]]:
     """Run compaction and Z-order rewrites on a derived slice of the
     corpus and attest content preservation via ``table_content_hash``
@@ -267,17 +289,33 @@ def _rewrite_attestation(
     zkey range-sort both must leave it fixed). Eager by necessity — the
     verdicts are driver-side booleans; every temp artifact is deleted
     before return. The slice is a fixed 1-in-5 fraction, so the cost
-    scales with the corpus like every other arm."""
+    scales with the corpus like every other arm.
+
+    Staging resolves, in order: ``work_dir`` argument → the
+    ``MAINT_STAGING_CONF`` session conf (set it to a shared-FS path on a
+    multi-node cluster — executors cannot read the driver's /tmp) → a
+    driver-local tempfile directory (local-mode default). A configured
+    base gets a per-run uuid subdirectory (concurrent sessions may share
+    the base) and is cleaned through the Hadoop FS seam, so hdfs://
+    and s3a:// staging behaves like file://."""
     import shutil
     import tempfile
+    import uuid
 
+    from ts_etl_spark.fs import delete_dir
     from ts_etl_spark.pipelines.layout import cluster_parquet
     from ts_etl_spark.pipelines.maintenance import (
         compact_parquet,
         table_content_hash,
     )
 
-    d = tempfile.mkdtemp(prefix="tsetl_maint_")
+    base = work_dir or spark.conf.get(MAINT_STAGING_CONF, None)
+    if base:
+        d = f"{base.rstrip('/')}/maint_{uuid.uuid4().hex}"
+        cleanup = lambda: delete_dir(spark, d)  # noqa: E731
+    else:
+        d = tempfile.mkdtemp(prefix="tsetl_maint_")
+        cleanup = lambda: shutil.rmtree(d, ignore_errors=True)  # noqa: E731
     try:
         docs.filter(F.col("doc_id") % 5 == 0).select(
             *DOC_HASH_COLS
@@ -288,7 +326,7 @@ def _rewrite_attestation(
         cluster_parquet(spark, f"{d}/t0", f"{d}/t2", cols=["n_chars", "doc_id"])
         h2 = table_content_hash(spark.read.parquet(f"{d}/t2"), DOC_HASH_COLS)
     finally:
-        shutil.rmtree(d, ignore_errors=True)
+        cleanup()
     return [("compact", h1 == h0), ("zorder", h2 == h0)]
 
 

@@ -127,7 +127,10 @@ def curate_documents(
     corpus STAGES there as parquet instead; the downstream stages read
     the staged files, so executor loss just re-reads. Identical output
     either way (tested); the staged directory is the caller's to manage
-    (it is the recovery point, so it is NOT auto-deleted).
+    (it is the recovery point, so it is NOT auto-deleted) — and
+    symmetrically the pipeline REFUSES a directory that already has
+    content (round 10): staging uses overwrite mode, so a mispointed
+    path would otherwise be silently destroyed.
     """
     # ONE cached scan of documents feeds both the metric projection and the
     # LSH near-dup pass (the pipeline's two text consumers) — at 100 TB you
@@ -179,6 +182,23 @@ def curate_documents(
         # truncation fails the job; callers needing the reliable barrier
         # pass checkpoint_dir and the masked frame stages to storage.
         if checkpoint_dir is not None:
+            # fail fast on a populated directory: the write below would
+            # silently erase whatever is there, and a caller mispointing
+            # the recovery path at real data (the corpus itself, a prior
+            # run's staging they meant to keep) must hear about it, not
+            # lose it. Checked through the Hadoop FS seam so hdfs://
+            # and s3a:// paths behave like file://.
+            from ts_etl_spark.fs import hadoop_fs
+
+            fs, p = hadoop_fs(spark, checkpoint_dir)
+            if fs.exists(p) and len(fs.listStatus(p)) > 0:
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} exists and is "
+                    "non-empty; refusing to overwrite it — pass an empty "
+                    "or fresh directory (the staged masked corpus is a "
+                    "caller-managed recovery point, so this path is "
+                    "never auto-cleared)"
+                )
             masked.write.mode("overwrite").parquet(checkpoint_dir)
             docs = spark.read.parquet(checkpoint_dir)
         else:

@@ -18,8 +18,11 @@ fingerprints rather than offsets.
 Scale notes: the per-batch cost is linear in the batch — the corpus side
 contributes its fingerprint set and LSH band index, both skinny narrow
 projections (materialize them as bucketed tables and append per batch to
-avoid even the corpus re-scan; kept as derived-on-read here since the
-driver's test corpora are small)."""
+avoid even the corpus re-scan; dedup_incremental's are kept as
+derived-on-read here since the driver's test corpora are small). The
+substring gate's pre-mask exact layer IS materialized: the
+original-fingerprint index at ``orig_fp_index_path(win_index_path)``
+appends one skinny delta per batch, so no gate pays a corpus re-scan."""
 
 from __future__ import annotations
 
@@ -165,11 +168,46 @@ def semantic_gate(
 #: fingerprints (original text, pre-masking) — appended per ingest
 WIN_INDEX_SCHEMA = "doc_id LONG, fp LONG"
 
+#: materialized canonical-fingerprint index over ORIGINAL (pre-mask) text
+#: of every document that ever entered the substring gate, plus the
+#: stored (post-gate) text of everything appended to the corpus — the
+#: pre-mask exact gate probes THIS instead of re-deriving fingerprints
+#: from the whole corpus each micro-batch (one skinny probe per batch).
+#: Lives at ``<win_index_path>_origfp``; the two indexes are one logical
+#: unit of substring-gate state and are always maintained together.
+ORIG_FP_SCHEMA = "fp STRING"
+
 
 def _win_index(spark: SparkSession, path: str) -> DataFrame:
     if path_exists(spark, path):
         return spark.read.schema(WIN_INDEX_SCHEMA).parquet(path)
     return spark.createDataFrame([], WIN_INDEX_SCHEMA)
+
+
+def orig_fp_index_path(win_index_path: str) -> str:
+    """Canonical location of the original-text fingerprint index that
+    rides alongside a winnow index (derived, so callers configure ONE
+    path for the substring-gate state)."""
+    return f"{win_index_path}_origfp"
+
+
+def _orig_fp_index(
+    spark: SparkSession, path: str, corpus: DataFrame
+) -> DataFrame:
+    """Read (bootstrapping if absent) the original-fingerprint index.
+
+    Bootstrap seeds the index from the STORED corpus text — exactly the
+    fingerprint set the pre-mask gate derived from the corpus on every
+    batch before the index existed, so adopting the index on a
+    pre-existing corpus preserves those semantics from the first batch.
+    Originals of documents masked BEFORE the index existed are
+    unrecoverable (the corpus keeps only masked text); their new-doc_id
+    re-crawl protection starts with the first post-index ingest."""
+    if not path_exists(spark, path):
+        corpus.select(canonical_fingerprint().alias("fp")).distinct().write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.schema(ORIG_FP_SCHEMA).parquet(path)
 
 
 def substring_gate(
@@ -448,26 +486,46 @@ def ingest_batch(
     cross-ingest repeated spans masked before any other gate sees the
     text) and maintain the winnow-fingerprint index it reads.
 
-    Gate-order interplay (round 9, tested): with the substring gate on,
-    the EXACT canonical-fingerprint layer runs FIRST, on PRE-mask text,
-    against the corpus. Masking rewrites text, so gating it earlier
-    would mangle a byte-identical re-submission into a copy that
-    matches the stored original at NEITHER the exact layer (text now
-    differs) nor — for long documents — the MinHash layer (a masked
-    copy of a 240-token doc measures 3-gram Jaccard ~0.35 against its
-    unmasked original, below JACCARD_THRESHOLD) and silently re-admit
-    it. ``canonical_fingerprint`` is whitespace/case-normalized and the
-    gate stores unflagged documents byte-identical, so raw
-    re-submissions of unmasked originals drop here with no substring
-    work at all; re-submissions of documents that WERE masked at their
-    own ingest re-mask identically (the fingerprint-set union is
-    stable) and drop at ``dedup_incremental``'s exact layer instead —
-    either way the duplicate never lands. A deliberate side effect:
-    exact re-submissions no longer inflate the winnow index's
-    span-repetition counts (re-crawls of one document are not distinct
-    documents, so spammed content cannot talk itself into
-    "boilerplate"); the attempt heavy-hitter counters (pre-gate by
+    Gate-order interplay (round 9, hardened round 10; tested): with the
+    substring gate on, the EXACT canonical-fingerprint layer runs
+    FIRST, on PRE-mask text, against the materialized original-text
+    fingerprint index (``orig_fp_index_path(win_index_path)``). Masking
+    rewrites text, so gating it later would mangle a re-submission into
+    a copy that matches the stored original at NEITHER the exact layer
+    (text now differs) nor — for long documents — the MinHash layer (a
+    masked copy of a 240-token doc measures 3-gram Jaccard ~0.35
+    against its unmasked original, below JACCARD_THRESHOLD) and
+    silently re-admit it. The index holds the canonical fingerprint of
+    the ORIGINAL text of every document that ever entered the gate plus
+    the STORED text of everything appended, so the probe catches all
+    three re-submission shapes: (a) a same- or new-doc_id copy of an
+    unmasked stored original; (b) a NEW-doc_id re-crawl of a document
+    that was MASKED at its own ingest — previously a real hole: the
+    re-crawl's own ingest-1 fingerprints make every selected span count
+    ≥2 distinct docs, so it re-masks MORE aggressively than the stored
+    copy and missed both the exact and (for long docs) MinHash layers;
+    (c) a copy of a document dropped at a later gate (its original
+    fingerprint is indexed at gate entry, kept or not). Probing the
+    index instead of re-deriving corpus fingerprints also removes the
+    second full corpus pass every micro-batch paid before round 10. A
+    deliberate side effect: exact re-submissions never inflate the
+    winnow index's span-repetition counts (re-crawls of one document
+    are not distinct documents, so spammed content cannot talk itself
+    into "boilerplate"); the attempt heavy-hitter counters (pre-gate by
     design) still record them.
+
+    Fingerprint-index append ordering (OPPOSITE of the winnow/semantic
+    deltas, deliberately): the fp delta is written AFTER the corpus
+    append. The probe DROPS documents outright, so a fingerprint may
+    only become probe-visible once its document's ingest fully
+    committed — appending the index first would, under crash replay,
+    pre-drop the whole batch before it ever landed in the corpus. With
+    the chosen order a crash in the window replays cleanly: the probe
+    misses, masking re-derives identically (same doc_ids — their own
+    index rows don't raise the distinct-doc count), the exact layer of
+    ``dedup_incremental`` drops everything against the corpus copies,
+    and the replayed fp delta (derived from gate ENTRANTS, not
+    survivors) appends, converging the index.
 
     Semantic ordering/idempotence: the index delta is appended BEFORE the
     corpus append. A crash between the two replays cleanly — the replayed
@@ -499,15 +557,27 @@ def ingest_batch(
         monitor_batch_drift(spark, corpus, batch_df, drift_path, batch_id)
     persisted: list[DataFrame] = []
     win_delta = None
+    fp_index = entrant_fps = None
     if win_index_path is not None:
-        # exact corpus dedup BEFORE masking, on raw text (see the
-        # docstring's gate-order analysis): one skinny fingerprint
-        # semi-join — in production the corpus fingerprint set is the
-        # same materialized index dedup_incremental reads
-        c_fp = corpus.select(canonical_fingerprint().alias("fp")).distinct()
+        # exact dedup BEFORE masking, on raw text (see the docstring's
+        # gate-order analysis): one skinny probe against the
+        # materialized original-fingerprint index — no corpus re-scan
+        fp_path = orig_fp_index_path(win_index_path)
+        fp_index = _orig_fp_index(spark, fp_path, corpus)
         b_fp = batch_df.select("doc_id", canonical_fingerprint().alias("fp"))
-        pre_dropped = b_fp.join(c_fp, "fp", "left_semi").select("doc_id")
+        pre_dropped = b_fp.join(fp_index, "fp", "left_semi").select("doc_id")
         batch_df = batch_df.join(pre_dropped, "doc_id", "left_anti")
+        # original-text fingerprints of every gate ENTRANT (kept or
+        # later-dropped — a re-crawl of a near-dup-dropped doc must
+        # still pre-drop). Materialized eagerly: masking reassigns
+        # batch_df below, and the frame must not re-probe the index
+        # after the end-of-batch append grows it.
+        entrant_fps = (
+            batch_df.select(canonical_fingerprint().alias("fp"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        persisted.append(entrant_fps)
         # substring gate next: every later gate (fingerprint/MinHash/
         # semantic) must see the cleaned text — the curation pipeline's
         # stage order. Index fps come from the ORIGINAL batch text (the
@@ -563,16 +633,38 @@ def ingest_batch(
         # fingerprint-idempotent corpus append).
         if stats_path is not None:
             update_corpus_stats(spark, kept, stats_path)
+        fp_delta = None
         if win_delta is not None:
-            # index BEFORE corpus (the semantic gate's crash-window
-            # contract): a replay re-derives the same delta, whose
-            # doc_id anti-join no-ops, and the fp-set union makes the
-            # re-derived masking verdicts identical
+            # fp delta = entrant originals ∪ stored (post-gate) text of
+            # what is about to land, minus what the index already holds.
+            # Materialized NOW (kept's lineage reads corpus_path, and
+            # the corpus append below recaches that path) but WRITTEN
+            # after the corpus append — see the docstring's ordering
+            # analysis.
+            fp_delta = (
+                entrant_fps.unionByName(
+                    kept.select(canonical_fingerprint().alias("fp"))
+                )
+                .distinct()
+                .join(fp_index, "fp", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            persisted.append(fp_delta)
+            # winnow index BEFORE corpus (the semantic gate's
+            # crash-window contract): a replay re-derives the same
+            # delta, whose doc_id anti-join no-ops, and the fp-set
+            # union makes the re-derived masking verdicts identical
             win_delta.write.mode("append").parquet(win_index_path)
         if sem_index_path is not None:
             # index BEFORE corpus — see the docstring's replay analysis
             index_delta.write.mode("append").parquet(sem_index_path)
         kept.write.mode("append").parquet(corpus_path)
+        if fp_delta is not None:
+            # fingerprint index strictly AFTER the corpus append — a
+            # probe-visible fingerprint implies a committed ingest
+            fp_delta.write.mode("append").parquet(
+                orig_fp_index_path(win_index_path)
+            )
     finally:
         for df in persisted:
             df.unpersist()
