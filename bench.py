@@ -95,6 +95,11 @@ HEADLINE = [
     # round-8 addition: the corpus report (data card + top-k n-grams +
     # content hash + mixed-language + phash planted recall)
     "corpus_report",
+    # round-10 additions (r9 verdict #8): the para/psl arms ride
+    # dedup_exact and the q8 gates ride embed_ann_ivf — untracked, a
+    # cost regression in either arm was invisible to the per-round bench
+    "dedup_exact",
+    "embed_ann_ivf",
 ]
 
 # Timed under the same protocol as HEADLINE but NOT `queries()` entries:

@@ -93,15 +93,9 @@ def test_normalize_url_hand_cases(spark):
     assert got == cases
 
 
-PSL_FIXTURE = [
-    # a 20-rule slice of the PSL shape: plain TLDs, multi-label suffixes,
-    # and a 3-label suffix — wildcards pre-expanded per the contract
-    "com", "org", "net", "io", "de", "fr", "jp", "uk",
-    "co.uk", "org.uk", "ac.uk", "gov.uk",
-    "com.au", "net.au", "co.jp", "ne.jp",
-    "com.br", "co.nz",
-    "pvt.k12.ma.us", "k12.ma.us",
-]
+# the 20-rule PSL slice now lives in the library (round 10: the gated
+# psl arm of dedup_exact runs against it too)
+from ts_etl_spark.operators.urls import PSL_FIXTURE_RULES as PSL_FIXTURE
 
 
 def test_registered_domain_psl_lookup_and_fallback(spark):

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.urls import (
+    PSL_FIXTURE_RULES as _PSL_RULES,
     strip_www_sql as _strip_www_sql,
     url_host_sql as _url_host_sql,
 )
@@ -86,6 +87,11 @@ DOMAIN_CAP = 20
 PARA_HEADER = "shared corpus header boilerplate paragraph"
 PARA_FOOTER = "standard license footer paragraph text"
 
+#: suffixes cycled by doc_id for the psl arm's synthetic hosts — three
+#: multi-label PSL rules (incl. the 3-label one), one plain TLD, and one
+#: suffix NO rule matches (naive-fallback path). Mirrored in the oracle.
+PSL_ARM_SUFFIXES = ("com", "co.uk", "ac.uk", "com.au", "k12.ma.us", "xyz")
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus pruning provenance as a tagged union (op, doc_id, n, key):
@@ -114,10 +120,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       body paragraph drops exactly where the raw text is an exact
       cross-document duplicate (cross-checked by the exact_group arm),
       unique tails survive. ``doc_id`` the document, ``n`` the kept-
-      paragraph count, ``key`` the rewritten text."""
+      paragraph count, ``key`` the rewritten text.
+    - ``op='psl'`` (round 10) — the PRODUCTION registered-domain path
+      (``urls.registered_domain_psl`` with the 20-rule
+      ``PSL_FIXTURE_RULES`` suffix table) behind the gate: each document
+      gets a synthetic host cycling through ``PSL_ARM_SUFFIXES`` (multi-
+      label rules where the naive last-two-labels answer is WRONG, a
+      plain TLD where it agrees, and an unmatched suffix exercising the
+      naive fallback), every 5th doc www-prefixed (www can be the
+      registrable label — PSL matching must not pre-strip it). ``key``
+      is the registered domain, ``n`` its label count; the oracle
+      re-runs the longest-matching-suffix algorithm against a VALUES
+      table of the same rules. The naive ``registered_domain`` remains
+      only as the documented fallback inside the lookup."""
     from pyspark.sql.window import Window
 
-    from ts_etl_spark.operators.urls import strip_www, url_host
+    from ts_etl_spark.operators.urls import (
+        PSL_FIXTURE_RULES,
+        registered_domain_psl,
+        strip_www,
+        url_host,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     exact_arm = (
@@ -174,7 +197,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("n"),
         F.col("text").alias("key"),
     )
-    return exact_arm.unionByName(domain_arm).unionByName(para_arm)
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in PSL_ARM_SUFFIXES]),
+        (F.col("doc_id") % len(PSL_ARM_SUFFIXES)).cast("int") + 1,
+    )
+    phost = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www")).otherwise(F.col("lang")),
+        F.lit("."),
+        F.col("source"),
+        F.lit("."),
+        sfx,
+    )
+    purl = F.concat(F.lit("https://"), phost, F.lit("/d/"),
+                    F.col("doc_id").cast("string"))
+    psl_table = spark.createDataFrame(
+        [(s,) for s in PSL_FIXTURE_RULES], "suffix STRING"
+    )
+    psl_arm = registered_domain_psl(
+        docs.select("doc_id", purl.alias("__url")), "__url", psl_table,
+        out_col="__reg",
+    ).select(
+        F.lit("psl").alias("op"),
+        "doc_id",
+        F.size(F.split(F.col("__reg"), r"\.")).cast("long").alias("n"),
+        F.col("__reg").alias("key"),
+    )
+    return (
+        exact_arm.unionByName(domain_arm)
+        .unionByName(para_arm)
+        .unionByName(psl_arm)
+    )
 
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +935,42 @@ ORACLE = {
                           ELSE 'unique tail paragraph '
                                || CAST(doc_id AS VARCHAR) END AS text
             FROM documents
+        ), psl_rules AS (
+            SELECT * FROM (VALUES {", ".join(f"('{s}')" for s in _PSL_RULES)}) AS r(suffix)
+        ), psl_lab AS (
+            -- synthetic hosts in lockstep with q_dedup_exact's psl arm
+            SELECT doc_id, host, string_split(host, '.') AS labels,
+                   len(string_split(host, '.')) AS n_lab
+            FROM (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 5 = 0 THEN 'www' ELSE lang END)
+                         || '.' || source || '.' ||
+                       (CASE CAST(doc_id % {len(PSL_ARM_SUFFIXES)} AS INT)
+                             {" ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(PSL_ARM_SUFFIXES[:-1]))}
+                             ELSE '{PSL_ARM_SUFFIXES[-1]}' END) AS host
+                FROM documents
+            )
+        ), psl_best AS (
+            -- the PSL algorithm: longest rule-matching label tail
+            SELECT t.doc_id, MAX(t.tail_len) AS best_len
+            FROM (
+                SELECT doc_id, n_lab - j + 1 AS tail_len,
+                       array_to_string(labels[j:n_lab], '.') AS tail
+                FROM psl_lab, LATERAL unnest(generate_series(1, n_lab)) AS g(j)
+            ) t JOIN psl_rules r ON t.tail = r.suffix
+            GROUP BY t.doc_id
+        ), psl_reg AS (
+            SELECT l.doc_id,
+                   CASE WHEN b.best_len IS NOT NULL AND l.n_lab > b.best_len
+                        THEN array_to_string(
+                            l.labels[l.n_lab - b.best_len : l.n_lab], '.')
+                        WHEN regexp_extract({_strip_www_sql('l.host')},
+                                            '([^.]+\\.[^.]+)$', 1) != ''
+                        THEN regexp_extract({_strip_www_sql('l.host')},
+                                            '([^.]+\\.[^.]+)$', 1)
+                        ELSE {_strip_www_sql('l.host')}
+                   END AS reg
+            FROM psl_lab l LEFT JOIN psl_best b ON b.doc_id = l.doc_id
         )
         SELECT 'exact_group' AS op, MIN(doc_id) AS doc_id,
                COUNT(*) AS n, text AS key
@@ -895,6 +983,11 @@ ORACLE = {
         SELECT 'para' AS op, doc_id, CAST(n_kept AS BIGINT) AS n,
                text AS key
         FROM ({_para_arm_sql()})
+        UNION ALL
+        SELECT 'psl' AS op, doc_id,
+               CAST(len(string_split(reg, '.')) AS BIGINT) AS n,
+               reg AS key
+        FROM psl_reg
     """,
     "dedup_ngram_topk": f"""
         WITH {_SHINGLES_CTE}

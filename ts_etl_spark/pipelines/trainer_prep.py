@@ -42,6 +42,21 @@ Unified schema ``(op, k1, k2, s, v, ok)``:
   the equivalence) while staying linear on degenerate duplicate
   groups. The passes-by-construction property as a driver-gated
   boolean; both leakage arms share ONE LSH pass (``near_pairs``).
+- ``shard`` rows (round 10 — ``pipelines.shards.assign_shards`` behind
+  the driver gate): one row per shard id (k1) with v = row count. The
+  assignment is the seeded md5 interval hash (``_uniform_hash``), so
+  the oracle re-derives membership bit-for-bit exactly like the split
+  arm — a count off by one anywhere means a document hashed into the
+  wrong shard.
+- ``mix`` rows (round 10 — ``pipelines.sampling.temperature_shares``
+  behind the driver gate): one row per (tau, lang) with s =
+  ``tau<t>|<lang>`` and v = the temperature-scaled mixture share,
+  rounded to 6 digits (the ``datacard`` float-rounding precedent —
+  share arithmetic is pure c^tau / Σc^tau over the #strata-bounded
+  per-language counts, so DuckDB mirrors it with POW + a window SUM;
+  counts are fed to the library function in sorted-key order so both
+  engines' float summation order is fixed). tau=1.0 pins the natural
+  proportions (normalization), tau=0.5 the tail-up-weighting path.
 """
 
 from __future__ import annotations
@@ -63,6 +78,13 @@ CHUNK_OVERLAP = 32
 SPLIT_WEIGHTS = {"train": 0.75, "val": 0.125, "test": 0.125}
 PACK_MAX_TOKENS = 2048
 BPE_MERGES = 24
+#: training-shard count for the shard arm — small enough that every
+#: shard is occupied at sf0.001, large enough to exercise the interval
+#: hash's spread
+N_SHARDS = 16
+#: the two temperature points the mix arm pins: natural proportions and
+#: the multilingual tail-up-weighting midpoint
+MIX_TAUS = (1.0, 0.5)
 
 
 def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,12 +265,61 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from ts_etl_spark.pipelines.sampling import temperature_shares
+    from ts_etl_spark.pipelines.shards import assign_shards
+
+    shards = (
+        assign_shards(docs, N_SHARDS, ["doc_id"], seed="shard")
+        .groupBy("shard")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            F.lit("shard").alias("op"),
+            F.col("shard").cast("bigint").alias("k1"),
+            nb.alias("k2"),
+            ns.alias("s"),
+            F.col("__n").cast("double").alias("v"),
+            t.alias("ok"),
+        )
+    )
+
+    # temperature mixing: the share math is DRIVER arithmetic over the
+    # #strata-bounded per-language counts (the library contract —
+    # ``temperature_shares`` feeds ``mix_to_target``), so this arm runs
+    # one bounded groupBy/collect at CONSTRUCTION time (same class as
+    # the CLI summary collects). Keys are sorted before the call so the
+    # Python float-summation order is deterministic; values round to 6
+    # digits on both engines.
+    counts = dict(
+        sorted(
+            (r["lang"], r["n"])
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+    )
+    mix_rows = [
+        (f"tau{tau}|{lang}", round(share, 6))
+        for tau in MIX_TAUS
+        for lang, share in temperature_shares(counts, tau).items()
+    ]
+    mix = spark.createDataFrame(mix_rows, "s STRING, v DOUBLE").select(
+        F.lit("mix").alias("op"),
+        nb.alias("k1"),
+        nb.alias("k2"),
+        F.col("s"),
+        F.col("v"),
+        t.alias("ok"),
+    )
+
     return (
         chunks.unionByName(splits)
         .unionByName(bpe)
         .unionByName(pack)
         .unionByName(leak)
         .unionByName(leak_safe)
+        .unionByName(shards)
+        .unionByName(mix)
     )
 
 
@@ -277,6 +348,27 @@ def _trainer_prep_oracle_sql() -> str:
             SELECT doc_id,
                    md5('split#' || CAST(doc_id AS VARCHAR)) AS d
             FROM documents
+        ),
+        shard_u AS (
+            SELECT doc_id,
+                   CAST(list_sum(
+                       [(strpos('0123456789abcdef', substr(d, i, 1)) - 1)::BIGINT
+                        << ((8 - i) * 4) for i in generate_series(1, 8)]
+                   ) AS DOUBLE) / 4294967296.0 AS u
+            FROM (
+                SELECT doc_id,
+                       md5('shard#' || CAST(doc_id AS VARCHAR)) AS d
+                FROM documents
+            )
+        ),
+        shard_assign AS (
+            SELECT least(CAST(floor(u * {N_SHARDS}) AS BIGINT),
+                         {N_SHARDS - 1}) AS shard
+            FROM shard_u
+        ),
+        lang_counts AS (
+            SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM documents GROUP BY lang
         ),
         u AS (
             SELECT doc_id,
@@ -347,6 +439,19 @@ def _trainer_prep_oracle_sql() -> str:
         -- side re-runs the audit under them and gates the emptiness
         SELECT 'leak_safe', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), TRUE
+        UNION ALL
+        SELECT 'shard', shard, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(COUNT(*) AS DOUBLE), TRUE
+        FROM shard_assign GROUP BY shard
+        UNION ALL
+        SELECT 'mix', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               'tau1.0|' || lang, ROUND(c / SUM(c) OVER (), 6), TRUE
+        FROM lang_counts
+        UNION ALL
+        SELECT 'mix', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               'tau0.5|' || lang,
+               ROUND(POW(c, 0.5) / SUM(POW(c, 0.5)) OVER (), 6), TRUE
+        FROM lang_counts
     """
 
 
