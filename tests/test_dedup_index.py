@@ -1,0 +1,287 @@
+"""Materialized dedup index (round 10): ingest with the persisted
+corpus-side relations (fingerprints / LSH bands / shingle sets) must
+converge to exactly the same corpus as the derive-from-text path — which
+itself equals one-shot recuration (tests/test_incremental.py) — while
+never re-scanning corpus text in the dedup layers. Plus the crash-window
+replay contracts the index's append ordering is designed around."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.dedup import dedup_incremental
+from ts_etl_spark.streaming.ingest import (
+    DEDUP_BANDS_SCHEMA,
+    DEDUP_FP_SCHEMA,
+    DEDUP_SETS_SCHEMA,
+    dedup_index_paths,
+    ingest_batch,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _rand_words(rng, n):
+    return " ".join(f"w{rng.randrange(10_000)}" for _ in range(n))
+
+
+@pytest.fixture()
+def batches():
+    """Three batches exercising every drop reason: exact_corpus,
+    near_corpus (>= threshold 3-gram Jaccard), exact_batch, near_batch,
+    and plain keeps."""
+    rng = random.Random(11)
+    base = _rand_words(rng, 60)
+    uniq = [_rand_words(rng, 40) for _ in range(6)]
+    return [
+        [(1, base), (2, uniq[0])],
+        [
+            (10, base),  # exact_corpus
+            (11, base + " tail"),  # near_corpus
+            (12, uniq[1]),
+            (13, uniq[1]),  # exact_batch
+        ],
+        [
+            (20, uniq[2]),
+            (21, uniq[2] + " x"),  # near_batch
+            (22, uniq[3]),
+        ],
+    ]
+
+
+def _corpus_rows(spark, path):
+    return sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(path).collect()
+    )
+
+
+def test_indexed_ingest_equals_unindexed(spark, tmp_path, batches):
+    plain = str(tmp_path / "plain")
+    indexed = str(tmp_path / "indexed")
+    idx = str(tmp_path / "idx")
+    for b in batches:
+        ingest_batch(spark, _docs(spark, b), plain)
+        ingest_batch(
+            spark, _docs(spark, b), indexed, dedup_index_path=idx
+        )
+    got = _corpus_rows(spark, indexed)
+    assert got == _corpus_rows(spark, plain)
+    # every drop reason was actually exercised by the fixture:
+    # 10 exact_corpus, 11 near_corpus, 13 exact_batch, 21 near_batch
+    kept_ids = {d for d, _ in got}
+    assert kept_ids == {1, 2, 12, 20, 22}, kept_ids
+
+
+def test_index_tables_equal_fresh_derivation(spark, tmp_path, batches):
+    """After N batches the three persisted relations must be EXACTLY what
+    deriving them from the final corpus text would produce — the index
+    never drifts from the corpus it stands for."""
+    from ts_etl_spark.operators.dedup import (
+        canonical_fingerprint,
+        minhash_bands,
+        shingle_sets,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    for b in batches:
+        ingest_batch(spark, _docs(spark, b), corpus, dedup_index_path=idx)
+    stored = spark.read.parquet(corpus)
+    p = dedup_index_paths(idx)
+    want_fp = sorted(
+        tuple(r)
+        for r in stored.select(
+            "doc_id", canonical_fingerprint().alias("fp")
+        ).collect()
+    )
+    got_fp = sorted(
+        tuple(r)
+        for r in spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]).collect()
+    )
+    assert got_fp == want_fp
+    want_sets = sorted(
+        (r.doc_id, tuple(sorted(r.shs)))
+        for r in shingle_sets(stored).collect()
+    )
+    got_sets = sorted(
+        (r.doc_id, tuple(sorted(r.shs)))
+        for r in spark.read.schema(DEDUP_SETS_SCHEMA)
+        .parquet(p["sets"])
+        .collect()
+    )
+    assert got_sets == want_sets
+    want_bands = sorted(
+        tuple(r) for r in minhash_bands(shingle_sets(stored)).collect()
+    )
+    got_bands = sorted(
+        tuple(r)
+        for r in spark.read.schema(DEDUP_BANDS_SCHEMA)
+        .parquet(p["bands"])
+        .collect()
+    )
+    assert got_bands == want_bands
+
+
+def test_bootstrap_from_preexisting_corpus(spark, tmp_path):
+    """Adopting the index on a corpus built WITHOUT it: the first gated
+    batch bootstraps all three tables from stored text, so duplicates of
+    pre-index documents still drop."""
+    rng = random.Random(23)
+    text = _rand_words(rng, 50)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(spark, _docs(spark, [(1, text)]), corpus)  # no index
+    ingest_batch(
+        spark,
+        _docs(spark, [(10, text), (11, text + " y"), (12, _rand_words(rng, 30))]),
+        corpus,
+        dedup_index_path=idx,
+    )
+    assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1, 12], (
+        "exact and near duplicates of the pre-index doc must drop"
+    )
+
+
+def test_completed_batch_replay_is_idempotent(spark, tmp_path):
+    """Replay of a FULLY committed batch (checkpoint crashed after the
+    corpus append): ids are in index AND corpus, so the batch's own index
+    rows stay in the probes and the exact layer drops everything."""
+    rng = random.Random(31)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    b = _docs(spark, [(1, _rand_words(rng, 40)), (2, _rand_words(rng, 40))])
+    ingest_batch(spark, b, corpus, dedup_index_path=idx)
+    before = _corpus_rows(spark, corpus)
+    p = dedup_index_paths(idx)
+    fp_before = spark.read.parquet(p["fp"]).count()
+    ingest_batch(spark, b, corpus, dedup_index_path=idx)  # full replay
+    assert _corpus_rows(spark, corpus) == before
+    assert spark.read.parquet(p["fp"]).count() == fp_before, (
+        "replay appended duplicate index rows"
+    )
+
+
+def test_crash_window_ghost_replay_converges(spark, tmp_path):
+    """Crash AFTER the index deltas, BEFORE the corpus append: the batch's
+    ids are ghosts (indexed, uncommitted). The replay must NOT self-drop
+    against its own leftover rows — the batch lands exactly once and the
+    index holds no duplicate rows."""
+    rng = random.Random(43)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(
+        spark, _docs(spark, [(1, _rand_words(rng, 40))]), corpus,
+        dedup_index_path=idx,
+    )
+    before = set(os.listdir(corpus))
+    b2 = _docs(spark, [(2, _rand_words(rng, 40)), (3, _rand_words(rng, 40))])
+    ingest_batch(spark, b2, corpus, dedup_index_path=idx)
+    for name in set(os.listdir(corpus)) - before:  # ...crash here
+        os.remove(os.path.join(corpus, name))
+    assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1]
+    ingest_batch(spark, b2, corpus, dedup_index_path=idx)  # replay
+    assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1, 2, 3], (
+        "ghost replay self-dropped or double-ingested"
+    )
+    p = dedup_index_paths(idx)
+    fp = spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"])
+    assert fp.count() == fp.select("doc_id").distinct().count() == 3
+
+
+def test_out_of_order_batch_raises(spark, tmp_path):
+    rng = random.Random(53)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(
+        spark, _docs(spark, [(10, _rand_words(rng, 30))]), corpus,
+        dedup_index_path=idx,
+    )
+    with pytest.raises(ValueError, match="ingest order"):
+        ingest_batch(
+            spark, _docs(spark, [(5, _rand_words(rng, 30))]), corpus,
+            dedup_index_path=idx,
+        )
+
+
+def test_dedup_incremental_corpus_free_with_indexes(spark):
+    """With the three materialized relations passed, ``corpus=None`` is
+    legal — structural proof that the dedup layers cannot touch corpus
+    text — and the verdicts equal the derive-from-text path."""
+    rng = random.Random(61)
+    base = _rand_words(rng, 60)
+    corpus = _docs(spark, [(1, base), (2, _rand_words(rng, 40))])
+    batch = _docs(
+        spark, [(10, base), (11, base + " t"), (12, _rand_words(rng, 40))]
+    )
+    from ts_etl_spark.operators.dedup import (
+        canonical_fingerprint,
+        minhash_bands,
+        shingle_sets,
+    )
+
+    sets = shingle_sets(corpus)
+    caches = []
+    got = dedup_incremental(
+        None,
+        batch,
+        persisted=caches,
+        corpus_fp=corpus.select("doc_id", canonical_fingerprint().alias("fp")),
+        corpus_bands=minhash_bands(sets),
+        corpus_sets=sets,
+    )
+    want = dedup_incremental(corpus, batch, persisted=caches)
+    cols = ["doc_id", "kept", "drop_reason"]
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == sorted(
+        tuple(r) for r in want.select(*cols).collect()
+    )
+    for df in caches:
+        df.unpersist()
+    with pytest.raises(ValueError, match="together"):
+        dedup_incremental(None, batch, corpus_fp=corpus.select("doc_id"))
+    with pytest.raises(ValueError, match="None"):
+        dedup_incremental(None, batch)
+
+
+def test_indexed_ingest_composes_with_substring_gate(spark, tmp_path):
+    """dedup_index + win_index together: the index derives from the
+    STORED (post-mask) text, so a later batch's masked duplicate still
+    drops at the exact layer against the index."""
+    rng = random.Random(71)
+    boiler = _rand_words(rng, 40)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    win = str(tmp_path / "win")
+    kw = dict(dedup_index_path=idx, win_index_path=win)
+    ingest_batch(
+        spark, _docs(spark, [(1, f"{boiler} {_rand_words(rng, 80)}")]),
+        corpus, **kw,
+    )
+    b2 = _docs(spark, [(2, f"{_rand_words(rng, 80)} {boiler}")])
+    ingest_batch(spark, b2, corpus, **kw)
+    stored = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert set(stored) == {1, 2}
+    assert len(stored[2].split()) < 120, "doc 2 stored masked (precondition)"
+    # index rows mirror STORED text: the fp of masked doc 2 is indexed
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+
+    p = dedup_index_paths(idx)
+    idx_fps = {
+        r.fp for r in spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]).collect()
+    }
+    stored_fps = {
+        r.fp
+        for r in spark.read.parquet(corpus)
+        .select(canonical_fingerprint().alias("fp"))
+        .collect()
+    }
+    assert idx_fps == stored_fps
+    ingest_batch(spark, b2, corpus, **kw)  # full replay through both gates
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    } == {1, 2}

@@ -908,6 +908,7 @@ def run_ingest(
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
     win_index_path: str | None = None,
+    dedup_index_path: str | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Drain the landing directory into the corpus through the full
@@ -915,7 +916,9 @@ def run_ingest(
     fingerprint/MinHash incremental dedup, optional corpus-stats sketch,
     PSI drift log, attempt heavy hitters, and (with ``sem_index_path`` +
     ``sem_cents_path``) the paraphrase-level semantic gate, and (with
-    ``win_index_path``) the incremental substring gate. Returns
+    ``win_index_path``) the incremental substring gate, and (with
+    ``dedup_index_path``) the materialized corpus-side dedup relations
+    that keep per-batch dedup corpus-scan-free. Returns
     {"corpus_docs": N} after the drain (also logged to stderr)."""
     from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
     from ts_etl_spark.streaming.ingest import run_streaming_ingest
@@ -938,6 +941,7 @@ def run_ingest(
             sem_cents_path,
             sem_threshold,
             win_index_path,
+            dedup_index_path,
         )
         n = spark.read.parquet(corpus_path).count()
         print(f"ingest: corpus now holds {n} documents", file=sys.stderr)
@@ -981,6 +985,10 @@ def _ingest_main(argv: list[str]) -> int:
         "--win-index",
         help="substring-gate winnow-fingerprint index path",
     )
+    parser.add_argument(
+        "--dedup-index",
+        help="materialized dedup-index base path (fp/bands/sets tables)",
+    )
     args = parser.parse_args(argv)
     try:
         run_ingest(
@@ -996,6 +1004,7 @@ def _ingest_main(argv: list[str]) -> int:
             sem_cents_path=args.sem_cents,
             sem_threshold=args.sem_threshold,
             win_index_path=args.win_index,
+            dedup_index_path=args.dedup_index,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary

@@ -675,10 +675,13 @@ def canonical_fingerprint_sql(expr: str = "text") -> str:
 
 
 def dedup_incremental(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     batch: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     persisted: list[DataFrame] | None = None,
+    corpus_fp: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Deduplicate a NEW batch against an EXISTING corpus — the operation a
     continuously-fed pipeline runs per ingest, without ever re-running the
@@ -691,29 +694,56 @@ def dedup_incremental(
     restricted to batch rows (tested equivalence), so incremental ingestion
     converges to the same corpus as batch recuration.
 
-    Plan shape at 100 TB: the corpus side touches only two SKINNY derived
-    relations — the fingerprint set and the (doc_id, band, bh) LSH band
-    index, both one narrow projection over the corpus scan (in production
-    both are materialized once as bucketed tables and only APPENDED per
-    ingest, so the per-batch cost is linear in the batch, not the corpus:
-    fingerprint anti-join + band-bucket probe + candidate verification).
-    Nothing here is quadratic in either input.
+    Plan shape at 100 TB: the corpus side touches only three SKINNY
+    derived relations — the (doc_id, fp) fingerprint set, the
+    (doc_id, band, bh) LSH band index, and (for exact-Jaccard candidate
+    verification) the (doc_id, shs) shingle sets. By default all three
+    derive from ``corpus`` text per call (fine for one-shot use); a
+    continuous ingest passes them PRE-MATERIALIZED via ``corpus_fp`` /
+    ``corpus_bands`` / ``corpus_sets`` (all three together — appended
+    per batch by ``streaming.ingest``, see ``DEDUP_INDEX`` there), in
+    which case ``corpus`` may be None and the corpus TEXT is never
+    scanned: the per-batch cost is linear in the batch plus the index
+    probes, not the corpus. Nothing here is quadratic in either input.
 
     Both shingle-set frames feed multiple consumers (b_sets: bands + two
-    verification sides; c_sets: bands + corpus-side verification), so both
-    are persisted.  The result is lazy, so the unpersist belongs to the
-    CALLER once the result is materialized: pass ``persisted`` (a list) to
-    receive the cached frames — a long-running ``foreachBatch`` stream that
-    skips this leaks cached blocks every micro-batch
-    (``streaming/ingest.ingest_batch`` is the reference usage)."""
+    verification sides; c_sets, when derived here: bands + corpus-side
+    verification), so both are persisted (a passed ``corpus_sets`` is a
+    plain materialized table read once — not cached here).  The result is
+    lazy, so the unpersist belongs to the CALLER once the result is
+    materialized: pass ``persisted`` (a list) to receive the cached
+    frames — a long-running ``foreachBatch`` stream that skips this leaks
+    cached blocks every micro-batch (``streaming/ingest.ingest_batch`` is
+    the reference usage)."""
+    given = (corpus_fp is not None, corpus_bands is not None,
+             corpus_sets is not None)
+    if any(given) and not all(given):
+        raise ValueError(
+            "corpus_fp, corpus_bands and corpus_sets must be passed together"
+        )
+    use_index = all(given)
+    if corpus is None and not use_index:
+        raise ValueError(
+            "corpus may only be None when the three materialized "
+            "corpus-side relations are passed"
+        )
     b_sets = shingle_sets(batch).persist()
-    c_sets = shingle_sets(corpus).persist()
+    if use_index:
+        c_sets = corpus_sets
+    else:
+        c_sets = shingle_sets(corpus).persist()
     if persisted is not None:
-        persisted += [b_sets, c_sets]
+        persisted.append(b_sets)
+        if not use_index:
+            persisted.append(c_sets)
 
     # --- exact layer: canonical fingerprints ---
     b_fp = batch.select("doc_id", canonical_fingerprint().alias("fp"))
-    c_fp = corpus.select(canonical_fingerprint().alias("fp")).distinct()
+    if use_index:
+        # semi-join build side tolerates duplicate keys — no distinct
+        c_fp = corpus_fp.select("fp")
+    else:
+        c_fp = corpus.select(canonical_fingerprint().alias("fp")).distinct()
     exact_corpus = b_fp.join(c_fp, "fp", "left_semi").select("doc_id")
     from pyspark.sql.window import Window
 
@@ -726,7 +756,7 @@ def dedup_incremental(
 
     # --- near layer: batch bands probe corpus bands + batch self-join ---
     b_bands = minhash_bands(b_sets)
-    c_bands = minhash_bands(c_sets)
+    c_bands = corpus_bands if use_index else minhash_bands(c_sets)
     vs_corpus = b_bands.alias("b").join(
         c_bands.alias("c"),
         (F.col("b.band") == F.col("c.band")) & (F.col("b.bh") == F.col("c.bh")),

@@ -15,14 +15,23 @@ the corpus drop in the exact layer (same canonical fingerprint ⇒
 property is why production dedup-on-ingest pipelines key on content
 fingerprints rather than offsets.
 
-Scale notes: the per-batch cost is linear in the batch — the corpus side
-contributes its fingerprint set and LSH band index, both skinny narrow
-projections (materialize them as bucketed tables and append per batch to
-avoid even the corpus re-scan; dedup_incremental's are kept as
-derived-on-read here since the driver's test corpora are small). The
-substring gate's pre-mask exact layer IS materialized: the
-original-fingerprint index at ``orig_fp_index_path(win_index_path)``
-appends one skinny delta per batch, so no gate pays a corpus re-scan."""
+Scale notes: the per-batch cost is linear in the batch. Every gate's
+corpus-side state can be MATERIALIZED and appended per batch, so no
+gate pays a corpus re-scan at scale:
+
+- ``dedup_index_path`` (round 10) persists dedup_incremental's three
+  corpus-side relations — (doc_id, fp) fingerprints, (doc_id, band, bh)
+  LSH bands, (doc_id, shs) shingle sets — so the exact/near layers
+  never re-derive them from corpus text (without it they derive per
+  batch, fine for small corpora);
+- ``win_index_path`` persists the substring gate's winnow fingerprints
+  plus the pre-mask original-fingerprint index at
+  ``orig_fp_index_path(win_index_path)``;
+- ``sem_index_path`` persists the semantic gate's embedding index.
+
+The only remaining per-batch corpus touches are id-column-only
+projections (the dedup ghost check) and the optional drift monitor's
+length scan — both column-pruned, no text reads."""
 
 from __future__ import annotations
 
@@ -34,6 +43,8 @@ from ts_etl_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     canonical_fingerprint,
     dedup_incremental,
+    minhash_bands,
+    shingle_sets,
 )
 from ts_etl_spark.operators.drift import psi_drift
 from ts_etl_spark.operators.sketches import (
@@ -182,6 +193,55 @@ def _win_index(spark: SparkSession, path: str) -> DataFrame:
     if path_exists(spark, path):
         return spark.read.schema(WIN_INDEX_SCHEMA).parquet(path)
     return spark.createDataFrame([], WIN_INDEX_SCHEMA)
+
+
+#: materialized corpus-side relations of ``dedup_incremental`` — the
+#: production shape its docstring promises: the per-batch dedup cost is
+#: linear in the BATCH once these exist, because the corpus TEXT is
+#: never re-scanned or re-shingled. Three sibling tables under one base
+#: directory, all keyed by doc_id and appended per batch from the kept
+#: documents' STORED text (the exact text the corpus append lands):
+DEDUP_FP_SCHEMA = "doc_id LONG, fp STRING"
+DEDUP_BANDS_SCHEMA = "doc_id LONG, band INT, bh BIGINT"
+DEDUP_SETS_SCHEMA = "doc_id LONG, shs ARRAY<STRING>"
+#: note: sub-3-token documents produce NO sets/bands rows (shingle_sets
+#: filters them) but DO get an fp row — the fp table is the index's
+#: id-complete membership listing.
+
+
+def dedup_index_paths(base: str) -> dict[str, str]:
+    """The three table locations under a dedup-index base directory."""
+    return {k: f"{base}/{k}" for k in ("fp", "bands", "sets")}
+
+
+def _dedup_index(
+    spark: SparkSession, base: str, corpus: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Read (bootstrapping if absent) the materialized dedup index.
+
+    Bootstrap derives all three relations from the stored corpus in one
+    pass — the one-time cost of adopting the index on a pre-existing
+    corpus; thereafter every batch only appends. Write order: sets,
+    bands, then fp LAST — the fp table's existence marks the bootstrap
+    complete (single-writer assumption, same as the other ingest
+    state), so a crash mid-bootstrap re-bootstraps instead of serving a
+    torn index."""
+    p = dedup_index_paths(base)
+    if not path_exists(spark, p["fp"]):
+        sets = shingle_sets(corpus).persist()
+        try:
+            sets.write.mode("overwrite").parquet(p["sets"])
+            minhash_bands(sets).write.mode("overwrite").parquet(p["bands"])
+            corpus.select(
+                "doc_id", canonical_fingerprint().alias("fp")
+            ).write.mode("overwrite").parquet(p["fp"])
+        finally:
+            sets.unpersist()
+    return (
+        spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]),
+        spark.read.schema(DEDUP_BANDS_SCHEMA).parquet(p["bands"]),
+        spark.read.schema(DEDUP_SETS_SCHEMA).parquet(p["sets"]),
+    )
 
 
 def orig_fp_index_path(win_index_path: str) -> str:
@@ -473,6 +533,7 @@ def ingest_batch(
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
     win_index_path: str | None = None,
+    dedup_index_path: str | None = None,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
     With ``stats_path``, also fold the batch's fingerprint registers into
@@ -484,7 +545,34 @@ def ingest_batch(
     index the gate reads; with ``win_index_path``, FIRST rewrite the
     batch through the incremental substring gate (``substring_gate`` —
     cross-ingest repeated spans masked before any other gate sees the
-    text) and maintain the winnow-fingerprint index it reads.
+    text) and maintain the winnow-fingerprint index it reads; with
+    ``dedup_index_path`` (round 10), run ``dedup_incremental`` against
+    the MATERIALIZED corpus-side relations (fingerprints, LSH bands,
+    shingle sets — see ``DEDUP_FP_SCHEMA`` etc.) instead of re-deriving
+    them from corpus text every micro-batch, and maintain those tables —
+    the shape whose per-batch cost is linear in the batch at any corpus
+    size (the corpus TEXT is never re-scanned by the dedup layers).
+
+    Dedup-index replay analysis (the index appends BEFORE the corpus,
+    like the winnow/semantic deltas, so no batch can land in the corpus
+    unindexed — an unindexed corpus doc would be invisible to every
+    later batch's exact/near probes, silently admitting its duplicates):
+
+    - crash AFTER the index deltas, BEFORE the corpus append: the
+      replayed batch's ids are in the index but not the corpus
+      ("ghosts"). Probing them against themselves would self-drop the
+      whole batch and LOSE it, so the probes exclude ghost rows (one
+      anti-join of batch ids against the skinny corpus id projection
+      identifies them); verdicts re-derive identically, the delta
+      anti-joins (per TABLE, by doc_id) no-op, and the corpus append
+      lands.
+    - replay of a FULLY committed batch (checkpoint crashed after the
+      corpus append): the ids are in index AND corpus — not ghosts — so
+      the batch's own index rows stay in the probes and the exact layer
+      drops everything, preserving the idempotent-replay property.
+    - out-of-order arrivals (a genuinely-new id at or below the index
+      max) RAISE, the ``semantic_gate`` contract: that document would
+      be judged against only part of the corpus.
 
     Gate-order interplay (round 9, hardened round 10; tested): with the
     substring gate on, the EXACT canonical-fingerprint layer runs
@@ -592,14 +680,54 @@ def ingest_batch(
         win_delta = win_delta.localCheckpoint(eager=True)
         persisted.append(batch_df)
         persisted.append(win_delta)
-    kept = (
-        dedup_incremental(
+    dfp = dbands = dsets = None
+    if dedup_index_path is not None:
+        dfp, dbands, dsets = _dedup_index(spark, dedup_index_path, corpus)
+        batch_ids = batch_df.select("doc_id")
+        # out-of-order enforcement BEFORE the ghost computation: a
+        # genuinely-new id at or below the index max was never judged
+        # against by the larger-id documents already in — raise, the
+        # semantic_gate contract. Indexed ids re-appear legally under
+        # crash replay.
+        max_seen = dfp.agg(F.max("doc_id")).first()[0]
+        if max_seen is not None:
+            stale = (
+                batch_ids.filter(F.col("doc_id") <= max_seen)
+                .join(dfp.select("doc_id"), "doc_id", "left_anti")
+                .first()
+            )
+            if stale is not None:
+                raise ValueError(
+                    f"batch doc_id {stale[0]} is <= the dedup index's max "
+                    f"seen id {max_seen} and not a replay of an indexed "
+                    "id: genuinely-new ids must exceed all previously-"
+                    "ingested ids (ingest order)"
+                )
+        # ghosts: indexed-but-uncommitted ids (crash window between the
+        # index appends and the corpus append) — their rows must not
+        # probe against themselves; see the docstring's replay analysis.
+        # One anti-join against the skinny corpus ID projection (column-
+        # pruned — no text read).
+        ghosts = batch_ids.join(corpus.select("doc_id"), "doc_id", "left_anti")
+        kept_prov = dedup_incremental(
+            None,
+            batch_df.select("doc_id", "text"),
+            threshold,
+            persisted,
+            corpus_fp=dfp.join(ghosts, "doc_id", "left_anti"),
+            corpus_bands=dbands.join(ghosts, "doc_id", "left_anti"),
+            corpus_sets=dsets.join(ghosts, "doc_id", "left_anti"),
+        )
+    else:
+        kept_prov = dedup_incremental(
             corpus, batch_df.select("doc_id", "text"), threshold, persisted
         )
-        .filter(F.col("kept"))
+    kept = (
+        kept_prov.filter(F.col("kept"))
         .select("doc_id", "text")
-        # `kept` is traversed twice (stats registers + the corpus append);
-        # persist so the expensive dedup runs once
+        # `kept` is traversed several times (stats registers, the dedup
+        # index deltas, the corpus append); persist so the expensive
+        # dedup runs once
         .persist()
     )
     persisted.append(kept)
@@ -658,6 +786,34 @@ def ingest_batch(
         if sem_index_path is not None:
             # index BEFORE corpus — see the docstring's replay analysis
             index_delta.write.mode("append").parquet(sem_index_path)
+        if dedup_index_path is not None:
+            # dedup index BEFORE corpus (no corpus doc may ever be
+            # unindexed — see the docstring's replay analysis). Each
+            # delta anti-joins by doc_id against ITS OWN table so a
+            # crash between the three appends converges table-by-table
+            # on replay; all three materialize eagerly BEFORE any append
+            # (their lineage reads the paths being appended to, and
+            # kept's cache is invalidated by the corpus append below).
+            kfp = kept.select("doc_id", canonical_fingerprint().alias("fp"))
+            ksets = shingle_sets(kept)
+            fp_delta = (
+                kfp.join(dfp.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            sets_delta = (
+                ksets.join(dsets.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            bands_delta = (
+                minhash_bands(ksets)
+                .join(dbands.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            persisted += [fp_delta, sets_delta, bands_delta]
+            p = dedup_index_paths(dedup_index_path)
+            sets_delta.write.mode("append").parquet(p["sets"])
+            bands_delta.write.mode("append").parquet(p["bands"])
+            fp_delta.write.mode("append").parquet(p["fp"])
         kept.write.mode("append").parquet(corpus_path)
         if fp_delta is not None:
             # fingerprint index strictly AFTER the corpus append — a
@@ -684,14 +840,18 @@ def run_streaming_ingest(
     sem_cents_path: str | None = None,
     sem_threshold: float | None = None,
     win_index_path: str | None = None,
+    dedup_index_path: str | None = None,
 ) -> None:
     """Stream the landing directory into the corpus until all available
     files are processed (``availableNow``), one incremental-dedup round per
     micro-batch; optionally maintaining the corpus-stats register sketch,
     the per-batch PSI drift log, the attempt heavy-hitter counters, with
     ``sem_index_path``/``sem_cents_path`` the paraphrase-level semantic
-    gate plus its embedding index, and with ``win_index_path`` the
-    incremental substring gate plus its winnow-fingerprint index."""
+    gate plus its embedding index, with ``win_index_path`` the
+    incremental substring gate plus its winnow-fingerprint index, and
+    with ``dedup_index_path`` the materialized corpus-side dedup
+    relations (fingerprints / LSH bands / shingle sets) that keep the
+    per-batch dedup cost corpus-scan-free."""
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
@@ -702,6 +862,7 @@ def run_streaming_ingest(
             spark, batch_df, corpus_path, threshold, stats_path,
             drift_path, batch_id, hh_path, sem_index_path,
             sem_cents_path, sem_threshold, win_index_path,
+            dedup_index_path,
         )
 
     q = (
