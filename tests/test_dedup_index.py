@@ -285,3 +285,70 @@ def test_indexed_ingest_composes_with_substring_gate(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(corpus).collect()
     } == {1, 2}
+
+
+def test_recrawl_of_masked_doc_drops_with_both_indexes(spark, tmp_path):
+    """Round-10 self-review regression (variable shadowing): with BOTH
+    win_index_path and dedup_index_path set, the ORIGINAL-fingerprint
+    index must still receive the gate entrants' pre-mask fingerprints —
+    the shadowed delta used to overwrite it with the dedup (doc_id, fp)
+    frame aimed at orig_fp_index_path(None), a literal 'None_origfp'
+    directory in the cwd, so a NEW-doc_id re-crawl of a masked document
+    was re-admitted in exactly the composed configuration built to stop
+    it."""
+    from ts_etl_spark.streaming.ingest import orig_fp_index_path
+
+    rng = random.Random(97)
+    boiler = _rand_words(rng, 40)
+    orig2 = f"{_rand_words(rng, 200)} {boiler}"
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    win = str(tmp_path / "win")
+    kw = dict(dedup_index_path=idx, win_index_path=win)
+    ingest_batch(
+        spark, _docs(spark, [(1, f"{boiler} {_rand_words(rng, 200)}")]),
+        corpus, **kw,
+    )
+    ingest_batch(spark, _docs(spark, [(2, orig2)]), corpus, **kw)
+    stored = {r.doc_id: r.text for r in spark.read.parquet(corpus).collect()}
+    assert set(stored) == {1, 2}
+    assert len(stored[2].split()) < 240, "doc 2 stored masked (precondition)"
+    ingest_batch(spark, _docs(spark, [(30, orig2)]), corpus, **kw)
+    assert {r.doc_id for r in spark.read.parquet(corpus).collect()} == {1, 2}, (
+        "new-id re-crawl of a masked doc re-admitted under composed indexes"
+    )
+    # the orig-fp index holds STRING fingerprints only (1 column) — the
+    # shadowing bug appended the 2-column dedup frame
+    ofp = spark.read.parquet(orig_fp_index_path(win))
+    assert ofp.columns == ["fp"], ofp.columns
+    assert not os.path.exists("None_origfp"), "stray cwd artifact recreated"
+
+
+def test_replay_of_batch_with_dropped_lower_id_does_not_wedge(spark, tmp_path):
+    """Round-10 self-review regression (out-of-order guard): the guard
+    consults the ATTEMPTS listing, not the kept-only fp table. A batch
+    that dropped its lower id, replayed after a crash (completed-batch
+    redelivery AND the index-appended/corpus-uncommitted window), must
+    re-judge cleanly — the old fp-based guard raised 'ingest order'
+    forever, wedging the stream on its own recovery path."""
+    rng = random.Random(101)
+    base = _rand_words(rng, 50)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(spark, _docs(spark, [(1, base)]), corpus, dedup_index_path=idx)
+    # doc 2 drops (exact_corpus), doc 3 kept: the fp table never sees 2
+    b2 = _docs(spark, [(2, base), (3, _rand_words(rng, 40))])
+    ingest_batch(spark, b2, corpus, dedup_index_path=idx)
+    before = _corpus_rows(spark, corpus)
+    ingest_batch(spark, b2, corpus, dedup_index_path=idx)  # completed replay
+    assert _corpus_rows(spark, corpus) == before
+    # crash-window variant: roll the corpus back to pre-b2, keep the index
+    files_before = set(os.listdir(corpus))
+    b3 = _docs(spark, [(4, base), (5, _rand_words(rng, 40))])
+    ingest_batch(spark, b3, corpus, dedup_index_path=idx)
+    for name in set(os.listdir(corpus)) - files_before:  # ...crash here
+        os.remove(os.path.join(corpus, name))
+    ingest_batch(spark, b3, corpus, dedup_index_path=idx)  # replay
+    assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1, 3, 5], (
+        "ghost replay with a dropped lower id lost or duplicated docs"
+    )

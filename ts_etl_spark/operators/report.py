@@ -69,10 +69,12 @@ when the entry is BUILT, before any action on the returned frame):
   plus three ``table_content_hash`` actions over the 1-in-5 slice —
   the dominant construction-time cost of this entry.
 
-(The repo-wide set also includes ``pipelines.curation``'s masking
-barrier — localCheckpoint or checkpoint_dir staging — documented
-there.) Anything timing ``queries()['corpus_report']`` measures these
-at construction, not at collect.
+(The repo-wide eager-at-construction set also includes
+``pipelines.curation``'s masking barrier — localCheckpoint or
+checkpoint_dir staging — and ``pipelines.trainer_prep``'s mix arm,
+which collects the #langs-bounded per-language counts at construction;
+each documented in place.) Anything timing ``queries()['corpus_report']``
+measures these at construction, not at collect.
 """
 
 from __future__ import annotations

@@ -204,32 +204,43 @@ def _win_index(spark: SparkSession, path: str) -> DataFrame:
 DEDUP_FP_SCHEMA = "doc_id LONG, fp STRING"
 DEDUP_BANDS_SCHEMA = "doc_id LONG, band INT, bh BIGINT"
 DEDUP_SETS_SCHEMA = "doc_id LONG, shs ARRAY<STRING>"
+#: every doc_id that ever ENTERED ingest (kept, dropped, or mid-crash):
+#: the membership listing the out-of-order guard consults. Appended
+#: FIRST each batch, so it is always a superset of every other table —
+#: fp/bands/sets hold KEPT docs only, which is why they cannot serve as
+#: the guard (a replay of a batch that DROPPED a low id would look
+#: out-of-order against them and wedge the stream).
+DEDUP_SEEN_SCHEMA = "doc_id LONG"
 #: note: sub-3-token documents produce NO sets/bands rows (shingle_sets
-#: filters them) but DO get an fp row — the fp table is the index's
-#: id-complete membership listing.
+#: filters them) but kept docs always get an fp row.
 
 
 def dedup_index_paths(base: str) -> dict[str, str]:
-    """The three table locations under a dedup-index base directory."""
-    return {k: f"{base}/{k}" for k in ("fp", "bands", "sets")}
+    """The four table locations under a dedup-index base directory."""
+    return {k: f"{base}/{k}" for k in ("fp", "bands", "sets", "seen")}
 
 
 def _dedup_index(
     spark: SparkSession, base: str, corpus: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Read (bootstrapping if absent) the materialized dedup index.
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Read (bootstrapping if absent) the materialized dedup index:
+    ``(fp, bands, sets, seen)``.
 
-    Bootstrap derives all three relations from the stored corpus in one
+    Bootstrap derives all four relations from the stored corpus in one
     pass — the one-time cost of adopting the index on a pre-existing
-    corpus; thereafter every batch only appends. Write order: sets,
-    bands, then fp LAST — the fp table's existence marks the bootstrap
-    complete (single-writer assumption, same as the other ingest
-    state), so a crash mid-bootstrap re-bootstraps instead of serving a
-    torn index."""
+    corpus; thereafter every batch only appends. (``seen`` can only seed
+    from corpus ids — attempts DROPPED before the index existed are
+    unknowable, so their ids would be rejected as out-of-order if
+    re-submitted; acceptable under the ingest-order contract.) Write
+    order: seen, sets, bands, then fp LAST — the fp table's existence
+    marks the bootstrap complete (single-writer assumption, same as the
+    other ingest state), so a crash mid-bootstrap re-bootstraps instead
+    of serving a torn index."""
     p = dedup_index_paths(base)
     if not path_exists(spark, p["fp"]):
         sets = shingle_sets(corpus).persist()
         try:
+            corpus.select("doc_id").write.mode("overwrite").parquet(p["seen"])
             sets.write.mode("overwrite").parquet(p["sets"])
             minhash_bands(sets).write.mode("overwrite").parquet(p["bands"])
             corpus.select(
@@ -241,6 +252,7 @@ def _dedup_index(
         spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]),
         spark.read.schema(DEDUP_BANDS_SCHEMA).parquet(p["bands"]),
         spark.read.schema(DEDUP_SETS_SCHEMA).parquet(p["sets"]),
+        spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"]),
     )
 
 
@@ -644,6 +656,45 @@ def ingest_batch(
         # the question is what LANDED, not what the gates rewrote
         monitor_batch_drift(spark, corpus, batch_df, drift_path, batch_id)
     persisted: list[DataFrame] = []
+    dfp = dbands = dsets = None
+    if dedup_index_path is not None:
+        dfp, dbands, dsets, dseen = _dedup_index(
+            spark, dedup_index_path, corpus
+        )
+        raw_ids = batch_df.select("doc_id")
+        # out-of-order enforcement against the ATTEMPTS listing, not the
+        # kept-only fp table: a batch id at or below the max ever
+        # attempted that was never attempted arrived out of order (it
+        # would be judged against only part of the corpus) — raise, the
+        # semantic_gate contract. Re-attempts of previously-judged ids
+        # (crash replay, duplicate redelivery, re-submission of a
+        # dropped doc) are legal and re-judge deterministically.
+        max_attempted = dseen.agg(F.max("doc_id")).first()[0]
+        if max_attempted is not None:
+            stale = (
+                raw_ids.filter(F.col("doc_id") <= max_attempted)
+                .join(dseen, "doc_id", "left_anti")
+                .first()
+            )
+            if stale is not None:
+                raise ValueError(
+                    f"batch doc_id {stale[0]} is <= the dedup index's max "
+                    f"attempted id {max_attempted} and was never attempted:"
+                    " genuinely-new ids must exceed all previously-ingested"
+                    " ids (ingest order)"
+                )
+        # record the attempts FIRST, before any gate runs or any other
+        # state is written — seen must stay a superset of every other
+        # table for the guard above to be replay-proof (a crash anywhere
+        # after this point replays with the ids already in seen)
+        seen_delta = (
+            raw_ids.join(dseen, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        persisted.append(seen_delta)
+        seen_delta.write.mode("append").parquet(
+            dedup_index_paths(dedup_index_path)["seen"]
+        )
     win_delta = None
     fp_index = entrant_fps = None
     if win_index_path is not None:
@@ -680,34 +731,13 @@ def ingest_batch(
         win_delta = win_delta.localCheckpoint(eager=True)
         persisted.append(batch_df)
         persisted.append(win_delta)
-    dfp = dbands = dsets = None
     if dedup_index_path is not None:
-        dfp, dbands, dsets = _dedup_index(spark, dedup_index_path, corpus)
-        batch_ids = batch_df.select("doc_id")
-        # out-of-order enforcement BEFORE the ghost computation: a
-        # genuinely-new id at or below the index max was never judged
-        # against by the larger-id documents already in — raise, the
-        # semantic_gate contract. Indexed ids re-appear legally under
-        # crash replay.
-        max_seen = dfp.agg(F.max("doc_id")).first()[0]
-        if max_seen is not None:
-            stale = (
-                batch_ids.filter(F.col("doc_id") <= max_seen)
-                .join(dfp.select("doc_id"), "doc_id", "left_anti")
-                .first()
-            )
-            if stale is not None:
-                raise ValueError(
-                    f"batch doc_id {stale[0]} is <= the dedup index's max "
-                    f"seen id {max_seen} and not a replay of an indexed "
-                    "id: genuinely-new ids must exceed all previously-"
-                    "ingested ids (ingest order)"
-                )
         # ghosts: indexed-but-uncommitted ids (crash window between the
         # index appends and the corpus append) — their rows must not
         # probe against themselves; see the docstring's replay analysis.
         # One anti-join against the skinny corpus ID projection (column-
-        # pruned — no text read).
+        # pruned — no text read). Computed on the post-gate batch ids.
+        batch_ids = batch_df.select("doc_id")
         ghosts = batch_ids.join(corpus.select("doc_id"), "doc_id", "left_anti")
         kept_prov = dedup_incremental(
             None,
@@ -750,6 +780,15 @@ def ingest_batch(
             index_delta = index_delta.localCheckpoint(eager=True)
             persisted.append(kept)
             persisted.append(index_delta)
+        elif dedup_index_path is not None:
+            # same recacheByPath reasoning: kept's lineage reads the
+            # dedup-index paths appended below, and a mere cache is
+            # dropped by those appends — the corpus write would then
+            # re-run the whole exact+LSH dedup against the grown index
+            # every micro-batch (verdicts unchanged thanks to the ghost
+            # exclusion; purely a pay-the-dedup-twice cost).
+            kept = kept.localCheckpoint(eager=True)
+            persisted.append(kept)
         # stats BEFORE the append: appending to corpus_path makes Spark
         # invalidate every cached plan that reads that path (recacheByPath),
         # and `kept`'s lineage reads the corpus — an after-append traversal
@@ -761,15 +800,15 @@ def ingest_batch(
         # fingerprint-idempotent corpus append).
         if stats_path is not None:
             update_corpus_stats(spark, kept, stats_path)
-        fp_delta = None
+        origfp_delta = None
         if win_delta is not None:
-            # fp delta = entrant originals ∪ stored (post-gate) text of
-            # what is about to land, minus what the index already holds.
-            # Materialized NOW (kept's lineage reads corpus_path, and
-            # the corpus append below recaches that path) but WRITTEN
-            # after the corpus append — see the docstring's ordering
-            # analysis.
-            fp_delta = (
+            # origfp delta = entrant originals ∪ stored (post-gate) text
+            # of what is about to land, minus what the index already
+            # holds. Materialized NOW (kept's lineage reads corpus_path,
+            # and the corpus append below recaches that path) but
+            # WRITTEN after the corpus append — see the docstring's
+            # ordering analysis.
+            origfp_delta = (
                 entrant_fps.unionByName(
                     kept.select(canonical_fingerprint().alias("fp"))
                 )
@@ -777,7 +816,7 @@ def ingest_batch(
                 .join(fp_index, "fp", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            persisted.append(fp_delta)
+            persisted.append(origfp_delta)
             # winnow index BEFORE corpus (the semantic gate's
             # crash-window contract): a replay re-derives the same
             # delta, whose doc_id anti-join no-ops, and the fp-set
@@ -796,7 +835,7 @@ def ingest_batch(
             # kept's cache is invalidated by the corpus append below).
             kfp = kept.select("doc_id", canonical_fingerprint().alias("fp"))
             ksets = shingle_sets(kept)
-            fp_delta = (
+            dfp_delta = (
                 kfp.join(dfp.select("doc_id"), "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
@@ -809,16 +848,16 @@ def ingest_batch(
                 .join(dbands.select("doc_id"), "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            persisted += [fp_delta, sets_delta, bands_delta]
+            persisted += [dfp_delta, sets_delta, bands_delta]
             p = dedup_index_paths(dedup_index_path)
             sets_delta.write.mode("append").parquet(p["sets"])
             bands_delta.write.mode("append").parquet(p["bands"])
-            fp_delta.write.mode("append").parquet(p["fp"])
+            dfp_delta.write.mode("append").parquet(p["fp"])
         kept.write.mode("append").parquet(corpus_path)
-        if fp_delta is not None:
+        if origfp_delta is not None:
             # fingerprint index strictly AFTER the corpus append — a
             # probe-visible fingerprint implies a committed ingest
-            fp_delta.write.mode("append").parquet(
+            origfp_delta.write.mode("append").parquet(
                 orig_fp_index_path(win_index_path)
             )
     finally:
