@@ -352,3 +352,56 @@ def test_replay_of_batch_with_dropped_lower_id_does_not_wedge(spark, tmp_path):
     assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1, 3, 5], (
         "ghost replay with a dropped lower id lost or duplicated docs"
     )
+
+
+def test_lens_table_makes_drift_baseline_text_scan_free(spark, tmp_path):
+    """The drift monitor with the dedup index on must produce the same
+    PSI rows as the corpus-text-scan path (the lens table IS the corpus
+    length distribution), batch over batch. Values compare at 9 decimals:
+    the per-bucket terms are deterministic, but the TOTAL row sums them
+    in partition order, and the lens-table scan partitions differently
+    from the corpus text scan — a last-ulp summation difference, not a
+    distribution difference."""
+    rng = random.Random(113)
+    corpus_a = str(tmp_path / "a")  # plain: text-scan baseline
+    corpus_b = str(tmp_path / "b")  # indexed: lens-table baseline
+    idx = str(tmp_path / "idx")
+    drift_a = str(tmp_path / "da")
+    drift_b = str(tmp_path / "db")
+    batches = [
+        [(1, _rand_words(rng, 30)), (2, _rand_words(rng, 60))],
+        [(10, _rand_words(rng, 90)), (11, _rand_words(rng, 10))],
+        [(20, _rand_words(rng, 45))],
+    ]
+    for i, b in enumerate(batches):
+        ingest_batch(
+            spark, _docs(spark, b), corpus_a, drift_path=drift_a, batch_id=i
+        )
+        ingest_batch(
+            spark, _docs(spark, b), corpus_b, drift_path=drift_b, batch_id=i,
+            dedup_index_path=idx,
+        )
+    def rows(path):
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v for v in r
+            )
+            for r in spark.read.parquet(path).collect()
+        )
+
+    for i in range(1, len(batches)):  # batch 0 has an empty baseline both ways
+        a = rows(f"{drift_a}/batch={i}")
+        b = rows(f"{drift_b}/batch={i}")
+        assert a == b, f"batch {i}: lens-baseline PSI diverged from text scan"
+    # and the lens table equals the derived corpus lengths
+    lens = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dedup_index_paths(idx)["lens"]).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(corpus_b)
+        .select("doc_id", F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v"))
+        .collect()
+    )
+    assert lens == want

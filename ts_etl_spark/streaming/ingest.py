@@ -21,17 +21,20 @@ gate pays a corpus re-scan at scale:
 
 - ``dedup_index_path`` (round 10) persists dedup_incremental's three
   corpus-side relations — (doc_id, fp) fingerprints, (doc_id, band, bh)
-  LSH bands, (doc_id, shs) shingle sets — so the exact/near layers
-  never re-derive them from corpus text (without it they derive per
-  batch, fine for small corpora);
+  LSH bands, (doc_id, shs) shingle sets — plus the ``seen`` attempts
+  listing (out-of-order guard) and the ``lens`` document-length table
+  (drift baseline), so the exact/near layers never re-derive their
+  state from corpus text;
 - ``win_index_path`` persists the substring gate's winnow fingerprints
   plus the pre-mask original-fingerprint index at
   ``orig_fp_index_path(win_index_path)``;
 - ``sem_index_path`` persists the semantic gate's embedding index.
 
-The only remaining per-batch corpus touches are id-column-only
-projections (the dedup ghost check) and the optional drift monitor's
-length scan — both column-pruned, no text reads."""
+With the dedup index on, the only remaining per-batch corpus touch is
+the id-column-only ghost projection (column-pruned, no text read); the
+drift monitor's baseline comes from the index's materialized lens
+table. Without it, each gate derives its corpus-side state per batch —
+fine for small corpora."""
 
 from __future__ import annotations
 
@@ -204,6 +207,9 @@ def _win_index(spark: SparkSession, path: str) -> DataFrame:
 DEDUP_FP_SCHEMA = "doc_id LONG, fp STRING"
 DEDUP_BANDS_SCHEMA = "doc_id LONG, band INT, bh BIGINT"
 DEDUP_SETS_SCHEMA = "doc_id LONG, shs ARRAY<STRING>"
+#: stored-text document lengths of KEPT docs — the drift monitor's
+#: baseline, so per-batch PSI never re-scans corpus text
+DEDUP_LENS_SCHEMA = "doc_id LONG, v BIGINT"
 #: every doc_id that ever ENTERED ingest (kept, dropped, or mid-crash):
 #: the membership listing the out-of-order guard consults. Appended
 #: FIRST each batch, so it is always a superset of every other table —
@@ -216,15 +222,15 @@ DEDUP_SEEN_SCHEMA = "doc_id LONG"
 
 
 def dedup_index_paths(base: str) -> dict[str, str]:
-    """The four table locations under a dedup-index base directory."""
-    return {k: f"{base}/{k}" for k in ("fp", "bands", "sets", "seen")}
+    """The five table locations under a dedup-index base directory."""
+    return {k: f"{base}/{k}" for k in ("fp", "bands", "sets", "seen", "lens")}
 
 
 def _dedup_index(
     spark: SparkSession, base: str, corpus: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Read (bootstrapping if absent) the materialized dedup index:
-    ``(fp, bands, sets, seen)``.
+    ``(fp, bands, sets, seen, lens)``.
 
     Bootstrap derives all four relations from the stored corpus in one
     pass — the one-time cost of adopting the index on a pre-existing
@@ -241,6 +247,10 @@ def _dedup_index(
         sets = shingle_sets(corpus).persist()
         try:
             corpus.select("doc_id").write.mode("overwrite").parquet(p["seen"])
+            corpus.select(
+                "doc_id",
+                F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v"),
+            ).write.mode("overwrite").parquet(p["lens"])
             sets.write.mode("overwrite").parquet(p["sets"])
             minhash_bands(sets).write.mode("overwrite").parquet(p["bands"])
             corpus.select(
@@ -253,6 +263,7 @@ def _dedup_index(
         spark.read.schema(DEDUP_BANDS_SCHEMA).parquet(p["bands"]),
         spark.read.schema(DEDUP_SETS_SCHEMA).parquet(p["sets"]),
         spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"]),
+        spark.read.schema(DEDUP_LENS_SCHEMA).parquet(p["lens"]),
     )
 
 
@@ -452,6 +463,7 @@ def monitor_batch_drift(
     drift_path: str,
     batch_id: int,
     n_buckets: int = 10,
+    base_lens: DataFrame | None = None,
 ) -> None:
     """PSI of the batch's document-length distribution against the
     corpus-so-far, appended to a per-batch drift log — the monitoring
@@ -463,9 +475,15 @@ def monitor_batch_drift(
     Streaming replays a micro-batch under the SAME batch_id, so a replay
     rewrites its own partition instead of duplicating rows. Each batch
     contributes ``n_buckets + 1`` rows (per-bucket detail + the total) —
-    telemetry stays bounded by batches × buckets, never by corpus size."""
+    telemetry stays bounded by batches × buckets, never by corpus size.
+
+    ``base_lens`` (round 10): a pre-materialized one-column ``v`` frame
+    of corpus document lengths to use as the baseline INSTEAD of scanning
+    corpus text — ``ingest_batch`` passes the dedup index's ``lens``
+    table, making the drift monitor corpus-text-scan-free like every
+    other per-batch consumer."""
     doclen = F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v")
-    base = corpus.select(doclen)
+    base = corpus.select(doclen) if base_lens is None else base_lens
     cur = batch_df.select(doclen)
     if cur.first() is None:  # empty batch: nothing to compare
         return
@@ -646,19 +664,10 @@ def ingest_batch(
             "sem_index_path and sem_cents_path must be given together"
         )
     corpus = _corpus(spark, corpus_path)
-    if hh_path is not None:
-        # attempts, not survivors — see update_attempt_heavyhitters
-        update_attempt_heavyhitters(spark, batch_df, hh_path, batch_id)
-    if drift_path is not None:
-        # BEFORE the append (same recacheByPath reasoning as the stats
-        # ordering below) — and semantically the baseline must be the
-        # corpus as it stood when the batch arrived; the raw batch, since
-        # the question is what LANDED, not what the gates rewrote
-        monitor_batch_drift(spark, corpus, batch_df, drift_path, batch_id)
     persisted: list[DataFrame] = []
-    dfp = dbands = dsets = None
+    dfp = dbands = dsets = dlens = None
     if dedup_index_path is not None:
-        dfp, dbands, dsets, dseen = _dedup_index(
+        dfp, dbands, dsets, dseen, dlens = _dedup_index(
             spark, dedup_index_path, corpus
         )
         raw_ids = batch_df.select("doc_id")
@@ -694,6 +703,27 @@ def ingest_batch(
         persisted.append(seen_delta)
         seen_delta.write.mode("append").parquet(
             dedup_index_paths(dedup_index_path)["seen"]
+        )
+    if hh_path is not None:
+        # attempts, not survivors — see update_attempt_heavyhitters
+        update_attempt_heavyhitters(spark, batch_df, hh_path, batch_id)
+    if drift_path is not None:
+        # BEFORE the append (same recacheByPath reasoning as the stats
+        # ordering below) — and semantically the baseline must be the
+        # corpus as it stood when the batch arrived; the raw batch, since
+        # the question is what LANDED, not what the gates rewrote. With
+        # the dedup index, the baseline comes from the materialized lens
+        # table (anti-joined against the batch ids so a crash-window
+        # replay's ghost rows never contaminate the corpus-so-far
+        # baseline) — no corpus text scan.
+        base_lens = None
+        if dlens is not None:
+            base_lens = dlens.join(
+                batch_df.select("doc_id"), "doc_id", "left_anti"
+            ).select("v")
+        monitor_batch_drift(
+            spark, corpus, batch_df, drift_path, batch_id,
+            base_lens=base_lens,
         )
     win_delta = None
     fp_index = entrant_fps = None
@@ -848,10 +878,19 @@ def ingest_batch(
                 .join(dbands.select("doc_id"), "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
-            persisted += [dfp_delta, sets_delta, bands_delta]
+            lens_delta = (
+                kept.select(
+                    "doc_id",
+                    F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v"),
+                )
+                .join(dlens.select("doc_id"), "doc_id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            persisted += [dfp_delta, sets_delta, bands_delta, lens_delta]
             p = dedup_index_paths(dedup_index_path)
             sets_delta.write.mode("append").parquet(p["sets"])
             bands_delta.write.mode("append").parquet(p["bands"])
+            lens_delta.write.mode("append").parquet(p["lens"])
             dfp_delta.write.mode("append").parquet(p["fp"])
         kept.write.mode("append").parquet(corpus_path)
         if origfp_delta is not None:
