@@ -108,11 +108,20 @@ HEADLINE = [
 # tests instead (tests/test_incremental.py). Names map to callables with
 # the same (spark, sf_dir) -> DataFrame signature.
 def _supplement():
-    from ts_etl_spark.operators.dedup import q_dedup_incremental
+    from ts_etl_spark.operators.dedup import (
+        q_dedup_incremental,
+        q_dedup_incremental_indexed,
+    )
     from ts_etl_spark.operators.packing import q_sequence_packing
 
     return {
         "dedup_incremental": q_dedup_incremental,
+        # round 10: the same batch-vs-corpus run against the
+        # pre-materialized index (streaming.ingest's dedup_index_path
+        # shape) — the delta vs dedup_incremental is the per-batch
+        # saving the index buys; the one-time index build lands in the
+        # first sample, which min-of-N discards (memoized staging).
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
         "sequence_packing": q_sequence_packing,
     }
 

@@ -405,3 +405,30 @@ def test_lens_table_makes_drift_baseline_text_scan_free(spark, tmp_path):
         .collect()
     )
     assert lens == want
+
+
+def test_bench_indexed_supplement_matches_plain(spark):
+    """The indexed bench supplement must return exactly the verdicts of
+    the derive-from-text supplement on the same 90/10 split — the bench
+    delta between them is then attributable purely to the materialized
+    index, not to a semantics difference."""
+    from ts_etl_spark.operators.dedup import (
+        _BENCH_INDEX_MEMO,
+        q_dedup_incremental,
+        q_dedup_incremental_indexed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "kept", "drop_reason"]
+    want = sorted(
+        tuple(r) for r in q_dedup_incremental(spark, sf).select(*cols).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in q_dedup_incremental_indexed(spark, sf).select(*cols).collect()
+    )
+    assert got == want
+    # memoized staging: a second build reuses the staged directory
+    n_memo = len(_BENCH_INDEX_MEMO)
+    q_dedup_incremental_indexed(spark, sf)
+    assert len(_BENCH_INDEX_MEMO) == n_memo

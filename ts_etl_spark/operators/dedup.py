@@ -850,6 +850,63 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(corpus, batch)
 
 
+#: per-(application, sf_dir) memo of the staged dedup-index directory for
+#: the INDEXED bench supplement — built+written on the first call (the
+#: bench warmup / first sample, which min-of-3 discards), reused by later
+#: samples so the measured number is the steady-state PROBE cost a
+#: continuous ingest pays, not the one-time index build.
+_BENCH_INDEX_MEMO: dict = {}
+
+
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_dedup_incremental`` against a PRE-MATERIALIZED corpus-side
+    index (``streaming.ingest`` round-10 shape): same 90/10 split, but
+    the corpus contributes parquet-backed (fp, bands, sets) tables
+    instead of deriving them from text, and ``corpus=None`` makes the
+    no-corpus-text-scan claim structural. Bench SUPPLEMENT only (not a
+    ``queries()`` entry); the measured delta vs ``dedup_incremental``
+    IS the per-batch saving the materialized index buys. The split cut
+    and staging use driver-side scalars/tempfiles — bench-harness
+    plumbing, not the production path (``ingest_batch`` maintains the
+    real index incrementally)."""
+    import tempfile
+
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(par, "doc_id")
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BENCH_INDEX_MEMO:
+        d = tempfile.mkdtemp(prefix="tsetl_bench_didx_")
+        cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.9)
+        corpus = docs.filter(F.col("doc_id") <= cut)
+        sets = shingle_sets(corpus).persist()
+        try:
+            corpus.select(
+                "doc_id", canonical_fingerprint().alias("fp")
+            ).write.parquet(f"{d}/fp")
+            sets.write.parquet(f"{d}/sets")
+            minhash_bands(sets).write.parquet(f"{d}/bands")
+        finally:
+            sets.unpersist()
+        _BENCH_INDEX_MEMO[key] = (d, cut)
+    d, cut = _BENCH_INDEX_MEMO[key]
+    batch = docs.filter(F.col("doc_id") > cut)
+    return dedup_incremental(
+        None,
+        batch,
+        corpus_fp=spark.read.schema("doc_id LONG, fp STRING").parquet(f"{d}/fp"),
+        corpus_bands=spark.read.schema(
+            "doc_id LONG, band INT, bh BIGINT"
+        ).parquet(f"{d}/bands"),
+        corpus_sets=spark.read.schema(
+            "doc_id LONG, shs ARRAY<STRING>"
+        ).parquet(f"{d}/sets"),
+    )
+
+
 def q_dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, the LSH-pair connected components, AND the
     winnowed repeated-substring audit in one tagged union (the
