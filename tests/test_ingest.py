@@ -440,3 +440,48 @@ def test_cli_ingest_with_substring_gate(spark, tmp_path):
     assert n2 <= 112, "cross-batch boilerplate attenuated"
     assert n2 >= 80, "unique region untouched"
     assert spark.read.parquet(str(tmp_path / "win")).count() > 0
+
+
+def test_cli_ingest_with_dedup_index(spark, tmp_path):
+    """--dedup-index from the CLI/streaming layer: the four-gate stack
+    drains two micro-batches maintaining the materialized corpus-side
+    dedup relations; the second batch's exact and near duplicates drop
+    against the INDEX (corpus text never re-derived — the batch-level
+    structural proof lives in tests/test_dedup_index.py), and all five
+    tables materialize id-consistently."""
+    import random
+
+    from ts_etl_spark.cli import run_ingest
+    from ts_etl_spark.streaming.ingest import dedup_index_paths
+
+    rng = random.Random(19)
+    base = " ".join(f"w{rng.randrange(10_000)}" for _ in range(50))
+    uniq = " ".join(f"u{rng.randrange(10_000)}" for _ in range(40))
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write(str(d / "b0.parquet"), [(1, base), (2, uniq)])
+    _write(str(d / "b1.parquet"), [(10, base), (11, base + " x"), (12, uniq + " y z q")])
+    import os as _os, time as _time
+
+    now = _time.time()
+    _os.utime(d / "b0.parquet", (now - 40, now - 40))
+    _os.utime(d / "b1.parquet", (now - 20, now - 20))
+    idx = str(tmp_path / "didx")
+    out = run_ingest(
+        str(d), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        dedup_index_path=idx,
+        spark=spark,
+    )
+    # 10 exact-drops and 11 near-drops against the index; 12 is a
+    # near-dup of 2 (3 extra tokens on 40) and drops too
+    assert out == {"corpus_docs": 2}
+    kept = {
+        r.doc_id for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    assert kept == {1, 2}
+    p = dedup_index_paths(idx)
+    fp_ids = {r.doc_id for r in spark.read.parquet(p["fp"]).collect()}
+    seen_ids = {r.doc_id for r in spark.read.parquet(p["seen"]).collect()}
+    lens_ids = {r.doc_id for r in spark.read.parquet(p["lens"]).collect()}
+    assert fp_ids == lens_ids == {1, 2}, "kept-doc tables mirror the corpus"
+    assert seen_ids == {1, 2, 10, 11, 12}, "seen records every attempt"
