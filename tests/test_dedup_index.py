@@ -432,3 +432,100 @@ def test_bench_indexed_supplement_matches_plain(spark):
     n_memo = len(_BENCH_INDEX_MEMO)
     q_dedup_incremental_indexed(spark, sf)
     assert len(_BENCH_INDEX_MEMO) == n_memo
+
+
+def test_legacy_layout_backfills_missing_tables(spark, tmp_path):
+    """Layout-upgrade path (round-10 self-review, CONFIRMED pre-fix): an
+    index materialized by an older engine (fp/bands/sets only) must not
+    wedge ingest — the missing seen/lens tables backfill from the corpus
+    on first read, and ingest proceeds."""
+    import shutil
+
+    rng = random.Random(131)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(
+        spark, _docs(spark, [(1, _rand_words(rng, 40))]), corpus,
+        dedup_index_path=idx,
+    )
+    p = dedup_index_paths(idx)
+    shutil.rmtree(p["seen"])  # simulate the pre-seen/lens layout
+    shutil.rmtree(p["lens"])
+    ingest_batch(
+        spark, _docs(spark, [(2, _rand_words(rng, 40))]), corpus,
+        dedup_index_path=idx,
+    )
+    assert sorted(d for d, _ in _corpus_rows(spark, corpus)) == [1, 2]
+    assert {r.doc_id for r in spark.read.parquet(p["seen"]).collect()} == {1, 2}
+    lens = {r.doc_id: r.v for r in spark.read.parquet(p["lens"]).collect()}
+    assert set(lens) == {1, 2}
+
+
+def test_low_new_id_raises_even_for_duplicate_text(spark, tmp_path):
+    """Deliberate round-10 hardening: the id-ordering contract is about
+    IDS, not content — a never-attempted low id raises even when its
+    text byte-duplicates a stored document (round 9's origfp pre-drop
+    happened to swallow exactly that case)."""
+    rng = random.Random(137)
+    text = _rand_words(rng, 40)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    win = str(tmp_path / "win")
+    kw = dict(dedup_index_path=idx, win_index_path=win)
+    ingest_batch(spark, _docs(spark, [(10, text)]), corpus, **kw)
+    with pytest.raises(ValueError, match="ingest order"):
+        ingest_batch(spark, _docs(spark, [(5, text)]), corpus, **kw)
+
+
+def test_lens_parquet_is_physically_int64(spark, tmp_path):
+    """The lens writers cast to long so the parquet physical type matches
+    DEDUP_LENS_SCHEMA's BIGINT on ANY reader — Spark 4 widens INT32 on
+    read, Spark 3 throws, so relying on widening would pin the engine."""
+    import pyarrow.parquet as pq
+
+    rng = random.Random(139)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(
+        spark, _docs(spark, [(1, _rand_words(rng, 30))]), corpus,
+        dedup_index_path=idx,
+    )
+    part = next(
+        f for f in os.listdir(dedup_index_paths(idx)["lens"])
+        if f.endswith(".parquet")
+    )
+    schema = pq.read_schema(
+        os.path.join(dedup_index_paths(idx)["lens"], part)
+    )
+    assert str(schema.field("v").type) == "int64", schema
+
+
+def test_redelivered_committed_id_keeps_drift_baseline_aligned(spark, tmp_path):
+    """A later batch legally re-delivering an already-committed id: the
+    lens baseline must still count that doc (it IS in the corpus-so-far),
+    exactly as the text-scan path does — only GHOST rows are excluded."""
+    rng = random.Random(149)
+    t1, t2 = _rand_words(rng, 30), _rand_words(rng, 70)
+    corpus_a = str(tmp_path / "a")
+    corpus_b = str(tmp_path / "b")
+    idx = str(tmp_path / "idx")
+    da, db = str(tmp_path / "da"), str(tmp_path / "db")
+    b0 = [(1, t1), (2, t2)]
+    # batch 1 re-delivers committed doc 1 alongside a new doc
+    b1 = [(1, t1), (10, _rand_words(rng, 50))]
+    for i, b in enumerate([b0, b1]):
+        ingest_batch(spark, _docs(spark, b), corpus_a, drift_path=da, batch_id=i)
+        ingest_batch(
+            spark, _docs(spark, b), corpus_b, drift_path=db, batch_id=i,
+            dedup_index_path=idx,
+        )
+
+    def rows(path):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows(f"{da}/batch=1") == rows(f"{db}/batch=1"), (
+        "re-delivered committed id dropped from the lens baseline"
+    )

@@ -869,6 +869,8 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     and staging use driver-side scalars/tempfiles — bench-harness
     plumbing, not the production path (``ingest_batch`` maintains the
     real index incrementally)."""
+    import atexit
+    import shutil
     import tempfile
 
     par = spark.sparkContext.defaultParallelism
@@ -879,8 +881,14 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BENCH_INDEX_MEMO:
+        mx = docs.agg(F.max("doc_id")).first()[0]
+        if mx is None:
+            # degenerate empty table: match the plain supplement's
+            # graceful empty result instead of staging an empty index
+            return q_dedup_incremental(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="tsetl_bench_didx_")
-        cut = int(docs.agg(F.max("doc_id")).first()[0] * 0.9)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        cut = int(mx * 0.9)
         corpus = docs.filter(F.col("doc_id") <= cut)
         sets = shingle_sets(corpus).persist()
         try:

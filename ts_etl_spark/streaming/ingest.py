@@ -226,38 +226,75 @@ def dedup_index_paths(base: str) -> dict[str, str]:
     return {k: f"{base}/{k}" for k in ("fp", "bands", "sets", "seen", "lens")}
 
 
+def stored_doclen(c=None):
+    """Stored-text document length — THE length definition shared by the
+    drift monitor's text-scan baseline, the lens bootstrap, and the
+    per-batch lens delta. One definition on purpose: the lens table is a
+    valid drift baseline only because all three sites compute the exact
+    same value. Cast to long so the written parquet physically matches
+    ``DEDUP_LENS_SCHEMA``'s BIGINT on every reader (``F.length`` is
+    IntegerType; relying on read-time widening is Spark-4-only)."""
+    c = F.col("text") if c is None else c
+    return F.length(F.coalesce(c, F.lit(""))).cast("long")
+
+
 def _dedup_index(
     spark: SparkSession, base: str, corpus: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Read (bootstrapping if absent) the materialized dedup index:
     ``(fp, bands, sets, seen, lens)``.
 
-    Bootstrap derives all four relations from the stored corpus in one
+    Bootstrap derives all FIVE relations from the stored corpus in one
     pass — the one-time cost of adopting the index on a pre-existing
     corpus; thereafter every batch only appends. (``seen`` can only seed
     from corpus ids — attempts DROPPED before the index existed are
     unknowable, so their ids would be rejected as out-of-order if
     re-submitted; acceptable under the ingest-order contract.) Write
-    order: seen, sets, bands, then fp LAST — the fp table's existence
-    marks the bootstrap complete (single-writer assumption, same as the
-    other ingest state), so a crash mid-bootstrap re-bootstraps instead
-    of serving a torn index."""
+    order: seen, lens, sets, bands, then fp LAST — the fp table's
+    existence marks the bootstrap complete (single-writer assumption,
+    same as the other ingest state), so a crash mid-bootstrap
+    re-bootstraps instead of serving a torn index. Tables added AFTER
+    an index was materialized (a layout upgrade: an older index carries
+    fp/bands/sets but no seen/lens) are BACKFILLED individually from the
+    corpus on first read, so adopting a new engine version never wedges
+    an existing ingest."""
     p = dedup_index_paths(base)
     if not path_exists(spark, p["fp"]):
-        sets = shingle_sets(corpus).persist()
+        # fresh (or torn-bootstrap) index: derive everything
+        missing = ["seen", "lens", "sets", "bands", "fp"]
+    else:
+        # committed index from an older layout: backfill what it lacks
+        missing = [
+            k
+            for k in ("seen", "lens", "sets", "bands")
+            if not path_exists(spark, p[k])
+        ]
+    if missing:
+        sets = (
+            shingle_sets(corpus).persist()
+            if "sets" in missing or "bands" in missing
+            else None
+        )
         try:
-            corpus.select("doc_id").write.mode("overwrite").parquet(p["seen"])
-            corpus.select(
-                "doc_id",
-                F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v"),
-            ).write.mode("overwrite").parquet(p["lens"])
-            sets.write.mode("overwrite").parquet(p["sets"])
-            minhash_bands(sets).write.mode("overwrite").parquet(p["bands"])
-            corpus.select(
-                "doc_id", canonical_fingerprint().alias("fp")
-            ).write.mode("overwrite").parquet(p["fp"])
+            if "seen" in missing:
+                corpus.select("doc_id").write.mode("overwrite").parquet(
+                    p["seen"]
+                )
+            if "lens" in missing:
+                corpus.select("doc_id", stored_doclen().alias("v")).write.mode(
+                    "overwrite"
+                ).parquet(p["lens"])
+            if "sets" in missing:
+                sets.write.mode("overwrite").parquet(p["sets"])
+            if "bands" in missing:
+                minhash_bands(sets).write.mode("overwrite").parquet(p["bands"])
+            if "fp" in missing:
+                corpus.select(
+                    "doc_id", canonical_fingerprint().alias("fp")
+                ).write.mode("overwrite").parquet(p["fp"])
         finally:
-            sets.unpersist()
+            if sets is not None:
+                sets.unpersist()
     return (
         spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]),
         spark.read.schema(DEDUP_BANDS_SCHEMA).parquet(p["bands"]),
@@ -482,7 +519,7 @@ def monitor_batch_drift(
     corpus text — ``ingest_batch`` passes the dedup index's ``lens``
     table, making the drift monitor corpus-text-scan-free like every
     other per-batch consumer."""
-    doclen = F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v")
+    doclen = stored_doclen().alias("v")
     base = corpus.select(doclen) if base_lens is None else base_lens
     cur = batch_df.select(doclen)
     if cur.first() is None:  # empty batch: nothing to compare
@@ -678,6 +715,12 @@ def ingest_batch(
         # semantic_gate contract. Re-attempts of previously-judged ids
         # (crash replay, duplicate redelivery, re-submission of a
         # dropped doc) are legal and re-judge deterministically.
+        # DELIBERATE hardening vs round 9: a never-attempted low id now
+        # raises even when its text duplicates a stored document (the
+        # origfp pre-drop used to swallow that case by running first) —
+        # the id-ordering contract is about ids, not content, and
+        # silently accepting a contract-violating id invites the
+        # non-duplicate variant that corrupts verdicts. Tested.
         max_attempted = dseen.agg(F.max("doc_id")).first()[0]
         if max_attempted is not None:
             stale = (
@@ -718,8 +761,15 @@ def ingest_batch(
         # baseline) — no corpus text scan.
         base_lens = None
         if dlens is not None:
+            # exclude GHOST rows only (batch ids NOT in the corpus —
+            # crash-window leftovers): a re-delivered id that IS
+            # committed belongs to the corpus-so-far baseline, exactly
+            # as the text-scan path would count it
+            drift_ghosts = batch_df.select("doc_id").join(
+                corpus.select("doc_id"), "doc_id", "left_anti"
+            )
             base_lens = dlens.join(
-                batch_df.select("doc_id"), "doc_id", "left_anti"
+                drift_ghosts, "doc_id", "left_anti"
             ).select("v")
         monitor_batch_drift(
             spark, corpus, batch_df, drift_path, batch_id,
@@ -879,10 +929,7 @@ def ingest_batch(
                 .localCheckpoint(eager=True)
             )
             lens_delta = (
-                kept.select(
-                    "doc_id",
-                    F.length(F.coalesce(F.col("text"), F.lit(""))).alias("v"),
-                )
+                kept.select("doc_id", stored_doclen().alias("v"))
                 .join(dlens.select("doc_id"), "doc_id", "left_anti")
                 .localCheckpoint(eager=True)
             )
