@@ -529,3 +529,37 @@ def test_redelivered_committed_id_keeps_drift_baseline_aligned(spark, tmp_path):
     assert rows(f"{da}/batch=1") == rows(f"{db}/batch=1"), (
         "re-delivered committed id dropped from the lens baseline"
     )
+
+
+@pytest.mark.parametrize("seed", [211, 223, 227])
+def test_indexed_equals_unindexed_random_batches(spark, tmp_path, seed):
+    """Randomized batch-boundary robustness: docs with planted exact and
+    near duplicate structure, split at random points into 1-4 batches —
+    the indexed corpus must equal the derive-from-text corpus verdict
+    for verdict, whatever the split (the crafted fixture above pins the
+    drop reasons; this pins the boundary-independence)."""
+    rng = random.Random(seed)
+    texts = []
+    pool = [_rand_words(rng, 40) for _ in range(6)]
+    for i in range(14):
+        r = rng.random()
+        if r < 0.3 and texts:
+            texts.append(rng.choice(texts))  # exact dup of something earlier
+        elif r < 0.5:
+            texts.append(rng.choice(pool) + f" tail{rng.randrange(3)}")  # near dup
+        else:
+            texts.append(_rand_words(rng, 40))
+    docs = list(enumerate(texts))
+    cuts = sorted(rng.sample(range(1, len(docs)), rng.randrange(1, 4)))
+    batches = [
+        docs[a:b] for a, b in zip([0] + cuts, cuts + [len(docs)])
+    ]
+    plain = str(tmp_path / "plain")
+    indexed = str(tmp_path / "indexed")
+    idx = str(tmp_path / "idx")
+    for b in batches:
+        ingest_batch(spark, _docs(spark, b), plain)
+        ingest_batch(spark, _docs(spark, b), indexed, dedup_index_path=idx)
+    assert _corpus_rows(spark, indexed) == _corpus_rows(spark, plain), (
+        f"seed {seed}, cuts {cuts}: indexed verdicts diverged"
+    )
