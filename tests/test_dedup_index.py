@@ -563,3 +563,42 @@ def test_indexed_equals_unindexed_random_batches(spark, tmp_path, seed):
     assert _corpus_rows(spark, indexed) == _corpus_rows(spark, plain), (
         f"seed {seed}, cuts {cuts}: indexed verdicts diverged"
     )
+
+
+def test_indexed_dedup_plan_reads_no_text_from_parquet(spark, tmp_path):
+    """Plan-level evidence for the no-corpus-text-scan claim: in the
+    indexed configuration every parquet scan in the dedup plan reads
+    ONLY the skinny index columns — no scan's ReadSchema contains a
+    text column (the batch's text enters via the in-memory batch frame,
+    not a file scan)."""
+    import re
+
+    rng = random.Random(151)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    ingest_batch(
+        spark,
+        _docs(spark, [(i, _rand_words(rng, 30)) for i in range(4)]),
+        corpus,
+        dedup_index_path=idx,
+    )
+    from ts_etl_spark.streaming.ingest import (
+        DEDUP_BANDS_SCHEMA,
+        DEDUP_SETS_SCHEMA,
+        dedup_index_paths,
+    )
+
+    p = dedup_index_paths(idx)
+    batch = _docs(spark, [(100, _rand_words(rng, 30))])
+    out = dedup_incremental(
+        None,
+        batch,
+        corpus_fp=spark.read.schema(DEDUP_FP_SCHEMA).parquet(p["fp"]),
+        corpus_bands=spark.read.schema(DEDUP_BANDS_SCHEMA).parquet(p["bands"]),
+        corpus_sets=spark.read.schema(DEDUP_SETS_SCHEMA).parquet(p["sets"]),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c}
+        assert "text" not in cols, f"parquet scan reads text: {m.group(0)}"
+    assert "ReadSchema" in plan, "expected at least one parquet scan"
