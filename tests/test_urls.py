@@ -257,3 +257,56 @@ def test_domain_cap_null_domains_form_one_capped_bucket(spark):
     assert null_kept == [0, 1], "cap applies to the NULL bucket"
     assert [out[i].rank for i in range(6)] == [1, 2, 3, 4, 5, 6]
     assert out[10].kept and out[10].rank is None
+
+
+def test_registered_domain_psl_randomized_vs_python_reference(spark):
+    """Randomized differential for the PSL lookup: 300 hosts assembled
+    from a small label alphabet (so suffix-rule hits, near-misses,
+    host==suffix, single labels, and www prefixes all occur) must match
+    a from-scratch pure-Python implementation of the PSL algorithm
+    (longest matching suffix + one label, naive last-two fallback)."""
+    import random
+
+    from ts_etl_spark.operators.urls import (
+        PSL_FIXTURE_RULES,
+        registered_domain_psl,
+    )
+
+    rng = random.Random(173)
+    labels = ["www", "a", "bb", "shop", "co", "uk", "com", "k12", "ma",
+              "us", "example", "xyz", "ac", "au", "jp", "pvt"]
+    hosts = []
+    for _ in range(300):
+        n = rng.randrange(1, 6)
+        hosts.append(".".join(rng.choice(labels) for _ in range(n)))
+    # plus every rule verbatim (host == suffix: no registrable label)
+    hosts.extend(PSL_FIXTURE_RULES)
+
+    rules = set(PSL_FIXTURE_RULES)
+
+    def ref(host):
+        parts = host.split(".")
+        best = 0
+        for j in range(len(parts)):
+            if ".".join(parts[j:]) in rules:
+                best = max(best, len(parts) - j)
+        if best and len(parts) > best:
+            return ".".join(parts[-(best + 1):])
+        stripped = host.removeprefix("www.")
+        p = stripped.split(".")
+        return ".".join(p[-2:]) if len(p) >= 2 else stripped
+
+    docs = spark.createDataFrame(
+        [(i, f"https://{h}/x") for i, h in enumerate(hosts)],
+        "doc_id LONG, url STRING",
+    )
+    psl = spark.createDataFrame(
+        [(s,) for s in PSL_FIXTURE_RULES], "suffix STRING"
+    )
+    got = {
+        r.doc_id: r.reg_domain
+        for r in registered_domain_psl(docs, "url", psl).collect()
+    }
+    want = {i: ref(h) for i, h in enumerate(hosts)}
+    diffs = {i: (got[i], want[i], hosts[i]) for i in want if got[i] != want[i]}
+    assert not diffs, dict(list(diffs.items())[:5])
