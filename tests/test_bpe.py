@@ -158,3 +158,22 @@ def test_large_merge_count_completes_fast(spark):
     assert len(merges) > 50
     # priority order: no duplicate merges
     assert len(set(merges)) == len(merges)
+
+
+def test_trainer_prep_memoizes_bpe_merges(spark):
+    """Constructing the trainer_prep entry twice must not re-run the BPE
+    word-frequency pass or the merge loop: the merge table memoizes per
+    (application, sf_dir) — the bound that keeps the driver's repeated
+    plan builds (sweep, oracle, soak, bench samples) from re-paying a
+    corpus pass per build. Same-object check = the memo was hit."""
+    from ts_etl_spark.pipelines import trainer_prep as tp
+
+    tp._BPE_MERGES_MEMO.clear()
+    tp.q_trainer_prep(spark, "/root/testdata/sf0.001")
+    assert len(tp._BPE_MERGES_MEMO) == 1
+    (first,) = tp._BPE_MERGES_MEMO.values()
+    tp.q_trainer_prep(spark, "/root/testdata/sf0.001")
+    assert len(tp._BPE_MERGES_MEMO) == 1
+    (second,) = tp._BPE_MERGES_MEMO.values()
+    assert second is first
+    tp._BPE_MERGES_MEMO.clear()

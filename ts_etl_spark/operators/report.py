@@ -71,10 +71,12 @@ when the entry is BUILT, before any action on the returned frame):
 
 (The repo-wide eager-at-construction set also includes
 ``pipelines.curation``'s masking barrier — localCheckpoint or
-checkpoint_dir staging — and ``pipelines.trainer_prep``'s mix arm,
-which collects the #langs-bounded per-language counts at construction;
-each documented in place.) Anything timing ``queries()['corpus_report']``
-measures these at construction, not at collect.
+checkpoint_dir staging — and ``pipelines.trainer_prep``'s
+``learn_bpe`` word-frequency pass + merge loop (memoized: first build
+per (application, sf_dir) only) and mix-arm #langs-bounded count
+collect; each documented in place.) Anything timing
+``queries()['corpus_report']`` measures these at construction, not at
+collect.
 """
 
 from __future__ import annotations

@@ -87,13 +87,27 @@ N_SHARDS = 16
 MIX_TAUS = (1.0, 0.5)
 
 
+#: per-(application, sf_dir) memo of the learned BPE merge table — the
+#: driver's repeated plan builds (sweep, oracle compare, soak, bench
+#: samples) otherwise re-pay the corpus word-frequency pass plus the
+#: merge loop at EVERY construction; the merges are deterministic per
+#: corpus, so this is the ``similarity._IVF_MEMO`` pattern, but plain
+#: driver data — nothing to persist or release.
+_BPE_MERGES_MEMO: dict = {}
+
+
 def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunking + splits + BPE + packing over ``documents`` (see module
     docstring). Plan shape: chunk and split arms are shuffle-free
     expression fan-outs; bpe is one distributed word-frequency pass (the
     merge loop is driver-local over the Zipf-bounded type table) plus an
     Arrow-batched encode; packing is one shuffle + per-group Arrow FFD
-    with two bounded aggregates for the invariants."""
+    with two bounded aggregates for the invariants.
+
+    EAGER at construction (bench attribution): ``learn_bpe``'s
+    word-frequency pass + merge loop (memoized per (application,
+    sf_dir) — first build only) and the mix arm's #langs-bounded
+    per-language count collect."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     nb = F.lit(None).cast("bigint")
     ns = F.lit(None).cast("string")
@@ -118,7 +132,11 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("ok"),
     )
 
-    merges = learn_bpe(docs, n_merges=BPE_MERGES, min_freq=2)
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    merges = _BPE_MERGES_MEMO.get(memo_key)
+    if merges is None:
+        merges = learn_bpe(docs, n_merges=BPE_MERGES, min_freq=2)
+        _BPE_MERGES_MEMO[memo_key] = merges
     words = F.regexp_extract_all(F.lower("text"), F.lit(WORD_PAT), 0)
     enc = bpe_encode(docs, merges).join(
         docs.select(
