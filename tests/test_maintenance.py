@@ -196,3 +196,20 @@ def test_rewrite_attestation_uses_configured_staging_dir(spark, tmp_path):
     assert got == {"compact": True, "zorder": True}
     assert os.path.isdir(base), "configured base never deleted"
     assert os.listdir(base) == [], "per-run staging subdirectory cleaned up"
+
+
+def test_corpus_report_memoizes_attestation(spark):
+    """Building the corpus_report entry twice must not re-run the
+    attestation rewrites: the driver-side verdict list memoizes per
+    (application, sf_dir) — the trainer_prep BPE-merge pattern."""
+    from ts_etl_spark.operators import report as R
+
+    R._MAINT_MEMO.clear()
+    R.q_corpus_report(spark, SF)
+    assert len(R._MAINT_MEMO) == 1
+    (first,) = R._MAINT_MEMO.values()
+    R.q_corpus_report(spark, SF)
+    (second,) = R._MAINT_MEMO.values()
+    assert second is first and len(R._MAINT_MEMO) == 1
+    assert dict(first) == {"compact": True, "zorder": True}
+    R._MAINT_MEMO.clear()
