@@ -602,3 +602,91 @@ def test_indexed_dedup_plan_reads_no_text_from_parquet(spark, tmp_path):
         cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c}
         assert "text" not in cols, f"parquet scan reads text: {m.group(0)}"
     assert "ReadSchema" in plan, "expected at least one parquet scan"
+
+
+def test_all_four_gates_compose_with_dedup_index(spark, tmp_path):
+    """The full gate stack with the materialized dedup index on: substring
+    gate (text rewrite) → pre-mask exact orig-fp probe → indexed
+    fingerprint/MinHash dedup → semantic gate, across two batches, each
+    case landing at its documented gate (the three-gate composition proof
+    of tests/test_substring_gate.py, now with the round-10 index
+    underneath the fingerprint/MinHash layer)."""
+    from pyspark.sql import functions as SF
+
+    from ts_etl_spark.operators.embedding import embed_documents
+    from ts_etl_spark.operators.similarity import (
+        as_double,
+        norm,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(157)
+    boiler = _rand_words(rng, 40)
+    uniq1 = _rand_words(rng, 80)
+    uniq2 = _rand_words(rng, 80)
+    A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    A_PARA = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    corpus_path = str(tmp_path / "corpus")
+    kw = dict(
+        dedup_index_path=str(tmp_path / "didx"),
+        win_index_path=str(tmp_path / "win"),
+        sem_index_path=str(tmp_path / "sem_idx"),
+        sem_cents_path=str(tmp_path / "cents"),
+        sem_threshold=0.999,
+    )
+    seed_docs = _docs(
+        spark, [(i, f"seed doc {i} w{i} w{i+1}") for i in range(10)]
+    )
+    v = as_double(SF.col("embedding"))
+    seed_vecs = (
+        embed_documents(seed_docs)
+        .filter(SF.col("embedding").isNotNull())
+        .select(
+            SF.col("doc_id").alias("vec_id"), v.alias("v"),
+            norm(v).alias("nrm"),
+        )
+    )
+    train_ivf_centroids(seed_vecs, k=3, seed=7, max_iter=2).write.parquet(
+        kw["sem_cents_path"]
+    )
+    ingest_batch(
+        spark, _docs(spark, [(1, f"{boiler} {uniq1}"), (2, A)]),
+        corpus_path, **kw,
+    )
+    ingest_batch(
+        spark,
+        _docs(
+            spark,
+            [
+                (10, f"{uniq2} {boiler}"),  # boilerplate: attenuated, kept
+                (11, f"{boiler} {uniq1}"),  # full copy of 1 -> pre-mask exact drop
+                (12, A_PARA),  # bag-equal paraphrase of 2 -> semantic gate
+                (13, "totally novel words about entirely different topics"),
+            ],
+        ),
+        corpus_path,
+        **kw,
+    )
+    stored = {
+        r.doc_id: r.text for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert set(stored) == {1, 2, 10, 13}
+    assert 80 <= len(stored[10].split()) <= 112, "boilerplate attenuated"
+    # the dedup index mirrors the corpus; seen records every attempt
+    p = dedup_index_paths(kw["dedup_index_path"])
+    assert {r.doc_id for r in spark.read.parquet(p["fp"]).collect()} == {
+        1, 2, 10, 13,
+    }
+    assert {r.doc_id for r in spark.read.parquet(p["seen"]).collect()} == {
+        1, 2, 10, 11, 12, 13,
+    }
+    # full replay through all four gates: idempotent
+    ingest_batch(
+        spark,
+        _docs(spark, [(10, f"{uniq2} {boiler}"), (13, "totally novel words about entirely different topics")]),
+        corpus_path,
+        **kw,
+    )
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus_path).collect()
+    } == {1, 2, 10, 13}
