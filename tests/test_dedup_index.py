@@ -690,3 +690,110 @@ def test_all_four_gates_compose_with_dedup_index(spark, tmp_path):
     assert {
         r.doc_id for r in spark.read.parquet(corpus_path).collect()
     } == {1, 2, 10, 13}
+
+
+def test_torn_origfp_bootstrap_rebuilds(spark, tmp_path):
+    """Round-11 (advice): a crash mid-bootstrap of the original-
+    fingerprint index leaves a directory WITHOUT its _SUCCESS marker; it
+    must be rebuilt, not trusted — a partial bootstrap permanently seeds
+    a weaker pre-mask gate for pre-existing corpus docs."""
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+    from ts_etl_spark.streaming.ingest import ORIG_FP_SCHEMA, _orig_fp_index
+
+    corpus = _docs(
+        spark, [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")]
+    )
+    want = {
+        r.fp
+        for r in corpus.select(canonical_fingerprint().alias("fp")).collect()
+    }
+
+    # torn shape A: the directory exists but is EMPTY (crash before any
+    # part file landed)
+    pa = str(tmp_path / "ofp_empty")
+    os.makedirs(pa)
+    got = {r.fp for r in _orig_fp_index(spark, pa, corpus).collect()}
+    assert got == want
+    assert os.path.exists(f"{pa}/_SUCCESS"), "rebuild committed the marker"
+
+    # torn shape B: a PARTIAL write (some fingerprints present, no
+    # _SUCCESS) — the dangerous case: path-exists heuristics would serve
+    # the weaker gate silently
+    pb = str(tmp_path / "ofp_partial")
+    corpus.filter(F.col("doc_id") == 1).select(
+        canonical_fingerprint().alias("fp")
+    ).write.parquet(pb)
+    os.remove(f"{pb}/_SUCCESS")
+    got = {r.fp for r in _orig_fp_index(spark, pb, corpus).collect()}
+    assert got == want, "torn partial bootstrap was trusted"
+
+    # committed index: NOT rebuilt (bootstrap is one-time; later batches
+    # append deltas the corpus does not contain)
+    pc = str(tmp_path / "ofp_committed")
+    _orig_fp_index(spark, pc, corpus)
+    extra = spark.createDataFrame([("sentinel-fp",)], ORIG_FP_SCHEMA)
+    extra.write.mode("append").parquet(pc)
+    got = {
+        r.fp
+        for r in _orig_fp_index(
+            spark, pc, corpus.filter(F.col("doc_id") == 1)
+        ).collect()
+    }
+    assert "sentinel-fp" in got and got >= want, (
+        "a committed index must be read as-is, never re-derived"
+    )
+
+
+def test_seen_admit_unwedges_pre_index_dropped_id(spark, tmp_path, batches):
+    """Round-11 (advice): adopting the index on a pre-existing corpus
+    seeds ``seen`` from corpus ids only, so a legal re-delivery of an id
+    DROPPED pre-index wedges the stream. ``admit_seen_ids`` (CLI:
+    seen-admit) is the documented recovery: append the known-attempted
+    ids, re-run the batch, verdicts unchanged."""
+    from ts_etl_spark.streaming.ingest import admit_seen_ids
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    # history WITHOUT the index: ids 10/11/13/21 are judged and dropped
+    for b in batches:
+        ingest_batch(spark, _docs(spark, b), corpus)
+    kept = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert kept == {1, 2, 12, 20, 22}
+
+    # adopt the index, then legally re-deliver a pre-index-dropped id:
+    # the out-of-order guard cannot tell it from a contract violation
+    redelivery = _docs(spark, [b for b in batches[1] if b[0] == 10])
+    with pytest.raises(ValueError, match="seen-admit"):
+        ingest_batch(spark, redelivery, corpus, dedup_index_path=idx)
+
+    # the escape hatch: record the ids the operator knows were attempted
+    assert admit_seen_ids(spark, idx, [10, 11]) == 2
+    assert admit_seen_ids(spark, idx, [10, 11]) == 0, "idempotent"
+    ingest_batch(spark, redelivery, corpus, dedup_index_path=idx)
+    assert {
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    } == kept, "re-judged re-delivery must still drop (exact_corpus)"
+
+    # guard rails: never seed state for an index that does not exist,
+    # never accept non-integer ids into a LONG table
+    with pytest.raises(ValueError, match="no committed dedup index"):
+        admit_seen_ids(spark, str(tmp_path / "nowhere"), [1])
+    with pytest.raises(ValueError, match="integers"):
+        admit_seen_ids(spark, idx, [1, "x"])  # type: ignore[list-item]
+
+
+def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
+    """The CLI subcommand drives the same library path (shared session
+    injected — the CLI owns its session in production)."""
+    import ts_etl_spark.cli as cli
+
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    for b in batches:
+        ingest_batch(spark, _docs(spark, b), corpus, dedup_index_path=idx)
+    assert cli.run_seen_admit(idx, [999_999], spark=spark) == 1
+    seen = {
+        r.doc_id
+        for r in spark.read.parquet(dedup_index_paths(idx)["seen"]).collect()
+    }
+    assert 999_999 in seen

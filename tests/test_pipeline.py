@@ -444,3 +444,34 @@ def test_cli_curate_accepts_new_flags(spark, sf_smoke, tmp_path, monkeypatch):
     seen.clear()
     rc = cli._curate_main([sf_smoke, str(tmp_path / "o2"), "--substring-mask"])
     assert rc == 0 and seen["substring_mask"] is True
+
+
+def test_torn_staging_artifact_is_retried_in_place(spark, sf_smoke, tmp_path):
+    """Round-11 (advice): a crash DURING the staging write leaves a torn
+    directory (Spark output files, no _SUCCESS). The non-empty refusal
+    must not reject exactly the failure the recovery point exists to
+    survive — torn staging is overwritten in place; committed runs
+    (covered above) and foreign content still refuse."""
+    ck = str(tmp_path / "torn")
+    os.makedirs(f"{ck}/_temporary/0")
+    with open(f"{ck}/part-00000-dead-c000.snappy.parquet", "w") as f:
+        f.write("torn half-written part file")
+    with open(f"{ck}/.part-00000-dead-c000.snappy.parquet.crc", "w") as f:
+        f.write("crc")
+    out = curate_documents(
+        spark, sf_smoke, substring_mask=True, checkpoint_dir=ck
+    )
+    assert out.count() > 0
+    assert os.path.exists(f"{ck}/_SUCCESS"), "retry committed the staging"
+
+    # foreign content has no Spark output shape — still refused even
+    # without a _SUCCESS marker
+    ck2 = str(tmp_path / "foreign")
+    os.makedirs(ck2)
+    with open(f"{ck2}/notes.txt", "w") as f:
+        f.write("someone's data")
+    with pytest.raises(ValueError, match="non-empty"):
+        curate_documents(
+            spark, sf_smoke, substring_mask=True, checkpoint_dir=ck2
+        )
+    assert os.path.exists(f"{ck2}/notes.txt"), "foreign content untouched"

@@ -1012,11 +1012,61 @@ def _ingest_main(argv: list[str]) -> int:
         return 1
 
 
+def run_seen_admit(
+    dedup_index_path: str, ids: list[int], spark=None
+) -> int:
+    """Admit known-attempted doc_ids into a dedup index's seen table —
+    the recovery path for a stream wedged on a legal re-delivery of an
+    id that was dropped before the index existed (see
+    ``streaming.ingest.admit_seen_ids``). Returns the appended count
+    (also logged to stderr)."""
+    from ts_etl_spark.streaming.ingest import admit_seen_ids
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-seen-admit")
+    try:
+        n = admit_seen_ids(spark, dedup_index_path, ids)
+        print(
+            f"seen-admit: appended {n} of {len(ids)} ids to "
+            f"{dedup_index_path}/seen",
+            file=sys.stderr,
+        )
+        return n
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _seen_admit_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark seen-admit",
+        description=(
+            "Unwedge an ingest stream: record doc_ids as previously "
+            "attempted in a dedup index's seen table."
+        ),
+    )
+    parser.add_argument("dedup_index_path", help="dedup-index base path")
+    parser.add_argument(
+        "ids", nargs="+", type=int,
+        help="doc_ids known to have been attempted before the index existed",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_seen_admit(args.dedup_index_path, args.ids)
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during seen-admit: {exc}", file=sys.stderr)
+        return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "ingest":
         return _ingest_main(argv[1:])
+    if argv and argv[0] == "seen-admit":
+        return _seen_admit_main(argv[1:])
     if argv and argv[0] == "sem-train":
         return _sem_train_main(argv[1:])
     if argv and argv[0] == "curate":

@@ -1037,12 +1037,16 @@ ORACLE = {
             SELECT doc_id, host, string_split(host, '.') AS labels,
                    len(string_split(host, '.')) AS n_lab
             FROM (
+                -- lower() mirrors url_host's normalization (the Spark arm
+                -- lowercases every host); without it the twin would hold
+                -- only because the current fixture lang/source values
+                -- happen to be lowercase
                 SELECT doc_id,
-                       (CASE WHEN doc_id % 5 = 0 THEN 'www' ELSE lang END)
+                       lower((CASE WHEN doc_id % 5 = 0 THEN 'www' ELSE lang END)
                          || '.' || source || '.' ||
                        (CASE CAST(doc_id % {len(PSL_ARM_SUFFIXES)} AS INT)
                              {" ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(PSL_ARM_SUFFIXES[:-1]))}
-                             ELSE '{PSL_ARM_SUFFIXES[-1]}' END) AS host
+                             ELSE '{PSL_ARM_SUFFIXES[-1]}' END)) AS host
                 FROM documents
             )
         ), psl_best AS (

@@ -186,19 +186,34 @@ def curate_documents(
             # silently erase whatever is there, and a caller mispointing
             # the recovery path at real data (the corpus itself, a prior
             # run's staging they meant to keep) must hear about it, not
-            # lose it. Checked through the Hadoop FS seam so hdfs://
-            # and s3a:// paths behave like file://.
+            # lose it. EXCEPTION: a torn staging artifact from a crashed
+            # previous attempt — no _SUCCESS marker and nothing but
+            # Spark output files (part-*/_temporary/.crc) — may be
+            # overwritten, or retrying after exactly the failure this
+            # recovery point exists to survive would need manual
+            # cleanup. A committed prior run (_SUCCESS present) or any
+            # foreign file still refuses. Checked through the Hadoop FS
+            # seam so hdfs:// and s3a:// paths behave like file://.
             from ts_etl_spark.fs import hadoop_fs
 
             fs, p = hadoop_fs(spark, checkpoint_dir)
             if fs.exists(p) and len(fs.listStatus(p)) > 0:
-                raise ValueError(
-                    f"checkpoint_dir {checkpoint_dir!r} exists and is "
-                    "non-empty; refusing to overwrite it — pass an empty "
-                    "or fresh directory (the staged masked corpus is a "
-                    "caller-managed recovery point, so this path is "
-                    "never auto-cleared)"
+                names = [st.getPath().getName() for st in fs.listStatus(p)]
+                committed = "_SUCCESS" in names
+                spark_output_only = all(
+                    n.startswith(("part-", ".", "_temporary", "_started", "_committed"))
+                    for n in names
                 )
+                if committed or not spark_output_only:
+                    raise ValueError(
+                        f"checkpoint_dir {checkpoint_dir!r} exists and is "
+                        "non-empty; refusing to overwrite it — pass an empty "
+                        "or fresh directory (the staged masked corpus is a "
+                        "caller-managed recovery point, so this path is "
+                        "never auto-cleared; only a TORN staging artifact — "
+                        "no _SUCCESS, Spark output files only — is retried "
+                        "in place)"
+                    )
             masked.write.mode("overwrite").parquet(checkpoint_dir)
             docs = spark.read.parquet(checkpoint_dir)
         else:

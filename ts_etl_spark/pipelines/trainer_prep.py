@@ -61,6 +61,8 @@ Unified schema ``(op, k1, k2, s, v, ok)``:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -304,9 +306,13 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # #strata-bounded per-language counts (the library contract —
     # ``temperature_shares`` feeds ``mix_to_target``), so this arm runs
     # one bounded groupBy/collect at CONSTRUCTION time (same class as
-    # the CLI summary collects). Keys are sorted before the call so the
-    # Python float-summation order is deterministic; values round to 6
-    # digits on both engines.
+    # the CLI summary collects). ONE float path with the oracle: keys
+    # are sorted before the call so Python's sum() is a left fold in
+    # lang order (the oracle folds the same order via list_reduce), the
+    # c**tau numerators share this host's libm pow, and rounding is
+    # floor(x*1e6 + 0.5) on both sides — Python round() is banker's,
+    # DuckDB ROUND half-away-from-zero, and the two diverge at exact
+    # half-ulp boundaries.
     counts = dict(
         sorted(
             (r["lang"], r["n"])
@@ -317,7 +323,7 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mix_rows = [
-        (f"tau{tau}|{lang}", round(share, 6))
+        (f"tau{tau}|{lang}", math.floor(share * 1e6 + 0.5) / 1e6)
         for tau in MIX_TAUS
         for lang, share in temperature_shares(counts, tau).items()
     ]
@@ -462,13 +468,29 @@ def _trainer_prep_oracle_sql() -> str:
                CAST(COUNT(*) AS DOUBLE), TRUE
         FROM shard_assign GROUP BY shard
         UNION ALL
+        -- ONE float path with the Spark arm: numerators are POW (same
+        -- libm as Python's ** on this host), the denominator is an
+        -- ORDERED left fold (list_reduce over lang-sorted values —
+        -- SUM() OVER () has no accumulation-order contract, and Python's
+        -- sum() over the sorted counts dict is a left fold), and the
+        -- 6-digit rounding is floor(x*1e6 + 0.5) on both sides (Python
+        -- round() is banker's, DuckDB ROUND is half-away-from-zero —
+        -- they disagree at exact half-ulp boundaries)
         SELECT 'mix', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-               'tau1.0|' || lang, ROUND(c / SUM(c) OVER (), 6), TRUE
+               'tau1.0|' || lang,
+               floor(c / (SELECT list_reduce(list(c ORDER BY lang),
+                                             (a, b) -> a + b)
+                          FROM lang_counts) * 1000000 + 0.5) / 1000000.0,
+               TRUE
         FROM lang_counts
         UNION ALL
         SELECT 'mix', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                'tau0.5|' || lang,
-               ROUND(POW(c, 0.5) / SUM(POW(c, 0.5)) OVER (), 6), TRUE
+               floor(POW(c, 0.5)
+                     / (SELECT list_reduce(list(POW(c, 0.5) ORDER BY lang),
+                                           (a, b) -> a + b)
+                        FROM lang_counts) * 1000000 + 0.5) / 1000000.0,
+               TRUE
         FROM lang_counts
     """
 

@@ -304,6 +304,50 @@ def _dedup_index(
     )
 
 
+def admit_seen_ids(
+    spark: SparkSession, base: str, ids: list[int]
+) -> int:
+    """Append known-attempted doc_ids to a committed dedup index's
+    ``seen`` table — the documented escape hatch for the one wedge the
+    index layout cannot avoid: ``seen`` bootstraps from corpus ids only,
+    so a legal re-delivery of an id that was DROPPED before the index
+    existed fails the out-of-order guard forever (its attempt is
+    unknowable from the stored corpus). An operator who knows those ids
+    were genuinely attempted admits them here and the stream resumes; no
+    manual parquet surgery. Idempotent (anti-joined against the current
+    table) and safe by construction: adding an id to ``seen`` only ever
+    RELAXES the guard for that id — it grants no dedup-layer state, so a
+    re-delivered doc is still judged against fp/bands/sets as usual.
+    Returns the number of ids actually appended. Refuses an
+    uninitialized index (nothing is wedged if nothing exists) and
+    non-integer ids (schema safety)."""
+    p = dedup_index_paths(base)
+    if not path_exists(spark, p["fp"]) or not path_exists(spark, p["seen"]):
+        raise ValueError(
+            f"no committed dedup index at {base!r} (fp/seen missing) — "
+            "admit ids only into an index a stream is actually wedged on"
+        )
+    if not ids:
+        return 0
+    bad = [i for i in ids if not isinstance(i, int) or isinstance(i, bool)]
+    if bad:
+        raise ValueError(f"doc_ids must be integers; got {bad[:5]!r}")
+    delta = (
+        spark.createDataFrame([(i,) for i in sorted(set(ids))], DEDUP_SEEN_SCHEMA)
+        .join(
+            spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"]),
+            "doc_id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = delta.count()
+    if n:
+        delta.write.mode("append").parquet(p["seen"])
+    delta.unpersist()
+    return n
+
+
 def orig_fp_index_path(win_index_path: str) -> str:
     """Canonical location of the original-text fingerprint index that
     rides alongside a winnow index (derived, so callers configure ONE
@@ -322,8 +366,17 @@ def _orig_fp_index(
     pre-existing corpus preserves those semantics from the first batch.
     Originals of documents masked BEFORE the index existed are
     unrecoverable (the corpus keeps only masked text); their new-doc_id
-    re-crawl protection starts with the first post-index ingest."""
-    if not path_exists(spark, path):
+    re-crawl protection starts with the first post-index ingest.
+
+    A directory counts as a committed bootstrap only when its _SUCCESS
+    marker exists: a crash mid-bootstrap leaves a partial (or empty)
+    directory, and trusting it would permanently seed a WEAKER pre-mask
+    gate for every pre-existing corpus doc whose fingerprint the torn
+    write dropped. The multi-table dedup index solves the same problem
+    with fp-written-last ordering; this single-table bootstrap re-runs
+    (mode=overwrite — idempotent, the corpus is unchanged) until the
+    marker lands."""
+    if not path_exists(spark, f"{path}/_SUCCESS"):
         corpus.select(canonical_fingerprint().alias("fp")).distinct().write.mode(
             "overwrite"
         ).parquet(path)
@@ -733,7 +786,10 @@ def ingest_batch(
                     f"batch doc_id {stale[0]} is <= the dedup index's max "
                     f"attempted id {max_attempted} and was never attempted:"
                     " genuinely-new ids must exceed all previously-ingested"
-                    " ids (ingest order)"
+                    " ids (ingest order). If this id WAS attempted before"
+                    " the index existed (dropped pre-index, so the seen"
+                    " bootstrap could not know it), admit it with the"
+                    " `seen-admit` CLI subcommand and re-run the batch"
                 )
         # record the attempts FIRST, before any gate runs or any other
         # state is written — seen must stay a superset of every other
