@@ -102,6 +102,21 @@ HEADLINE = [
     "embed_ann_ivf",
 ]
 
+# Entries that memoize construction per (applicationId, sf_dir) — BPE
+# merge table, attestation verdicts, IVF centroids/brute-force pass, the
+# one-time dedup-index build. min-of-N reports their steady state with
+# construction amortized away (documented in BASELINE.md); the FIRST
+# measured-SF sample still pays it (the sf0.001 warmup memoizes only the
+# warmup SF), so it is recorded separately under "cold" in the JSON — a
+# regression in BPE training / attestation rewrites / index build must
+# move a recorded number (round-10 verdict #1).
+MEMOIZED = (
+    "trainer_prep",
+    "corpus_report",
+    "embed_ann_ivf",
+    "dedup_incremental_indexed",
+)
+
 # Timed under the same protocol as HEADLINE but NOT `queries()` entries:
 # the registry is consolidated to exactly 50 (the driver's verification
 # window) and these paths are correctness-covered by dedicated equivalence
@@ -157,6 +172,7 @@ def main() -> None:
     queries = dict(queries)
     queries.update(_supplement())
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE + sorted(_supplement()):
         run(name, at=warm_dir)
         spark.catalog.clearCache()  # drop the tiny warmup cache
@@ -175,6 +191,8 @@ def main() -> None:
             samples.append(run(name))
             spark.catalog.clearCache()  # measured persists never leak onward
         timings[name] = round(min(samples), 4)
+        if name in MEMOIZED:
+            cold[name] = round(samples[0], 4)
 
     # the headline total stays comparable round-over-round: supplements are
     # reported per-query but excluded from the gate metric
@@ -186,6 +204,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
                 "sf": sf,
             }
         )

@@ -72,3 +72,13 @@ def test_query_surface_fits_driver_window():
     )
     # every query has an oracle (rows-only checks are deliberate, keep none)
     assert set(all_oracle()) == set(qs)
+
+
+def test_memoized_cold_entries_are_timed_names():
+    """Every MEMOIZED name (cold-sample recording, round-11) must be an
+    entry bench actually times — HEADLINE or a supplement — or the cold
+    record silently vanishes from BENCH_r{N}.json."""
+    bench = _load_bench()
+    timed = set(bench.HEADLINE) | set(bench._supplement())
+    stray = [n for n in bench.MEMOIZED if n not in timed]
+    assert not stray, f"MEMOIZED names bench never times: {stray}"

@@ -797,3 +797,48 @@ def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
         for r in spark.read.parquet(dedup_index_paths(idx)["seen"]).collect()
     }
     assert 999_999 in seen
+
+
+def test_indexed_batch_cost_is_corpus_size_independent(spark, tmp_path):
+    """Round-11 (verdict #4): the materialized index's headline claim —
+    per-batch ingest cost flat as the corpus grows — measured, not just
+    plan-asserted. A fixed 50-doc batch is timed against a small corpus
+    and one 10x larger (both pre-indexed); if the per-batch path still
+    re-derived fingerprints/bands/shingles from corpus text, the big
+    corpus would cost ~10x. The 2.5x bound is generous machine-noise
+    headroom, far below the linear-in-corpus signature (the two-SF
+    guard's discipline: warmup first, min of two timed batches, each
+    timed batch uses fresh ids so state mutation never reuses work)."""
+    import time
+
+    rng = random.Random(23)
+
+    def corpus_rows(n):
+        return [(i, _rand_words(rng, 60)) for i in range(n)]
+
+    def batch(start):
+        return _docs(
+            spark, [(start + j, _rand_words(rng, 60)) for j in range(50)]
+        )
+
+    sizes = {"small": 400, "big": 4000}
+    t = {}
+    for name, n in sizes.items():
+        corpus = str(tmp_path / f"corpus_{name}")
+        idx = str(tmp_path / f"idx_{name}")
+        _docs(spark, corpus_rows(n)).repartition(4).write.parquet(corpus)
+        # unmeasured: index bootstrap + codegen/JIT warmup
+        ingest_batch(
+            spark, batch(1_000_000), corpus, dedup_index_path=idx
+        )
+        samples = []
+        for k in range(2):
+            b = batch(2_000_000 + 100 * k)
+            t0 = time.perf_counter()
+            ingest_batch(spark, b, corpus, dedup_index_path=idx)
+            samples.append(time.perf_counter() - t0)
+        t[name] = min(samples)
+    assert t["big"] < 2.5 * t["small"] + 0.5, (
+        f"per-batch cost grew with corpus size: small={t['small']:.2f}s "
+        f"big={t['big']:.2f}s ({t['big'] / t['small']:.1f}x for 10x corpus)"
+    )

@@ -134,3 +134,29 @@ def test_plan_shape(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embdoc_arm_mirrors_embed_documents(spark, sf_smoke):
+    """Round-11 gate: the embdoc arm of embed_topk is exactly
+    embed_documents' output exploded — one row per (doc, component),
+    dim rows per embedded doc, values the rounded components."""
+    from ts_etl_spark.operators.embedding import DEFAULT_DIM, embed_documents
+    from ts_etl_spark.operators.similarity import q_embed_topk
+    from ts_etl_spark.sources.tables import load_table
+
+    arm = (
+        q_embed_topk(spark, sf_smoke)
+        .filter("op = 'embdoc'")
+        .collect()
+    )
+    direct = {
+        r.doc_id: r.embedding
+        for r in embed_documents(
+            load_table(spark, sf_smoke, "documents")
+        ).collect()
+        if r.embedding is not None
+    }
+    assert len(arm) == len(direct) * DEFAULT_DIM
+    for r in arm[:200]:
+        assert r.cosine == round(direct[r.q_id][r.neighbor_id], 6)
+        assert r.rn == r.neighbor_id + 1

@@ -245,3 +245,25 @@ def test_within_doc_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_para_nd_arm_structure(spark, sf_smoke):
+    """Round-11 gate: the para_nd arm of dedup_exact must emit EXACTLY
+    one pair per planted template group (docs 2k and 2k+1, first
+    paragraphs, Jaccard 6/8) — LSH recall at J=0.75 is effectively
+    certain (miss probability (1-0.75^2)^32 ≈ 3e-12 per pair) and the
+    cross-group construction shares zero shingles, so any extra or
+    missing row is a logic bug, not banding noise."""
+    from ts_etl_spark.operators.dedup import q_dedup_exact
+    from ts_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    rows = (
+        q_dedup_exact(spark, sf_smoke)
+        .filter("op = 'para_nd'")
+        .collect()
+    )
+    assert len(rows) == n_docs // 2
+    for r in rows:
+        assert r.doc_id % 2 == 0 and r.n == r.doc_id + 1
+        assert r.key == f"{r.doc_id + 1}:0:0:750000", r.key

@@ -244,14 +244,26 @@ def test_group_extensions_expand_per_branch(spark):
 
 
 def test_pii_redaction_shuffle_free_codegen(spark):
-    """PII counting + redaction must stay a pure map-side pass: zero
-    exchanges, whole-stage codegen — at 100 TB this runs at scan
-    bandwidth or it doesn't run."""
-    from ts_etl_spark.operators.textops import q_text_pii_redaction
+    """PII counting + redaction + the INLINE blocklist signals must stay
+    a pure map-side pass: zero exchanges, whole-stage codegen — at
+    100 TB this runs at scan bandwidth or it doesn't run. The full
+    registered entry additionally carries the >2048-term blocklist arm
+    (round 11), whose explode/aggregate/join-back legitimately shuffles —
+    bounded, and through a broadcast term probe, never a term-table
+    shuffle."""
+    from ts_etl_spark.operators.textops import (
+        pii_blocklist_projection,
+        q_text_pii_redaction,
+    )
+    from ts_etl_spark.sources.tables import load_table
 
-    df = q_text_pii_redaction(spark, SF)
+    df = pii_blocklist_projection(load_table(spark, SF, "documents"))
     assert num_exchanges(df) == 0, plan_str(df)
     assert has_whole_stage_codegen(df)
+
+    full = q_text_pii_redaction(spark, SF)
+    assert num_exchanges(full) <= 6, plan_str(full)
+    assert "BroadcastHashJoin" in plan_str(full)
 
 
 def test_contamination_no_cartesian(spark):

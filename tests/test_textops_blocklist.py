@@ -109,3 +109,37 @@ def test_frac_expr_refuses_oversized_term_lists(spark):
 
     with _pytest.raises(ValueError, match="inline limit"):
         blocklist_frac_expr(F.col("text"), [f"t{i}" for i in range(3000)])
+
+
+def test_registered_entry_routes_both_paths(spark, sf_smoke):
+    """Round-11 gate: the text_pii_redaction entry carries BOTH
+    blocklist plan shapes — the inline arm as a literal-array codegen
+    projection (no join for it) and the >2048-term arm through the
+    broadcast term-table join — and the term lists really straddle the
+    routing boundary."""
+    from ts_etl_spark.operators.textops import (
+        BLOCKLIST_INLINE_TERMS,
+        BLOCKLIST_JOIN_TERMS,
+        q_text_pii_redaction,
+    )
+
+    assert len(set(BLOCKLIST_INLINE_TERMS)) <= 2048
+    assert len(set(BLOCKLIST_JOIN_TERMS)) > 2048
+    plan = (
+        q_text_pii_redaction(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, "big-list arm must broadcast-probe"
+    # non-trivial hits on the synthetic corpus for both arms (a blocklist
+    # gate that never fires proves nothing)
+    row = (
+        q_text_pii_redaction(spark, sf_smoke)
+        .selectExpr(
+            "sum(bl_n_hits) AS a", "sum(blb_n_hits) AS b",
+            "sum(bl_n_tokens) AS n",
+        )
+        .first()
+    )
+    assert row.a > 0 and row.b > 0 and row.n > 0

@@ -222,10 +222,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("__reg"), r"\.")).cast("long").alias("n"),
         F.col("__reg").alias("key"),
     )
+    # para_nd arm (round 11) — paragraph-level NEAR-dup pairs
+    # (``paragraphs.paragraph_neardup_pairs``: split → composite ids →
+    # MinHash-LSH → decode), the templated-boilerplate detector, behind
+    # the gate. The synthetic corpus has no near-dup paragraph structure,
+    # so the arm PLANTS it (the para-arm pattern): doc pairs (2k, 2k+1)
+    # share a boilerplate template whose group token gK interleaves every
+    # other word — same-group paragraphs differ only in the trailing
+    # edition token (7 shingles each, 6 shared → Jaccard exactly 0.75,
+    # well above the 0.4 LSH recall floor), while CROSS-group template
+    # shingles all contain gK (Jaccard 0, candidate probability ~0: no
+    # quadratic candidate set at any SF). The per-doc solo paragraph
+    # interleaves dX the same way, so it pairs with nothing. Expected
+    # output: exactly one (2k, 2k+1) pair per group, linear in SF; the
+    # oracle re-derives exact paragraph-shingle Jaccard over ALL pairs
+    # at the threshold — the minhash-oracle equivalence pattern. ``key``
+    # packs doc_b:para_a:para_b:round(jaccard·1e6) (exact integer
+    # rationals in both engines; floor(x·1e6+0.5) as in the mix arm).
+    from ts_etl_spark.operators.paragraphs import paragraph_neardup_pairs
+
+    pg = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    pid = F.col("doc_id").cast("string")
+    pnd_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("boiler g"), pg, F.lit(" plate g"), pg,
+            F.lit(" notice g"), pg, F.lit(" keep edition d"), pid,
+            F.lit("\n\n"),
+            F.lit("solo d"), pid, F.lit(" alpha d"), pid,
+            F.lit(" beta d"), pid,
+        ).alias("text"),
+    )
+    pnd_arm = paragraph_neardup_pairs(pnd_docs).select(
+        F.lit("para_nd").alias("op"),
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("n"),
+        F.concat(
+            F.col("doc_b").cast("string"), F.lit(":"),
+            F.col("para_a").cast("string"), F.lit(":"),
+            F.col("para_b").cast("string"), F.lit(":"),
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+            .cast("long").cast("string"),
+        ).alias("key"),
+    )
     return (
         exact_arm.unionByName(domain_arm)
         .unionByName(para_arm)
         .unionByName(psl_arm)
+        .unionByName(pnd_arm)
     )
 
 
@@ -1049,6 +1093,51 @@ ORACLE = {
                              ELSE '{PSL_ARM_SUFFIXES[-1]}' END)) AS host
                 FROM documents
             )
+        ), pnd_paras AS (
+            -- para_nd arm's planted two-paragraph docs (lockstep with
+            -- q_dedup_exact's pnd_docs), one row per paragraph
+            SELECT doc_id, 0 AS para_idx,
+                   'boiler g' || g || ' plate g' || g || ' notice g' || g
+                       || ' keep edition d' || i AS ptext
+            FROM (SELECT doc_id, CAST(doc_id // 2 AS VARCHAR) AS g,
+                         CAST(doc_id AS VARCHAR) AS i FROM documents)
+            UNION ALL
+            SELECT doc_id, 1,
+                   'solo d' || i || ' alpha d' || i || ' beta d' || i
+            FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i FROM documents)
+        ), pnd_pos AS (
+            SELECT doc_id, para_idx, unnest(t) AS tok,
+                   unnest(generate_series(1, len(t))) AS i
+            FROM (SELECT doc_id, para_idx,
+                         regexp_split_to_array(lower(trim(ptext)), '\\s+') AS t
+                  FROM pnd_paras)
+        ), pnd_sh AS (
+            SELECT DISTINCT doc_id, para_idx, sh FROM (
+                SELECT doc_id, para_idx,
+                       tok || ' ' || lead(tok, 1) OVER w || ' '
+                           || lead(tok, 2) OVER w AS sh
+                FROM pnd_pos
+                WINDOW w AS (PARTITION BY doc_id, para_idx ORDER BY i)
+            ) WHERE sh IS NOT NULL
+        ), pnd_cnt AS (
+            SELECT doc_id, para_idx, COUNT(*) AS n FROM pnd_sh GROUP BY 1, 2
+        ), pnd_jac AS (
+            -- exact Jaccard over shared-shingle candidates; composite-id
+            -- ordering (doc, para) lexicographic == the bit-packed order
+            SELECT p.doc_a, p.para_a, p.doc_b, p.para_b,
+                   CAST(p.common AS DOUBLE) / (ca.n + cb.n - p.common)
+                       AS jaccard
+            FROM (
+                SELECT a.doc_id AS doc_a, a.para_idx AS para_a,
+                       b.doc_id AS doc_b, b.para_idx AS para_b,
+                       COUNT(*) AS common
+                FROM pnd_sh a JOIN pnd_sh b ON a.sh = b.sh
+                 AND (a.doc_id < b.doc_id
+                      OR (a.doc_id = b.doc_id AND a.para_idx < b.para_idx))
+                GROUP BY 1, 2, 3, 4
+            ) p
+            JOIN pnd_cnt ca ON ca.doc_id = p.doc_a AND ca.para_idx = p.para_a
+            JOIN pnd_cnt cb ON cb.doc_id = p.doc_b AND cb.para_idx = p.para_b
         ), psl_best AS (
             -- the PSL algorithm: longest rule-matching label tail
             SELECT t.doc_id, MAX(t.tail_len) AS best_len
@@ -1087,6 +1176,13 @@ ORACLE = {
                CAST(len(string_split(reg, '.')) AS BIGINT) AS n,
                reg AS key
         FROM psl_reg
+        UNION ALL
+        SELECT 'para_nd' AS op, doc_a AS doc_id, doc_b AS n,
+               CAST(doc_b AS VARCHAR) || ':' || CAST(para_a AS VARCHAR)
+                   || ':' || CAST(para_b AS VARCHAR) || ':'
+                   || CAST(CAST(floor(jaccard * 1000000 + 0.5) AS BIGINT)
+                           AS VARCHAR) AS key
+        FROM pnd_jac WHERE jaccard >= {JACCARD_THRESHOLD}
     """,
     "dedup_ngram_topk": f"""
         WITH {_SHINGLES_CTE}

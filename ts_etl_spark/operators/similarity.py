@@ -110,12 +110,51 @@ def brute_topk(vecs: DataFrame, q: DataFrame, top_k: int = TOP_K) -> DataFrame:
 
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k per query vector (vec_id < N_QUERIES)."""
+    """The embedding surface's entry points as a tagged union
+    (op, q_id, neighbor_id, cosine, rn):
+
+    - ``op='topk'`` — brute-force cosine top-k per query vector
+      (vec_id < N_QUERIES; the original entry, unchanged).
+    - ``op='embdoc'`` (round 11) — ``operators.embedding.
+      embed_documents``' default hashed-BoW embedder over the documents
+      table, exploded to one row per (document, component): ``q_id`` the
+      doc_id, ``neighbor_id`` the component index 0..dim-1, ``cosine``
+      the component value rounded to 6 digits, ``rn`` the 1-based
+      component position. This gates the operator every similarity
+      entry DEPENDS on (the text→vector bridge) end to end — tokenize →
+      md5 bucket/sign → per-(doc,bucket) sum → densify → L2-normalize —
+      against a DuckDB mirror built from the same md5 arithmetic
+      (``classifier._hash8``'s hex fold). Cross-engine exactness: the
+      per-bucket sums are small INTEGERS (sums of ±1), so the squared
+      norm is an exact integer-valued double regardless of summation
+      order; sqrt and the division are IEEE correctly-rounded, and the
+      6-digit rounding absorbs nothing (values are already identical) —
+      the same argument as the classifier's bit-exact activation.
+      Token-less / fully-cancelled documents embed NULL and emit no
+      rows (both sides)."""
+    from ts_etl_spark.operators.embedding import embed_documents
+
     vecs = _vectors(spark, sf_dir)
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    return brute_topk(vecs, q)
+    topk_arm = brute_topk(vecs, q).select(
+        F.lit("topk").alias("op"), "q_id", "neighbor_id", "cosine", "rn"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    embdoc_arm = (
+        embed_documents(docs)
+        .filter(F.col("embedding").isNotNull())
+        .select("doc_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            F.lit("embdoc").alias("op"),
+            F.col("doc_id").alias("q_id"),
+            F.col("pos").cast("long").alias("neighbor_id"),
+            F.round("x", 6).alias("cosine"),
+            (F.col("pos") + 1).cast("int").alias("rn"),
+        )
+    )
+    return topk_arm.unionByName(embdoc_arm)
 
 
 def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,6 +1005,18 @@ def pca_reduce(
     return projected, info
 
 
+# embdoc-arm SQL-twin constants (oracle side of q_embed_topk's embdoc
+# arm) — imported here, used inside the ORACLE f-string below; keep in
+# lockstep with operators/embedding.py's _hash_int/_sign/WORD_PAT
+from ts_etl_spark.operators.bpe import WORD_PAT as _EMB_WORD_PAT  # noqa: E402
+from ts_etl_spark.operators.embedding import DEFAULT_DIM as _EMB_DIM  # noqa: E402
+from ts_etl_spark.operators.sketches import _hex8_fold_sql as _emb_fold_sql  # noqa: E402
+
+_EMB_BUCKET_SQL = (
+    "(" + _emb_fold_sql("substr(md5('emb#' || w), 1, 8)") + f") % {_EMB_DIM}"
+)
+
+
 QUERIES = {
     "embed_topk": q_embed_topk,
     "embed_neardup_label": q_embed_neardup_label,
@@ -987,9 +1038,52 @@ ORACLE = {
                    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                         ORDER BY cosine_raw DESC, neighbor_id) AS INT) AS rn
             FROM scored
+        ),
+        -- embdoc arm: the hashed-BoW document embedder re-derived from
+        -- the same md5 arithmetic (keep in lockstep with
+        -- operators/embedding.py: WORD_PAT tokens, bucket = hex-fold of
+        -- md5('emb#'||w)[1:8] mod dim, sign = parity of hex digit 9,
+        -- per-bucket ±1 sums, L2 normalization over the dense vector)
+        emb_toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{_EMB_WORD_PAT}')) AS w
+            FROM documents
+        ), emb_cells AS (
+            SELECT doc_id,
+                   CAST(({_EMB_BUCKET_SQL}) AS INT) AS bucket,
+                   CASE WHEN (strpos('0123456789abcdef',
+                                     substr(md5('emb#' || w), 9, 1)) - 1) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM emb_toks
+        ), emb_summed AS (
+            SELECT doc_id, bucket, CAST(SUM(s) AS DOUBLE) AS v
+            FROM emb_cells GROUP BY doc_id, bucket
+        ), emb_nrm AS (
+            -- the squared norm is a sum of INTEGER-valued doubles (the
+            -- bucket sums are counts of ±1), so it is exact under any
+            -- summation order — cross-engine bit-equality holds with no
+            -- ordering pin (unlike the mix arm's fractional shares)
+            SELECT doc_id, sqrt(SUM(v * v)) AS nr FROM emb_summed
+            GROUP BY doc_id
+        ), emb_grid AS (
+            SELECT n.doc_id, g.j AS bucket, n.nr
+            FROM emb_nrm n,
+                 LATERAL unnest(generate_series(0, {_EMB_DIM - 1})) AS g(j)
+            WHERE n.nr > 0
+        ), emb_vals AS (
+            SELECT g.doc_id, g.bucket, COALESCE(s.v, 0) / g.nr AS x
+            FROM emb_grid g
+            LEFT JOIN emb_summed s
+              ON s.doc_id = g.doc_id AND s.bucket = g.bucket
         )
-        SELECT q_id, neighbor_id, round(cosine_raw, 6) AS cosine, rn
+        SELECT 'topk' AS op, q_id, neighbor_id,
+               round(cosine_raw, 6) AS cosine, rn
         FROM ranked WHERE rn <= {TOP_K}
+        UNION ALL
+        SELECT 'embdoc' AS op, doc_id AS q_id,
+               CAST(bucket AS BIGINT) AS neighbor_id,
+               round(x, 6) AS cosine, CAST(bucket + 1 AS INT) AS rn
+        FROM emb_vals
     """,
     "embed_neardup_label": f"""
         WITH v AS (

@@ -270,22 +270,77 @@ def _planted_pii_text():
     return F.concat(F.col("text"), tail)
 
 
+#: blocklist-arm term lists (round 11 — gates ``blocklist_signals``, the
+#: content-policy sibling of PII redaction, behind the driver row).
+#: INLINE: a curation-wordlist-sized set (literal-array path; terms drawn
+#: from the synthetic vocabulary so hits are non-trivial, plus one
+#: never-occurring term for the zero case). JOIN: the same idea pushed
+#: past the inline limit with deterministic padding (the padding terms
+#: mix letters+digits so no WORD_PAT token can ever equal one — the path
+#: under test is the broadcast-join ROUTING and aggregation, and the
+#: real-word subset keeps its hits non-trivial).
+BLOCKLIST_INLINE_TERMS = ("hash", "slow", "spam", "vector")
+_BL_JOIN_REAL = ("merge", "scan", "slow")
+_BL_JOIN_PAD = 2100
+BLOCKLIST_JOIN_TERMS = _BL_JOIN_REAL + tuple(
+    f"blk{i:04d}" for i in range(_BL_JOIN_PAD)
+)
+
+
 def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction over documents: per-category match counts,
-    a has_pii flag, and the fully redacted text. Pure map-side regexp work —
-    at 100 TB this is a shuffle-free scan-bandwidth pass, the shape every
-    production PII scrubber needs."""
+    """Content-policy signals over documents at the per-doc grain:
+
+    - PII detection + redaction (the original entry): per-category match
+      counts, a has_pii flag, the fully redacted text. Pure map-side
+      regexp work — at 100 TB a shuffle-free scan-bandwidth pass.
+    - ``bl_*`` (round 11) — the LITERAL-ARRAY blocklist path over
+      ``BLOCKLIST_INLINE_TERMS``: ``_blocklist_exprs`` (the exact
+      expressions+casts ``blocklist_signals`` emits at ≤ the inline
+      limit) fused into the same shuffle-free projection as the PII
+      columns (``pii_blocklist_projection``).
+    - ``blb_*`` (round 11) — ``blocklist_signals`` with
+      ``BLOCKLIST_JOIN_TERMS`` (2103 distinct terms > the 2048 inline
+      limit): the BROADCAST-JOIN path — tokens explode map-side, probe
+      the broadcast term table, one keyed per-doc aggregate, then the
+      join back on doc_id. Those shuffles are the honest cost of a
+      big-list blocklist; the PII + inline columns stay map-side
+      (plan-asserted)."""
     docs = load_table(spark, sf_dir, "documents")
+    blb = blocklist_signals(docs, BLOCKLIST_JOIN_TERMS).select(
+        "doc_id",
+        F.col("n_hits").alias("blb_n_hits"),
+        F.col("n_distinct_hits").alias("blb_n_distinct_hits"),
+        F.col("hit_frac").alias("blb_hit_frac"),
+    )
+    return pii_blocklist_projection(docs).join(blb, "doc_id")
+
+
+def pii_blocklist_projection(docs: DataFrame) -> DataFrame:
+    """The map-side column families of ``q_text_pii_redaction`` — PII
+    counts/flag/redaction plus the INLINE blocklist signals
+    (``_blocklist_exprs``, the identical expressions
+    ``blocklist_signals`` emits on its literal-array path, same casts) —
+    in ONE shuffle-free projection (plan-asserted: the 100 TB scan-
+    bandwidth claim applies to this frame; only the >2048-term arm's
+    explode/aggregate/join-back costs shuffles)."""
     aug = _planted_pii_text()
     counts = pii_count_cols(aug)
     has_pii = None
     for cc in counts:
         has_pii = cc if has_pii is None else has_pii + cc
+    toks = _tokens_or_empty(F.col("text"))
+    n, n_hits, n_distinct, frac = _blocklist_exprs(
+        toks, sorted(set(BLOCKLIST_INLINE_TERMS))
+    )
     return docs.select(
         "doc_id",
         *counts,
         (has_pii > 0).alias("has_pii"),
         redact_pii(aug).alias("redacted"),
+        n.cast("bigint").alias("bl_n_tokens"),
+        n_hits.cast("bigint").alias("bl_n_hits"),
+        n_distinct.cast("int").alias("bl_n_distinct_hits"),
+        frac.cast("double").alias("bl_hit_frac"),
     )
 
 
@@ -407,6 +462,17 @@ def _BLOOM_POS_SQL(gexpr: str) -> str:
     return f"(({fold}) % {_BLOOM_BITS})"
 
 
+#: blocklist-arm SQL-twin constants (keep in lockstep with
+#: _tokens_or_empty / blocklist_signals)
+from ts_etl_spark.operators.bpe import WORD_PAT as _BL_WORD_PAT  # noqa: E402
+
+_BL_INLINE_SQL = (
+    "[" + ", ".join(f"'{t}'" for t in sorted(set(BLOCKLIST_INLINE_TERMS))) + "]"
+)
+_BL_JOIN_REAL_SQL = (
+    "[" + ", ".join(f"'{t}'" for t in sorted(set(_BL_JOIN_REAL))) + "]"
+)
+
 from ts_etl_spark.operators.bloom import (  # noqa: E402 — SQL-twin constants
     BLOOM_BITS as _BLOOM_BITS,
     BLOOM_K as _BLOOM_K,
@@ -502,12 +568,64 @@ ORACLE = {
         FROM scored
     """,
     "text_pii_redaction": f"""
-        WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
-        SELECT doc_id,
+        WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+        -- blocklist arms: the shared WORD_PAT token stream (lockstep
+        -- with textops._tokens_or_empty)
+        bl_toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(COALESCE(text, '')),
+                                      '{_BL_WORD_PAT}') AS t
+            FROM documents
+        ),
+        -- inline (literal-array) arm
+        bl AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS bl_n_tokens,
+                   CAST(len(list_filter(t,
+                        x -> list_contains({_BL_INLINE_SQL}, x))) AS BIGINT)
+                       AS bl_n_hits,
+                   CAST(len(list_intersect(list_distinct(t),
+                        {_BL_INLINE_SQL})) AS INT) AS bl_n_distinct_hits
+            FROM bl_toks
+        ),
+        -- broadcast-join arm: the full >2048-term table is genuinely
+        -- probed (padding generated, real words inline)
+        blb_terms AS (
+            SELECT unnest({_BL_JOIN_REAL_SQL}) AS w
+            UNION ALL
+            SELECT 'blk' || lpad(CAST(j AS VARCHAR), 4, '0')
+            FROM generate_series(0, {_BL_JOIN_PAD - 1}) g(j)
+        ),
+        blb_tok AS (SELECT doc_id, unnest(t) AS w FROM bl_toks),
+        blb AS (
+            SELECT k.doc_id,
+                   COALESCE(j.n_hits, 0) AS blb_n_hits,
+                   COALESCE(j.n_distinct, 0) AS blb_n_distinct_hits,
+                   CASE WHEN k.n_tokens > 0
+                        THEN CAST(COALESCE(j.n_hits, 0) AS DOUBLE) / k.n_tokens
+                   END AS blb_hit_frac
+            FROM (SELECT doc_id, len(t) AS n_tokens FROM bl_toks) k
+            LEFT JOIN (
+                SELECT doc_id,
+                       CAST(COUNT(*) FILTER (WHERE b.w IS NOT NULL) AS BIGINT)
+                           AS n_hits,
+                       CAST(COUNT(DISTINCT b.w) AS INT) AS n_distinct
+                FROM blb_tok t LEFT JOIN blb_terms b ON t.w = b.w
+                GROUP BY doc_id
+            ) j USING (doc_id)
+        )
+        SELECT a.doc_id,
                {_PII_COUNTS_SQL},
                ({" + ".join(f"len(regexp_extract_all(t, '{pat}'))" for pat, _ in PII_PATTERNS.values())}) > 0 AS has_pii,
-               {_PII_REDACT_SQL} AS redacted
-        FROM aug
+               {_PII_REDACT_SQL} AS redacted,
+               bl.bl_n_tokens, bl.bl_n_hits, bl.bl_n_distinct_hits,
+               CASE WHEN bl.bl_n_tokens > 0
+                    THEN CAST(bl.bl_n_hits AS DOUBLE) / bl.bl_n_tokens
+               END AS bl_hit_frac,
+               blb.blb_n_hits, blb.blb_n_distinct_hits, blb.blb_hit_frac
+        FROM aug a
+        JOIN bl USING (doc_id)
+        JOIN blb USING (doc_id)
     """,
     "text_contamination": f"""
         WITH words AS (
