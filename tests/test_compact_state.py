@@ -1,0 +1,204 @@
+"""Ingest-state compaction (round 11): per-batch appends leave one file
+set per micro-batch in every state table, so after thousands of batches
+the per-batch cost stops being batch-linear (file listing + footer reads
+grow with BATCH COUNT). ``compact_ingest_state`` rewrites each table
+under an ATTESTED roll-forward swap; these tests pin content
+preservation, the attestation abort, both crash windows, the
+ingest-side recovery hook, and the CLI surface."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.fs import count_files
+from ts_etl_spark.streaming.ingest import (
+    IngestConfig,
+    _compact_staging,
+    compact_ingest_state,
+    compact_state_table,
+    dedup_index_paths,
+    ingest_batch,
+    ingest_state_dirs,
+    recover_state_compaction,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _rand_words(rng, n):
+    return " ".join(f"w{rng.randrange(10_000)}" for _ in range(n))
+
+
+def _snapshot(spark, d):
+    return sorted(tuple(str(x) for x in r) for r in spark.read.parquet(d).collect())
+
+
+@pytest.fixture()
+def deployment(spark, tmp_path):
+    """A four-batch full-stack deployment (dedup index + substring gate;
+    the semantic gate needs trained centroids and adds nothing to the
+    compaction surface beyond one more single-table dir)."""
+    rng = random.Random(31)
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    win = str(tmp_path / "win")
+    cfg = IngestConfig(dedup_index_path=idx, win_index_path=win)
+    boiler = _rand_words(rng, 40)
+    for k in range(4):
+        ingest_batch(
+            spark,
+            _docs(
+                spark,
+                [
+                    (100 * (k + 1) + j, f"{_rand_words(rng, 50)} {boiler}")
+                    for j in range(3)
+                ],
+            ),
+            corpus,
+            cfg,
+            batch_id=k,
+        )
+    return corpus, idx, win, cfg
+
+
+def test_compaction_preserves_content_and_shrinks_files(
+    spark, deployment, tmp_path
+):
+    corpus, idx, win, cfg = deployment
+    dirs = ingest_state_dirs(corpus, idx, win)
+    before = {d: _snapshot(spark, d) for d in dirs}
+    counts = {d: count_files(spark, d) for d in dirs}
+    # appends really accumulated: at least one table has one file set
+    # per batch (seen appends every batch)
+    assert counts[dedup_index_paths(idx)["seen"]] >= 4
+    out = compact_ingest_state(
+        spark, corpus_path=corpus, dedup_index_path=idx, win_index_path=win
+    )
+    assert set(out) == set(dirs)
+    for d in dirs:
+        assert count_files(spark, d) == out[d] == 1  # tiny data -> 1 file
+        assert _snapshot(spark, d) == before[d], f"{d} content changed"
+        assert not os.path.exists(_compact_staging(d)), "staging left behind"
+    # the deployment still ingests and judges correctly post-compaction:
+    # a replay of batch 0's first doc must drop at the exact layer
+    first_id = 100
+    ingest_batch(
+        spark,
+        _docs(spark, [(first_id, before[corpus][0][1])]),
+        corpus,
+        cfg,
+        batch_id=99,
+    )
+    assert _snapshot(spark, corpus) == before[corpus]
+
+
+def test_attestation_failure_aborts_and_keeps_live(
+    spark, deployment, monkeypatch
+):
+    """A rewrite that loses a row must abort BEFORE the swap: live table
+    untouched, staging discarded, loud error."""
+    import ts_etl_spark.pipelines.maintenance as maint
+
+    corpus, idx, win, _ = deployment
+    seen = dedup_index_paths(idx)["seen"]
+    before = _snapshot(spark, seen)
+
+    real = maint.compact_parquet
+
+    def lossy(spark_, path, out_path, target):
+        n = real(spark_, path, out_path, target)
+        # corrupt the staged copy: rewrite it minus one row
+        df = spark_.read.parquet(out_path).orderBy("doc_id").limit(
+            len(before) - 1
+        ).localCheckpoint(eager=True)
+        df.write.mode("overwrite").parquet(out_path)
+        return n
+
+    monkeypatch.setattr(maint, "compact_parquet", lossy)
+    with pytest.raises(RuntimeError, match="attestation failed"):
+        compact_state_table(spark, seen)
+    assert _snapshot(spark, seen) == before, "live table was touched"
+    assert not os.path.exists(_compact_staging(seen)), "staging not discarded"
+
+
+def test_crash_roll_forward_restores_table(spark, deployment):
+    """Crash window between live-delete and rename: the committed
+    staging rolls FORWARD (it was attested equal before the delete)."""
+    from ts_etl_spark.fs import delete_dir
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    corpus, idx, win, _ = deployment
+    lens = dedup_index_paths(idx)["lens"]
+    before = _snapshot(spark, lens)
+    staged = _compact_staging(lens)
+    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)
+    delete_dir(spark, lens)  # the simulated crash point
+    recover_state_compaction(spark, lens)
+    assert _snapshot(spark, lens) == before
+    assert not os.path.exists(staged)
+
+
+def test_crash_rollback_discards_stale_staging(spark, deployment):
+    """Crash window before the swap (live still present): the staging is
+    stale — discarded, live authoritative."""
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    corpus, idx, win, _ = deployment
+    fp = dedup_index_paths(idx)["fp"]
+    before = _snapshot(spark, fp)
+    staged = _compact_staging(fp)
+    compact_parquet(spark, fp, staged, 128 * 1024 * 1024)
+    recover_state_compaction(spark, fp)
+    assert not os.path.exists(staged)
+    assert _snapshot(spark, fp) == before
+
+
+def test_ingest_batch_recovers_interrupted_compaction(spark, deployment):
+    """The per-batch recovery hook: an ingest arriving after a crashed
+    swap (table missing, staging committed) proceeds instead of dying
+    with PATH_NOT_FOUND — and judges identically."""
+    from ts_etl_spark.fs import delete_dir
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    corpus, idx, win, cfg = deployment
+    bands = dedup_index_paths(idx)["bands"]
+    before = _snapshot(spark, bands)
+    staged = _compact_staging(bands)
+    compact_parquet(spark, bands, staged, 128 * 1024 * 1024)
+    delete_dir(spark, bands)
+    # next batch must self-heal, then ingest normally
+    ingest_batch(
+        spark,
+        _docs(spark, [(9000, "totally novel words that match nothing")]),
+        corpus,
+        cfg,
+        batch_id=50,
+    )
+    assert 9000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert set(_snapshot(spark, bands)) >= set(before), "bands lost rows"
+
+
+def test_compact_state_cli_roundtrip(spark, deployment):
+    import ts_etl_spark.cli as cli
+
+    corpus, idx, win, _ = deployment
+    out = cli.run_compact_state(
+        corpus_path=corpus, dedup_index_path=idx, spark=spark
+    )
+    # corpus + the five index tables; win not passed -> not compacted
+    assert len(out) == 6
+    assert all(n == 1 for n in out.values())
+
+
+def test_missing_table_refused_and_absent_paths_skipped(spark, tmp_path):
+    with pytest.raises(ValueError, match="no state table"):
+        compact_state_table(spark, str(tmp_path / "nope"))
+    assert compact_ingest_state(
+        spark, dedup_index_path=str(tmp_path / "idx_absent")
+    ) == {}

@@ -921,7 +921,7 @@ def run_ingest(
     that keep per-batch dedup corpus-scan-free. Returns
     {"corpus_docs": N} after the drain (also logged to stderr)."""
     from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
-    from ts_etl_spark.streaming.ingest import run_streaming_ingest
+    from ts_etl_spark.streaming.ingest import IngestConfig, run_streaming_ingest
 
     own_session = spark is None
     if own_session:
@@ -932,16 +932,20 @@ def run_ingest(
             landing_dir,
             corpus_path,
             checkpoint,
-            threshold if threshold is not None else JACCARD_THRESHOLD,
+            IngestConfig(
+                threshold=(
+                    threshold if threshold is not None else JACCARD_THRESHOLD
+                ),
+                stats_path=stats_path,
+                drift_path=drift_path,
+                hh_path=hh_path,
+                sem_index_path=sem_index_path,
+                sem_cents_path=sem_cents_path,
+                sem_threshold=sem_threshold,
+                win_index_path=win_index_path,
+                dedup_index_path=dedup_index_path,
+            ),
             max_files,
-            stats_path,
-            drift_path,
-            hh_path,
-            sem_index_path,
-            sem_cents_path,
-            sem_threshold,
-            win_index_path,
-            dedup_index_path,
         )
         n = spark.read.parquet(corpus_path).count()
         print(f"ingest: corpus now holds {n} documents", file=sys.stderr)
@@ -1060,6 +1064,78 @@ def _seen_admit_main(argv: list[str]) -> int:
         return 1
 
 
+def run_compact_state(
+    corpus_path: str | None = None,
+    dedup_index_path: str | None = None,
+    win_index_path: str | None = None,
+    sem_index_path: str | None = None,
+    target_mb: int | None = None,
+    spark=None,
+) -> dict[str, int]:
+    """Compact an ingest deployment's append-accumulated state tables
+    (corpus + every configured index) under the attested roll-forward
+    swap — the between-drains maintenance pass that keeps per-batch cost
+    from degrading with BATCH COUNT (small-files pathology). Returns
+    {table_dir: output_file_count} (also logged to stderr)."""
+    from ts_etl_spark.streaming.ingest import compact_ingest_state
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-compact-state")
+    try:
+        out = compact_ingest_state(
+            spark,
+            corpus_path=corpus_path,
+            dedup_index_path=dedup_index_path,
+            win_index_path=win_index_path,
+            sem_index_path=sem_index_path,
+            target_file_bytes=(
+                target_mb * 1024 * 1024 if target_mb else None
+            ),
+        )
+        for d, n in out.items():
+            print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
+        if not out:
+            print("compact-state: no state tables found", file=sys.stderr)
+        return out
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _compact_state_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark compact-state",
+        description=(
+            "Compact ingest state (corpus + indexes) in place, attested "
+            "and crash-safe. Run between drains."
+        ),
+    )
+    parser.add_argument("--corpus", help="corpus parquet path")
+    parser.add_argument("--dedup-index", help="dedup-index base path")
+    parser.add_argument("--win-index", help="substring-gate index path")
+    parser.add_argument("--sem-index", help="semantic-gate index path")
+    parser.add_argument(
+        "--target-mb", type=int, help="target output file size in MiB"
+    )
+    args = parser.parse_args(argv)
+    if not (args.corpus or args.dedup_index or args.win_index or args.sem_index):
+        print("compact-state: give at least one state path", file=sys.stderr)
+        return 1
+    try:
+        run_compact_state(
+            corpus_path=args.corpus,
+            dedup_index_path=args.dedup_index,
+            win_index_path=args.win_index,
+            sem_index_path=args.sem_index,
+            target_mb=args.target_mb,
+        )
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during compact-state: {exc}", file=sys.stderr)
+        return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -1067,6 +1143,8 @@ def main(argv: list[str] | None = None) -> int:
         return _ingest_main(argv[1:])
     if argv and argv[0] == "seen-admit":
         return _seen_admit_main(argv[1:])
+    if argv and argv[0] == "compact-state":
+        return _compact_state_main(argv[1:])
     if argv and argv[0] == "sem-train":
         return _sem_train_main(argv[1:])
     if argv and argv[0] == "curate":

@@ -55,3 +55,28 @@ def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
         if st.getPath().getName().endswith(suffix):
             total += st.getLen()
     return total
+
+
+def rename_dir(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` through the FileSystem API (the swap
+    primitive for staged rewrites). Fails loudly when the filesystem
+    refuses (dst exists, src missing, cross-FS move) — a silent False
+    from ``FileSystem.rename`` would leave a half-swapped state the
+    caller believes committed."""
+    fs, sp = hadoop_fs(spark, src)
+    _, dp = hadoop_fs(spark, dst)
+    if not fs.rename(sp, dp):
+        raise OSError(f"rename {src!r} -> {dst!r} refused by the filesystem")
+
+
+def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Number of ``suffix`` files under ``path``, recursive; 0 if absent."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n

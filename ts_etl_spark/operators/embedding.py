@@ -14,6 +14,16 @@ lexical similarity) that is engine-portable and exactly reproducible,
 so every downstream ANN/PCA/dedup pipeline is testable end to end
 without a model in the container.
 
+Caveat (measured in the round-11 ingest soak): ``WORD_PAT`` is
+``[a-z]+|[0-9]+``, so alphanumeric identifiers split — "w123" tokenizes
+as "w" + "123". Text dominated by a shared id PREFIX (machine logs,
+synthetic ids, SKU-heavy pages) therefore embeds with one overwhelming
+shared bucket and pairwise cosines near 1.0, and a semantic-dedup gate
+over those embeddings will (correctly, given the vectors) collapse such
+documents. For id-heavy corpora pass a real ``embedder`` or pre-strip
+ids; this is tokenizer policy shared with the LM/BPE/classifier stack,
+not an embedding bug.
+
 Scale shape (default path): tokenize + explode (corpus-linear), ONE
 partial-aggregated groupBy per (doc, bucket) — at most ``dim`` rows per
 document pre-shuffle — then a map_from_entries densification and an

@@ -324,6 +324,17 @@ def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: NEARDUP_THRESHOLD because 1-assign cells see fewer pairs than the
 #: 3-probe within-label blocking — 0.38 yields a stable non-trivial drop
 #: set on the synthetic corpus at every tested SF.
+#:
+#: CALIBRATE PER EMBEDDER at production scale (measured, round-11 soak):
+#: this default is tuned for the driver's embeddings table. With the
+#: 64-dim hashed-BoW default embedder, unrelated documents already
+#: measure cosine noise of sigma ~ 1/sqrt(dim) = 0.125 (plus any shared
+#: boilerplate tail as a positive offset), so at 25k docs a threshold
+#: of 0.38 sits ~2 sigma above baseline and every 1-assign cell
+#: accumulates a dominator that "semantically drops" the entire tail of
+#: the corpus. Streaming deployments on hashed-BoW should pass
+#: ``sem_threshold`` well above the noise floor (0.8 drops bag-equal
+#: paraphrases and survives unrelated docs at any corpus size).
 SEMDEDUP_THRESHOLD = 0.38
 
 

@@ -38,6 +38,8 @@ fine for small corpora."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -348,6 +350,147 @@ def admit_seen_ids(
     return n
 
 
+# --------------------------------------------------------------------------
+# Ingest-state compaction (round 11)
+#
+# Every micro-batch APPENDS one file set to each state table (the five
+# dedup-index tables, the winnow/orig-fp/semantic indexes, the corpus
+# itself). Appends are the right write path — but after thousands of
+# batches each table is thousands of tiny files, and per-batch cost
+# stops being "linear in the batch": file listing + footer reads grow
+# with BATCH COUNT (the classic lake small-files pathology, the very
+# overhead the materialized index exists to avoid). Compaction restores
+# the file count without changing one row, under a crash-safe,
+# ATTESTED, roll-forward swap:
+#
+#   1. rewrite the table into a sibling staging dir
+#      (``compact_parquet`` — copy-on-write, _SUCCESS on commit);
+#   2. attest content equality (``table_content_hash`` live == staged —
+#      order/partition-independent, so the repartition cannot hide a
+#      lost or duplicated row); abort + delete staging on mismatch;
+#   3. delete the live dir;  4. rename staging into place.
+#
+# Crash recovery (``recover_state_compaction``, run by every ingest
+# entry point before reading state): staged-without-_SUCCESS or
+# staged-next-to-live ⇒ the swap had not started — delete the staging
+# (live is authoritative; pre-swap staging was attested EQUAL anyway).
+# live MISSING with a committed staging ⇒ the crash hit between steps
+# 3 and 4 — roll FORWARD (rename into place): the deletion only ever
+# runs after the attest, so a committed staging is always the exact
+# content the live dir held. Single-writer assumption, same as every
+# other piece of ingest state.
+# --------------------------------------------------------------------------
+
+
+def _compact_staging(table_dir: str) -> str:
+    """Sibling staging location for a state-table rewrite (NOT nested
+    under the table — readers glob the table dir)."""
+    base, _, name = table_dir.rstrip("/").rpartition("/")
+    return f"{base}/_compact_{name}" if base else f"_compact_{name}"
+
+
+def recover_state_compaction(spark: SparkSession, table_dir: str) -> None:
+    """Complete (or discard) a compaction interrupted by a crash — see
+    the protocol block above. No-op when no staging dir exists."""
+    from ts_etl_spark.fs import delete_dir, rename_dir
+
+    staged = _compact_staging(table_dir)
+    if not path_exists(spark, staged):
+        return
+    if not path_exists(spark, table_dir) and path_exists(
+        spark, f"{staged}/_SUCCESS"
+    ):
+        rename_dir(spark, staged, table_dir)  # roll forward
+    else:
+        delete_dir(spark, staged)  # live is authoritative — discard
+
+
+def compact_state_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int | None = None,
+) -> int:
+    """Compact ONE state table in place under the attested roll-forward
+    protocol; returns the output file count. Refuses a missing table."""
+    from ts_etl_spark.fs import delete_dir, rename_dir
+    from ts_etl_spark.pipelines.maintenance import (
+        DEFAULT_TARGET_FILE_BYTES,
+        compact_parquet,
+        table_content_hash,
+    )
+
+    recover_state_compaction(spark, table_dir)
+    if not path_exists(spark, table_dir):
+        raise ValueError(f"no state table at {table_dir!r}")
+    staged = _compact_staging(table_dir)
+    n = compact_parquet(
+        spark,
+        table_dir,
+        staged,
+        target_file_bytes or DEFAULT_TARGET_FILE_BYTES,
+    )
+    live_h = table_content_hash(spark.read.parquet(table_dir))
+    staged_h = table_content_hash(spark.read.parquet(staged))
+    if live_h != staged_h:
+        delete_dir(spark, staged)
+        raise RuntimeError(
+            f"compaction attestation failed for {table_dir!r}: "
+            f"live hash {live_h} != staged hash {staged_h}; staging "
+            "discarded, live table untouched"
+        )
+    delete_dir(spark, table_dir)
+    rename_dir(spark, staged, table_dir)
+    return n
+
+
+def ingest_state_dirs(
+    corpus_path: str | None = None,
+    dedup_index_path: str | None = None,
+    win_index_path: str | None = None,
+    sem_index_path: str | None = None,
+) -> list[str]:
+    """Every append-accumulating state directory of an ingest deployment
+    with the given paths configured — the compaction (and recovery)
+    unit list. Deliberately EXCLUDES the telemetry paths: the stats and
+    heavy-hitter registers are generationed/batch-dir state with their
+    own pruning, and the drift log is batch=<id> partitioned (a
+    round-robin rewrite would destroy its partition layout)."""
+    dirs: list[str] = []
+    if corpus_path is not None:
+        dirs.append(corpus_path)
+    if dedup_index_path is not None:
+        dirs.extend(dedup_index_paths(dedup_index_path).values())
+    if win_index_path is not None:
+        dirs.append(win_index_path)
+        dirs.append(orig_fp_index_path(win_index_path))
+    if sem_index_path is not None:
+        dirs.append(sem_index_path)
+    return dirs
+
+
+def compact_ingest_state(
+    spark: SparkSession,
+    corpus_path: str | None = None,
+    dedup_index_path: str | None = None,
+    win_index_path: str | None = None,
+    sem_index_path: str | None = None,
+    target_file_bytes: int | None = None,
+) -> dict[str, int]:
+    """Compact every existing state table of an ingest deployment (the
+    maintenance pass a production stream schedules between drains);
+    returns {table_dir: output_file_count}. Tables whose path does not
+    exist yet are skipped — a deployment without the semantic gate has
+    no sem index to compact. Run BETWEEN drains (single-writer)."""
+    out: dict[str, int] = {}
+    for d in ingest_state_dirs(
+        corpus_path, dedup_index_path, win_index_path, sem_index_path
+    ):
+        recover_state_compaction(spark, d)
+        if path_exists(spark, d):
+            out[d] = compact_state_table(spark, d, target_file_bytes)
+    return out
+
+
 def orig_fp_index_path(win_index_path: str) -> str:
     """Canonical location of the original-text fingerprint index that
     rides alongside a winnow index (derived, so callers configure ONE
@@ -640,38 +783,67 @@ def heavyhitter_estimate(
     return {r["key"]: int(r["estimate"]) for r in est.collect()}
 
 
+@dataclass(frozen=True)
+class IngestConfig:
+    """Gate + telemetry configuration for ``ingest_batch`` /
+    ``run_streaming_ingest`` (round 11 — the parameter surface had grown
+    to 13 positionals). Every field is optional; the default config is
+    plain fingerprint/MinHash dedup against the stored corpus.
+
+    - ``threshold`` — near-dup Jaccard threshold for the MinHash layer.
+    - ``stats_path`` — fold the batch's fingerprint registers into the
+      corpus-stats sketch (distinct-document telemetry per ingest).
+    - ``drift_path`` — record the batch's PSI against the corpus-so-far
+      (``monitor_batch_drift``).
+    - ``hh_path`` — attempt heavy-hitter registers (pre-gate by design:
+      re-submissions count as attempts).
+    - ``sem_index_path`` + ``sem_cents_path`` (must be set together) —
+      drop paraphrase-level near-duplicates via the semantic gate and
+      maintain the embedding index the gate reads; ``sem_threshold``
+      overrides SEMDEDUP_THRESHOLD.
+    - ``win_index_path`` — FIRST rewrite the batch through the
+      incremental substring gate (``substring_gate`` — cross-ingest
+      repeated spans masked before any other gate sees the text) and
+      maintain the winnow-fingerprint index it reads (plus the
+      original-fingerprint index riding alongside).
+    - ``dedup_index_path`` — run ``dedup_incremental`` against the
+      MATERIALIZED corpus-side relations (fingerprints, LSH bands,
+      shingle sets — see ``DEDUP_FP_SCHEMA`` etc.) instead of
+      re-deriving them from corpus text every micro-batch, and maintain
+      those tables — the shape whose per-batch cost is linear in the
+      batch at any corpus size (the corpus TEXT is never re-scanned by
+      the dedup layers; empirically flat, tests/test_dedup_index.py)."""
+
+    threshold: float = JACCARD_THRESHOLD
+    stats_path: str | None = None
+    drift_path: str | None = None
+    hh_path: str | None = None
+    sem_index_path: str | None = None
+    sem_cents_path: str | None = None
+    sem_threshold: float | None = None
+    win_index_path: str | None = None
+    dedup_index_path: str | None = None
+
+    def __post_init__(self) -> None:
+        if (self.sem_index_path is None) != (self.sem_cents_path is None):
+            raise ValueError(
+                "sem_index_path and sem_cents_path must be given together"
+            )
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
     corpus_path: str,
-    threshold: float = JACCARD_THRESHOLD,
-    stats_path: str | None = None,
-    drift_path: str | None = None,
+    config: IngestConfig | None = None,
     batch_id: int = 0,
-    hh_path: str | None = None,
-    sem_index_path: str | None = None,
-    sem_cents_path: str | None = None,
-    sem_threshold: float | None = None,
-    win_index_path: str | None = None,
-    dedup_index_path: str | None = None,
+    **gate_kwargs,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
-    With ``stats_path``, also fold the batch's fingerprint registers into
-    the corpus-stats sketch (distinct-document telemetry per ingest); with
-    ``drift_path``, record the batch's PSI against the corpus-so-far
-    (``monitor_batch_drift``); with ``sem_index_path`` (+
-    ``sem_cents_path``, required), additionally drop paraphrase-level
-    near-duplicates via the semantic gate and maintain the embedding
-    index the gate reads; with ``win_index_path``, FIRST rewrite the
-    batch through the incremental substring gate (``substring_gate`` —
-    cross-ingest repeated spans masked before any other gate sees the
-    text) and maintain the winnow-fingerprint index it reads; with
-    ``dedup_index_path`` (round 10), run ``dedup_incremental`` against
-    the MATERIALIZED corpus-side relations (fingerprints, LSH bands,
-    shingle sets — see ``DEDUP_FP_SCHEMA`` etc.) instead of re-deriving
-    them from corpus text every micro-batch, and maintain those tables —
-    the shape whose per-batch cost is linear in the batch at any corpus
-    size (the corpus TEXT is never re-scanned by the dedup layers).
+    Gates and telemetry are configured via ``config`` (an
+    ``IngestConfig`` — see its field docs) or, equivalently, the same
+    names as keyword arguments (``ingest_batch(..., win_index_path=p)``
+    constructs the config; passing both is an error).
 
     Dedup-index replay analysis (the index appends BEFORE the corpus,
     like the winnow/semantic deltas, so no batch can land in the corpus
@@ -749,10 +921,31 @@ def ingest_batch(
     the append materializes them — a stream runs this every micro-batch,
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
-    if (sem_index_path is None) != (sem_cents_path is None):
-        raise ValueError(
-            "sem_index_path and sem_cents_path must be given together"
-        )
+    if gate_kwargs:
+        if config is not None:
+            raise ValueError(
+                "pass gate options via config OR keyword arguments, not both"
+            )
+        config = IngestConfig(**gate_kwargs)
+    elif config is None:
+        config = IngestConfig()
+    threshold = config.threshold
+    stats_path = config.stats_path
+    drift_path = config.drift_path
+    hh_path = config.hh_path
+    sem_index_path = config.sem_index_path
+    sem_cents_path = config.sem_cents_path
+    sem_threshold = config.sem_threshold
+    win_index_path = config.win_index_path
+    dedup_index_path = config.dedup_index_path
+    # a crashed compact_ingest_state must never be read half-swapped:
+    # roll any interrupted compaction forward/back before touching state
+    # (a handful of FS existence checks per batch — see the compaction
+    # protocol block above)
+    for _d in ingest_state_dirs(
+        corpus_path, dedup_index_path, win_index_path, sem_index_path
+    ):
+        recover_state_compaction(spark, _d)
     corpus = _corpus(spark, corpus_path)
     persisted: list[DataFrame] = []
     dfp = dbands = dsets = dlens = None
@@ -1012,39 +1205,30 @@ def run_streaming_ingest(
     landing_dir: str,
     corpus_path: str,
     checkpoint: str,
-    threshold: float = JACCARD_THRESHOLD,
+    config: IngestConfig | None = None,
     max_files: int | None = 1,
-    stats_path: str | None = None,
-    drift_path: str | None = None,
-    hh_path: str | None = None,
-    sem_index_path: str | None = None,
-    sem_cents_path: str | None = None,
-    sem_threshold: float | None = None,
-    win_index_path: str | None = None,
-    dedup_index_path: str | None = None,
+    **gate_kwargs,
 ) -> None:
     """Stream the landing directory into the corpus until all available
-    files are processed (``availableNow``), one incremental-dedup round per
-    micro-batch; optionally maintaining the corpus-stats register sketch,
-    the per-batch PSI drift log, the attempt heavy-hitter counters, with
-    ``sem_index_path``/``sem_cents_path`` the paraphrase-level semantic
-    gate plus its embedding index, with ``win_index_path`` the
-    incremental substring gate plus its winnow-fingerprint index, and
-    with ``dedup_index_path`` the materialized corpus-side dedup
-    relations (fingerprints / LSH bands / shingle sets) that keep the
-    per-batch dedup cost corpus-scan-free."""
+    files are processed (``availableNow``), one incremental-dedup round
+    per micro-batch. Gates and telemetry come from ``config`` (an
+    ``IngestConfig`` — see its field docs) or the same names as keyword
+    arguments; every micro-batch runs ``ingest_batch`` under it."""
+    if gate_kwargs:
+        if config is not None:
+            raise ValueError(
+                "pass gate options via config OR keyword arguments, not both"
+            )
+        config = IngestConfig(**gate_kwargs)
+    elif config is None:
+        config = IngestConfig()
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     stream = reader.load(landing_dir)
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(
-            spark, batch_df, corpus_path, threshold, stats_path,
-            drift_path, batch_id, hh_path, sem_index_path,
-            sem_cents_path, sem_threshold, win_index_path,
-            dedup_index_path,
-        )
+        ingest_batch(spark, batch_df, corpus_path, config, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(_ingest)
