@@ -109,13 +109,29 @@ HEADLINE = [
 # measured-SF sample still pays it (the sf0.001 warmup memoizes only the
 # warmup SF), so it is recorded separately under "cold" in the JSON — a
 # regression in BPE training / attestation rewrites / index build must
-# move a recorded number (round-10 verdict #1).
+# move a recorded number (round-10 verdict #1). The cold number is the
+# MIN OF TWO cold runs (the second after clearing the memos): a single
+# first sample has no stall protection, and this host's documented ~20 s
+# hypervisor freezes would otherwise poison the cold-to-cold comparison
+# BASELINE.md prescribes.
 MEMOIZED = (
     "trainer_prep",
     "corpus_report",
     "embed_ann_ivf",
     "dedup_incremental_indexed",
 )
+
+
+def _clear_construction_memos():
+    """Drop every per-(application, sf_dir) construction memo so the
+    next run of a MEMOIZED entry pays its construction cost again."""
+    from ts_etl_spark.operators.dedup import _BENCH_INDEX_MEMO
+    from ts_etl_spark.operators.report import _MAINT_MEMO
+    from ts_etl_spark.operators.similarity import _IVF_MEMO
+    from ts_etl_spark.pipelines.trainer_prep import _BPE_MERGES_MEMO
+
+    for m in (_BENCH_INDEX_MEMO, _MAINT_MEMO, _IVF_MEMO, _BPE_MERGES_MEMO):
+        m.clear()
 
 # Timed under the same protocol as HEADLINE but NOT `queries()` entries:
 # the registry is consolidated to exactly 50 (the driver's verification
@@ -192,7 +208,11 @@ def main() -> None:
             spark.catalog.clearCache()  # measured persists never leak onward
         timings[name] = round(min(samples), 4)
         if name in MEMOIZED:
-            cold[name] = round(samples[0], 4)
+            # second cold sample (memos cleared) — min-of-2 stall guard
+            _clear_construction_memos()
+            cold2 = run(name)
+            spark.catalog.clearCache()
+            cold[name] = round(min(samples[0], cold2), 4)
 
     # the headline total stays comparable round-over-round: supplements are
     # reported per-query but excluded from the gate metric

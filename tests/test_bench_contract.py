@@ -82,3 +82,10 @@ def test_memoized_cold_entries_are_timed_names():
     timed = set(bench.HEADLINE) | set(bench._supplement())
     stray = [n for n in bench.MEMOIZED if n not in timed]
     assert not stray, f"MEMOIZED names bench never times: {stray}"
+
+
+def test_clear_construction_memos_resolves():
+    """The cold-sample stall guard clears four module-level memos by
+    import — a memo rename must fail here, not crash mid-bench."""
+    bench = _load_bench()
+    bench._clear_construction_memos()

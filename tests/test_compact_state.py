@@ -202,3 +202,81 @@ def test_missing_table_refused_and_absent_paths_skipped(spark, tmp_path):
     assert compact_ingest_state(
         spark, dedup_index_path=str(tmp_path / "idx_absent")
     ) == {}
+
+
+def test_crash_between_renames_rolls_forward(spark, deployment):
+    """Round-11 review fix: the swap is rename-aside, not delete-based
+    (a recursive delete is non-atomic — a crash mid-delete would leave a
+    SUBSET of rows that recovery then treats as authoritative). Crash
+    window between the two renames: old aside dir present, live missing,
+    staging committed -> roll forward, drop the aside dir."""
+    from ts_etl_spark.fs import rename_dir
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+    from ts_etl_spark.streaming.ingest import _compact_old
+
+    corpus, idx, win, _ = deployment
+    sets = dedup_index_paths(idx)["sets"]
+    before = _snapshot(spark, sets)
+    staged = _compact_staging(sets)
+    old = _compact_old(sets)
+    compact_parquet(spark, sets, staged, 128 * 1024 * 1024)
+    rename_dir(spark, sets, old)  # simulated crash after the aside rename
+    recover_state_compaction(spark, sets)
+    assert _snapshot(spark, sets) == before
+    assert not os.path.exists(staged) and not os.path.exists(old)
+
+
+def test_crash_after_swap_drops_aside_dir(spark, deployment):
+    """Crash window after the swap, before the aside delete: both live
+    (the new compacted table) and the aside dir present -> recovery
+    drops the aside dir and leaves live alone."""
+    from ts_etl_spark.fs import rename_dir
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+    from ts_etl_spark.streaming.ingest import _compact_old
+
+    corpus, idx, win, _ = deployment
+    lens = dedup_index_paths(idx)["lens"]
+    before = _snapshot(spark, lens)
+    staged = _compact_staging(lens)
+    old = _compact_old(lens)
+    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)
+    rename_dir(spark, lens, old)
+    rename_dir(spark, staged, lens)  # swap done; crash before delete(old)
+    recover_state_compaction(spark, lens)
+    assert _snapshot(spark, lens) == before
+    assert not os.path.exists(old)
+
+
+def test_torn_table_refuses_compaction(spark, deployment):
+    """Round-11 review fix: compacting a table WITHOUT its _SUCCESS
+    marker would stamp a fresh marker via the staging write and launder
+    a torn write (e.g. a crashed orig-fp bootstrap) into a
+    committed-looking table — refused loudly instead."""
+    corpus, idx, win, _ = deployment
+    fp = dedup_index_paths(idx)["fp"]
+    os.remove(f"{fp}/_SUCCESS")
+    with pytest.raises(ValueError, match="no _SUCCESS marker"):
+        compact_state_table(spark, fp)
+
+
+def test_disabled_success_markers_refused(spark, deployment):
+    """Round-11 review fix: with marksuccessfuljobs=false the whole
+    _SUCCESS-gated state machine (generations, bootstrap commit checks,
+    torn-table refusal) silently degrades — ingest and compaction refuse
+    the configuration loudly."""
+    corpus, idx, win, cfg = deployment
+    hconf = spark._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    hconf.set(key, "false")
+    try:
+        with pytest.raises(ValueError, match="marksuccessfuljobs"):
+            compact_ingest_state(spark, corpus_path=corpus)
+        with pytest.raises(ValueError, match="marksuccessfuljobs"):
+            ingest_batch(
+                spark,
+                _docs(spark, [(99_000, "words here")]),
+                corpus,
+                cfg,
+            )
+    finally:
+        hconf.set(key, "true")

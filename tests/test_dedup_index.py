@@ -780,6 +780,11 @@ def test_seen_admit_unwedges_pre_index_dropped_id(spark, tmp_path, batches):
         admit_seen_ids(spark, str(tmp_path / "nowhere"), [1])
     with pytest.raises(ValueError, match="integers"):
         admit_seen_ids(spark, idx, [1, "x"])  # type: ignore[list-item]
+    # round-11 review fix: an id ABOVE the max attempted would RAISE the
+    # max and wedge every never-attempted id below it — the unwedging
+    # tool must refuse to brick the stream
+    with pytest.raises(ValueError, match="exceed the index's max"):
+        admit_seen_ids(spark, idx, [999_999])
 
 
 def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
@@ -791,12 +796,14 @@ def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
     idx = str(tmp_path / "idx")
     for b in batches:
         ingest_batch(spark, _docs(spark, b), corpus, dedup_index_path=idx)
-    assert cli.run_seen_admit(idx, [999_999], spark=spark) == 1
+    # 15 sits below the max attempted id (22) and was never attempted —
+    # exactly the shape the escape hatch exists for
+    assert cli.run_seen_admit(idx, [15], spark=spark) == 1
     seen = {
         r.doc_id
         for r in spark.read.parquet(dedup_index_paths(idx)["seen"]).collect()
     }
-    assert 999_999 in seen
+    assert 15 in seen
 
 
 def test_indexed_batch_cost_is_corpus_size_independent(spark, tmp_path):

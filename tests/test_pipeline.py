@@ -475,3 +475,17 @@ def test_torn_staging_artifact_is_retried_in_place(spark, sf_smoke, tmp_path):
             spark, sf_smoke, substring_mask=True, checkpoint_dir=ck2
         )
     assert os.path.exists(f"{ck2}/notes.txt"), "foreign content untouched"
+
+    # round-11 review fix: bare part-files WITHOUT the committer's
+    # _temporary dir could be a committed dataset written by another
+    # tool (or one whose _SUCCESS a lifecycle rule pruned) — refused,
+    # only genuine mid-write wreckage (_temporary present) retries
+    ck3 = str(tmp_path / "bare_parts")
+    os.makedirs(ck3)
+    with open(f"{ck3}/part-00000.parquet", "w") as f:
+        f.write("committed data from another tool")
+    with pytest.raises(ValueError, match="non-empty"):
+        curate_documents(
+            spark, sf_smoke, substring_mask=True, checkpoint_dir=ck3
+        )
+    assert os.path.exists(f"{ck3}/part-00000.parquet"), "data untouched"

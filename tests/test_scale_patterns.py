@@ -96,7 +96,12 @@ def test_ivf_ann_recall_vs_brute_force(spark):
         q_embed_topk,
     )
 
-    truth = {(r.q_id, r.neighbor_id) for r in q_embed_topk(spark, SF).collect()}
+    truth = {
+        (r.q_id, r.neighbor_id)
+        # the registered entry is a tagged union since round 11 — only the
+        # topk arm is the brute-force truth (embdoc rows are embeddings)
+        for r in q_embed_topk(spark, SF).filter("op = 'topk'").collect()
+    }
     approx = {(r.q_id, r.neighbor_id) for r in q_embed_ann_ivf(spark, SF).collect()}
     recall = len(truth & approx) / len(truth)
     floor = 0.6 * IVF_NPROBE / IVF_CENTROIDS
@@ -307,7 +312,10 @@ def test_kmeans_trained_ivf_matches_seed_recall(spark):
     # trained centroids: full path runs, recall holds the same floor
     trained = train_ivf_centroids(vecs, k=IVF_CENTROIDS)
     assert trained.count() == IVF_CENTROIDS
-    truth = {(r.q_id, r.neighbor_id) for r in q_embed_topk(spark, SF).collect()}
+    truth = {
+        (r.q_id, r.neighbor_id)
+        for r in q_embed_topk(spark, SF).filter("op = 'topk'").collect()
+    }
     approx = {
         (r.q_id, r.neighbor_id)
         for r in ivf_topk(vecs, trained, queries, nprobe=IVF_NPROBE).collect()
@@ -335,7 +343,10 @@ def test_int8_quantized_topk_recall_and_error(spark):
     q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
-    truth = {(r.q_id, r.neighbor_id): r.cosine for r in q_embed_topk(spark, SF).collect()}
+    truth = {
+        (r.q_id, r.neighbor_id): r.cosine
+        for r in q_embed_topk(spark, SF).filter("op = 'topk'").collect()
+    }
     approx = {(r.q_id, r.neighbor_id): r.qcos for r in quantized_topk(vecs, q).collect()}
     recall = len(set(truth) & set(approx)) / len(truth)
     assert recall >= 0.85, f"quantized recall too low: {recall}"

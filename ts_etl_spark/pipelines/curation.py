@@ -204,15 +204,23 @@ def curate_documents(
                     n.startswith(("part-", ".", "_temporary", "_started", "_committed"))
                     for n in names
                 )
-                if committed or not spark_output_only:
+                # a mid-write crash leaves the committer's _temporary
+                # dir behind; requiring it keeps the retry from
+                # swallowing a COMMITTED dataset of bare part-files
+                # written by another tool (or one whose _SUCCESS an
+                # object-store lifecycle rule pruned) — those still
+                # refuse, and the rare crash-after-cleanup sliver
+                # refuses too (manual cleanup, never silent loss)
+                torn_evidence = "_temporary" in names
+                if committed or not spark_output_only or not torn_evidence:
                     raise ValueError(
                         f"checkpoint_dir {checkpoint_dir!r} exists and is "
                         "non-empty; refusing to overwrite it — pass an empty "
                         "or fresh directory (the staged masked corpus is a "
                         "caller-managed recovery point, so this path is "
                         "never auto-cleared; only a TORN staging artifact — "
-                        "no _SUCCESS, Spark output files only — is retried "
-                        "in place)"
+                        "no _SUCCESS, Spark output files only, _temporary "
+                        "still present — is retried in place)"
                     )
             masked.write.mode("overwrite").parquet(checkpoint_dir)
             docs = spark.read.parquet(checkpoint_dir)

@@ -228,6 +228,28 @@ def dedup_index_paths(base: str) -> dict[str, str]:
     return {k: f"{base}/{k}" for k in ("fp", "bands", "sets", "seen", "lens")}
 
 
+def _require_success_markers(spark: SparkSession) -> None:
+    """The ingest state machine is _SUCCESS-gated end to end (stats
+    generations, heavy-hitter batch dirs, the orig-fp bootstrap commit
+    check, compaction's torn-table refusal). A deployment that disables
+    the marker (``mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false``, a common object-store tuning) would silently DEGRADE those
+    checks — e.g. the orig-fp bootstrap would destructively re-run every
+    batch, erasing fingerprint deltas the corpus cannot regenerate — so
+    it is refused loudly at every ingest/maintenance entry instead."""
+    v = spark._jsc.hadoopConfiguration().get(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "true"
+    )
+    if str(v).strip().lower() == "false":
+        raise ValueError(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs=false: the "
+            "ingest state machine requires _SUCCESS markers (generation "
+            "commits, bootstrap commit checks, compaction torn-table "
+            "refusal) — re-enable the marker for ingest and state "
+            "maintenance sessions"
+        )
+
+
 def stored_doclen(c=None):
     """Stored-text document length — THE length definition shared by the
     drift monitor's text-scan baseline, the lens bootstrap, and the
@@ -317,8 +339,13 @@ def admit_seen_ids(
     unknowable from the stored corpus). An operator who knows those ids
     were genuinely attempted admits them here and the stream resumes; no
     manual parquet surgery. Idempotent (anti-joined against the current
-    table) and safe by construction: adding an id to ``seen`` only ever
-    RELAXES the guard for that id — it grants no dedup-layer state, so a
+    table) and constrained to ids BELOW the current max attempted —
+    the only ids the guard can wedge on. Admitting an id ABOVE the max
+    would RAISE ``max_attempted`` and turn every never-attempted id
+    under it into a new wedge (the unwedging tool must never brick the
+    stream), so those are refused: a genuinely-new high id needs no
+    escape hatch — ingest it normally. Within its domain the operation
+    only RELAXES the guard: it grants no dedup-layer state, so a
     re-delivered doc is still judged against fp/bands/sets as usual.
     Returns the number of ids actually appended. Refuses an
     uninitialized index (nothing is wedged if nothing exists) and
@@ -334,13 +361,20 @@ def admit_seen_ids(
     bad = [i for i in ids if not isinstance(i, int) or isinstance(i, bool)]
     if bad:
         raise ValueError(f"doc_ids must be integers; got {bad[:5]!r}")
+    seen = spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"])
+    max_attempted = seen.agg(F.max("doc_id")).first()[0]
+    too_high = [i for i in sorted(set(ids)) if max_attempted is None or i > max_attempted]
+    if too_high:
+        raise ValueError(
+            f"doc_ids {too_high[:5]!r} exceed the index's max attempted "
+            f"id ({max_attempted}); the escape hatch only admits ids the "
+            "out-of-order guard can wedge on (below the max) — admitting "
+            "a higher id would raise the max and wedge every "
+            "never-attempted id under it. Ingest new high ids normally."
+        )
     delta = (
         spark.createDataFrame([(i,) for i in sorted(set(ids))], DEDUP_SEEN_SCHEMA)
-        .join(
-            spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"]),
-            "doc_id",
-            "left_anti",
-        )
+        .join(seen, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     n = delta.count()
@@ -368,17 +402,34 @@ def admit_seen_ids(
 #   2. attest content equality (``table_content_hash`` live == staged —
 #      order/partition-independent, so the repartition cannot hide a
 #      lost or duplicated row); abort + delete staging on mismatch;
-#   3. delete the live dir;  4. rename staging into place.
+#   3. rename the live dir ASIDE (``_compact_old_<name>``);
+#   4. rename staging into place;  5. delete the old dir.
+#
+# Renames, not deletes, do the swap: a recursive delete of the live dir
+# is NOT atomic (file-by-file on file:// and object stores), so a crash
+# mid-delete would leave a live dir holding a strict SUBSET of the rows
+# that recovery would then treat as authoritative — silent data loss.
+# A directory rename is atomic on HDFS and POSIX filesystems; the only
+# destructive delete (step 5) targets a dir that is already redundant.
+# (On S3A, where rename itself is copy+delete, run compaction only from
+# a maintenance window — the single-writer assumption all ingest state
+# shares — and prefer an HDFS/consistent-rename scratch tier.)
 #
 # Crash recovery (``recover_state_compaction``, run by every ingest
-# entry point before reading state): staged-without-_SUCCESS or
-# staged-next-to-live ⇒ the swap had not started — delete the staging
-# (live is authoritative; pre-swap staging was attested EQUAL anyway).
-# live MISSING with a committed staging ⇒ the crash hit between steps
-# 3 and 4 — roll FORWARD (rename into place): the deletion only ever
-# runs after the attest, so a committed staging is always the exact
-# content the live dir held. Single-writer assumption, same as every
-# other piece of ingest state.
+# entry point before reading state), distinguishable by what exists:
+# - old ASIDE dir present, live missing ⇒ crash between steps 3 and 4 —
+#   roll FORWARD (rename the committed staging into place; it was
+#   attested equal before step 3), then drop the old dir.
+# - old ASIDE dir present, live present ⇒ crash between 4 and 5 — the
+#   swap completed; drop the old dir.
+# - staging present next to a live dir (no old dir) ⇒ the swap had not
+#   started — delete the staging (live is authoritative; a pre-swap
+#   staging was attested EQUAL anyway, so discarding loses nothing).
+# Torn tables REFUSE to compact: a live dir without its _SUCCESS marker
+# is an uncommitted/partial write (e.g. a crashed orig-fp bootstrap),
+# and rewriting it through staging would stamp a fresh _SUCCESS and
+# launder the torn state into a committed-looking table.
+# Single-writer assumption, same as every other piece of ingest state.
 # --------------------------------------------------------------------------
 
 
@@ -389,20 +440,41 @@ def _compact_staging(table_dir: str) -> str:
     return f"{base}/_compact_{name}" if base else f"_compact_{name}"
 
 
+def _compact_old(table_dir: str) -> str:
+    """Sibling aside location the live dir renames to during the swap."""
+    base, _, name = table_dir.rstrip("/").rpartition("/")
+    return f"{base}/_compact_old_{name}" if base else f"_compact_old_{name}"
+
+
 def recover_state_compaction(spark: SparkSession, table_dir: str) -> None:
     """Complete (or discard) a compaction interrupted by a crash — see
-    the protocol block above. No-op when no staging dir exists."""
+    the protocol block above. No-op when neither sibling dir exists."""
     from ts_etl_spark.fs import delete_dir, rename_dir
 
     staged = _compact_staging(table_dir)
-    if not path_exists(spark, staged):
-        return
-    if not path_exists(spark, table_dir) and path_exists(
-        spark, f"{staged}/_SUCCESS"
-    ):
-        rename_dir(spark, staged, table_dir)  # roll forward
-    else:
-        delete_dir(spark, staged)  # live is authoritative — discard
+    old = _compact_old(table_dir)
+    if path_exists(spark, old):
+        if not path_exists(spark, table_dir):
+            if path_exists(spark, f"{staged}/_SUCCESS"):
+                # crash between the two renames: the staging was
+                # attested equal before the live dir moved aside
+                rename_dir(spark, staged, table_dir)
+            else:
+                # unreachable under the protocol (the aside rename only
+                # runs with a committed staging) — restore the original
+                rename_dir(spark, old, table_dir)
+        delete_dir(spark, old)
+    if path_exists(spark, staged):
+        if not path_exists(spark, table_dir) and path_exists(
+            spark, f"{staged}/_SUCCESS"
+        ):
+            # live gone with a committed staging and no aside dir: not
+            # producible by the rename protocol, but exactly what the
+            # pre-rename (delete-based) protocol's crash window left —
+            # roll forward rather than discard the only full copy
+            rename_dir(spark, staged, table_dir)
+        else:
+            delete_dir(spark, staged)  # pre-swap staging — live wins
 
 
 def compact_state_table(
@@ -410,8 +482,24 @@ def compact_state_table(
     table_dir: str,
     target_file_bytes: int | None = None,
 ) -> int:
-    """Compact ONE state table in place under the attested roll-forward
-    protocol; returns the output file count. Refuses a missing table."""
+    """Compact ONE state table in place under the attested rename-aside
+    protocol; returns the output file count. Refuses a missing table
+    and a TORN one (no _SUCCESS — see the protocol block)."""
+    _require_success_markers(spark)
+    recover_state_compaction(spark, table_dir)
+    if not path_exists(spark, table_dir):
+        raise ValueError(f"no state table at {table_dir!r}")
+    return _compact_recovered_table(spark, table_dir, target_file_bytes)
+
+
+def _compact_recovered_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int | None = None,
+) -> int:
+    """The compaction body, assuming recovery already ran and the table
+    exists (``compact_ingest_state`` calls this directly so each table
+    pays ONE recovery pass, not two)."""
     from ts_etl_spark.fs import delete_dir, rename_dir
     from ts_etl_spark.pipelines.maintenance import (
         DEFAULT_TARGET_FILE_BYTES,
@@ -419,10 +507,15 @@ def compact_state_table(
         table_content_hash,
     )
 
-    recover_state_compaction(spark, table_dir)
-    if not path_exists(spark, table_dir):
-        raise ValueError(f"no state table at {table_dir!r}")
+    if not path_exists(spark, f"{table_dir}/_SUCCESS"):
+        raise ValueError(
+            f"state table at {table_dir!r} has no _SUCCESS marker — a "
+            "torn/uncommitted write; compacting it would stamp a fresh "
+            "marker and launder the torn state into a committed-looking "
+            "table (re-run the owning bootstrap/ingest first)"
+        )
     staged = _compact_staging(table_dir)
+    old = _compact_old(table_dir)
     n = compact_parquet(
         spark,
         table_dir,
@@ -438,8 +531,9 @@ def compact_state_table(
             f"live hash {live_h} != staged hash {staged_h}; staging "
             "discarded, live table untouched"
         )
-    delete_dir(spark, table_dir)
+    rename_dir(spark, table_dir, old)
     rename_dir(spark, staged, table_dir)
+    delete_dir(spark, old)
     return n
 
 
@@ -481,13 +575,14 @@ def compact_ingest_state(
     returns {table_dir: output_file_count}. Tables whose path does not
     exist yet are skipped — a deployment without the semantic gate has
     no sem index to compact. Run BETWEEN drains (single-writer)."""
+    _require_success_markers(spark)
     out: dict[str, int] = {}
     for d in ingest_state_dirs(
         corpus_path, dedup_index_path, win_index_path, sem_index_path
     ):
         recover_state_compaction(spark, d)
         if path_exists(spark, d):
-            out[d] = compact_state_table(spark, d, target_file_bytes)
+            out[d] = _compact_recovered_table(spark, d, target_file_bytes)
     return out
 
 
@@ -938,6 +1033,7 @@ def ingest_batch(
     sem_threshold = config.sem_threshold
     win_index_path = config.win_index_path
     dedup_index_path = config.dedup_index_path
+    _require_success_markers(spark)
     # a crashed compact_ingest_state must never be read half-swapped:
     # roll any interrupted compaction forward/back before touching state
     # (a handful of FS existence checks per batch — see the compaction
