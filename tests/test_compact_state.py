@@ -280,3 +280,46 @@ def test_disabled_success_markers_refused(spark, deployment):
             )
     finally:
         hconf.set(key, "true")
+
+
+def test_cli_ingest_compact_after(spark, tmp_path):
+    """--compact-after: the drain is followed by the attested compaction
+    while the process still holds the single-writer role — the next
+    drain starts from 1 file per state table."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ts_etl_spark.cli as cli
+
+    rng = random.Random(17)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = _time.time()
+    for k in range(3):
+        rows = [(100 * (k + 1) + j, _rand_words(rng, 30)) for j in range(4)]
+        p = str(landing / f"b{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        os.utime(p, (now - 90 + 30 * k, now - 90 + 30 * k))
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx")
+    out = cli.run_ingest(
+        str(landing),
+        corpus,
+        str(tmp_path / "ckpt"),
+        dedup_index_path=idx,
+        compact_after=True,
+        spark=spark,
+    )
+    assert out["corpus_docs"] == 12
+    for d in ingest_state_dirs(corpus, idx):
+        assert count_files(spark, d) == 1, d

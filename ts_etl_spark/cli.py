@@ -909,6 +909,7 @@ def run_ingest(
     sem_threshold: float | None = None,
     win_index_path: str | None = None,
     dedup_index_path: str | None = None,
+    compact_after: bool = False,
     spark=None,
 ) -> dict[str, int]:
     """Drain the landing directory into the corpus through the full
@@ -918,8 +919,14 @@ def run_ingest(
     ``sem_cents_path``) the paraphrase-level semantic gate, and (with
     ``win_index_path``) the incremental substring gate, and (with
     ``dedup_index_path``) the materialized corpus-side dedup relations
-    that keep per-batch dedup corpus-scan-free. Returns
-    {"corpus_docs": N} after the drain (also logged to stderr)."""
+    that keep per-batch dedup corpus-scan-free. With ``compact_after``,
+    follow the drain with ``compact_ingest_state`` over the corpus and
+    every configured index — the drain leaves one file set per
+    micro-batch per table, and compacting right after (while this
+    process still holds the single-writer role) keeps the NEXT drain's
+    per-batch cost from paying the accumulated file-listing overhead.
+    Returns {"corpus_docs": N} after the drain (also logged to
+    stderr)."""
     from ts_etl_spark.operators.dedup import JACCARD_THRESHOLD
     from ts_etl_spark.streaming.ingest import IngestConfig, run_streaming_ingest
 
@@ -947,6 +954,21 @@ def run_ingest(
             ),
             max_files,
         )
+        if compact_after:
+            from ts_etl_spark.streaming.ingest import compact_ingest_state
+
+            compacted = compact_ingest_state(
+                spark,
+                corpus_path=corpus_path,
+                dedup_index_path=dedup_index_path,
+                win_index_path=win_index_path,
+                sem_index_path=sem_index_path,
+            )
+            print(
+                f"ingest: compacted {len(compacted)} state table(s) "
+                "after the drain",
+                file=sys.stderr,
+            )
         n = spark.read.parquet(corpus_path).count()
         print(f"ingest: corpus now holds {n} documents", file=sys.stderr)
         return {"corpus_docs": n}
@@ -993,6 +1015,11 @@ def _ingest_main(argv: list[str]) -> int:
         "--dedup-index",
         help="materialized dedup-index base path (fp/bands/sets tables)",
     )
+    parser.add_argument(
+        "--compact-after", action="store_true",
+        help="compact corpus + indexes after the drain (attested, "
+        "crash-safe; see the compact-state subcommand)",
+    )
     args = parser.parse_args(argv)
     try:
         run_ingest(
@@ -1009,6 +1036,7 @@ def _ingest_main(argv: list[str]) -> int:
             sem_threshold=args.sem_threshold,
             win_index_path=args.win_index,
             dedup_index_path=args.dedup_index,
+            compact_after=args.compact_after,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary
