@@ -85,7 +85,14 @@ def test_memoized_cold_entries_are_timed_names():
 
 
 def test_clear_construction_memos_resolves():
-    """The cold-sample stall guard clears four module-level memos by
-    import — a memo rename must fail here, not crash mid-bench."""
+    """The cold-sample stall guard clears each MEMOIZED entry's own
+    module-level memo by import — a memo rename must fail here, not
+    crash mid-bench; an unknown name must refuse (a MEMOIZED addition
+    without a registered memo would silently record a warm cold)."""
+    import pytest
+
     bench = _load_bench()
-    bench._clear_construction_memos()
+    for name in bench.MEMOIZED:
+        bench._clear_construction_memos(name)
+    with pytest.raises(KeyError):
+        bench._clear_construction_memos("not_a_memoized_entry")

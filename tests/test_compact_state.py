@@ -323,3 +323,36 @@ def test_cli_ingest_compact_after(spark, tmp_path):
     assert out["corpus_docs"] == 12
     for d in ingest_state_dirs(corpus, idx):
         assert count_files(spark, d) == 1, d
+
+
+def test_one_torn_table_does_not_block_the_rest(spark, deployment):
+    """Round-11 second review pass: compact_ingest_state attempts every
+    table and raises ONE summary error at the end — a torn table must
+    not leave the rest of the deployment uncompacted or silently hide
+    which tables did compact."""
+    corpus, idx, win, _ = deployment
+    fp = dedup_index_paths(idx)["fp"]
+    os.remove(f"{fp}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="no _SUCCESS") as ei:
+        compact_ingest_state(
+            spark, corpus_path=corpus, dedup_index_path=idx, win_index_path=win
+        )
+    assert "compacted successfully" in str(ei.value)
+    # everything except fp really did compact
+    for d in ingest_state_dirs(corpus, idx, win):
+        if d != fp:
+            assert count_files(spark, d) == 1, d
+
+
+def test_seen_admit_on_attemptless_index_says_nothing_wedged(spark, tmp_path):
+    """An index whose seen table records no attempts cannot wedge — the
+    refusal must say that, not 'exceeds max (None)'."""
+    from ts_etl_spark.streaming.ingest import admit_seen_ids
+
+    idx = str(tmp_path / "idx")
+    p = dedup_index_paths(idx)
+    empty = spark.createDataFrame([], "doc_id LONG")
+    empty.selectExpr("CAST(doc_id AS STRING) AS fp").write.parquet(p["fp"])
+    empty.write.parquet(p["seen"])
+    with pytest.raises(ValueError, match="records no attempts"):
+        admit_seen_ids(spark, idx, [1])

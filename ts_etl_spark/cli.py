@@ -957,13 +957,22 @@ def run_ingest(
         if compact_after:
             from ts_etl_spark.streaming.ingest import compact_ingest_state
 
-            compacted = compact_ingest_state(
-                spark,
-                corpus_path=corpus_path,
-                dedup_index_path=dedup_index_path,
-                win_index_path=win_index_path,
-                sem_index_path=sem_index_path,
-            )
+            try:
+                compacted = compact_ingest_state(
+                    spark,
+                    corpus_path=corpus_path,
+                    dedup_index_path=dedup_index_path,
+                    win_index_path=win_index_path,
+                    sem_index_path=sem_index_path,
+                )
+            except RuntimeError as exc:
+                # the DRAIN already committed — a maintenance failure
+                # must be loud (the exit code stays nonzero) but must
+                # never read as a failed ingest
+                raise RuntimeError(
+                    "the drain itself SUCCEEDED and the corpus is "
+                    f"committed; the post-drain compaction failed: {exc}"
+                ) from exc
             print(
                 f"ingest: compacted {len(compacted)} state table(s) "
                 "after the drain",

@@ -209,18 +209,26 @@ def curate_documents(
                 # swallowing a COMMITTED dataset of bare part-files
                 # written by another tool (or one whose _SUCCESS an
                 # object-store lifecycle rule pruned) — those still
-                # refuse, and the rare crash-after-cleanup sliver
-                # refuses too (manual cleanup, never silent loss)
+                # refuse. Known refusal shapes that need one manual
+                # delete: the rare crash-after-_temporary-cleanup
+                # sliver, and committer-v2 job ABORTS (abortJob removes
+                # _temporary but v2's already-committed part-files
+                # remain). Bare part-files are indistinguishable from a
+                # committed foreign dataset, so safety wins and the
+                # message says exactly what to do.
                 torn_evidence = "_temporary" in names
                 if committed or not spark_output_only or not torn_evidence:
                     raise ValueError(
                         f"checkpoint_dir {checkpoint_dir!r} exists and is "
-                        "non-empty; refusing to overwrite it — pass an empty "
-                        "or fresh directory (the staged masked corpus is a "
-                        "caller-managed recovery point, so this path is "
-                        "never auto-cleared; only a TORN staging artifact — "
-                        "no _SUCCESS, Spark output files only, _temporary "
-                        "still present — is retried in place)"
+                        "non-empty; refusing to overwrite it — only a TORN "
+                        "staging artifact (no _SUCCESS, Spark output files "
+                        "only, _temporary still present) is retried in "
+                        "place. If you are certain this directory is "
+                        "wreckage of a previous staging attempt (e.g. a "
+                        "committer-v2 abort, which removes _temporary but "
+                        "leaves part-files), delete it and re-run; the "
+                        "staged masked corpus is a caller-managed recovery "
+                        "point and is never auto-cleared"
                     )
             masked.write.mode("overwrite").parquet(checkpoint_dir)
             docs = spark.read.parquet(checkpoint_dir)

@@ -363,7 +363,15 @@ def admit_seen_ids(
         raise ValueError(f"doc_ids must be integers; got {bad[:5]!r}")
     seen = spark.read.schema(DEDUP_SEEN_SCHEMA).parquet(p["seen"])
     max_attempted = seen.agg(F.max("doc_id")).first()[0]
-    too_high = [i for i in sorted(set(ids)) if max_attempted is None or i > max_attempted]
+    if max_attempted is None:
+        # an initialized index over an EMPTY corpus has no attempts at
+        # all — nothing can be wedged, so nothing needs admitting (and
+        # "exceeds max (None)" would be a nonsensical refusal message)
+        raise ValueError(
+            f"the dedup index at {base!r} records no attempts yet — "
+            "nothing is wedged; ingest new documents normally"
+        )
+    too_high = [i for i in sorted(set(ids)) if i > max_attempted]
     if too_high:
         raise ValueError(
             f"doc_ids {too_high[:5]!r} exceed the index's max attempted "
@@ -574,15 +582,37 @@ def compact_ingest_state(
     maintenance pass a production stream schedules between drains);
     returns {table_dir: output_file_count}. Tables whose path does not
     exist yet are skipped — a deployment without the semantic gate has
-    no sem index to compact. Run BETWEEN drains (single-writer)."""
+    no sem index to compact. Run BETWEEN drains (single-writer).
+
+    One table's refusal (a torn table, a failed attestation) must not
+    leave the REST of the deployment uncompacted: every table is
+    attempted, and failures raise ONE RuntimeError at the end naming
+    both the failed tables and the ones that did compact — so a partial
+    maintenance pass is loud but never silently partial."""
     _require_success_markers(spark)
     out: dict[str, int] = {}
+    failures: dict[str, str] = {}
     for d in ingest_state_dirs(
         corpus_path, dedup_index_path, win_index_path, sem_index_path
     ):
         recover_state_compaction(spark, d)
-        if path_exists(spark, d):
+        if not path_exists(spark, d):
+            continue
+        try:
             out[d] = _compact_recovered_table(spark, d, target_file_bytes)
+        except (ValueError, RuntimeError) as exc:
+            failures[d] = str(exc)
+    if failures:
+        raise RuntimeError(
+            f"compaction failed for {len(failures)} state table(s): "
+            + "; ".join(f"{d!r}: {m}" for d, m in failures.items())
+            + (
+                f" — {len(out)} other table(s) compacted successfully: "
+                + ", ".join(sorted(out))
+                if out
+                else ""
+            )
+        )
     return out
 
 
