@@ -639,7 +639,12 @@ def test_two_sf_scaling_ratio_near_linear(spark):
     from ts_etl_spark.operators import all_queries
 
     qs = all_queries()
-    for name in ("pipeline_curation", "trainer_prep"):
+    # round 11 adds the two entries whose arms embed planted corpus-linear
+    # work (embdoc embeds the whole corpus; para_nd runs paragraph
+    # MinHash-LSH over planted two-paragraph docs) — a quadratic
+    # regression in either arm's construction must fail here, not wait
+    # for a judge round
+    for name in ("pipeline_curation", "trainer_prep", "embed_topk", "dedup_exact"):
         q = qs[name]
 
         def run(sf_dir):
