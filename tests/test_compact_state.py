@@ -356,3 +356,74 @@ def test_seen_admit_on_attemptless_index_says_nothing_wedged(spark, tmp_path):
     empty.write.parquet(p["seen"])
     with pytest.raises(ValueError, match="records no attempts"):
         admit_seen_ids(spark, idx, [1])
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3, 4])
+def test_every_protocol_interruption_point_recovers(
+    spark, deployment, crash_after
+):
+    """The full crash matrix: execute the REAL protocol steps up to each
+    interruption point (0 = after the staging write, 1 = after the
+    attest, 2 = after the rename-aside, 3 = after the rename-in,
+    4 = after the old-dir delete, i.e. completed), then recover — the
+    table content must equal the original and no sibling dirs remain,
+    whichever instruction the crash followed. Guards future edits to
+    the protocol ordering."""
+    from ts_etl_spark.fs import delete_dir, rename_dir
+    from ts_etl_spark.pipelines.maintenance import (
+        compact_parquet,
+        table_content_hash,
+    )
+    from ts_etl_spark.streaming.ingest import _compact_old
+
+    corpus, idx, win, _ = deployment
+    lens = dedup_index_paths(idx)["lens"]
+    before = _snapshot(spark, lens)
+    staged, old = _compact_staging(lens), _compact_old(lens)
+
+    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)          # step 0
+    if crash_after >= 1:
+        assert table_content_hash(
+            spark.read.parquet(lens)
+        ) == table_content_hash(spark.read.parquet(staged))          # step 1
+    if crash_after >= 2:
+        rename_dir(spark, lens, old)                                 # step 2
+    if crash_after >= 3:
+        rename_dir(spark, staged, lens)                              # step 3
+    if crash_after >= 4:
+        delete_dir(spark, old)                                       # step 4
+
+    recover_state_compaction(spark, lens)
+    assert _snapshot(spark, lens) == before, f"content lost at {crash_after}"
+    assert not os.path.exists(staged) and not os.path.exists(old)
+    # and the recovered table is still compactable + ingestible
+    assert compact_state_table(spark, lens) == 1
+    assert _snapshot(spark, lens) == before
+
+
+def test_repeated_cycles_stay_stable(spark, deployment):
+    """Compaction is idempotent and composes with further ingests:
+    compact -> compact (no-op rewrite) -> ingest -> compact, content
+    tracked exactly throughout."""
+    corpus, idx, win, cfg = deployment
+    dirs = ingest_state_dirs(corpus, idx, win)
+    compact_ingest_state(
+        spark, corpus_path=corpus, dedup_index_path=idx, win_index_path=win
+    )
+    snap1 = {d: _snapshot(spark, d) for d in dirs}
+    compact_ingest_state(
+        spark, corpus_path=corpus, dedup_index_path=idx, win_index_path=win
+    )
+    assert {d: _snapshot(spark, d) for d in dirs} == snap1, "second pass changed content"
+    ingest_batch(
+        spark,
+        _docs(spark, [(10_000, "fresh words after maintenance cycle")]),
+        corpus,
+        cfg,
+        batch_id=77,
+    )
+    out = compact_ingest_state(
+        spark, corpus_path=corpus, dedup_index_path=idx, win_index_path=win
+    )
+    assert all(n == 1 for n in out.values())
+    assert 10_000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
