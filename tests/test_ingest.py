@@ -485,3 +485,30 @@ def test_cli_ingest_with_dedup_index(spark, tmp_path):
     lens_ids = {r.doc_id for r in spark.read.parquet(p["lens"]).collect()}
     assert fp_ids == lens_ids == {1, 2}, "kept-doc tables mirror the corpus"
     assert seen_ids == {1, 2, 10, 11, 12}, "seen records every attempt"
+
+
+def test_legacy_positional_config_raises_clear_typeerror(spark, tmp_path):
+    """Round-12 hardening: a legacy caller still passing the old
+    4th-positional float threshold must fail at ENTRY with a TypeError
+    naming the IngestConfig migration, not later with an opaque
+    "'float' object has no attribute 'threshold'"."""
+    import pytest
+
+    from ts_etl_spark.streaming.ingest import IngestConfig
+
+    batch = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    with pytest.raises(TypeError, match="IngestConfig"):
+        ingest_batch(spark, batch, str(tmp_path / "c1"), 0.8)
+    with pytest.raises(TypeError, match="IngestConfig"):
+        run_streaming_ingest(
+            spark, str(tmp_path / "landing"), str(tmp_path / "c2"),
+            str(tmp_path / "ckpt"), 0.8,
+        )
+    # both-at-once stays an error, and the keyword form still works
+    with pytest.raises(ValueError, match="not both"):
+        ingest_batch(
+            spark, batch, str(tmp_path / "c3"),
+            config=IngestConfig(), threshold=0.8,
+        )
+    ingest_batch(spark, batch, str(tmp_path / "c4"), threshold=0.8)
+    assert spark.read.parquet(str(tmp_path / "c4")).count() == 1

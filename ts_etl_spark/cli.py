@@ -965,10 +965,11 @@ def run_ingest(
                     win_index_path=win_index_path,
                     sem_index_path=sem_index_path,
                 )
-            except RuntimeError as exc:
+            except (RuntimeError, OSError) as exc:
                 # the DRAIN already committed — a maintenance failure
-                # must be loud (the exit code stays nonzero) but must
-                # never read as a failed ingest
+                # (including a filesystem-refused rename, which raises
+                # OSError) must be loud (the exit code stays nonzero)
+                # but must never read as a failed ingest
                 raise RuntimeError(
                     "the drain itself SUCCEEDED and the corpus is "
                     f"committed; the post-drain compaction failed: {exc}"

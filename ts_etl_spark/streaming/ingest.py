@@ -600,7 +600,10 @@ def compact_ingest_state(
             continue
         try:
             out[d] = _compact_recovered_table(spark, d, target_file_bytes)
-        except (ValueError, RuntimeError) as exc:
+        except (ValueError, RuntimeError, OSError) as exc:
+            # OSError: a filesystem-refused rename (fs.rename_dir) is a
+            # per-table failure like any other — it must not abort the
+            # remaining tables' maintenance
             failures[d] = str(exc)
     if failures:
         raise RuntimeError(
@@ -956,6 +959,31 @@ class IngestConfig:
             )
 
 
+def _resolve_config(config, gate_kwargs: dict) -> IngestConfig:
+    """Shared config resolution for ``ingest_batch`` /
+    ``run_streaming_ingest``: keyword gates construct the config, both
+    at once is an error, and a non-``IngestConfig`` positional (e.g. a
+    legacy caller still passing the old 4th-positional float threshold)
+    fails HERE with a migration-naming TypeError instead of later with
+    an opaque ``'float' object has no attribute 'threshold'``."""
+    if gate_kwargs:
+        if config is not None:
+            raise ValueError(
+                "pass gate options via config OR keyword arguments, not both"
+            )
+        return IngestConfig(**gate_kwargs)
+    if config is None:
+        return IngestConfig()
+    if not isinstance(config, IngestConfig):
+        raise TypeError(
+            f"config must be an IngestConfig (got {type(config).__name__}); "
+            "the positional gate parameters were replaced by IngestConfig — "
+            "e.g. pass IngestConfig(threshold=0.8) or threshold=0.8 as a "
+            "keyword"
+        )
+    return config
+
+
 def ingest_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -1046,14 +1074,7 @@ def ingest_batch(
     the append materializes them — a stream runs this every micro-batch,
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
-    if gate_kwargs:
-        if config is not None:
-            raise ValueError(
-                "pass gate options via config OR keyword arguments, not both"
-            )
-        config = IngestConfig(**gate_kwargs)
-    elif config is None:
-        config = IngestConfig()
+    config = _resolve_config(config, gate_kwargs)
     threshold = config.threshold
     stats_path = config.stats_path
     drift_path = config.drift_path
@@ -1340,14 +1361,7 @@ def run_streaming_ingest(
     per micro-batch. Gates and telemetry come from ``config`` (an
     ``IngestConfig`` — see its field docs) or the same names as keyword
     arguments; every micro-batch runs ``ingest_batch`` under it."""
-    if gate_kwargs:
-        if config is not None:
-            raise ValueError(
-                "pass gate options via config OR keyword arguments, not both"
-            )
-        config = IngestConfig(**gate_kwargs)
-    elif config is None:
-        config = IngestConfig()
+    config = _resolve_config(config, gate_kwargs)
     reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
