@@ -1,13 +1,18 @@
-"""Ingest-state compaction (round 11): per-batch appends leave one file
-set per micro-batch in every state table, so after thousands of batches
-the per-batch cost stops being batch-linear (file listing + footer reads
-grow with BATCH COUNT). ``compact_ingest_state`` rewrites each table
-under an ATTESTED roll-forward swap; these tests pin content
-preservation, the attestation abort, both crash windows, the
-ingest-side recovery hook, and the CLI surface."""
+"""Ingest-state compaction (round 11; manifest commit round 12):
+per-batch appends leave one file set per micro-batch in every state
+table, so after thousands of batches the per-batch cost stops being
+batch-linear (file listing + footer reads grow with BATCH COUNT).
+``compact_ingest_state`` rewrites each table under an ATTESTED,
+manifest-committed swap that never renames or deletes the live
+directory itself — safe on object stores where directory renames are
+per-file copy+delete. These tests pin content preservation, the
+attestation abort, the full crash matrix (every protocol step,
+including a torn per-file copy+delete rename), the ingest-side
+recovery hook, and the CLI surface."""
 
 from __future__ import annotations
 
+import json
 import os
 import random
 
@@ -17,6 +22,7 @@ from pyspark.sql import functions as F
 from ts_etl_spark.fs import count_files
 from ts_etl_spark.streaming.ingest import (
     IngestConfig,
+    _compact_manifest,
     _compact_staging,
     compact_ingest_state,
     compact_state_table,
@@ -85,6 +91,7 @@ def test_compaction_preserves_content_and_shrinks_files(
         assert count_files(spark, d) == out[d] == 1  # tiny data -> 1 file
         assert _snapshot(spark, d) == before[d], f"{d} content changed"
         assert not os.path.exists(_compact_staging(d)), "staging left behind"
+        assert not os.path.exists(_compact_manifest(d)), "manifest left behind"
     # the deployment still ingests and judges correctly post-compaction:
     # a replay of batch 0's first doc must drop at the exact layer
     first_id = 100
@@ -127,21 +134,36 @@ def test_attestation_failure_aborts_and_keeps_live(
     assert not os.path.exists(_compact_staging(seen)), "staging not discarded"
 
 
-def test_crash_roll_forward_restores_table(spark, deployment):
-    """Crash window between live-delete and rename: the committed
-    staging rolls FORWARD (it was attested equal before the delete)."""
-    from ts_etl_spark.fs import delete_dir
+def _stage_and_commit(spark, table_dir, target=128 * 1024 * 1024):
+    """Execute protocol steps 1-3 by hand (staging rewrite + manifest
+    PUT) and return (staged, manifest, names) — the committed-swap
+    starting state the crash tests interrupt from."""
+    from ts_etl_spark.fs import list_data_files, write_text_file
     from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    staged = _compact_staging(table_dir)
+    manifest = _compact_manifest(table_dir)
+    compact_parquet(spark, table_dir, staged, target)
+    names = list_data_files(spark, staged)
+    write_text_file(spark, manifest, json.dumps({"files": names}))
+    return staged, manifest, names
+
+
+def test_manifest_rolls_forward_after_commit(spark, deployment):
+    """Crash right after the manifest PUT (no file moved yet): recovery
+    rolls the swap FORWARD — the live table ends as exactly the staged
+    generation, content preserved, no swap artifacts left."""
+    from ts_etl_spark.fs import list_data_files
 
     corpus, idx, win, _ = deployment
     lens = dedup_index_paths(idx)["lens"]
     before = _snapshot(spark, lens)
-    staged = _compact_staging(lens)
-    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)
-    delete_dir(spark, lens)  # the simulated crash point
+    staged, manifest, names = _stage_and_commit(spark, lens)
     recover_state_compaction(spark, lens)
     assert _snapshot(spark, lens) == before
-    assert not os.path.exists(staged)
+    assert list_data_files(spark, lens) == names
+    assert not os.path.exists(staged) and not os.path.exists(manifest)
+    assert os.path.exists(f"{lens}/_SUCCESS")
 
 
 def test_crash_rollback_discards_stale_staging(spark, deployment):
@@ -161,17 +183,12 @@ def test_crash_rollback_discards_stale_staging(spark, deployment):
 
 def test_ingest_batch_recovers_interrupted_compaction(spark, deployment):
     """The per-batch recovery hook: an ingest arriving after a crashed
-    swap (table missing, staging committed) proceeds instead of dying
-    with PATH_NOT_FOUND — and judges identically."""
-    from ts_etl_spark.fs import delete_dir
-    from ts_etl_spark.pipelines.maintenance import compact_parquet
-
+    committed swap (manifest present, files half-moved, old generation
+    still in place) self-heals the table first, then judges normally."""
     corpus, idx, win, cfg = deployment
     bands = dedup_index_paths(idx)["bands"]
     before = _snapshot(spark, bands)
-    staged = _compact_staging(bands)
-    compact_parquet(spark, bands, staged, 128 * 1024 * 1024)
-    delete_dir(spark, bands)
+    _stage_and_commit(spark, bands)  # crash before any file move
     # next batch must self-heal, then ingest normally
     ingest_batch(
         spark,
@@ -182,6 +199,8 @@ def test_ingest_batch_recovers_interrupted_compaction(spark, deployment):
     )
     assert 9000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert set(_snapshot(spark, bands)) >= set(before), "bands lost rows"
+    assert not os.path.exists(_compact_staging(bands))
+    assert not os.path.exists(_compact_manifest(bands))
 
 
 def test_compact_state_cli_roundtrip(spark, deployment):
@@ -204,47 +223,71 @@ def test_missing_table_refused_and_absent_paths_skipped(spark, tmp_path):
     ) == {}
 
 
-def test_crash_between_renames_rolls_forward(spark, deployment):
-    """Round-11 review fix: the swap is rename-aside, not delete-based
-    (a recursive delete is non-atomic — a crash mid-delete would leave a
-    SUBSET of rows that recovery then treats as authoritative). Crash
-    window between the two renames: old aside dir present, live missing,
-    staging committed -> roll forward, drop the aside dir."""
-    from ts_etl_spark.fs import rename_dir
-    from ts_etl_spark.pipelines.maintenance import compact_parquet
-    from ts_etl_spark.streaming.ingest import _compact_old
+def test_torn_objectstore_rename_recovers_without_row_loss(spark, deployment):
+    """THE object-store crash shape (round-12 fix): a per-file rename on
+    S3A is copy+delete, so a crash mid-move leaves the file in BOTH the
+    staging and the live dir while other listed files moved fully and
+    the old generation is still present — directory-existence inference
+    cannot distinguish this; the manifest repairs it exactly: live ends
+    as the manifest set, content preserved, zero row loss."""
+    import shutil
+
+    from ts_etl_spark.fs import list_data_files, rename_dir
 
     corpus, idx, win, _ = deployment
     sets = dedup_index_paths(idx)["sets"]
     before = _snapshot(spark, sets)
-    staged = _compact_staging(sets)
-    old = _compact_old(sets)
-    compact_parquet(spark, sets, staged, 128 * 1024 * 1024)
-    rename_dir(spark, sets, old)  # simulated crash after the aside rename
+    # small target -> several staged files, so the torn states differ
+    staged, manifest, names = _stage_and_commit(spark, sets, target=1024)
+    assert len(names) >= 2, "need >=2 staged files for a meaningful tear"
+    # file 0: fully moved; file 1: torn copy+delete (present in BOTH)
+    rename_dir(spark, f"{staged}/{names[0]}", f"{sets}/{names[0]}")
+    shutil.copyfile(f"{staged}/{names[1]}", f"{sets}/{names[1]}")
     recover_state_compaction(spark, sets)
-    assert _snapshot(spark, sets) == before
-    assert not os.path.exists(staged) and not os.path.exists(old)
+    assert _snapshot(spark, sets) == before, "rows lost/duplicated"
+    assert sorted(list_data_files(spark, sets)) == sorted(names)
+    assert not os.path.exists(staged) and not os.path.exists(manifest)
 
 
-def test_crash_after_swap_drops_aside_dir(spark, deployment):
-    """Crash window after the swap, before the aside delete: both live
-    (the new compacted table) and the aside dir present -> recovery
-    drops the aside dir and leaves live alone."""
-    from ts_etl_spark.fs import rename_dir
+def test_stale_staging_cannot_resurrect_a_deleted_table(spark, deployment):
+    """ADVICE round-11 #4: a committed-looking staging dir WITHOUT a
+    manifest must never roll forward into a missing live table — an
+    operator who deliberately deleted a table would silently get it
+    back on the next ingest otherwise. The manifest is the only
+    roll-forward evidence; pre-commit staging is always discarded."""
+    from ts_etl_spark.fs import delete_dir
     from ts_etl_spark.pipelines.maintenance import compact_parquet
-    from ts_etl_spark.streaming.ingest import _compact_old
 
     corpus, idx, win, _ = deployment
     lens = dedup_index_paths(idx)["lens"]
-    before = _snapshot(spark, lens)
     staged = _compact_staging(lens)
-    old = _compact_old(lens)
     compact_parquet(spark, lens, staged, 128 * 1024 * 1024)
-    rename_dir(spark, lens, old)
-    rename_dir(spark, staged, lens)  # swap done; crash before delete(old)
+    delete_dir(spark, lens)  # deliberate operator delete; staging is stale
     recover_state_compaction(spark, lens)
-    assert _snapshot(spark, lens) == before
-    assert not os.path.exists(old)
+    assert not os.path.exists(lens), "deleted table was resurrected"
+    assert not os.path.exists(staged)
+
+
+def test_sibling_paths_preserve_root_and_relative_forms():
+    """ADVICE round-11 #1: a root-level table dir must get ROOT-level
+    siblings, not CWD-relative ones ('/corpus' -> '/_compact_corpus');
+    nested and relative forms keep their parent."""
+    assert _compact_staging("/corpus") == "/_compact_corpus"
+    assert _compact_manifest("/corpus") == "/_compact_manifest_corpus"
+    assert _compact_staging("/a/b/corpus/") == "/a/b/_compact_corpus"
+    assert _compact_staging("corpus") == "_compact_corpus"
+    assert _compact_staging("rel/corpus") == "rel/_compact_corpus"
+
+
+def test_partitioned_layout_refused(spark, deployment, tmp_path):
+    """A hive-partitioned table must refuse the round-robin rewrite —
+    it would destroy the partition layout readers prune on."""
+    part = str(tmp_path / "part_table")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "doc_id LONG, text STRING, p STRING"
+    ).write.partitionBy("p").parquet(part)
+    with pytest.raises(ValueError, match="partitioned layout"):
+        compact_state_table(spark, part)
 
 
 def test_torn_table_refuses_compaction(spark, deployment):
@@ -358,44 +401,65 @@ def test_seen_admit_on_attemptless_index_says_nothing_wedged(spark, tmp_path):
         admit_seen_ids(spark, idx, [1])
 
 
-@pytest.mark.parametrize("crash_after", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("crash_after", [1, 2, 3, 4, 5, 6, 7, 8])
 def test_every_protocol_interruption_point_recovers(
     spark, deployment, crash_after
 ):
     """The full crash matrix: execute the REAL protocol steps up to each
-    interruption point (0 = after the staging write, 1 = after the
-    attest, 2 = after the rename-aside, 3 = after the rename-in,
-    4 = after the old-dir delete, i.e. completed), then recover — the
-    table content must equal the original and no sibling dirs remain,
-    whichever instruction the crash followed. Guards future edits to
-    the protocol ordering."""
-    from ts_etl_spark.fs import delete_dir, rename_dir
+    interruption point (1 = staging write, 2 = attest, 3 = manifest
+    PUT, 4 = one listed file moved, 5 = all listed files moved, 6 = old
+    generation deleted, 7 = staging deleted, 8 = manifest deleted, i.e.
+    completed), then recover — the table content must equal the
+    original and no swap artifacts remain, whichever instruction the
+    crash followed. Guards future edits to the protocol ordering."""
+    from ts_etl_spark.fs import (
+        delete_dir,
+        list_data_files,
+        rename_dir,
+        write_text_file,
+    )
     from ts_etl_spark.pipelines.maintenance import (
         compact_parquet,
         table_content_hash,
     )
-    from ts_etl_spark.streaming.ingest import _compact_old
 
     corpus, idx, win, _ = deployment
     lens = dedup_index_paths(idx)["lens"]
     before = _snapshot(spark, lens)
-    staged, old = _compact_staging(lens), _compact_old(lens)
+    old_names = set(list_data_files(spark, lens))
+    staged, manifest = _compact_staging(lens), _compact_manifest(lens)
 
-    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)          # step 0
-    if crash_after >= 1:
+    compact_parquet(spark, lens, staged, 1024)                       # step 1
+    names = list_data_files(spark, staged)
+    assert len(names) >= 2, "need >=2 staged files for the partial move"
+    if crash_after >= 2:
         assert table_content_hash(
             spark.read.parquet(lens)
-        ) == table_content_hash(spark.read.parquet(staged))          # step 1
-    if crash_after >= 2:
-        rename_dir(spark, lens, old)                                 # step 2
+        ) == table_content_hash(spark.read.parquet(staged))          # step 2
     if crash_after >= 3:
-        rename_dir(spark, staged, lens)                              # step 3
+        write_text_file(spark, manifest, json.dumps({"files": names}))
     if crash_after >= 4:
-        delete_dir(spark, old)                                       # step 4
+        rename_dir(spark, f"{staged}/{names[0]}", f"{lens}/{names[0]}")
+    if crash_after >= 5:
+        for n in names[1:]:
+            rename_dir(spark, f"{staged}/{n}", f"{lens}/{n}")
+    if crash_after >= 6:
+        for n in old_names:
+            delete_dir(spark, f"{lens}/{n}")
+    if crash_after >= 7:
+        delete_dir(spark, staged)
+    if crash_after >= 8:
+        delete_dir(spark, manifest)
 
     recover_state_compaction(spark, lens)
     assert _snapshot(spark, lens) == before, f"content lost at {crash_after}"
-    assert not os.path.exists(staged) and not os.path.exists(old)
+    assert not os.path.exists(staged) and not os.path.exists(manifest)
+    assert os.path.exists(f"{lens}/_SUCCESS")
+    live_files = set(list_data_files(spark, lens))
+    if crash_after >= 3:
+        assert live_files == set(names), "roll-forward must land the manifest set"
+    else:
+        assert live_files == old_names, "pre-commit crash must keep live as-is"
     # and the recovered table is still compactable + ingestible
     assert compact_state_table(spark, lens) == 1
     assert _snapshot(spark, lens) == before

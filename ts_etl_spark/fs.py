@@ -58,15 +58,62 @@ def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
 
 
 def rename_dir(spark: SparkSession, src: str, dst: str) -> None:
-    """Rename ``src`` to ``dst`` through the FileSystem API (the swap
-    primitive for staged rewrites). Fails loudly when the filesystem
-    refuses (dst exists, src missing, cross-FS move) — a silent False
-    from ``FileSystem.rename`` would leave a half-swapped state the
-    caller believes committed."""
+    """Rename ``src`` to ``dst`` through the FileSystem API — works for
+    single files as well as directories (the per-file move primitive of
+    the manifest swap). Fails loudly when the filesystem refuses (dst
+    exists, src missing, cross-FS move) — a silent False from
+    ``FileSystem.rename`` would leave a half-swapped state the caller
+    believes committed."""
     fs, sp = hadoop_fs(spark, src)
     _, dp = hadoop_fs(spark, dst)
     if not fs.rename(sp, dp):
         raise OSError(f"rename {src!r} -> {dst!r} refused by the filesystem")
+
+
+def list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Names of the VISIBLE files directly under ``path`` ([] if absent):
+    hidden entries (``_*``/``.*`` — committer markers, checksum litter,
+    ``_temporary`` leftovers) and subdirectories are excluded, matching
+    what a parquet reader actually scans. Sorted for determinism."""
+    fs, p = hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName()[0] in ("_", ".")
+    )
+
+
+def write_text_file(spark: SparkSession, path: str, text: str) -> None:
+    """Create (or replace) ``path`` with ``text`` in ONE create+close —
+    a single-object PUT on object stores, an atomic publish everywhere:
+    readers see the old content or the whole new file, never a torn
+    write. The commit-marker primitive for multi-file swap protocols."""
+    fs, p = hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text_file(spark: SparkSession, path: str) -> str:
+    """Read ``path`` fully as UTF-8 text (small control files only)."""
+    fs, p = hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Hadoop; py4j returns byte[] as bytes
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    """Create ``path`` (and parents) if absent."""
+    fs, p = hadoop_fs(spark, path)
+    fs.mkdirs(p)
 
 
 def count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:

@@ -393,7 +393,7 @@ def admit_seen_ids(
 
 
 # --------------------------------------------------------------------------
-# Ingest-state compaction (round 11)
+# Ingest-state compaction (round 11; manifest commit round 12)
 #
 # Every micro-batch APPENDS one file set to each state table (the five
 # dedup-index tables, the winnow/orig-fp/semantic indexes, the corpus
@@ -403,86 +403,144 @@ def admit_seen_ids(
 # with BATCH COUNT (the classic lake small-files pathology, the very
 # overhead the materialized index exists to avoid). Compaction restores
 # the file count without changing one row, under a crash-safe,
-# ATTESTED, roll-forward swap:
+# ATTESTED, manifest-committed swap (the Delta/Iceberg shape reduced to
+# one control file — safe by construction on object stores, where
+# directory renames are per-file copy+delete and NOT atomic):
 #
 #   1. rewrite the table into a sibling staging dir
 #      (``compact_parquet`` — copy-on-write, _SUCCESS on commit);
 #   2. attest content equality (``table_content_hash`` live == staged —
 #      order/partition-independent, so the repartition cannot hide a
 #      lost or duplicated row); abort + delete staging on mismatch;
-#   3. rename the live dir ASIDE (``_compact_old_<name>``);
-#   4. rename staging into place;  5. delete the old dir.
+#   3. PUT the MANIFEST — one sibling control file listing the staged
+#      data-file names (+ the attestation hash, for audit). A one-file
+#      create+close is a single-object PUT, atomic on every store; the
+#      manifest's existence IS the commit point. Staged file names
+#      carry the write job's UUID, so they cannot collide with the live
+#      generation's names (asserted anyway before the PUT).
+#   4. move each manifest-listed file from staging into the live dir
+#      (per-file rename — atomic per file on POSIX/HDFS; on an object
+#      store each move is one copy+delete whose every torn state the
+#      manifest repairs, see recovery below);
+#   5. delete the live dir's data files NOT in the manifest (the old
+#      generation; ``_SUCCESS`` is spared — the table was committed
+#      before the swap and stays committed throughout);
+#   6. delete the staging dir;  7. delete the manifest.
 #
-# Renames, not deletes, do the swap: a recursive delete of the live dir
-# is NOT atomic (file-by-file on file:// and object stores), so a crash
-# mid-delete would leave a live dir holding a strict SUBSET of the rows
-# that recovery would then treat as authoritative — silent data loss.
-# A directory rename is atomic on HDFS and POSIX filesystems; the only
-# destructive delete (step 5) targets a dir that is already redundant.
-# (On S3A, where rename itself is copy+delete, run compaction only from
-# a maintenance window — the single-writer assumption all ingest state
-# shares — and prefer an HDFS/consistent-rename scratch tier.)
+# The live DIRECTORY is never renamed or deleted — only redundant files
+# inside it are, each one individually recoverable:
+# - before step 3, the live table is untouched and the staging is
+#   discardable (it was attested EQUAL, so discarding loses nothing);
+# - from step 3 on, the manifest pins the exact target file set, and
+#   staging ∪ live always covers it: recovery moves any still-staged
+#   listed file in (deleting the staging copy instead when a torn
+#   copy+delete left the file in BOTH places), then deletes unlisted
+#   live data files, then the staging and the manifest — pure roll-
+#   forward, idempotent at every interruption point, zero row loss.
+# A reader DURING steps 4-5 could see old+new rows at once — state
+# maintenance runs in the single-writer window like every other state
+# mutation here, and every ingest entry point runs recovery before
+# reading, so a crashed swap is never read half-done.
 #
-# Crash recovery (``recover_state_compaction``, run by every ingest
-# entry point before reading state), distinguishable by what exists:
-# - old ASIDE dir present, live missing ⇒ crash between steps 3 and 4 —
-#   roll FORWARD (rename the committed staging into place; it was
-#   attested equal before step 3), then drop the old dir.
-# - old ASIDE dir present, live present ⇒ crash between 4 and 5 — the
-#   swap completed; drop the old dir.
-# - staging present next to a live dir (no old dir) ⇒ the swap had not
-#   started — delete the staging (live is authoritative; a pre-swap
-#   staging was attested EQUAL anyway, so discarding loses nothing).
 # Torn tables REFUSE to compact: a live dir without its _SUCCESS marker
 # is an uncommitted/partial write (e.g. a crashed orig-fp bootstrap),
 # and rewriting it through staging would stamp a fresh _SUCCESS and
-# launder the torn state into a committed-looking table.
-# Single-writer assumption, same as every other piece of ingest state.
+# launder the torn state into a committed-looking table. Hive-style
+# partitioned layouts (visible subdirectories) are refused too — the
+# round-robin rewrite would destroy the partition pruning they exist
+# for. A stale staging dir WITHOUT a manifest is always discarded: the
+# manifest is the only roll-forward evidence, so a deliberately-deleted
+# table can never be resurrected by leftover staging litter.
 # --------------------------------------------------------------------------
 
 
+def _compact_sibling(table_dir: str, prefix: str) -> str:
+    """Sibling location ``<parent>/<prefix><name>`` for a state-table
+    swap artifact (NOT nested under the table — readers glob the table
+    dir). Preserves the leading slash for root-level tables:
+    ``/corpus`` → ``/_compact_corpus``, never a CWD-relative path."""
+    base, sep, name = table_dir.rstrip("/").rpartition("/")
+    return f"{base}{sep}{prefix}{name}" if sep else f"{prefix}{name}"
+
+
 def _compact_staging(table_dir: str) -> str:
-    """Sibling staging location for a state-table rewrite (NOT nested
-    under the table — readers glob the table dir)."""
-    base, _, name = table_dir.rstrip("/").rpartition("/")
-    return f"{base}/_compact_{name}" if base else f"_compact_{name}"
+    """Sibling staging DIRECTORY for a state-table rewrite."""
+    return _compact_sibling(table_dir, "_compact_")
 
 
-def _compact_old(table_dir: str) -> str:
-    """Sibling aside location the live dir renames to during the swap."""
-    base, _, name = table_dir.rstrip("/").rpartition("/")
-    return f"{base}/_compact_old_{name}" if base else f"_compact_old_{name}"
+def _compact_manifest(table_dir: str) -> str:
+    """Sibling manifest FILE — the swap's single-object commit point."""
+    return _compact_sibling(table_dir, "_compact_manifest_")
+
+
+def _apply_compact_manifest(
+    spark: SparkSession, table_dir: str, names: list[str]
+) -> None:
+    """Steps 4-5 of the protocol (and the recovery roll-forward): bring
+    the live dir to exactly the manifest's data-file set, moving from
+    staging what is not yet live and deleting what the manifest does
+    not list. Idempotent — every branch re-checks current state."""
+    from ts_etl_spark.fs import (
+        list_data_files,
+        mkdirs,
+        rename_dir,
+    )
+
+    staged = _compact_staging(table_dir)
+    if not path_exists(spark, table_dir):
+        # only reachable if an operator removed the live dir mid-swap;
+        # the manifest is explicit commit evidence, so reconstruct
+        mkdirs(spark, table_dir)
+    live_now = set(list_data_files(spark, table_dir))
+    for name in names:
+        in_live = name in live_now
+        in_staged = path_exists(spark, f"{staged}/{name}")
+        if in_staged and in_live:
+            # torn object-store rename: the copy landed, the delete
+            # didn't — the live copy is authoritative, drop the source
+            delete_dir(spark, f"{staged}/{name}")
+        elif in_staged:
+            rename_dir(spark, f"{staged}/{name}", f"{table_dir}/{name}")
+        elif not in_live:
+            raise RuntimeError(
+                f"compaction manifest for {table_dir!r} lists {name!r} "
+                "but the file exists in neither the staging nor the live "
+                "dir — state was mutated outside the swap protocol; "
+                "refusing to guess (restore the file or remove the "
+                "manifest after auditing)"
+            )
+    listed = set(names)
+    for name in list_data_files(spark, table_dir):
+        if name not in listed:
+            delete_dir(spark, f"{table_dir}/{name}")
+    if not path_exists(spark, f"{table_dir}/_SUCCESS") and path_exists(
+        spark, f"{staged}/_SUCCESS"
+    ):
+        # normally the live marker survives the whole swap (only data
+        # files are touched); restore it from staging if an operator
+        # removed the live dir mid-swap
+        rename_dir(spark, f"{staged}/_SUCCESS", f"{table_dir}/_SUCCESS")
 
 
 def recover_state_compaction(spark: SparkSession, table_dir: str) -> None:
     """Complete (or discard) a compaction interrupted by a crash — see
-    the protocol block above. No-op when neither sibling dir exists."""
-    from ts_etl_spark.fs import delete_dir, rename_dir
+    the protocol block above. A manifest rolls the swap FORWARD (the
+    staged rewrite was attested equal before the manifest PUT); a
+    staging dir without one is pre-commit litter and is discarded. No-op
+    when neither exists (two existence probes)."""
+    import json
+
+    from ts_etl_spark.fs import read_text_file
 
     staged = _compact_staging(table_dir)
-    old = _compact_old(table_dir)
-    if path_exists(spark, old):
-        if not path_exists(spark, table_dir):
-            if path_exists(spark, f"{staged}/_SUCCESS"):
-                # crash between the two renames: the staging was
-                # attested equal before the live dir moved aside
-                rename_dir(spark, staged, table_dir)
-            else:
-                # unreachable under the protocol (the aside rename only
-                # runs with a committed staging) — restore the original
-                rename_dir(spark, old, table_dir)
-        delete_dir(spark, old)
-    if path_exists(spark, staged):
-        if not path_exists(spark, table_dir) and path_exists(
-            spark, f"{staged}/_SUCCESS"
-        ):
-            # live gone with a committed staging and no aside dir: not
-            # producible by the rename protocol, but exactly what the
-            # pre-rename (delete-based) protocol's crash window left —
-            # roll forward rather than discard the only full copy
-            rename_dir(spark, staged, table_dir)
-        else:
-            delete_dir(spark, staged)  # pre-swap staging — live wins
+    manifest = _compact_manifest(table_dir)
+    if path_exists(spark, manifest):
+        names = json.loads(read_text_file(spark, manifest))["files"]
+        _apply_compact_manifest(spark, table_dir, names)
+        delete_dir(spark, staged)
+        delete_dir(spark, manifest)
+    elif path_exists(spark, staged):
+        delete_dir(spark, staged)  # pre-commit staging — live wins
 
 
 def compact_state_table(
@@ -490,9 +548,10 @@ def compact_state_table(
     table_dir: str,
     target_file_bytes: int | None = None,
 ) -> int:
-    """Compact ONE state table in place under the attested rename-aside
-    protocol; returns the output file count. Refuses a missing table
-    and a TORN one (no _SUCCESS — see the protocol block)."""
+    """Compact ONE state table in place under the attested
+    manifest-commit protocol; returns the output file count. Refuses a
+    missing table, a TORN one (no _SUCCESS), and a hive-partitioned
+    layout (see the protocol block)."""
     _require_success_markers(spark)
     recover_state_compaction(spark, table_dir)
     if not path_exists(spark, table_dir):
@@ -508,7 +567,9 @@ def _compact_recovered_table(
     """The compaction body, assuming recovery already ran and the table
     exists (``compact_ingest_state`` calls this directly so each table
     pays ONE recovery pass, not two)."""
-    from ts_etl_spark.fs import delete_dir, rename_dir
+    import json
+
+    from ts_etl_spark.fs import list_data_files, list_subdirs, write_text_file
     from ts_etl_spark.pipelines.maintenance import (
         DEFAULT_TARGET_FILE_BYTES,
         compact_parquet,
@@ -522,8 +583,15 @@ def _compact_recovered_table(
             "marker and launder the torn state into a committed-looking "
             "table (re-run the owning bootstrap/ingest first)"
         )
+    part_dirs = [d for d in list_subdirs(spark, table_dir) if d[0] not in "_."]
+    if part_dirs:
+        raise ValueError(
+            f"state table at {table_dir!r} has a partitioned layout "
+            f"({part_dirs[:3]!r}...) — the round-robin rewrite would "
+            "destroy it; compact partitioned tables via table_sink with "
+            "partition_by instead"
+        )
     staged = _compact_staging(table_dir)
-    old = _compact_old(table_dir)
     n = compact_parquet(
         spark,
         table_dir,
@@ -539,9 +607,25 @@ def _compact_recovered_table(
             f"live hash {live_h} != staged hash {staged_h}; staging "
             "discarded, live table untouched"
         )
-    rename_dir(spark, table_dir, old)
-    rename_dir(spark, staged, table_dir)
-    delete_dir(spark, old)
+    names = list_data_files(spark, staged)
+    collisions = set(names) & set(list_data_files(spark, table_dir))
+    if collisions:
+        # unreachable with UUID part names; refuse pre-commit if it ever
+        # happens rather than let step 5 delete a just-moved file
+        delete_dir(spark, staged)
+        raise RuntimeError(
+            f"staged file names collide with live ones at {table_dir!r}: "
+            f"{sorted(collisions)[:3]!r}; staging discarded"
+        )
+    # THE commit point: one single-object PUT (see the protocol block)
+    write_text_file(
+        spark,
+        _compact_manifest(table_dir),
+        json.dumps({"table": table_dir, "hash": staged_h, "files": names}),
+    )
+    _apply_compact_manifest(spark, table_dir, names)
+    delete_dir(spark, staged)
+    delete_dir(spark, _compact_manifest(table_dir))
     return n
 
 
