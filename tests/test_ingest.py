@@ -388,6 +388,7 @@ def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
         str(d), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
         sem_index_path=str(tmp_path / "idx"),
         sem_cents_path=str(tmp_path / "cents"),
+        sem_threshold=0.8,
         spark=spark,
     )
     corpus = sorted(

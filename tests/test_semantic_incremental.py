@@ -142,7 +142,7 @@ def test_gate_drops_paraphrase_keeps_novel_and_null(spark, tmp_path, sem_paths):
         spark,
         [(1, DOC_A), (2, DOC_A_PARA), (3, DOC_B), (4, "...")],  # 4: no tokens
     )
-    survivors, delta = semantic_gate(spark, docs, sem_index_path, cents_path)
+    survivors, delta = semantic_gate(spark, docs, sem_index_path, cents_path, 0.8)
     ids = {r.doc_id for r in survivors.collect()}
     assert ids == {1, 3, 4}, "paraphrase dropped; novel + token-less kept"
     delta_rows = delta.collect()
@@ -157,7 +157,8 @@ def test_ingest_with_semantic_gate_replay_idempotent(spark, tmp_path, sem_paths)
     sem_index_path, cents_path = sem_paths
     corpus_path = str(tmp_path / "corpus")
     batch = _docs(spark, [(1, DOC_A), (2, DOC_A_PARA), (3, DOC_B)])
-    kw = dict(sem_index_path=sem_index_path, sem_cents_path=cents_path)
+    kw = dict(sem_index_path=sem_index_path, sem_cents_path=cents_path,
+              sem_threshold=0.8)
     ingest_batch(spark, batch, corpus_path, **kw)
     corpus1 = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
     index1 = sorted(r.vec_id for r in spark.read.parquet(sem_index_path).collect())
@@ -178,11 +179,12 @@ def test_crash_between_index_and_corpus_append_replays_cleanly(
     sem_index_path, cents_path = sem_paths
     corpus_path = str(tmp_path / "corpus")
     batch = _docs(spark, [(1, DOC_A), (2, DOC_A_PARA), (3, DOC_B)])
-    survivors, delta = semantic_gate(spark, batch, sem_index_path, cents_path)
+    survivors, delta = semantic_gate(spark, batch, sem_index_path, cents_path, 0.8)
     delta.write.mode("append").parquet(sem_index_path)  # ...crash here
     ingest_batch(
         spark, batch, corpus_path,
         sem_index_path=sem_index_path, sem_cents_path=cents_path,
+        sem_threshold=0.8,
     )
     corpus = sorted(r.doc_id for r in spark.read.parquet(corpus_path).collect())
     index = sorted(r.vec_id for r in spark.read.parquet(sem_index_path).collect())
@@ -196,11 +198,11 @@ def test_gate_rejects_out_of_order_batch_ids(spark, tmp_path, sem_paths):
     Crash REPLAY of the same ids stays legal (covered above)."""
     sem_index_path, cents_path = sem_paths
     first = _docs(spark, [(10, DOC_A), (11, DOC_B)])
-    _, delta = semantic_gate(spark, first, sem_index_path, cents_path)
+    _, delta = semantic_gate(spark, first, sem_index_path, cents_path, 0.8)
     delta.write.mode("append").parquet(sem_index_path)
     late = _docs(spark, [(5, DOC_A_PARA)])  # id below the indexed 10/11
     with pytest.raises(ValueError, match="ingest order"):
-        survivors, _ = semantic_gate(spark, late, sem_index_path, cents_path)
+        survivors, _ = semantic_gate(spark, late, sem_index_path, cents_path, 0.8)
 
 
 def test_sem_paths_must_come_together(spark, tmp_path):
@@ -210,4 +212,20 @@ def test_sem_paths_must_come_together(spark, tmp_path):
             _docs(spark, [(1, DOC_A)]),
             str(tmp_path / "c"),
             sem_index_path=str(tmp_path / "i"),
+        )
+
+
+def test_semantic_gate_refuses_missing_threshold(spark, tmp_path, sem_paths):
+    """Round-12 enforcement of the round-11 soak finding: enabling the
+    semantic gate without an explicit threshold silently reproduces the
+    measured corpus collapse (the generic default sits ~2 sigma above
+    the hashed-BoW noise floor) — refused loudly at BOTH entries."""
+    from ts_etl_spark.streaming.ingest import IngestConfig
+
+    sem_index_path, cents_path = sem_paths
+    with pytest.raises(ValueError, match="sem_threshold"):
+        IngestConfig(sem_index_path=sem_index_path, sem_cents_path=cents_path)
+    with pytest.raises(ValueError, match="calibrated to your embedder"):
+        semantic_gate(
+            spark, _docs(spark, [(1, DOC_A)]), sem_index_path, cents_path
         )

@@ -1015,7 +1015,11 @@ def _ingest_main(argv: list[str]) -> int:
     )
     parser.add_argument(
         "--sem-threshold", type=float,
-        help="semantic drop threshold (default SEMDEDUP_THRESHOLD)",
+        help="semantic drop threshold — REQUIRED with --sem-index; "
+        "calibrate per embedder (~0.8 for the default hashed-BoW one: "
+        "its unrelated-doc cosine noise floor is ~1/sqrt(dim) plus any "
+        "shared-boilerplate offset, so low generic defaults collapse "
+        "the corpus)",
     )
     parser.add_argument(
         "--win-index",

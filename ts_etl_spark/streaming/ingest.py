@@ -118,17 +118,32 @@ def semantic_gate(
     legal) arrived out of order — the earlier-landed larger-id vectors
     were judged without it, so strict smaller-id domination would
     silently miss duplicates; the gate raises instead. One max() on the
-    skinny index scan plus one filtered anti-join probe per batch."""
+    skinny index scan plus one filtered anti-join probe per batch.
+
+    ``threshold`` is REQUIRED (round 12): the generic
+    ``SEMDEDUP_THRESHOLD`` default is calibrated for the driver's
+    embeddings table, and the round-11 sf0.1 soak MEASURED it
+    collapsing a 25k-doc corpus under this gate's hashed-BoW embedder
+    (unrelated documents already score cosine noise ≈ 1/√dim = 0.125
+    plus any shared-boilerplate offset, so 0.38 sits low enough that
+    every cell accumulates a dominator). Pass ≈0.8 for hashed-BoW
+    (drops bag-equal paraphrases, survives unrelated docs at any
+    corpus size), or a value calibrated to your embedder."""
     from ts_etl_spark.operators.embedding import embed_documents
     from ts_etl_spark.operators.similarity import (
-        SEMDEDUP_THRESHOLD,
         as_double,
         norm,
         semantic_dedup_incremental,
     )
 
     if threshold is None:
-        threshold = SEMDEDUP_THRESHOLD
+        raise ValueError(
+            "the semantic gate requires an explicit threshold: the "
+            "generic SEMDEDUP_THRESHOLD default was measured collapsing "
+            "a 25k-doc corpus under the hashed-BoW embedder (cosine "
+            "noise floor ~ 1/sqrt(dim) + boilerplate offset) — pass "
+            "~0.8 for hashed-BoW, or a value calibrated to your embedder"
+        )
     cents = spark.read.schema(SEM_CENTS_SCHEMA).parquet(sem_cents_path)
     v = as_double(F.col("embedding"))
     vecs = (
@@ -1012,7 +1027,9 @@ class IngestConfig:
     - ``sem_index_path`` + ``sem_cents_path`` (must be set together) —
       drop paraphrase-level near-duplicates via the semantic gate and
       maintain the embedding index the gate reads; ``sem_threshold``
-      overrides SEMDEDUP_THRESHOLD.
+      is then REQUIRED (the round-11 soak measured the generic
+      SEMDEDUP_THRESHOLD default collapsing a hashed-BoW corpus —
+      see ``semantic_gate``; ≈0.8 for the default embedder).
     - ``win_index_path`` — FIRST rewrite the batch through the
       incremental substring gate (``substring_gate`` — cross-ingest
       repeated spans masked before any other gate sees the text) and
@@ -1040,6 +1057,16 @@ class IngestConfig:
         if (self.sem_index_path is None) != (self.sem_cents_path is None):
             raise ValueError(
                 "sem_index_path and sem_cents_path must be given together"
+            )
+        if self.sem_index_path is not None and self.sem_threshold is None:
+            raise ValueError(
+                "the semantic gate requires an explicit sem_threshold: "
+                "the generic SEMDEDUP_THRESHOLD default was measured "
+                "(round-11 soak) collapsing a 25k-doc corpus under the "
+                "default hashed-BoW embedder, whose unrelated-document "
+                "cosine noise is ~ 1/sqrt(dim) plus any shared-"
+                "boilerplate offset — pass sem_threshold~=0.8 for "
+                "hashed-BoW, or a value calibrated to your embedder"
             )
 
 
