@@ -305,7 +305,8 @@ def test_kmeans_trained_ivf_matches_seed_recall(spark):
     }
     registered = {
         (r.q_id, r.neighbor_id, r.cosine, r.rn)
-        for r in q_embed_ann_ivf(spark, SF).collect()
+        # q_id = -1 is the round-12 pca gate row, not an ANN result
+        for r in q_embed_ann_ivf(spark, SF).filter("q_id >= 0").collect()
     }
     assert via_helper == registered
 
@@ -460,13 +461,21 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
     S.q_embed_ann_ivf(spark, SF)
     first = dict(S._IVF_MEMO)
     S.q_embed_ann_ivf(spark, SF)
-    assert S._IVF_MEMO == first  # same three entries, same objects
+    assert S._IVF_MEMO == first  # same four entries, same objects
     # vecs + trained centroids + the shared brute-force exact frame that
-    # feeds both the trained-recall gate and the q8 recall/error gates
-    assert len(first) == 3
-    assert {kind for (_, _, kind) in first} == {"vecs", "tcents", "exact"}
+    # feeds both the trained-recall gate and the q8 recall/error gates,
+    # plus the pca gate's literal evidence row (plain data, not a frame —
+    # safe to memoize across clearCache, unlike checkpointed frames)
+    assert len(first) == 4
+    assert {kind for (_, _, kind) in first} == {
+        "vecs", "tcents", "exact", "pca_gate",
+    }
+    assert isinstance(first[next(
+        k for k in first if k[2] == "pca_gate"
+    )], tuple)
     for (_, _, _kind), frame in first.items():
-        frame.unpersist()
+        if hasattr(frame, "unpersist"):
+            frame.unpersist()
     S._IVF_MEMO.clear()
 
 
@@ -661,3 +670,33 @@ def test_two_sf_scaling_ratio_near_linear(spark):
             f"{name}: sf0.01={t_small:.2f}s -> sf0.1={t_big:.2f}s "
             f"({t_big / t_small:.1f}x for 10x data) — super-linear growth"
         )
+
+
+def test_pca_gate_row_evidence_and_rejection(spark, monkeypatch):
+    """The pca arm's bounded booleans must (a) all hold on the real
+    corpus with exact counts, and (b) actually REJECT a broken
+    projection — an uncentered transform (the very bug explicit
+    centering exists for) shifts every score by a constant, inflating
+    avg||proj||^2 past the captured variance, so recon_ok flips."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators import similarity as S
+
+    vecs = S._vectors(spark, SF)
+    n = vecs.filter(F.col("v").isNotNull()).count()
+    n_proj, k_meas, var_ok, ortho_ok, recon_ok = S._pca_gate_row(vecs)
+    assert (n_proj, k_meas) == (n, S.PCA_K)
+    assert var_ok and ortho_ok and recon_ok
+
+    real = S.pca_reduce
+
+    def uncentered(v, k, emb_col="embedding", out_col="proj"):
+        projected, info = real(v, k, emb_col, out_col)
+        shifted = projected.withColumn(
+            out_col, F.transform(out_col, lambda x: x + F.lit(0.05))
+        )
+        return shifted, info
+
+    monkeypatch.setattr(S, "pca_reduce", uncentered)
+    _, _, _, _, recon_bad = S._pca_gate_row(vecs)
+    assert not recon_bad, "reconstruction identity must catch the shift"

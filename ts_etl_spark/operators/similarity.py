@@ -623,6 +623,27 @@ TRAINED_RECALL_FLOOR = 0.2
 Q8_RECALL_FLOOR = 0.5
 Q8_ERR_BOUND = 0.02
 
+#: pca arm (round 12 — gates ``pca_reduce``, the declared bridge to
+#: ANN-after-PCA): reduced dimension and the bounded-boolean floors.
+#: Eigenvectors are not cross-engine bit-mirrorable (iterative float
+#: SVD), so the arm follows the ``quantiles_sketches`` /
+#: ``trained_recall_ok`` pattern — Spark PROVES bounded properties of
+#: the fitted model and the projected rows and emits booleans the
+#: oracle asserts TRUE, plus exact counts DuckDB genuinely mirrors.
+#: The variance floor sits well under the measured ratio on the
+#: near-isotropic synthetic embeddings (16/64 dims capture ~0.38 at
+#: sf0.01 and sf0.1; a broken fit scores ~0) so the boolean is
+#: SF-stable while a real regression still flips it. The orthonormal
+#: and match tolerances are float-roundoff bounds: k×k Gram off-identity
+#: peaks at ~1e-15 for a correct fit, and the empirical captured/total
+#: variance ratio agrees with the model's explainedVariance to ~1e-12
+#: (both are averages of the same n values under different summation
+#: orders) — 1e-8/1e-6 leave three-plus orders of headroom.
+PCA_K = 16
+PCA_VAR_FLOOR = 0.15
+PCA_ORTHO_TOL = 1e-8
+PCA_MATCH_TOL = 1e-6
+
 #: per-(application, sf_dir) memo for the ann entry's two expensive
 #: artifacts: the persisted vector projection and the k-means-trained
 #: centroid frame. MLlib's fit is an ACTION that necessarily runs at
@@ -650,6 +671,75 @@ def memoized_frame_ids() -> set[int]:
     so unpersisting one silently downgrades every later consumer to
     recomputing the shared subplan the memo exists to amortize."""
     return {id(v) for v in _IVF_MEMO.values()}
+
+
+def _pca_gate_row(vecs: DataFrame) -> tuple:
+    """The pca arm's driver-side evidence: fit ``pca_reduce(PCA_K)`` on
+    the (vec_id, v, nrm) corpus frame, project every row, and reduce the
+    result to ONE literal row of exact counts and bounded booleans —
+
+    - ``n_proj``: rows that came back with a projection (= non-null
+      embeddings; DuckDB mirrors it as ``COUNT(embedding)``);
+    - ``k_meas``: the MEASURED projection length, taken only when every
+      row agrees (min == max), else -1 — a projection that stopped
+      producing ``PCA_K``-long arrays breaks the hash against the
+      oracle's literal;
+    - ``var_ok``: captured variance ratio ≥ PCA_VAR_FLOOR;
+    - ``ortho_ok``: the component rows are orthonormal (max |CCᵀ − I| ≤
+      PCA_ORTHO_TOL, k×d driver-side numpy on the model dict);
+    - ``recon_ok``: the PCA identity holds END TO END — the empirical
+      avg‖proj‖² / avg‖x − mean‖² equals the model's claimed
+      Σ explainedVariance within PCA_MATCH_TOL, and captured ≤ total.
+      Because ‖proj‖² = ‖P(x−mean)‖² only reproduces the captured
+      variance when the projection matrix actually is the fitted
+      orthonormal top-k basis applied to correctly CENTERED inputs,
+      this one scalar catches a wrong mean, uncentered transform,
+      mis-scaled components, or score/loading mix-up.
+
+    ‖x − mean‖² expands algebraically (nrm² − 2⟨x, mean⟩ + ‖mean‖²)
+    so the aggregate stays a single flat HOF per row — no nested
+    zip_with (the Catalyst re-inlining trap measured in round 7).
+    One distributed aggregate over the projected frame; the fit itself
+    is Spark ML PCA (distributed Gram, d×d driver state)."""
+    import numpy as np
+
+    projected, info = pca_reduce(vecs, PCA_K, emb_col="v", out_col="proj")
+    mean = info["mean"]
+    mean_sq = float(sum(m * m for m in mean))
+    mean_lit = F.array(*[F.lit(m) for m in mean])
+    tot_sq = (
+        F.col("nrm") * F.col("nrm")
+        - 2.0 * dot(F.col("v"), mean_lit)
+        + F.lit(mean_sq)
+    )
+    cap_sq = dot(F.col("proj"), F.col("proj"))
+    row = (
+        projected.filter(F.col("proj").isNotNull())
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("proj")).alias("kmin"),
+            F.max(F.size("proj")).alias("kmax"),
+            F.avg(tot_sq).alias("tot"),
+            F.avg(cap_sq).alias("cap"),
+        )
+        .first()
+    )
+    n_proj = int(row.n)
+    k_meas = int(row.kmin) if row.kmin == row.kmax else -1
+    var_ratio = float(sum(info["explained_variance"]))
+    C = np.array(info["components"], dtype=np.float64)  # k x d
+    ortho_err = float(np.abs(C @ C.T - np.eye(len(C))).max())
+    emp_ratio = float(row.cap) / float(row.tot) if row.tot else 0.0
+    return (
+        n_proj,
+        k_meas,
+        bool(var_ratio >= PCA_VAR_FLOOR),
+        bool(ortho_err <= PCA_ORTHO_TOL),
+        bool(
+            row.cap <= row.tot * (1.0 + PCA_MATCH_TOL)
+            and abs(emp_ratio - var_ratio) <= PCA_MATCH_TOL
+        ),
+    )
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +773,19 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized cosine must stay within Q8_ERR_BOUND of the exact score.
     The oracle (which cannot reproduce float→int8 rounding) asserts
     both booleans TRUE; the exact brute-force frame is computed ONCE
-    and shared by the trained-recall and q8 gates."""
+    and shared by the trained-recall and q8 gates.
+
+    The ``q_id = -1`` sentinel row (round 12) gates ``pca_reduce`` —
+    the dimensionality-reduction bridge to ANN-after-PCA, previously
+    the one library operator with no driver row: fit + full-corpus
+    projection run end to end and reduce to exact counts plus three
+    bounded booleans (see ``_pca_gate_row``), carried in the entry's
+    existing columns as ``neighbor_id`` = projected-row count (the
+    oracle re-derives it as COUNT(embedding)), ``cosine``/``rn`` =
+    the MEASURED uniform projection length vs the oracle's literal
+    PCA_K, and the three boolean columns = variance-floor /
+    orthonormality / reconstruction-identity verdicts the oracle
+    asserts TRUE. Memoized like the other construction-time actions."""
     vecs = _memo(
         spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist()
     )
@@ -749,14 +851,26 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q8_err_ok"),
         )
     )
-    return seed_topk.join(ok, "q_id").select(
-        "q_id",
-        "neighbor_id",
-        "cosine",
-        "rn",
-        "trained_recall_ok",
-        "q8_recall_ok",
-        "q8_err_ok",
+    n_proj, k_meas, var_ok, ortho_ok, recon_ok = _memo(
+        spark, sf_dir, "pca_gate", lambda: _pca_gate_row(vecs)
+    )
+    pca_arm = spark.createDataFrame(
+        [(-1, n_proj, float(k_meas), k_meas, var_ok, ortho_ok, recon_ok)],
+        "q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT, "
+        "trained_recall_ok BOOLEAN, q8_recall_ok BOOLEAN, q8_err_ok BOOLEAN",
+    )
+    return (
+        seed_topk.join(ok, "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            "cosine",
+            "rn",
+            "trained_recall_ok",
+            "q8_recall_ok",
+            "q8_err_ok",
+        )
+        .unionByName(pca_arm)
     )
 
 
@@ -1228,5 +1342,20 @@ ORACLE = {
                TRUE AS q8_recall_ok,
                TRUE AS q8_err_ok
         FROM ranked WHERE rn <= {TOP_K}
+        UNION ALL
+        -- pca arm (round 12): iterative float SVD has no SQL mirror;
+        -- Spark proves the bounded properties (variance floor,
+        -- orthonormality, reconstruction identity) and the exact
+        -- projected-row count / uniform projection length — the oracle
+        -- re-derives the count relationally and asserts the booleans
+        -- and the k literal (a fit or projection regression flips a
+        -- boolean or moves a count and breaks the hash)
+        SELECT -1 AS q_id,
+               (SELECT COUNT(embedding) FROM embeddings) AS neighbor_id,
+               CAST({PCA_K} AS DOUBLE) AS cosine,
+               CAST({PCA_K} AS INT) AS rn,
+               TRUE AS trained_recall_ok,
+               TRUE AS q8_recall_ok,
+               TRUE AS q8_err_ok
     """,
 }
