@@ -491,3 +491,143 @@ def test_repeated_cycles_stay_stable(spark, deployment):
     )
     assert all(n == 1 for n in out.values())
     assert 10_000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+
+# --------------------------------------------------------------------------
+# Telemetry retention (round 12): drift prune + heavy-hitter rollup
+# --------------------------------------------------------------------------
+
+
+def _fps(spark, texts):
+    from ts_etl_spark.operators.dedup import canonical_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    return [r.fp for r in df.select(canonical_fingerprint().alias("fp")).collect()]
+
+
+@pytest.fixture()
+def telemetry(spark, tmp_path):
+    """10 batches of attempt registers + drift rows: doc 'hot' attempted
+    every batch, 'cold<k>' once each — known lifetime counts to preserve
+    across retention."""
+    from ts_etl_spark.streaming.ingest import (
+        monitor_batch_drift,
+        update_attempt_heavyhitters,
+    )
+
+    hh = str(tmp_path / "hh")
+    drift = str(tmp_path / "drift")
+    corpus = spark.createDataFrame(
+        [(i, f"base doc {i} some words") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    for k in range(10):
+        batch = _docs(spark, [(100 + k, "hot doc text"), (200 + k, f"cold{k}")])
+        update_attempt_heavyhitters(spark, batch, hh, k)
+        monitor_batch_drift(spark, corpus, batch, drift, k)
+    return hh, drift
+
+
+def test_telemetry_retention_bounds_dirs_and_preserves_counts(
+    spark, telemetry
+):
+    from ts_etl_spark.fs import list_subdirs
+    from ts_etl_spark.streaming.ingest import (
+        HH_ROLLUP_DIR,
+        heavyhitter_estimate,
+        prune_ingest_telemetry,
+        update_attempt_heavyhitters,
+    )
+
+    hh, drift = telemetry
+    keys = _fps(spark, ["hot doc text", "cold0", "cold7"])
+    before = heavyhitter_estimate(spark, hh, keys)
+    assert before[keys[0]] >= 10  # never underestimates
+    out = prune_ingest_telemetry(spark, drift_path=drift, hh_path=hh, horizon=3)
+    assert out == {drift: 7, hh: 7}
+    # drift: only the last 3 batch ids survive, nothing else
+    assert sorted(list_subdirs(spark, drift)) == [f"batch={i}" for i in (7, 8, 9)]
+    # hh: last 3 + the consolidated rollup; lifetime estimates unchanged
+    assert sorted(list_subdirs(spark, hh)) == sorted(
+        [f"batch={i}" for i in (7, 8, 9)] + [HH_ROLLUP_DIR]
+    )
+    assert heavyhitter_estimate(spark, hh, keys) == before
+    # idempotent: a second pass with the same horizon removes nothing
+    assert prune_ingest_telemetry(
+        spark, drift_path=drift, hh_path=hh, horizon=3
+    ) == {drift: 0, hh: 0}
+    assert heavyhitter_estimate(spark, hh, keys) == before
+    # more batches, another pass: the EXISTING rollup merges in, counts
+    # keep accumulating — dir count stays bounded by horizon + 1
+    for k in range(10, 14):
+        update_attempt_heavyhitters(
+            spark, _docs(spark, [(100 + k, "hot doc text")]), hh, k
+        )
+    grown = heavyhitter_estimate(spark, hh, keys)
+    assert grown[keys[0]] == before[keys[0]] + 4
+    prune_ingest_telemetry(spark, hh_path=hh, horizon=3)
+    assert sorted(list_subdirs(spark, hh)) == sorted(
+        [f"batch={i}" for i in (11, 12, 13)] + [HH_ROLLUP_DIR]
+    )
+    assert heavyhitter_estimate(spark, hh, keys) == grown
+
+
+def test_telemetry_rollup_crash_matrix(spark, telemetry):
+    """Interrupt the rollup at each protocol point; the reader-side
+    roll-forward must keep lifetime estimates exact throughout — no
+    batch lost, none double-counted."""
+    import json as _json
+
+    from ts_etl_spark.fs import list_data_files, list_subdirs, write_text_file
+    from ts_etl_spark.streaming.ingest import (
+        CM_SCHEMA,
+        HH_ROLLUP_DIR,
+        _compact_manifest,
+        heavyhitter_estimate,
+        recover_hh_rollup,
+    )
+
+    hh, _ = telemetry
+    keys = _fps(spark, ["hot doc text", "cold0"])
+    before = heavyhitter_estimate(spark, hh, keys)
+    rollup = f"{hh}/{HH_ROLLUP_DIR}"
+    staged = _compact_staging(rollup)
+    victims = [f"batch={i}" for i in range(7)]
+
+    # crash BEFORE the manifest PUT: staging discarded, victims intact
+    merged = (
+        spark.read.schema(CM_SCHEMA)
+        .parquet(*[f"{hh}/{v}" for v in victims])
+        .groupBy("d", "slot")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    recover_hh_rollup(spark, hh)
+    assert not os.path.exists(staged)
+    assert heavyhitter_estimate(spark, hh, keys) == before
+    assert all(os.path.exists(f"{hh}/{v}") for v in victims)
+
+    # crash AFTER the manifest PUT: reader rolls forward exactly once
+    merged.coalesce(1).write.mode("overwrite").parquet(staged)
+    write_text_file(
+        spark,
+        _compact_manifest(rollup),
+        _json.dumps({"files": list_data_files(spark, staged),
+                     "consumed": victims}),
+    )
+    assert heavyhitter_estimate(spark, hh, keys) == before  # recovers inline
+    assert not os.path.exists(staged)
+    assert not os.path.exists(_compact_manifest(rollup))
+    assert not any(os.path.exists(f"{hh}/{v}") for v in victims)
+    assert sorted(list_subdirs(spark, hh)) == sorted(
+        [f"batch={i}" for i in (7, 8, 9)] + [HH_ROLLUP_DIR]
+    )
+    # the completed pass is stable: further recover calls are no-ops
+    recover_hh_rollup(spark, hh)
+    assert heavyhitter_estimate(spark, hh, keys) == before
+    assert sorted(list_subdirs(spark, hh)) == sorted(
+        [f"batch={i}" for i in (7, 8, 9)] + [HH_ROLLUP_DIR]
+    )

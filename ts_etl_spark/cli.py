@@ -1112,14 +1112,24 @@ def run_compact_state(
     win_index_path: str | None = None,
     sem_index_path: str | None = None,
     target_mb: int | None = None,
+    drift_path: str | None = None,
+    hh_path: str | None = None,
+    telemetry_horizon: int | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Compact an ingest deployment's append-accumulated state tables
-    (corpus + every configured index) under the attested roll-forward
+    (corpus + every configured index) under the attested manifest-commit
     swap — the between-drains maintenance pass that keeps per-batch cost
-    from degrading with BATCH COUNT (small-files pathology). Returns
-    {table_dir: output_file_count} (also logged to stderr)."""
-    from ts_etl_spark.streaming.ingest import compact_ingest_state
+    from degrading with BATCH COUNT (small-files pathology) — and, with
+    ``telemetry_horizon``, bound the per-batch telemetry paths too
+    (drift-log prune + heavy-hitter rollup; the horizon must exceed the
+    stream's maximum replay depth — see ``prune_ingest_telemetry``).
+    Returns {table_dir: output_file_count} for compacted tables plus
+    {telemetry_path: batch_dirs_removed} (also logged to stderr)."""
+    from ts_etl_spark.streaming.ingest import (
+        compact_ingest_state,
+        prune_ingest_telemetry,
+    )
 
     own_session = spark is None
     if own_session:
@@ -1137,6 +1147,20 @@ def run_compact_state(
         )
         for d, n in out.items():
             print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
+        if telemetry_horizon is not None:
+            pruned = prune_ingest_telemetry(
+                spark,
+                drift_path=drift_path,
+                hh_path=hh_path,
+                horizon=telemetry_horizon,
+            )
+            for d, n in pruned.items():
+                print(
+                    f"compact-state: {d} -> {n} telemetry batch dir(s) "
+                    "pruned/rolled up",
+                    file=sys.stderr,
+                )
+            out.update(pruned)
         if not out:
             print("compact-state: no state tables found", file=sys.stderr)
         return out
@@ -1160,8 +1184,23 @@ def _compact_state_main(argv: list[str]) -> int:
     parser.add_argument(
         "--target-mb", type=int, help="target output file size in MiB"
     )
+    parser.add_argument(
+        "--drift-path", help="drift-log path (telemetry retention)"
+    )
+    parser.add_argument(
+        "--hh-path", help="heavy-hitter register path (telemetry retention)"
+    )
+    parser.add_argument(
+        "--telemetry-horizon", type=int,
+        help="prune drift batches and roll up heavy-hitter batches more "
+        "than this many batch ids behind the newest (must exceed the "
+        "stream's maximum replay depth)",
+    )
     args = parser.parse_args(argv)
-    if not (args.corpus or args.dedup_index or args.win_index or args.sem_index):
+    if not (
+        args.corpus or args.dedup_index or args.win_index or args.sem_index
+        or (args.telemetry_horizon and (args.drift_path or args.hh_path))
+    ):
         print("compact-state: give at least one state path", file=sys.stderr)
         return 1
     try:
@@ -1171,6 +1210,9 @@ def _compact_state_main(argv: list[str]) -> int:
             win_index_path=args.win_index,
             sem_index_path=args.sem_index,
             target_mb=args.target_mb,
+            drift_path=args.drift_path,
+            hh_path=args.hh_path,
+            telemetry_horizon=args.telemetry_horizon,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary

@@ -655,7 +655,9 @@ def ingest_state_dirs(
     unit list. Deliberately EXCLUDES the telemetry paths: the stats and
     heavy-hitter registers are generationed/batch-dir state with their
     own pruning, and the drift log is batch=<id> partitioned (a
-    round-robin rewrite would destroy its partition layout)."""
+    round-robin rewrite would destroy its partition layout) — their
+    retention story is ``prune_ingest_telemetry`` (drift prune +
+    heavy-hitter rollup), not compaction."""
     dirs: list[str] = []
     if corpus_path is not None:
         dirs.append(corpus_path)
@@ -715,6 +717,153 @@ def compact_ingest_state(
                 else ""
             )
         )
+    return out
+
+
+# --------------------------------------------------------------------------
+# Telemetry retention (round 12)
+#
+# The drift log and the attempt heavy-hitter registers are deliberately
+# EXCLUDED from state compaction (per-batch partition layout is their
+# idempotence mechanism — a round-robin rewrite would destroy it), but
+# they accumulate one directory per micro-batch forever: after tens of
+# thousands of batches the telemetry paths hold tens of thousands of
+# tiny dirs even though each is bounded. Retention bounds them:
+#
+# - drift log: per-batch PSI rows have no cross-batch aggregate meaning,
+#   so batches older than the horizon are simply PRUNED.
+# - heavy hitters: count-min merges by SUM, so old batches ROLL UP into
+#   one consolidated ``batch=rollup`` directory — lifetime attempt
+#   counts survive, bounded at depth×width rows. The rollup commits
+#   under the same manifest protocol as state compaction (the manifest
+#   additionally lists the CONSUMED batch dirs, deleted only after the
+#   staged merge is committed), so a crash at any point either discards
+#   an uncommitted staging or rolls forward with no lost or
+#   double-counted batch. ``heavyhitter_estimate`` runs the roll-forward
+#   before reading so a crashed pass is never summed half-done.
+#
+# HORIZON CONTRACT: the horizon (in batch ids) must comfortably exceed
+# the stream's maximum replay depth. A replayed batch whose dir was
+# already rolled up re-creates the dir and would be rolled up AGAIN —
+# the bounded per-batch overcount trade the stats sketch documents,
+# acceptable for telemetry, but not something to invite by pruning
+# right behind the checkpoint.
+# --------------------------------------------------------------------------
+
+HH_ROLLUP_DIR = "batch=rollup"
+
+
+def _numeric_batch_dirs(spark: SparkSession, path: str) -> list[tuple[int, str]]:
+    """(id, name) of every ``batch=<int>`` subdirectory, ascending by id."""
+    out = []
+    for name in list_subdirs(spark, path):
+        if name.startswith("batch=") and name[6:].isdigit():
+            out.append((int(name[6:]), name))
+    return sorted(out)
+
+
+def recover_hh_rollup(spark: SparkSession, hh_path: str) -> None:
+    """Roll forward (or discard) a heavy-hitter retention pass
+    interrupted by a crash. The rollup manifest pins both the staged
+    merged-register files and the CONSUMED batch dirs whose counts the
+    merge absorbed, so the roll-forward is exact and idempotent:
+    apply the staged files to ``batch=rollup``, delete exactly the
+    consumed dirs, drop the staging and the manifest. A staging without
+    a manifest is pre-commit litter and is discarded. No-op otherwise."""
+    import json
+
+    from ts_etl_spark.fs import read_text_file
+
+    rollup = f"{hh_path}/{HH_ROLLUP_DIR}"
+    staged = _compact_staging(rollup)
+    manifest = _compact_manifest(rollup)
+    if path_exists(spark, manifest):
+        doc = json.loads(read_text_file(spark, manifest))
+        _apply_compact_manifest(spark, rollup, doc["files"])
+        for name in doc.get("consumed", []):
+            delete_dir(spark, f"{hh_path}/{name}")
+        delete_dir(spark, staged)
+        delete_dir(spark, manifest)
+    elif path_exists(spark, staged):
+        delete_dir(spark, staged)
+
+
+def prune_ingest_telemetry(
+    spark: SparkSession,
+    drift_path: str | None = None,
+    hh_path: str | None = None,
+    horizon: int = 1000,
+) -> dict[str, int]:
+    """Bound the per-batch telemetry paths (see the retention block
+    above): prune drift-log batches older than ``horizon`` ids behind
+    the newest, and roll heavy-hitter batches that old into the
+    consolidated ``batch=rollup`` registers (sum-merge — lifetime
+    counts preserved). Returns {path: batch_dirs_removed}. Run between
+    drains (single-writer), e.g. ``compact-state --telemetry-horizon``;
+    the horizon must exceed the stream's maximum replay depth."""
+    import json
+
+    from ts_etl_spark.fs import list_data_files, write_text_file
+
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    _require_success_markers(spark)
+    out: dict[str, int] = {}
+    if drift_path is not None and path_exists(spark, drift_path):
+        dirs = _numeric_batch_dirs(spark, drift_path)
+        victims = (
+            [n for i, n in dirs if i <= dirs[-1][0] - horizon] if dirs else []
+        )
+        for name in victims:
+            delete_dir(spark, f"{drift_path}/{name}")
+        out[drift_path] = len(victims)
+    if hh_path is not None and path_exists(spark, hh_path):
+        recover_hh_rollup(spark, hh_path)
+        dirs = _numeric_batch_dirs(spark, hh_path)
+        cutoff = dirs[-1][0] - horizon if dirs else None
+        removed = 0
+        committed_victims = []
+        for i, name in dirs:
+            if cutoff is None or i > cutoff:
+                continue
+            if path_exists(spark, f"{hh_path}/{name}/_SUCCESS"):
+                committed_victims.append(name)
+            else:
+                # torn write below the horizon: a replay can no longer
+                # rewrite it and readers already skip it — plain garbage
+                delete_dir(spark, f"{hh_path}/{name}")
+                removed += 1
+        if committed_victims:
+            rollup = f"{hh_path}/{HH_ROLLUP_DIR}"
+            sources = [f"{hh_path}/{n}" for n in committed_victims]
+            if path_exists(spark, f"{rollup}/_SUCCESS"):
+                sources.append(rollup)
+            merged = (
+                spark.read.schema(CM_SCHEMA)
+                .parquet(*sources)
+                .groupBy("d", "slot")
+                .agg(F.sum("c").alias("c"))
+            )
+            rows = merged.collect()  # <= depth x width rows by construction
+            staged = _compact_staging(rollup)
+            spark.createDataFrame(rows, CM_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            write_text_file(
+                spark,
+                _compact_manifest(rollup),
+                json.dumps(
+                    {
+                        "table": rollup,
+                        "files": list_data_files(spark, staged),
+                        "consumed": committed_victims,
+                    }
+                ),
+            )
+            # the commit point; the shared roll-forward completes the pass
+            recover_hh_rollup(spark, hh_path)
+            removed += len(committed_victims)
+        out[hh_path] = removed
     return out
 
 
@@ -989,9 +1138,13 @@ def heavyhitter_estimate(
     the standard count-min point estimate. Never underestimates the
     committed history. Torn batch directories (no ``_SUCCESS`` — a crash
     mid-write) are skipped, same discipline as the generationed stats
-    sketch; the stream's replay rewrites them."""
+    sketch; the stream's replay rewrites them. A retention pass crashed
+    mid-rollup is rolled forward FIRST so its consumed batches are never
+    summed twice (``recover_hh_rollup``); the consolidated
+    ``batch=rollup`` dir then merges like any other committed batch."""
     if not path_exists(spark, hh_path):
         return {fp: 0 for fp in fingerprints}
+    recover_hh_rollup(spark, hh_path)
     committed = [
         f"{hh_path}/{name}"
         for name in list_subdirs(spark, hh_path)
