@@ -631,3 +631,71 @@ def test_telemetry_rollup_crash_matrix(spark, telemetry):
     assert sorted(list_subdirs(spark, hh)) == sorted(
         [f"batch={i}" for i in (7, 8, 9)] + [HH_ROLLUP_DIR]
     )
+
+
+# --------------------------------------------------------------------------
+# Single-writer lease (round 12)
+# --------------------------------------------------------------------------
+
+
+def test_lease_refuses_second_writer_and_allows_refresh_steal(spark, tmp_path):
+    from ts_etl_spark.streaming.ingest import (
+        acquire_ingest_lease,
+        release_ingest_lease,
+    )
+
+    lease = str(tmp_path / "lease")
+    assert acquire_ingest_lease(spark, lease, owner="w1") == "w1"
+    # fresh foreign lease: refused, loudly naming the holder
+    with pytest.raises(RuntimeError, match="leased by 'w1'"):
+        acquire_ingest_lease(spark, lease, owner="w2")
+    # the holder refreshes freely
+    acquire_ingest_lease(spark, lease, owner="w1")
+    # past the TTL the lease is stealable (a crashed writer must not
+    # wedge the deployment forever)
+    acquire_ingest_lease(spark, lease, owner="w2", ttl_s=0.0)
+    with pytest.raises(RuntimeError, match="leased by 'w2'"):
+        acquire_ingest_lease(spark, lease, owner="w1")
+    # release is owner-guarded: the usurped writer must not delete the
+    # new holder's record; the holder's release does
+    release_ingest_lease(spark, lease, owner="w1")
+    assert os.path.exists(lease)
+    release_ingest_lease(spark, lease, owner="w2")
+    assert not os.path.exists(lease)
+    # releasing an absent lease is a no-op
+    release_ingest_lease(spark, lease, owner="w2")
+
+
+def test_ingest_and_maintenance_honor_the_lease(spark, tmp_path):
+    """A drain and a maintenance pass pointed at the same lease file
+    exclude each other; a garbled lease file counts as stale (taken)."""
+    from ts_etl_spark.fs import write_text_file
+    from ts_etl_spark.streaming.ingest import (
+        acquire_ingest_lease,
+        release_ingest_lease,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    lease = str(tmp_path / "lease")
+    cfg = IngestConfig(lease_path=lease)
+    batch = _docs(spark, [(1, "some fresh words"), (2, "other words too")])
+    # a foreign writer holds the lease: both entries refuse
+    acquire_ingest_lease(spark, lease, owner="other-drain")
+    with pytest.raises(RuntimeError, match="leased by 'other-drain'"):
+        ingest_batch(spark, batch, corpus, cfg)
+    with pytest.raises(RuntimeError, match="leased by 'other-drain'"):
+        compact_ingest_state(spark, corpus_path=corpus, lease_path=lease)
+    release_ingest_lease(spark, lease, owner="other-drain")
+    # with the lease free, ingest proceeds (acquiring as this process)
+    ingest_batch(spark, batch, corpus, cfg)
+    assert spark.read.parquet(corpus).count() == 2
+    # ...and the same process's maintenance refreshes rather than refuses
+    out = compact_ingest_state(spark, corpus_path=corpus, lease_path=lease)
+    assert out[corpus] == 1
+    # a garbled lease file is treated as stale and taken, not a wedge
+    write_text_file(spark, lease, "not json {{{")
+    ingest_batch(
+        spark, _docs(spark, [(5, "novel unique phrasing")]), corpus, cfg,
+        batch_id=1,
+    )
+    assert spark.read.parquet(corpus).count() == 3

@@ -910,6 +910,7 @@ def run_ingest(
     win_index_path: str | None = None,
     dedup_index_path: str | None = None,
     compact_after: bool = False,
+    lease_path: str | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Drain the landing directory into the corpus through the full
@@ -951,6 +952,7 @@ def run_ingest(
                 sem_threshold=sem_threshold,
                 win_index_path=win_index_path,
                 dedup_index_path=dedup_index_path,
+                lease_path=lease_path,
             ),
             max_files,
         )
@@ -964,6 +966,9 @@ def run_ingest(
                     dedup_index_path=dedup_index_path,
                     win_index_path=win_index_path,
                     sem_index_path=sem_index_path,
+                    # the drain released its lease; re-take the same one
+                    # so nothing else slips in between drain and compact
+                    lease_path=lease_path,
                 )
             except (RuntimeError, OSError) as exc:
                 # the DRAIN already committed — a maintenance failure
@@ -1034,6 +1039,11 @@ def _ingest_main(argv: list[str]) -> int:
         help="compact corpus + indexes after the drain (attested, "
         "crash-safe; see the compact-state subcommand)",
     )
+    parser.add_argument(
+        "--lease",
+        help="single-writer lease file: refuse to run while another "
+        "ingest/maintenance pass holds a fresh lease on this state",
+    )
     args = parser.parse_args(argv)
     try:
         run_ingest(
@@ -1051,6 +1061,7 @@ def _ingest_main(argv: list[str]) -> int:
             win_index_path=args.win_index,
             dedup_index_path=args.dedup_index,
             compact_after=args.compact_after,
+            lease_path=args.lease,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary
@@ -1115,6 +1126,7 @@ def run_compact_state(
     drift_path: str | None = None,
     hh_path: str | None = None,
     telemetry_horizon: int | None = None,
+    lease_path: str | None = None,
     spark=None,
 ) -> dict[str, int]:
     """Compact an ingest deployment's append-accumulated state tables
@@ -1144,6 +1156,7 @@ def run_compact_state(
             target_file_bytes=(
                 target_mb * 1024 * 1024 if target_mb else None
             ),
+            lease_path=lease_path,
         )
         for d, n in out.items():
             print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
@@ -1153,6 +1166,7 @@ def run_compact_state(
                 drift_path=drift_path,
                 hh_path=hh_path,
                 horizon=telemetry_horizon,
+                lease_path=lease_path,
             )
             for d, n in pruned.items():
                 print(
@@ -1196,6 +1210,11 @@ def _compact_state_main(argv: list[str]) -> int:
         "than this many batch ids behind the newest (must exceed the "
         "stream's maximum replay depth)",
     )
+    parser.add_argument(
+        "--lease",
+        help="single-writer lease file shared with the deployment's "
+        "ingest runs",
+    )
     args = parser.parse_args(argv)
     if not (
         args.corpus or args.dedup_index or args.win_index or args.sem_index
@@ -1213,6 +1232,7 @@ def _compact_state_main(argv: list[str]) -> int:
             drift_path=args.drift_path,
             hh_path=args.hh_path,
             telemetry_horizon=args.telemetry_horizon,
+            lease_path=args.lease,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary

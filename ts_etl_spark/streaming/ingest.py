@@ -408,6 +408,107 @@ def admit_seen_ids(
 
 
 # --------------------------------------------------------------------------
+# Single-writer lease (round 12)
+#
+# Every crash-safety analysis in this module (index append ordering,
+# compaction recovery, telemetry rollup) assumes ONE writer per state
+# deployment. That was a documented assumption with zero enforcement: a
+# second concurrent ingest or maintenance pass on the same paths — an
+# operator error, a stuck cron overlapping a manual run — could
+# interleave appends and swap steps and corrupt state SILENTLY. The
+# lease converts that into a loud refusal: one control file holding
+# {owner, heartbeat ts}; writers acquire at entry (exclusive create
+# when absent; refresh when theirs; STEAL only past the TTL — a crashed
+# writer must not wedge the deployment forever) and refuse a fresh
+# foreign lease. Best-effort BY DESIGN: the steal path is
+# check-then-write (object stores lack compare-and-swap on overwrite),
+# so two writers racing a just-expired lease can still both proceed —
+# this is an operator-error tripwire, not a distributed lock; the TTL
+# must exceed the longest batch + maintenance pass so a live writer's
+# heartbeat never looks stale.
+# --------------------------------------------------------------------------
+
+INGEST_LEASE_TTL_S = 600.0
+
+#: stable per-process owner token (host + pid + random suffix so a pid
+#: reuse after a crash never impersonates the dead holder)
+_LEASE_OWNER: str | None = None
+
+
+def _process_lease_owner() -> str:
+    global _LEASE_OWNER
+    if _LEASE_OWNER is None:
+        import os
+        import socket
+        import uuid
+
+        _LEASE_OWNER = (
+            f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+        )
+    return _LEASE_OWNER
+
+
+def acquire_ingest_lease(
+    spark: SparkSession,
+    lease_path: str,
+    owner: str | None = None,
+    ttl_s: float = INGEST_LEASE_TTL_S,
+) -> str:
+    """Acquire (or refresh) the single-writer lease at ``lease_path``;
+    returns the owner token. Raises RuntimeError when another writer
+    holds a lease younger than ``ttl_s`` — the loud refusal that
+    replaces silent state corruption (see the lease block above)."""
+    import json
+    import time
+
+    from ts_etl_spark.fs import read_text_file, write_text_file
+
+    owner = owner or _process_lease_owner()
+    now = time.time()
+    record = json.dumps({"owner": owner, "ts": now})
+    if path_exists(spark, lease_path):
+        try:
+            doc = json.loads(read_text_file(spark, lease_path))
+        except (ValueError, OSError):
+            doc = {}  # torn/garbled lease file: treat as stale, take it
+        held_by = doc.get("owner")
+        age = now - float(doc.get("ts", 0.0))
+        if held_by not in (None, owner) and age < ttl_s:
+            raise RuntimeError(
+                f"ingest state at {lease_path!r} is leased by "
+                f"{held_by!r} ({age:.0f}s ago, ttl {ttl_s:.0f}s): a second "
+                "concurrent writer would corrupt single-writer state — "
+                "stop the other ingest/maintenance run, or wait out the "
+                "TTL if it crashed"
+            )
+        write_text_file(spark, lease_path, record)  # refresh or steal
+    else:
+        write_text_file(spark, lease_path, record)
+    return owner
+
+
+def release_ingest_lease(
+    spark: SparkSession, lease_path: str, owner: str | None = None
+) -> None:
+    """Release the lease if (and only if) ``owner`` still holds it — a
+    writer that lost its lease to a TTL steal must not delete the new
+    holder's record."""
+    import json
+
+    from ts_etl_spark.fs import read_text_file
+
+    owner = owner or _process_lease_owner()
+    if not path_exists(spark, lease_path):
+        return
+    try:
+        doc = json.loads(read_text_file(spark, lease_path))
+    except (ValueError, OSError):
+        return
+    if doc.get("owner") == owner:
+        delete_dir(spark, lease_path)
+
+
+# --------------------------------------------------------------------------
 # Ingest-state compaction (round 11; manifest commit round 12)
 #
 # Every micro-batch APPENDS one file set to each state table (the five
@@ -678,6 +779,8 @@ def compact_ingest_state(
     win_index_path: str | None = None,
     sem_index_path: str | None = None,
     target_file_bytes: int | None = None,
+    lease_path: str | None = None,
+    lease_ttl_s: float = INGEST_LEASE_TTL_S,
 ) -> dict[str, int]:
     """Compact every existing state table of an ingest deployment (the
     maintenance pass a production stream schedules between drains);
@@ -689,23 +792,33 @@ def compact_ingest_state(
     leave the REST of the deployment uncompacted: every table is
     attempted, and failures raise ONE RuntimeError at the end naming
     both the failed tables and the ones that did compact — so a partial
-    maintenance pass is loud but never silently partial."""
+    maintenance pass is loud but never silently partial.
+
+    ``lease_path``: pass the deployment's lease file (the one its
+    ingests use) to refuse loudly if a drain is live — acquired for the
+    pass, released after."""
     _require_success_markers(spark)
+    if lease_path is not None:
+        acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
     out: dict[str, int] = {}
     failures: dict[str, str] = {}
-    for d in ingest_state_dirs(
-        corpus_path, dedup_index_path, win_index_path, sem_index_path
-    ):
-        recover_state_compaction(spark, d)
-        if not path_exists(spark, d):
-            continue
-        try:
-            out[d] = _compact_recovered_table(spark, d, target_file_bytes)
-        except (ValueError, RuntimeError, OSError) as exc:
-            # OSError: a filesystem-refused rename (fs.rename_dir) is a
-            # per-table failure like any other — it must not abort the
-            # remaining tables' maintenance
-            failures[d] = str(exc)
+    try:
+        for d in ingest_state_dirs(
+            corpus_path, dedup_index_path, win_index_path, sem_index_path
+        ):
+            recover_state_compaction(spark, d)
+            if not path_exists(spark, d):
+                continue
+            try:
+                out[d] = _compact_recovered_table(spark, d, target_file_bytes)
+            except (ValueError, RuntimeError, OSError) as exc:
+                # OSError: a filesystem-refused rename (fs.rename_dir) is a
+                # per-table failure like any other — it must not abort the
+                # remaining tables' maintenance
+                failures[d] = str(exc)
+    finally:
+        if lease_path is not None:
+            release_ingest_lease(spark, lease_path)
     if failures:
         raise RuntimeError(
             f"compaction failed for {len(failures)} state table(s): "
@@ -793,14 +906,17 @@ def prune_ingest_telemetry(
     drift_path: str | None = None,
     hh_path: str | None = None,
     horizon: int = 1000,
+    lease_path: str | None = None,
+    lease_ttl_s: float = INGEST_LEASE_TTL_S,
 ) -> dict[str, int]:
     """Bound the per-batch telemetry paths (see the retention block
     above): prune drift-log batches older than ``horizon`` ids behind
     the newest, and roll heavy-hitter batches that old into the
     consolidated ``batch=rollup`` registers (sum-merge — lifetime
     counts preserved). Returns {path: batch_dirs_removed}. Run between
-    drains (single-writer), e.g. ``compact-state --telemetry-horizon``;
-    the horizon must exceed the stream's maximum replay depth."""
+    drains (single-writer; pass the deployment's ``lease_path`` to
+    enforce that), e.g. ``compact-state --telemetry-horizon``; the
+    horizon must exceed the stream's maximum replay depth."""
     import json
 
     from ts_etl_spark.fs import list_data_files, write_text_file
@@ -808,6 +924,25 @@ def prune_ingest_telemetry(
     if horizon < 1:
         raise ValueError(f"horizon must be >= 1, got {horizon}")
     _require_success_markers(spark)
+    if lease_path is not None:
+        acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
+    try:
+        return _prune_telemetry_body(spark, drift_path, hh_path, horizon)
+    finally:
+        if lease_path is not None:
+            release_ingest_lease(spark, lease_path)
+
+
+def _prune_telemetry_body(
+    spark: SparkSession,
+    drift_path: str | None,
+    hh_path: str | None,
+    horizon: int,
+) -> dict[str, int]:
+    import json
+
+    from ts_etl_spark.fs import list_data_files, write_text_file
+
     out: dict[str, int] = {}
     if drift_path is not None and path_exists(spark, drift_path):
         dirs = _numeric_batch_dirs(spark, drift_path)
@@ -1194,7 +1329,13 @@ class IngestConfig:
       re-deriving them from corpus text every micro-batch, and maintain
       those tables — the shape whose per-batch cost is linear in the
       batch at any corpus size (the corpus TEXT is never re-scanned by
-      the dedup layers; empirically flat, tests/test_dedup_index.py)."""
+      the dedup layers; empirically flat, tests/test_dedup_index.py).
+    - ``lease_path`` (+ ``lease_ttl_s``) — enforce the single-writer
+      assumption every piece of ingest state relies on: each batch
+      acquires/refreshes the lease and a fresh foreign lease refuses
+      loudly (see the lease block above ``acquire_ingest_lease``).
+      Point concurrent maintenance (``compact_ingest_state``,
+      ``prune_ingest_telemetry``) at the SAME lease file."""
 
     threshold: float = JACCARD_THRESHOLD
     stats_path: str | None = None
@@ -1205,6 +1346,8 @@ class IngestConfig:
     sem_threshold: float | None = None
     win_index_path: str | None = None
     dedup_index_path: str | None = None
+    lease_path: str | None = None
+    lease_ttl_s: float = INGEST_LEASE_TTL_S
 
     def __post_init__(self) -> None:
         if (self.sem_index_path is None) != (self.sem_cents_path is None):
@@ -1349,6 +1492,12 @@ def ingest_batch(
     win_index_path = config.win_index_path
     dedup_index_path = config.dedup_index_path
     _require_success_markers(spark)
+    if config.lease_path is not None:
+        # acquire-or-refresh per batch: the heartbeat that keeps a live
+        # drain's lease from looking stale to a waiting maintenance run
+        acquire_ingest_lease(
+            spark, config.lease_path, ttl_s=config.lease_ttl_s
+        )
     # a crashed compact_ingest_state must never be read half-swapped:
     # roll any interrupted compaction forward/back before touching state
     # (a handful of FS existence checks per batch — see the compaction
@@ -1626,18 +1775,27 @@ def run_streaming_ingest(
     ``IngestConfig`` — see its field docs) or the same names as keyword
     arguments; every micro-batch runs ``ingest_batch`` under it."""
     config = _resolve_config(config, gate_kwargs)
-    reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
-    if max_files is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files)
-    stream = reader.load(landing_dir)
+    if config.lease_path is not None:
+        # fail FAST on a foreign lease (before the stream starts), and
+        # release at drain end so the next maintenance window opens
+        # immediately instead of waiting out the TTL
+        acquire_ingest_lease(spark, config.lease_path, ttl_s=config.lease_ttl_s)
+    try:
+        reader = spark.readStream.schema(DOCS_SCHEMA).format("parquet")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.load(landing_dir)
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(spark, batch_df, corpus_path, config, batch_id)
+        def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+            ingest_batch(spark, batch_df, corpus_path, config, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            stream.writeStream.foreachBatch(_ingest)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if config.lease_path is not None:
+            release_ingest_lease(spark, config.lease_path)
