@@ -1527,32 +1527,41 @@ def ingest_batch(
         # the id-ordering contract is about ids, not content, and
         # silently accepting a contract-violating id invites the
         # non-duplicate variant that corrupts verdicts. Tested.
-        max_attempted = dseen.agg(F.max("doc_id")).first()[0]
-        if max_attempted is not None:
-            stale = (
-                raw_ids.filter(F.col("doc_id") <= max_attempted)
-                .join(dseen, "doc_id", "left_anti")
-                .first()
-            )
-            if stale is not None:
-                raise ValueError(
-                    f"batch doc_id {stale[0]} is <= the dedup index's max "
-                    f"attempted id {max_attempted} and was never attempted:"
-                    " genuinely-new ids must exceed all previously-ingested"
-                    " ids (ingest order). If this id WAS attempted before"
-                    " the index existed (dropped pre-index, so the seen"
-                    " bootstrap could not know it), admit it with the"
-                    " `seen-admit` CLI subcommand and re-run the batch"
-                )
-        # record the attempts FIRST, before any gate runs or any other
-        # state is written — seen must stay a superset of every other
-        # table for the guard above to be replay-proof (a crash anywhere
-        # after this point replays with the ids already in seen)
+        #
+        # FOLDED actions (round 12): the guard's never-attempted set is
+        # exactly the seen-delta's anti-join, so the delta materializes
+        # ONCE (eager checkpoint — one dseen scan) and the stale probe
+        # runs over those few checkpointed rows against a one-row max
+        # aggregate (the second and last dseen scan). The previous shape
+        # paid a third full anti-join scan plus a third driver round
+        # trip per micro-batch for the same verdicts.
         seen_delta = (
             raw_ids.join(dseen, "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
         persisted.append(seen_delta)
+        stale = (
+            seen_delta.join(
+                dseen.agg(F.max("doc_id").alias("__mx")),
+                F.col("doc_id") <= F.col("__mx"),  # no rows when seen empty
+            )
+            .select("doc_id", "__mx")
+            .first()
+        )
+        if stale is not None:
+            raise ValueError(
+                f"batch doc_id {stale[0]} is <= the dedup index's max "
+                f"attempted id {stale[1]} and was never attempted:"
+                " genuinely-new ids must exceed all previously-ingested"
+                " ids (ingest order). If this id WAS attempted before"
+                " the index existed (dropped pre-index, so the seen"
+                " bootstrap could not know it), admit it with the"
+                " `seen-admit` CLI subcommand and re-run the batch"
+            )
+        # record the attempts FIRST, before any gate runs or any other
+        # state is written — seen must stay a superset of every other
+        # table for the guard above to be replay-proof (a crash anywhere
+        # after this point replays with the ids already in seen)
         seen_delta.write.mode("append").parquet(
             dedup_index_paths(dedup_index_path)["seen"]
         )
