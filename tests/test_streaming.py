@@ -378,3 +378,143 @@ def test_stream_sliding_equals_batch(spark, tmp_path, events_dir):
         for r in q_events_sliding(spark, SF).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --------------------------------------------------------------------------
+# Kill/restart soak (round 12): the checkpoint-recovery claim of
+# run_streaming_ingest, proven end to end through a REAL file-source
+# stream with a checkpointLocation — killed mid-drain, restarted, final
+# state identical to the uninterrupted run's.
+# --------------------------------------------------------------------------
+
+
+def _ingest_landing(tmp_path, name, texts_per_file):
+    import os as _os
+    import time as _time
+
+    d = tmp_path / name
+    d.mkdir()
+    now = _time.time()
+    for k, rows in enumerate(texts_per_file):
+        p = str(d / f"b{k}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        _os.utime(p, (now - 90 + 30 * k,) * 2)
+    return str(d)
+
+
+def _snap(spark, path):
+    return sorted(tuple(map(str, r)) for r in spark.read.parquet(path).collect())
+
+
+@pytest.mark.parametrize("crash_point", ["mid_batch", "post_commit"])
+def test_stream_killed_mid_drain_restarts_to_identical_corpus(
+    spark, tmp_path, monkeypatch, crash_point
+):
+    """Kill the drain during micro-batch 1 — either MID-batch (after the
+    seen append, before the index deltas and corpus append) or AFTER the
+    batch fully committed but before the streaming checkpoint recorded
+    it (the replay-of-committed-batch window) — then restart the stream
+    on the same checkpoint. The restarted drain must converge to exactly
+    the uninterrupted run's corpus and dedup index: no lost documents,
+    no duplicates, the idempotent-replay property through the real
+    Structured Streaming recovery path, not a hand-driven replay."""
+    import random
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    import ts_etl_spark.streaming.ingest as ing
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        dedup_index_paths,
+        run_streaming_ingest,
+    )
+
+    rng = random.Random(41)
+    words = lambda n: " ".join(f"w{rng.randrange(9999)}" for _ in range(n))  # noqa: E731
+    base = words(40)
+    files = [
+        [(1, f"{words(30)} {base}"), (2, words(35))],
+        [(10, f"{words(30)} {base}"), (11, base)],  # 11 near-dups vs corpus
+        [(20, words(33)), (21, f"{words(30)} {base}")],
+    ]
+    landing = _ingest_landing(tmp_path, "landing", files)
+
+    # reference: the uninterrupted drain
+    cfg_a = IngestConfig(
+        dedup_index_path=str(tmp_path / "idx_a"),
+        stats_path=str(tmp_path / "stats_a"),
+    )
+    run_streaming_ingest(
+        spark, landing, str(tmp_path / "corpus_a"), str(tmp_path / "ckpt_a"),
+        cfg_a,
+    )
+    corpus_a = _snap(spark, str(tmp_path / "corpus_a"))
+
+    # interrupted: inject ONE crash during batch 1, then restart
+    cfg_b = IngestConfig(
+        dedup_index_path=str(tmp_path / "idx_b"),
+        stats_path=str(tmp_path / "stats_b"),
+        lease_path=str(tmp_path / "lease_b"),
+    )
+    crashed = {"done": False}
+    real_ingest = ing.ingest_batch
+    real_stats = ing.update_corpus_stats
+
+    if crash_point == "post_commit":
+
+        def crashing(spark_, batch_df, corpus_path, config=None, batch_id=0, **kw):
+            real_ingest(spark_, batch_df, corpus_path, config, batch_id, **kw)
+            if batch_id == 1 and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected kill AFTER batch commit")
+
+        monkeypatch.setattr(ing, "ingest_batch", crashing)
+    else:
+
+        def crashing_stats(spark_, new_docs, stats_path):
+            # runs inside ingest_batch AFTER the seen append + gates,
+            # BEFORE the dedup-index deltas and the corpus append — a
+            # genuine mid-batch tear
+            if "stats_b" in stats_path and not crashed["done"]:
+                crashed["done"] = True
+                raise RuntimeError("injected kill MID batch")
+            real_stats(spark_, new_docs, stats_path)
+
+        monkeypatch.setattr(ing, "update_corpus_stats", crashing_stats)
+
+    with pytest.raises(
+        (StreamingQueryException, Exception), match="injected kill"
+    ):
+        run_streaming_ingest(
+            spark, landing, str(tmp_path / "corpus_b"),
+            str(tmp_path / "ckpt_b"), cfg_b,
+        )
+    assert crashed["done"], "the injected crash never fired"
+    # the crashed drain's finally released the lease; the restart
+    # resumes from the SAME checkpoint and replays the torn batch
+    run_streaming_ingest(
+        spark, landing, str(tmp_path / "corpus_b"), str(tmp_path / "ckpt_b"),
+        cfg_b,
+    )
+    corpus_b = _snap(spark, str(tmp_path / "corpus_b"))
+    assert corpus_b == corpus_a, "restarted corpus diverged"
+    # the dedup index converged too: identical kept-doc tables, and the
+    # seen listing recorded every attempt exactly once
+    for t in ("fp", "lens"):
+        assert _snap(spark, dedup_index_paths(str(tmp_path / "idx_b"))[t]) == \
+            _snap(spark, dedup_index_paths(str(tmp_path / "idx_a"))[t]), t
+    seen_b = [
+        r.doc_id
+        for r in spark.read.parquet(
+            dedup_index_paths(str(tmp_path / "idx_b"))["seen"]
+        ).collect()
+    ]
+    assert sorted(seen_b) == sorted(set(seen_b)) == [1, 2, 10, 11, 20, 21]
