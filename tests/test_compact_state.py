@@ -699,3 +699,49 @@ def test_ingest_and_maintenance_honor_the_lease(spark, tmp_path):
         batch_id=1,
     )
     assert spark.read.parquet(corpus).count() == 3
+
+
+def test_torn_manifest_treated_as_uncommitted(spark, deployment):
+    """A manifest whose PUT itself crashed (partial/garbled bytes) proves
+    the swap never started: recovery must treat it like no manifest —
+    live authoritative, staging and the torn manifest discarded — not
+    wedge every subsequent ingest on a JSON error. Same for the
+    heavy-hitter rollup manifest."""
+    from ts_etl_spark.fs import write_text_file
+    from ts_etl_spark.pipelines.maintenance import compact_parquet
+
+    corpus, idx, win, cfg = deployment
+    lens = dedup_index_paths(idx)["lens"]
+    before = _snapshot(spark, lens)
+    staged = _compact_staging(lens)
+    compact_parquet(spark, lens, staged, 128 * 1024 * 1024)
+    write_text_file(spark, _compact_manifest(lens), '{"files": ["par')  # torn
+    recover_state_compaction(spark, lens)
+    assert _snapshot(spark, lens) == before
+    assert not os.path.exists(staged)
+    assert not os.path.exists(_compact_manifest(lens))
+    # and the next ingest proceeds normally
+    ingest_batch(
+        spark, _docs(spark, [(7000, "post torn manifest words")]), corpus,
+        cfg, batch_id=60,
+    )
+    assert 7000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
+
+
+def test_torn_hh_rollup_manifest_keeps_victims(spark, telemetry):
+    from ts_etl_spark.fs import write_text_file
+    from ts_etl_spark.streaming.ingest import (
+        HH_ROLLUP_DIR,
+        heavyhitter_estimate,
+        recover_hh_rollup,
+    )
+
+    hh, _ = telemetry
+    keys = _fps(spark, ["hot doc text", "cold3"])
+    before = heavyhitter_estimate(spark, hh, keys)
+    rollup = f"{hh}/{HH_ROLLUP_DIR}"
+    write_text_file(spark, _compact_manifest(rollup), "{nope")
+    recover_hh_rollup(spark, hh)
+    assert not os.path.exists(_compact_manifest(rollup))
+    assert heavyhitter_estimate(spark, hh, keys) == before
+    assert all(os.path.exists(f"{hh}/batch={i}") for i in range(10))

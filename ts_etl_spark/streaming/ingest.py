@@ -471,6 +471,8 @@ def acquire_ingest_lease(
             doc = json.loads(read_text_file(spark, lease_path))
         except (ValueError, OSError):
             doc = {}  # torn/garbled lease file: treat as stale, take it
+        if not isinstance(doc, dict):
+            doc = {}  # valid JSON but not a lease record — same treatment
         held_by = doc.get("owner")
         age = now - float(doc.get("ts", 0.0))
         if held_by not in (None, owner) and age < ttl_s:
@@ -504,7 +506,7 @@ def release_ingest_lease(
         doc = json.loads(read_text_file(spark, lease_path))
     except (ValueError, OSError):
         return
-    if doc.get("owner") == owner:
+    if isinstance(doc, dict) and doc.get("owner") == owner:
         delete_dir(spark, lease_path)
 
 
@@ -651,12 +653,36 @@ def recover_state_compaction(spark: SparkSession, table_dir: str) -> None:
     staged = _compact_staging(table_dir)
     manifest = _compact_manifest(table_dir)
     if path_exists(spark, manifest):
-        names = json.loads(read_text_file(spark, manifest))["files"]
-        _apply_compact_manifest(spark, table_dir, names)
+        names = _read_manifest(spark, manifest)
+        if names is not None:
+            _apply_compact_manifest(spark, table_dir, names)
+        # a TORN manifest (None) means the PUT itself crashed, so the
+        # swap never started — live is authoritative either way
         delete_dir(spark, staged)
         delete_dir(spark, manifest)
     elif path_exists(spark, staged):
         delete_dir(spark, staged)  # pre-commit staging — live wins
+
+
+def _read_manifest(spark: SparkSession, manifest: str) -> list[str] | None:
+    """The manifest's file list, or None when the file is torn/garbled.
+    A single create+close is one atomic PUT on object stores, but a
+    POSIX crash mid-write can leave partial bytes; a torn manifest
+    proves the commit PUT never completed, so callers treat it exactly
+    like no manifest (live authoritative) instead of wedging every
+    subsequent recovery on a JSON error."""
+    import json
+
+    from ts_etl_spark.fs import read_text_file
+
+    try:
+        doc = json.loads(read_text_file(spark, manifest))
+        files = doc["files"]
+        if isinstance(files, list) and all(isinstance(f, str) for f in files):
+            return files
+    except (ValueError, KeyError, TypeError, OSError):
+        pass
+    return None
 
 
 def compact_state_table(
@@ -891,10 +917,14 @@ def recover_hh_rollup(spark: SparkSession, hh_path: str) -> None:
     staged = _compact_staging(rollup)
     manifest = _compact_manifest(rollup)
     if path_exists(spark, manifest):
-        doc = json.loads(read_text_file(spark, manifest))
-        _apply_compact_manifest(spark, rollup, doc["files"])
-        for name in doc.get("consumed", []):
-            delete_dir(spark, f"{hh_path}/{name}")
+        files = _read_manifest(spark, manifest)
+        if files is not None:
+            doc = json.loads(read_text_file(spark, manifest))
+            _apply_compact_manifest(spark, rollup, files)
+            for name in doc.get("consumed", []):
+                delete_dir(spark, f"{hh_path}/{name}")
+        # torn manifest: the commit PUT never completed — the victims
+        # are intact and the staging is discardable, same as no manifest
         delete_dir(spark, staged)
         delete_dir(spark, manifest)
     elif path_exists(spark, staged):
