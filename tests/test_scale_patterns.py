@@ -700,3 +700,48 @@ def test_pca_gate_row_evidence_and_rejection(spark, monkeypatch):
     monkeypatch.setattr(S, "pca_reduce", uncentered)
     _, _, _, _, recon_bad = S._pca_gate_row(vecs)
     assert not recon_bad, "reconstruction identity must catch the shift"
+
+
+def test_ann_after_pca_preserves_neighbors_on_lowrank_data(spark):
+    """The composition pca_reduce exists for: on data with spectral decay
+    (rank-5 + small noise, the regime real embeddings live in), project
+    to k=5 (12.8x smaller vectors) and run the SAME brute-force top-k in
+    projected space — the neighbor sets must essentially match the
+    full-space ranking (PCA preserves the dominant-variance geometry
+    that cosine ranks on). This is the end-to-end bridge proof; the
+    adoption gate (check explained variance first) is documented on the
+    operator and the near-isotropic synthetic corpus is the documented
+    counterexample."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    low = rng.normal(size=(400, 5)) @ rng.normal(size=(5, 64))
+    noisy = low + rng.normal(scale=1e-3, size=low.shape)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(noisy)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    projected, info = S.pca_reduce(df, 5)
+    assert sum(info["explained_variance"]) > 0.999  # the adoption gate
+
+    def topk(frame, col):
+        v = S.as_double(F.col(col))
+        vecs = frame.select(
+            "vec_id", v.alias("v"), S.norm(v).alias("nrm")
+        )
+        q = vecs.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        return {
+            (r.q_id, r.neighbor_id)
+            for r in S.brute_topk(vecs, q, top_k=5).collect()
+        }
+
+    full = topk(df, "embedding")
+    reduced = topk(projected.filter(F.col("proj").isNotNull()), "proj")
+    recall = len(full & reduced) / len(full)
+    assert recall >= 0.9, f"ANN-after-PCA neighbor recall collapsed: {recall}"
