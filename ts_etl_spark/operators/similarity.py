@@ -131,7 +131,18 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       6-digit rounding absorbs nothing (values are already identical) —
       the same argument as the classifier's bit-exact activation.
       Token-less / fully-cancelled documents embed NULL and emit no
-      rows (both sides)."""
+      rows (both sides).
+    - ``op='bm25'`` (round 12) — sparse lexical retrieval
+      (``operators.bm25.bm25_topk``): exact Okapi BM25 top-k over the
+      documents table for the fixed ``BM25_QUERIES`` set; ``q_id`` the
+      query id, ``neighbor_id`` the doc_id, ``cosine`` the 6-digit BM25
+      score, ``rn`` the rank. The keyword-side retrieval counterpart of
+      the dense arms — cross-engine bit equality via integer tf/df/dl,
+      shared-libm idf literals, a pinned IEEE expression tree, and an
+      ordered per-term fold (the full ladder in the bm25 module
+      docstring). The lexicon pass (N, avgdl, per-term df) is memoized
+      per (application, dataset) like the IVF frames."""
+    from ts_etl_spark.operators.bm25 import bm25_stats, bm25_topk
     from ts_etl_spark.operators.embedding import embed_documents
 
     vecs = _vectors(spark, sf_dir)
@@ -154,7 +165,17 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + 1).cast("int").alias("rn"),
         )
     )
-    return topk_arm.unionByName(embdoc_arm)
+    stats = _memo(
+        spark, sf_dir, "bm25_stats", lambda: bm25_stats(docs)
+    )
+    bm25_arm = bm25_topk(docs, stats=stats).select(
+        F.lit("bm25").alias("op"),
+        "q_id",
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("score").alias("cosine"),
+        "rn",
+    )
+    return topk_arm.unionByName(embdoc_arm).unionByName(bm25_arm)
 
 
 def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,6 +1162,10 @@ _EMB_BUCKET_SQL = (
     "(" + _emb_fold_sql("substr(md5('emb#' || w), 1, 8)") + f") % {_EMB_DIM}"
 )
 
+from ts_etl_spark.operators.bm25 import bm25_oracle_sql as _bm25_oracle_sql  # noqa: E402
+
+_BM25_SQL = _bm25_oracle_sql()
+
 
 QUERIES = {
     "embed_topk": q_embed_topk,
@@ -1209,6 +1234,13 @@ ORACLE = {
                CAST(bucket AS BIGINT) AS neighbor_id,
                round(x, 6) AS cosine, CAST(bucket + 1 AS INT) AS rn
         FROM emb_vals
+        UNION ALL
+        -- bm25 arm: the sparse-retrieval twin (operators/bm25.py builds
+        -- this subquery from the SAME Python constants the Spark plan
+        -- uses — see its module docstring's exactness ladder)
+        SELECT 'bm25' AS op, q_id, doc_id AS neighbor_id,
+               score AS cosine, rn
+        FROM ({_BM25_SQL})
     """,
     "embed_neardup_label": f"""
         WITH v AS (
