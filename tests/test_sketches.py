@@ -274,3 +274,144 @@ def test_grouped_estimate_matches_global_estimator_math(spark):
         ).first().estimate
         assert est == pytest.approx(ref, rel=1e-12), flag
         assert abs(est - exact[flag]) <= exact[flag] * 0.15, (flag, est, exact[flag])
+
+
+# --------------------------------------------------------------------------
+# HDR histogram (round 12): the mergeable quantile sketch
+# --------------------------------------------------------------------------
+
+
+def test_hdr_index_lower_width_invariants(spark):
+    """Exhaustive structural check over a dense small range plus probes
+    around every power of two up to 2^40: indexes are contiguous-ish and
+    monotone, lower(index(v)) <= v < lower+width, width/lower <= 2^-s,
+    and small values are EXACT (their own bucket)."""
+    from ts_etl_spark.operators.sketches import (
+        HDR_S,
+        hdr_lower,
+        hdr_width,
+        _hdr_index,
+    )
+
+    probes = list(range(0, 5000))
+    for e in range(13, 41):
+        probes += [2**e - 1, 2**e, 2**e + 1, 2**e + 3 * 2 ** (e - 2)]
+    df = spark.createDataFrame([(v,) for v in probes], "v long")
+    rows = df.select(
+        "v",
+        _hdr_index(F.col("v"), HDR_S).alias("b"),
+        hdr_lower(_hdr_index(F.col("v"), HDR_S)).alias("lo"),
+        hdr_width(_hdr_index(F.col("v"), HDR_S)).alias("w"),
+    ).collect()
+    for r in rows:
+        assert r.lo <= r.v < r.lo + r.w, (r.v, r.b, r.lo, r.w)
+        if r.v < 2 ** (HDR_S + 1):
+            assert r.b == r.v and r.w == 1
+        else:
+            assert r.w <= r.lo * 2**-HDR_S, (r.v, r.lo, r.w)
+    # monotone: v1 <= v2 => index(v1) <= index(v2)
+    by_v = sorted((r.v, r.b) for r in rows)
+    for (v1, b1), (v2, b2) in zip(by_v, by_v[1:]):
+        assert b1 <= b2, (v1, b1, v2, b2)
+
+
+def test_hdr_registers_match_duckdb_and_merge_law(spark):
+    from ts_etl_spark.operators.sketches import (
+        hdr_merge,
+        hdr_registers,
+        hdr_registers_sql,
+    )
+
+    li = _lineitem(spark)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    src = li.select(cents.alias("cents"))
+    got = sorted((r.bucket, r.n) for r in hdr_registers(src, "cents").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS cents FROM"
+        " parquet_scan('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    exp = sorted(
+        (int(b), int(n))
+        for b, n in con.execute(hdr_registers_sql("t", "cents")).fetchall()
+    )
+    assert got == exp
+    # merge law: element-wise SUM of disjoint splits == full recompute
+    parts = [
+        hdr_registers(
+            li.filter(F.col("l_orderkey") % 3 == i).select(cents.alias("cents")),
+            "cents",
+        )
+        for i in range(3)
+    ]
+    merged = sorted((r.bucket, r.n) for r in hdr_merge(*parts).collect())
+    assert merged == got
+
+
+def test_hdr_quantile_estimates_bound_and_sql_parity(spark):
+    """Every estimate is the lower bound of the bucket holding the
+    ceil(phi*n)-th smallest value: est <= truth < est * (1 + 2^-s) + 1,
+    and the DuckDB walk returns the identical integers."""
+    import math
+
+    from ts_etl_spark.operators.sketches import (
+        HDR_PHIS,
+        HDR_S,
+        hdr_estimates_sql,
+        hdr_quantile_estimates,
+        hdr_registers,
+        hdr_registers_sql,
+    )
+
+    li = _lineitem(spark)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    regs = hdr_registers(li.select(cents.alias("cents")), "cents")
+    got = {r.phi: r.estimate for r in hdr_quantile_estimates(regs).collect()}
+    vals = sorted(
+        r.cents for r in li.select(cents.alias("cents")).collect()
+    )
+    n = len(vals)
+    for phi in HDR_PHIS:
+        truth = vals[max(int(math.ceil(phi * n)), 1) - 1]
+        est = got[phi]
+        assert est <= truth <= est * (1 + 2**-HDR_S) + 1, (phi, est, truth)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW t AS SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+        " * 100 AS BIGINT) AS cents FROM"
+        " parquet_scan('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    con.execute("CREATE VIEW hreg AS " + hdr_registers_sql("t", "cents"))
+    exp = {
+        float(p): int(e)
+        for p, e in con.execute(hdr_estimates_sql("hreg")).fetchall()
+    }
+    assert got == exp
+
+
+def test_hdr_negative_values_raise_and_nulls_excluded(spark):
+    from ts_etl_spark.operators.sketches import hdr_registers
+
+    bad = spark.createDataFrame([(5,), (-1,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        hdr_registers(bad, "v").collect()
+    withnull = spark.createDataFrame([(5,), (None,), (17,)], "v long")
+    regs = sorted((r.bucket, r.n) for r in hdr_registers(withnull, "v").collect())
+    assert regs == [(5, 1), (17, 1)]  # small values are their own bucket
+
+
+def test_hdr_register_plan_is_partial_aggregated(spark):
+    """Same 100 TB discipline as HLL/CM: one narrow projection + one
+    partial-aggregated groupBy — a single exchange carrying at most one
+    row per occupied bucket per task."""
+    from ts_etl_spark.plans.audit import num_exchanges
+
+    from ts_etl_spark.operators.sketches import hdr_registers
+
+    li = _lineitem(spark)
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    regs = hdr_registers(li.select(cents.alias("cents")), "cents")
+    assert num_exchanges(regs) == 1
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 2  # partial + final

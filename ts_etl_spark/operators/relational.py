@@ -1053,6 +1053,18 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     three probe keys and the absent key 999999999, each also gated on the
     CM theorem pair (estimate ≥ true count always; overshoot ≤ e·N/width).
 
+    Round 12 completes the mergeable-sketch triple with the RANK dual:
+    HDR-histogram quantile registers over l_extendedprice cents
+    (``hdr_<bucket>`` rows, exact-value-matched — the bucket index is
+    pure integer/dyadic arithmetic, no libm log, so DuckDB reproduces
+    every bucket bit-for-bit), quantile estimates for five probes
+    (``hdr_est_q25..q99``, ALSO exact-value-matched: the rank walk is
+    all-integer), the HDR error guarantee gated against the exact
+    interpolated percentiles (``hdr_q25_ok..q99_ok``), and the merge
+    law — registers of disjoint halves element-wise-summed equal the
+    full table — as ``hdr_merge_ok`` (the monoid incremental ingest
+    needs, the HLL/count-min discipline with SUM instead of MAX).
+
     Scan economics: the expensive one-row aggregate and both sketch
     register tables are BOUNDED results (1 row / ≤256 / ≤1024), so they
     materialize through the driver once and every downstream row kind
@@ -1065,12 +1077,18 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         CM_WIDTH,
         cm_estimate,
         cm_registers,
+        hdr_merge,
+        hdr_quantile_estimates,
+        hdr_registers,
         hll_estimate,
         hll_registers,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    pct = F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9, 0.99)]),
+    )
     apct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
     )
@@ -1085,6 +1103,8 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(0).alias("p25"),
         pct.getItem(1).alias("p50"),
         pct.getItem(2).alias("p75"),
+        pct.getItem(3).alias("p90"),
+        pct.getItem(4).alias("p99"),
         apct.getItem(0).alias("ap25"),
         apct.getItem(1).alias("ap50"),
         apct.getItem(2).alias("ap75"),
@@ -1115,6 +1135,8 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p25",
             "p50",
             "p75",
+            "p90",
+            "p99",
             "distinct_parts",
             "distinct_suppliers",
             "distinct_orders",
@@ -1197,12 +1219,77 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ok"),
     )
+    # hdr arm (round 12): the mergeable QUANTILE sketch completing the
+    # sketch triple (HLL = distinct, count-min = frequency, HDR = rank).
+    # Pure integer/dyadic bucket arithmetic means FULL value parity —
+    # every register row and every quantile estimate hash-matches the
+    # oracle, not just a tolerance boolean (see sketches._hdr_index).
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    hdr_full = spark.createDataFrame(
+        hdr_registers(li.select(cents.alias("cents")), "cents").collect(),
+        "bucket INT, n BIGINT",
+    )
+    hdr_reg_rows = hdr_full.select(
+        F.concat(
+            F.lit("hdr_"), F.lpad(F.col("bucket").cast("string"), 3, "0")
+        ).alias("metric"),
+        F.col("n").cast("double").alias("value"),
+        F.lit(True).alias("ok"),
+    )
+    ests = {
+        round(r["phi"] * 100): r["estimate"]
+        for r in hdr_quantile_estimates(hdr_full).collect()
+    }
+    # estimate rows carry exact value parity; the _ok rows gate the HDR
+    # guarantee against the independently exact interpolated percentile
+    # (both engines already hash-match p25..p99, so the booleans agree):
+    # the bucket bound is 2^-s = 6.25%; 0.15 adds the cont-vs-disc rank
+    # definition gap plus headroom, same discipline as hll_estimate_ok
+    hdr_est_rows = [
+        (f"hdr_est_q{tag}", float(ests[tag]), True) for tag in sorted(ests)
+    ]
+    hdr_ok_rows = [
+        (
+            f"hdr_q{tag}_ok",
+            None,
+            bool(abs(ests[tag] / 100.0 - arow[p]) <= arow[p] * 0.15),
+        )
+        for tag, p in ((25, "p25"), (50, "p50"), (75, "p75"),
+                       (90, "p90"), (99, "p99"))
+    ]
+    # merge law gate: registers of disjoint halves, hdr_merge'd, must
+    # equal the full table EXACTLY (the monoid the incremental-ingest
+    # path relies on) — a full-outer compare folded to one boolean row
+    even = hdr_registers(
+        li.filter(F.col("l_orderkey") % 2 == 0).select(cents.alias("cents")),
+        "cents",
+    )
+    odd = hdr_registers(
+        li.filter(F.col("l_orderkey") % 2 == 1).select(cents.alias("cents")),
+        "cents",
+    )
+    merged = hdr_merge(even, odd)
+    mismatches = (
+        merged.join(hdr_full.withColumnRenamed("n", "n_full"), "bucket", "full")
+        .filter(
+            F.col("n").isNull()
+            | F.col("n_full").isNull()
+            | (F.col("n") != F.col("n_full"))
+        )
+        .count()
+    )
+    hdr_merge_row = [("hdr_merge_ok", None, mismatches == 0)]
+    hdr_local = spark.createDataFrame(
+        hdr_est_rows + hdr_ok_rows + hdr_merge_row, schema
+    )
     return (
         long.unionByName(deciles)
         .unionByName(reg_rows)
         .unionByName(est_row)
         .unionByName(cm_rows)
         .unionByName(cm_est_rows)
+        .unionByName(hdr_reg_rows)
+        .unionByName(hdr_local)
     )
 
 
@@ -1722,6 +1809,8 @@ ORACLE = {
             SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
                    quantile_cont(l_extendedprice, 0.50) AS p50,
                    quantile_cont(l_extendedprice, 0.75) AS p75,
+                   quantile_cont(l_extendedprice, 0.90) AS p90,
+                   quantile_cont(l_extendedprice, 0.99) AS p99,
                    CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) AS distinct_parts,
                    CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) AS distinct_suppliers,
                    CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS distinct_orders
@@ -1729,16 +1818,30 @@ ORACLE = {
         ),
         cmreg AS ("""
     + _sketches.cm_registers_sql("lineitem", "l_partkey")
+    + """),
+        hreg AS ("""
+    + _sketches.hdr_registers_sql(
+        "(SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " AS cents FROM lineitem)",
+        "cents",
+    )
+    + """),
+        hest AS ("""
+    + _sketches.hdr_estimates_sql("hreg")
     + """)
         SELECT 'p25' AS metric, p25 AS value, TRUE AS ok FROM agg
         UNION ALL SELECT 'p50', p50, TRUE FROM agg
         UNION ALL SELECT 'p75', p75, TRUE FROM agg
+        UNION ALL SELECT 'p90', p90, TRUE FROM agg
+        UNION ALL SELECT 'p99', p99, TRUE FROM agg
         UNION ALL SELECT 'distinct_parts', distinct_parts, TRUE FROM agg
         UNION ALL SELECT 'distinct_suppliers', distinct_suppliers, TRUE FROM agg
         UNION ALL SELECT 'distinct_orders', distinct_orders, TRUE FROM agg
         UNION ALL SELECT k, CAST(NULL AS DOUBLE), TRUE
         FROM (VALUES ('ap25_ok'), ('ap50_ok'), ('ap75_ok'),
-                     ('adp_ok'), ('ads_ok'), ('ado_ok')) t(k)
+                     ('adp_ok'), ('ads_ok'), ('ado_ok'),
+                     ('hdr_q25_ok'), ('hdr_q50_ok'), ('hdr_q75_ok'),
+                     ('hdr_q90_ok'), ('hdr_q99_ok'), ('hdr_merge_ok')) t(k)
         UNION ALL
         SELECT 'decile_' || lpad(CAST(range AS VARCHAR), 2, '0'),
                CAST(NULL AS DOUBLE), TRUE
@@ -1760,6 +1863,20 @@ ORACLE = {
                CAST({_sketches.cm_estimate_sql("cmreg", str(k))} AS DOUBLE), TRUE
         """
         for k in _CM_PROBE_KEYS
+    )
+    + """
+        UNION ALL
+        SELECT 'hdr_' || lpad(CAST(bucket AS VARCHAR), 3, '0'),
+               CAST(n AS DOUBLE), TRUE
+        FROM hreg
+        """
+    + "".join(
+        f"""
+        UNION ALL SELECT 'hdr_est_q{round(p * 100)}',
+               CAST((SELECT estimate FROM hest WHERE phi = {p!r}) AS DOUBLE),
+               TRUE
+        """
+        for p in _sketches.HDR_PHIS
     ),
 }
 

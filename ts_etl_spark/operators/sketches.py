@@ -326,3 +326,190 @@ def hll_estimate_by(
         .otherwise(raw)
         .alias("estimate"),
     )
+
+# --------------------------------------------------------------------------
+# HDR histogram: mergeable QUANTILE state (the ranking dual of HLL/count-min)
+# --------------------------------------------------------------------------
+
+#: sub-bucket bits: bucket width / bucket lower bound <= 2^-s (6.25%),
+#: and values below 2^(s+1) = 32 land in their own EXACT bucket
+HDR_S = 4
+
+#: the quantile probes the gated arm estimates and bounds
+HDR_PHIS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _pow2(e: Column) -> Column:
+    """2^e as an exact double (IEEE exponent arithmetic — no rounding
+    for any e in the histogram's range)."""
+    return F.pow(F.lit(2.0), e.cast("double"))
+
+
+def _hdr_index(v: Column, s: int) -> Column:
+    """Linear-log HDR bucket index for a non-negative integer value —
+    pure integer/dyadic arithmetic ON PURPOSE (HdrHistogram, Gil Tene:
+    exponent + top mantissa bits; log-spaced buckets WITHOUT a libm
+    log, so DuckDB reproduces every bucket bit-for-bit, unlike a
+    DDSketch-style ``ceil(ln x / ln γ)`` whose boundary values can flip
+    on a 1-ulp log difference):
+
+    - ``v < 2^(s+1)``: index = v (small values are EXACT);
+    - else, with ``bl`` the bit length of v (length of its binary
+      string — no log), the top s+1 bits offset to stay contiguous:
+      ``(bl-1-s)·2^s + floor(v / 2^(bl-1-s))``.
+
+    The shift is a division by a power of two — exact in binary64 for
+    any v < 2^53 — clamped to ≥ 0 because a vectorized CASE may
+    evaluate this branch on small-value lanes."""
+    bl = F.length(F.bin(v)).cast("int")
+    shift = F.greatest(bl - F.lit(1 + s), F.lit(0))
+    big = (bl - F.lit(1 + s)) * F.lit(1 << s) + F.floor(
+        v.cast("double") / _pow2(shift)
+    ).cast("int")
+    return F.when(v < F.lit(1 << (s + 1)), v.cast("int")).otherwise(
+        big.cast("int")
+    )
+
+
+def hdr_lower(bucket: Column, s: int = HDR_S) -> Column:
+    """Inclusive lower bound (the reported representative) of an HDR
+    bucket — the inverse of ``_hdr_index``: small buckets are their own
+    value; otherwise level = bucket div 2^s − 1 and the mantissa bits
+    shift back up: ``(2^s + bucket mod 2^s) · 2^level``."""
+    level = (bucket / F.lit(1 << s)).cast("int") - F.lit(1)
+    mant = F.lit(1 << s) + bucket % F.lit(1 << s)
+    return (
+        F.when(bucket < F.lit(1 << (s + 1)), bucket.cast("long"))
+        .otherwise((mant.cast("double") * _pow2(level)).cast("long"))
+    )
+
+
+def hdr_width(bucket: Column, s: int = HDR_S) -> Column:
+    """Bucket width (exclusive upper − inclusive lower): 1 for exact
+    small buckets, else 2^level. width / lower ≤ 2^-s everywhere."""
+    level = (bucket / F.lit(1 << s)).cast("int") - F.lit(1)
+    return (
+        F.when(bucket < F.lit(1 << (s + 1)), F.lit(1).cast("long"))
+        .otherwise(_pow2(level).cast("long"))
+    )
+
+
+def hdr_registers(df: DataFrame, col: str, s: int = HDR_S) -> DataFrame:
+    """The HDR register table for a NON-NEGATIVE integer column: one row
+    per occupied bucket, ``(bucket: int, n: bigint)`` — at most
+    ``(64-s)·2^s`` rows ever (s=4: ≤ 960; a 24-bit value domain: ≤ 336).
+    One narrow projection + one partial-aggregated groupBy, the same
+    100 TB shape as ``hll_registers``; negative values are a domain
+    error (raise where a real pipeline would route to quarantine)."""
+    if not 1 <= s <= 8:
+        raise ValueError("s must be in [1, 8]")
+    v = F.col(col).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .select(
+            F.when(v < 0, F.raise_error(F.lit(f"hdr_registers: negative {col}")))
+            .otherwise(_hdr_index(v, s))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hdr_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables (element-wise SUM) — the histogram of a
+    UNION of datasets. Persist yesterday's ≤960-row table, merge each
+    batch's registers, never re-scan history (the HLL/count-min law,
+    with SUM as the monoid)."""
+    it = iter(register_tables)
+    merged = next(it)
+    for regs in it:
+        merged = merged.unionByName(regs)
+    return merged.groupBy("bucket").agg(F.sum("n").alias("n"))
+
+
+def hdr_quantile_estimates(
+    registers: DataFrame, phis: tuple = HDR_PHIS, s: int = HDR_S
+) -> DataFrame:
+    """Quantile estimates from a register table: for each φ, the lower
+    bound of the bucket containing the ⌈φ·n⌉-th smallest value —
+    ``(phi: double, estimate: long)``. The true φ-quantile lies in that
+    same bucket, so the estimate's relative error is ≤ the bucket's
+    width/lower ≤ 2^-s. All-integer rank walk (cumulative sums of exact
+    counts; ⌈φ·n⌉ is the same IEEE multiply in any engine), so the
+    estimates carry full cross-engine value parity. The register table
+    is bounded (≤960 rows) — the window sort is local-relation work."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = registers.select(
+        "bucket", F.sum("n").over(w).alias("cum"), F.lit(1).alias("__j")
+    )
+    total = registers.agg(F.sum("n").alias("total"), F.lit(1).alias("__j"))
+    phi_rows = None
+    spark = registers.sparkSession
+    phi_df = spark.createDataFrame(
+        [(float(p),) for p in phis], "phi double"
+    ).withColumn("__j", F.lit(1))
+    k = F.ceil(F.col("phi") * F.col("total").cast("double")).cast("long")
+    phi_rows = phi_df.join(total, "__j").select(
+        "phi", F.greatest(k, F.lit(1)).alias("k")
+    )
+    hit = phi_rows.join(cum, F.col("cum") >= F.col("k")).groupBy("phi").agg(
+        F.min("bucket").alias("bucket")
+    )
+    return hit.select(
+        "phi", hdr_lower(F.col("bucket"), s).alias("estimate")
+    ).orderBy("phi")
+
+
+#: DuckDB mirror of ``_hdr_index`` as a SQL expression template over a
+#: value expression {v} (keep in lockstep with _hdr_index / hdr_lower)
+def hdr_index_sql(v: str, s: int = HDR_S) -> str:
+    bl = f"length(bin(CAST({v} AS BIGINT)))"
+    shift = f"greatest({bl} - {1 + s}, 0)"
+    return f"""
+        CASE WHEN CAST({v} AS BIGINT) < {1 << (s + 1)} THEN CAST({v} AS INT)
+             ELSE CAST(({bl} - {1 + s}) * {1 << s}
+                  + CAST(FLOOR(CAST({v} AS DOUBLE) / POWER(2.0, {shift})) AS INT) AS INT)
+        END"""
+
+
+def hdr_lower_sql(bucket: str, s: int = HDR_S) -> str:
+    # `//` (floor division), NOT `/` + CAST: DuckDB casts double→int by
+    # ROUNDING where Spark truncates — bucket 152 / 16 = 9.5 must floor
+    level = f"(CAST({bucket} AS BIGINT) // {1 << s} - 1)"
+    mant = f"({1 << s} + {bucket} % {1 << s})"
+    return f"""
+        CASE WHEN {bucket} < {1 << (s + 1)} THEN CAST({bucket} AS BIGINT)
+             ELSE CAST(CAST({mant} AS DOUBLE) * POWER(2.0, {level}) AS BIGINT)
+        END"""
+
+
+def hdr_registers_sql(table: str, v: str, s: int = HDR_S) -> str:
+    """DuckDB mirror of ``hdr_registers`` over value expression ``v``
+    (oracle side of the exact cross-engine bucket parity claim)."""
+    return f"""
+        SELECT ({hdr_index_sql(v, s)}) AS bucket, COUNT(*) AS n
+        FROM {table} WHERE {v} IS NOT NULL
+        GROUP BY 1
+    """
+
+
+def hdr_estimates_sql(registers_cte: str, phis: tuple = HDR_PHIS, s: int = HDR_S) -> str:
+    """DuckDB mirror of ``hdr_quantile_estimates`` over a register CTE."""
+    values = ", ".join(f"({p!r})" for p in phis)
+    return f"""
+        SELECT phi, ({hdr_lower_sql("bucket", s)}) AS estimate
+        FROM (
+            SELECT p.phi, MIN(c.bucket) AS bucket
+            FROM (SELECT phi FROM (VALUES {values}) t(phi)) p
+            JOIN (SELECT bucket,
+                         SUM(n) OVER (ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM {registers_cte}) c
+              ON c.cum >= greatest(CAST(ceil(p.phi * (SELECT CAST(SUM(n) AS DOUBLE)
+                                                      FROM {registers_cte})) AS BIGINT), 1)
+            GROUP BY p.phi
+        )
+    """
