@@ -389,6 +389,7 @@ def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
         sem_index_path=str(tmp_path / "idx"),
         sem_cents_path=str(tmp_path / "cents"),
         sem_threshold=0.8,
+        len_hdr_path=str(tmp_path / "lenhdr"),
         spark=spark,
     )
     corpus = sorted(
@@ -396,6 +397,16 @@ def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
     )
     assert corpus == [1, 2, 11], "bag-of-words paraphrase 10 dropped cross-batch"
     assert out == {"corpus_docs": 3}
+    # the length-quantile telemetry rode along: median of the three kept
+    # docs' lengths, within the sketch's bound, from state alone
+    from ts_etl_spark.streaming.ingest import corpus_length_quantiles
+
+    qs = corpus_length_quantiles(spark, str(tmp_path / "lenhdr"))
+    lens = sorted(
+        len(r.text)
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    )
+    assert qs and qs[0.5] <= lens[1] <= qs[0.5] * (1 + 2**-4) + 1
 
 
 def test_cli_ingest_with_substring_gate(spark, tmp_path):
@@ -513,3 +524,96 @@ def test_legacy_positional_config_raises_clear_typeerror(spark, tmp_path):
         )
     ingest_batch(spark, batch, str(tmp_path / "c4"), threshold=0.8)
     assert spark.read.parquet(str(tmp_path / "c4")).count() == 1
+
+
+def test_length_histogram_accumulates_and_reads_quantiles(spark, tmp_path):
+    """The persisted HDR length histogram after N batches equals the
+    registers of the FINAL corpus's lengths (only kept docs fold in),
+    and the quantile read satisfies the sketch's relative-error bound
+    without any corpus scan."""
+    import math
+
+    from ts_etl_spark.operators.sketches import HDR_S, hdr_registers
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        corpus_length_quantiles,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    hdr_path = str(tmp_path / "lenhdr")
+    cfg = IngestConfig(len_hdr_path=hdr_path)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(3, BASE), (4, NOVEL + " extended with more words")],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=0)
+    ingest_batch(spark, b2, corpus_path, cfg, batch_id=1)
+    corpus = spark.read.parquet(corpus_path)
+    expected = sorted(
+        (r.bucket, r.n)
+        for r in hdr_registers(
+            corpus.select(F.length("text").alias("len")), "len"
+        ).collect()
+    )
+    from ts_etl_spark.streaming.ingest import _latest_len_hdr
+
+    regs, gen, last_bid = _latest_len_hdr(spark, hdr_path)
+    got = sorted((r.bucket, r.n) for r in regs.collect())
+    assert got == expected
+    assert last_bid == 1
+    qs = corpus_length_quantiles(spark, hdr_path)
+    lens = sorted(len(r.text) for r in corpus.collect())
+    for phi, est in qs.items():
+        truth = lens[max(int(math.ceil(phi * len(lens))), 1) - 1]
+        assert est <= truth <= est * (1 + 2**-HDR_S) + 1, (phi, est, truth)
+    # empty path reads as no data, not an error
+    assert corpus_length_quantiles(spark, str(tmp_path / "nope")) == {}
+
+
+def test_length_histogram_replay_rebases_not_double_counts(spark, tmp_path):
+    """SUM-merge is not idempotent, so the replay contract is carried by
+    the batch-id rebase: re-running update_length_histogram under the
+    SAME batch_id (the Structured Streaming crash-replay shape) must
+    leave the registers exactly as a single run would."""
+    from ts_etl_spark.streaming.ingest import (
+        _latest_len_hdr,
+        update_length_histogram,
+    )
+
+    hdr_path = str(tmp_path / "lenhdr")
+    b0 = spark.createDataFrame([(1, "a" * 40), (2, "b" * 100)], "doc_id LONG, text STRING")
+    b1 = spark.createDataFrame([(3, "c" * 700)], "doc_id LONG, text STRING")
+    update_length_histogram(spark, b0, hdr_path, batch_id=0)
+    update_length_histogram(spark, b1, hdr_path, batch_id=1)
+    once = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, hdr_path)[0].collect()
+    )
+    # crash replay: batch 1 runs again under the same id — twice
+    update_length_histogram(spark, b1, hdr_path, batch_id=1)
+    update_length_histogram(spark, b1, hdr_path, batch_id=1)
+    again = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, hdr_path)[0].collect()
+    )
+    assert again == once
+    # and a replay of the FIRST batch into a fresh table (no previous
+    # generation) rebases on empty
+    fresh = str(tmp_path / "lenhdr2")
+    update_length_histogram(spark, b0, fresh, batch_id=0)
+    update_length_histogram(spark, b0, fresh, batch_id=0)
+    first = sorted(
+        (r.bucket, r.n) for r in _latest_len_hdr(spark, fresh)[0].collect()
+    )
+    b0_only = sorted(
+        (r.bucket, r.n)
+        for r in __import__(
+            "ts_etl_spark.operators.sketches", fromlist=["hdr_registers"]
+        ).hdr_registers(
+            b0.select(F.length("text").alias("len")), "len"
+        ).collect()
+    )
+    assert first == b0_only

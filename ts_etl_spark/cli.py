@@ -902,6 +902,7 @@ def run_ingest(
     threshold: float | None = None,
     max_files: int | None = 1,
     stats_path: str | None = None,
+    len_hdr_path: str | None = None,
     drift_path: str | None = None,
     hh_path: str | None = None,
     sem_index_path: str | None = None,
@@ -945,6 +946,7 @@ def run_ingest(
                     threshold if threshold is not None else JACCARD_THRESHOLD
                 ),
                 stats_path=stats_path,
+                len_hdr_path=len_hdr_path,
                 drift_path=drift_path,
                 hh_path=hh_path,
                 sem_index_path=sem_index_path,
@@ -1008,6 +1010,10 @@ def _ingest_main(argv: list[str]) -> int:
         help="files per micro-batch (default 1; 0 = unbounded)",
     )
     parser.add_argument("--stats", help="corpus-stats sketch path")
+    parser.add_argument(
+        "--len-hdr",
+        help="corpus length-histogram path (HDR quantile telemetry)",
+    )
     parser.add_argument("--drift", help="per-batch PSI drift log path")
     parser.add_argument("--hh", help="attempt heavy-hitter register path")
     parser.add_argument(
@@ -1053,6 +1059,7 @@ def _ingest_main(argv: list[str]) -> int:
             threshold=args.threshold,
             max_files=args.max_files if args.max_files != 0 else None,
             stats_path=args.stats,
+            len_hdr_path=args.len_hdr,
             drift_path=args.drift,
             hh_path=args.hh,
             sem_index_path=args.sem_index,

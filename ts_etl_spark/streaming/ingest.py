@@ -53,8 +53,12 @@ from ts_etl_spark.operators.dedup import (
 )
 from ts_etl_spark.operators.drift import psi_drift
 from ts_etl_spark.operators.sketches import (
+    HDR_PHIS,
     cm_estimate,
     cm_registers,
+    hdr_merge,
+    hdr_quantile_estimates,
+    hdr_registers,
     hll_estimate,
     hll_merge,
     hll_registers,
@@ -63,6 +67,11 @@ from ts_etl_spark.operators.sketches import (
 DOCS_SCHEMA = "doc_id LONG, text STRING"
 
 STATS_SCHEMA = "bucket STRING, rho INT"
+
+#: persisted HDR length-histogram generation: registers + the batch id
+#: that produced the generation (constant per generation — the replay
+#: detector for the SUM-merge, see update_length_histogram)
+LEN_HDR_SCHEMA = "bucket INT, n BIGINT, batch_id BIGINT"
 
 #: materialized semantic index: every KEPT document's embedding with its
 #: 1-assign cell — appended per ingest, never recomputed from the corpus
@@ -1230,6 +1239,113 @@ def corpus_distinct_estimate(spark: SparkSession, stats_path: str) -> float:
     return float(hll_estimate(spark, regs).first().estimate)
 
 
+def _latest_len_hdr(
+    spark: SparkSession, hdr_path: str
+) -> tuple[DataFrame | None, int, int | None]:
+    """Latest committed length-histogram generation: ``(registers,
+    generation, batch_id)`` — same ``v<N>``/_SUCCESS discipline as the
+    stats sketch (``_stats_generations`` is path-generic)."""
+    gens = _stats_generations(spark, hdr_path)
+    if not gens:
+        return None, 0, None
+    latest = gens[-1]
+    regs = spark.read.schema(LEN_HDR_SCHEMA).parquet(f"{hdr_path}/v{latest}")
+    first = regs.select("batch_id").first()
+    return regs, latest, (None if first is None else int(first.batch_id))
+
+
+def update_length_histogram(
+    spark: SparkSession, new_docs: DataFrame, hdr_path: str, batch_id: int
+) -> None:
+    """Fold the batch's document-length HDR registers into the persisted
+    corpus-lifetime length histogram at ``hdr_path`` — distribution
+    telemetry (quantiles via ``corpus_length_quantiles``) that never
+    re-scans history: ≤960 register rows per generation, SUM-merged.
+
+    Same generationed ``v<N>``/_SUCCESS crash discipline as
+    ``update_corpus_stats``, with one extra obligation the HLL table
+    does not have: SUM-merge is NOT idempotent (re-merging a replayed
+    batch double-counts where max-merge no-ops), so each generation
+    records the ``batch_id`` that produced it and the merge BASE is
+    always the newest committed generation with a DIFFERENT batch_id —
+    a replay under the same batch_id (exactly what Structured Streaming
+    does after a crash between this write and the corpus append)
+    therefore re-derives the identical registers no matter how many
+    times it runs. "Previous generation" would NOT suffice as the base:
+    after one rebase-rewrite the previous generation also contains the
+    replayed batch, so a second replay would double-count — the naive
+    protocol the first version of this function shipped with and its
+    test caught. The prune correspondingly keeps the BASE generation
+    (the last state not containing this batch), not merely the
+    numerically previous one; replays are sequential under the
+    single-writer lease, so one foreign-batch recovery point is always
+    enough."""
+    batch_regs = hdr_registers(
+        new_docs.select(F.length("text").alias("len")), "len"
+    )
+    gens = _stats_generations(spark, hdr_path)
+    latest = gens[-1] if gens else 0
+
+    def _bid(gen: int) -> int | None:
+        row = (
+            spark.read.schema(LEN_HDR_SCHEMA)
+            .parquet(f"{hdr_path}/v{gen}")
+            .select("batch_id")
+            .first()
+        )
+        return None if row is None else int(row.batch_id)
+
+    # newest committed generation NOT produced by this batch_id (the
+    # pruned table holds at most two generations, so at most two reads)
+    base_gen = next(
+        (g for g in reversed(gens) if _bid(g) != int(batch_id)), None
+    )
+    base = (
+        spark.read.schema(LEN_HDR_SCHEMA)
+        .parquet(f"{hdr_path}/v{base_gen}")
+        .select("bucket", "n")
+        if base_gen is not None
+        else None
+    )
+    merged = batch_regs if base is None else hdr_merge(base, batch_regs)
+    rows = merged.withColumn(
+        "batch_id", F.lit(int(batch_id)).cast("long")
+    ).collect()  # <= 960 rows by construction (see hdr_registers)
+    spark.createDataFrame(rows, LEN_HDR_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{hdr_path}/v{latest + 1}")
+    # prune: keep the just-committed generation and its BASE (the
+    # replay recovery point); drop every other generation and any torn
+    # (uncommitted) directory — safe under the single-writer assumption
+    # since the only in-flight write (ours) just committed
+    committed = set(_stats_generations(spark, hdr_path))
+    for name in list_subdirs(spark, hdr_path):
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        n = int(name[1:])
+        if n == latest + 1 or n == base_gen:
+            continue
+        if n not in committed or n <= latest:
+            delete_dir(spark, f"{hdr_path}/v{n}")
+
+
+def corpus_length_quantiles(
+    spark: SparkSession, hdr_path: str, phis: tuple = HDR_PHIS
+) -> dict[float, int]:
+    """Corpus-lifetime document-length quantile estimates (relative
+    error ≤ 2^-HDR_S) from the persisted histogram alone — no corpus
+    scan, the distribution-drift dashboard read."""
+    regs, _, _ = _latest_len_hdr(spark, hdr_path)
+    if regs is None:
+        return {}
+    return {
+        float(r.phi): int(r.estimate)
+        for r in hdr_quantile_estimates(
+            regs.select("bucket", "n"), phis
+        ).collect()
+    }
+
+
 def monitor_batch_drift(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1338,6 +1454,10 @@ class IngestConfig:
     - ``threshold`` — near-dup Jaccard threshold for the MinHash layer.
     - ``stats_path`` — fold the batch's fingerprint registers into the
       corpus-stats sketch (distinct-document telemetry per ingest).
+    - ``len_hdr_path`` — fold the batch's document-length HDR registers
+      into the corpus-lifetime length histogram (quantile telemetry via
+      ``corpus_length_quantiles``; replay-safe via per-generation
+      batch-id rebase — see ``update_length_histogram``).
     - ``drift_path`` — record the batch's PSI against the corpus-so-far
       (``monitor_batch_drift``).
     - ``hh_path`` — attempt heavy-hitter registers (pre-gate by design:
@@ -1369,6 +1489,7 @@ class IngestConfig:
 
     threshold: float = JACCARD_THRESHOLD
     stats_path: str | None = None
+    len_hdr_path: str | None = None
     drift_path: str | None = None
     hh_path: str | None = None
     sem_index_path: str | None = None
@@ -1728,6 +1849,13 @@ def ingest_batch(
         # fingerprint-idempotent corpus append).
         if stats_path is not None:
             update_corpus_stats(spark, kept, stats_path)
+        if config.len_hdr_path is not None:
+            # same before-append reasoning as the stats sketch; replay
+            # safety comes from the batch-id rebase, not merge
+            # idempotence (SUM-merge double-counts where max no-ops)
+            update_length_histogram(
+                spark, kept, config.len_hdr_path, batch_id
+            )
         origfp_delta = None
         if win_delta is not None:
             # origfp delta = entrant originals ∪ stored (post-gate) text
