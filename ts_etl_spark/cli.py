@@ -917,7 +917,8 @@ def run_ingest(
     """Drain the landing directory into the corpus through the full
     dedup-on-ingest stack (``streaming.ingest.run_streaming_ingest``) —
     fingerprint/MinHash incremental dedup, optional corpus-stats sketch,
-    PSI drift log, attempt heavy hitters, and (with ``sem_index_path`` +
+    length-quantile HDR histogram (``--len-hdr``), PSI drift log,
+    attempt heavy hitters, and (with ``sem_index_path`` +
     ``sem_cents_path``) the paraphrase-level semantic gate, and (with
     ``win_index_path``) the incremental substring gate, and (with
     ``dedup_index_path``) the materialized corpus-side dedup relations
