@@ -575,7 +575,7 @@ def test_length_histogram_accumulates_and_reads_quantiles(spark, tmp_path):
 
 def test_length_histogram_replay_rebases_not_double_counts(spark, tmp_path):
     """SUM-merge is not idempotent, so the replay contract is carried by
-    the batch-id rebase: re-running update_length_histogram under the
+    the batch-id skip: re-running update_length_histogram under the
     SAME batch_id (the Structured Streaming crash-replay shape) must
     leave the registers exactly as a single run would."""
     from ts_etl_spark.streaming.ingest import (
@@ -617,3 +617,58 @@ def test_length_histogram_replay_rebases_not_double_counts(spark, tmp_path):
         ).collect()
     )
     assert first == b0_only
+
+
+def test_length_histogram_post_append_replay_keeps_the_batch(spark, tmp_path):
+    """The crash window the first (rebase-and-rewrite) protocol got
+    wrong, caught in review: a micro-batch replayed AFTER its corpus
+    append has an EMPTY kept set (every doc fingerprint-matches its
+    stored copy). The replay must be a no-op — recomputing base+empty
+    and pruning the first attempt's generation would drop the batch
+    from the histogram forever."""
+    from ts_etl_spark.streaming.ingest import (
+        _latest_len_hdr,
+        update_length_histogram,
+    )
+
+    hdr_path = str(tmp_path / "lenhdr")
+    b0 = spark.createDataFrame(
+        [(1, "a" * 40), (2, "b" * 100)], "doc_id LONG, text STRING"
+    )
+    b1 = spark.createDataFrame([(3, "c" * 700)], "doc_id LONG, text STRING")
+    update_length_histogram(spark, b0, hdr_path, batch_id=0)
+    update_length_histogram(spark, b1, hdr_path, batch_id=1)
+    before = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, hdr_path)[0].collect()
+    )
+    # post-append replay: same batch_id, zero kept docs
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    update_length_histogram(spark, empty, hdr_path, batch_id=1)
+    after = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, hdr_path)[0].collect()
+    )
+    assert after == before, "post-append replay reverted the batch"
+
+
+def test_ingest_batch_refuses_defaulted_batch_id_with_len_hdr(spark, tmp_path):
+    """Length-histogram replay detection is keyed on the batch id, so a
+    defaulted id (two distinct batches both looking like batch 0, the
+    second silently skipped) refuses loudly; without the telemetry the
+    historical default stays accepted."""
+    import pytest as _pytest
+
+    from ts_etl_spark.streaming.ingest import IngestConfig
+
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    cfg = IngestConfig(len_hdr_path=str(tmp_path / "lenhdr"))
+    with _pytest.raises(ValueError, match="explicit, unique batch_id"):
+        ingest_batch(spark, b, str(tmp_path / "corpus"), cfg)
+    # explicit id works; and the default stays legal without the gate
+    ingest_batch(spark, b, str(tmp_path / "corpus"), cfg, batch_id=0)
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING"),
+        str(tmp_path / "corpus2"),
+    )

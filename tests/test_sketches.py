@@ -294,8 +294,9 @@ def test_hdr_index_lower_width_invariants(spark):
     )
 
     probes = list(range(0, 5000))
-    for e in range(13, 41):
+    for e in range(13, 53):
         probes += [2**e - 1, 2**e, 2**e + 1, 2**e + 3 * 2 ** (e - 2)]
+    probes += [2**53 - 1, 2**53]  # the inclusive domain boundary
     df = spark.createDataFrame([(v,) for v in probes], "v long")
     rows = df.select(
         "v",
@@ -390,12 +391,21 @@ def test_hdr_quantile_estimates_bound_and_sql_parity(spark):
     assert got == exp
 
 
-def test_hdr_negative_values_raise_and_nulls_excluded(spark):
+def test_hdr_out_of_domain_values_raise_and_nulls_excluded(spark):
+    """Negative AND above-2^53 values refuse loudly: past 2^53 the
+    dyadic-division shift rounds BEFORE the mantissa-bit extraction and
+    would silently mis-bucket (2^62-1 casts to the double 2^62 — its
+    bucket's lower bound then EXCEEDS the value, review finding)."""
     from ts_etl_spark.operators.sketches import hdr_registers
 
     bad = spark.createDataFrame([(5,), (-1,)], "v long")
-    with pytest.raises(Exception, match="negative"):
+    with pytest.raises(Exception, match="outside"):
         hdr_registers(bad, "v").collect()
+    big = spark.createDataFrame([(2**62 - 1,)], "v long")
+    with pytest.raises(Exception, match="outside"):
+        hdr_registers(big, "v").collect()
+    ok = spark.createDataFrame([(2**53,)], "v long")  # boundary included
+    assert hdr_registers(ok, "v").count() == 1
     withnull = spark.createDataFrame([(5,), (None,), (17,)], "v long")
     regs = sorted((r.bucket, r.n) for r in hdr_registers(withnull, "v").collect())
     assert regs == [(5, 1), (17, 1)]  # small values are their own bucket

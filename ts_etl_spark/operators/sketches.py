@@ -399,15 +399,24 @@ def hdr_registers(df: DataFrame, col: str, s: int = HDR_S) -> DataFrame:
     per occupied bucket, ``(bucket: int, n: bigint)`` — at most
     ``(64-s)·2^s`` rows ever (s=4: ≤ 960; a 24-bit value domain: ≤ 336).
     One narrow projection + one partial-aggregated groupBy, the same
-    100 TB shape as ``hll_registers``; negative values are a domain
-    error (raise where a real pipeline would route to quarantine)."""
+    100 TB shape as ``hll_registers``; out-of-domain values — negative,
+    or above 2^53 where the dyadic-division shift would round BEFORE
+    the mantissa-bit extraction and silently mis-bucket (breaking
+    ``lower ≤ v`` and the est ≤ truth quantile guarantee) — are a
+    domain error (raise where a real pipeline would route to
+    quarantine)."""
     if not 1 <= s <= 8:
         raise ValueError("s must be in [1, 8]")
     v = F.col(col).cast("long")
     return (
         df.filter(v.isNotNull())
         .select(
-            F.when(v < 0, F.raise_error(F.lit(f"hdr_registers: negative {col}")))
+            F.when(
+                (v < 0) | (v > F.lit(1 << 53)),
+                F.raise_error(
+                    F.lit(f"hdr_registers: {col} outside [0, 2^53]")
+                ),
+            )
             .otherwise(_hdr_index(v, s))
             .alias("bucket")
         )
@@ -446,7 +455,6 @@ def hdr_quantile_estimates(
         "bucket", F.sum("n").over(w).alias("cum"), F.lit(1).alias("__j")
     )
     total = registers.agg(F.sum("n").alias("total"), F.lit(1).alias("__j"))
-    phi_rows = None
     spark = registers.sparkSession
     phi_df = spark.createDataFrame(
         [(float(p),) for p in phis], "phi double"

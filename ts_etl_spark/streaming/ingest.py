@@ -1266,47 +1266,37 @@ def update_length_histogram(
     ``update_corpus_stats``, with one extra obligation the HLL table
     does not have: SUM-merge is NOT idempotent (re-merging a replayed
     batch double-counts where max-merge no-ops), so each generation
-    records the ``batch_id`` that produced it and the merge BASE is
-    always the newest committed generation with a DIFFERENT batch_id —
-    a replay under the same batch_id (exactly what Structured Streaming
-    does after a crash between this write and the corpus append)
-    therefore re-derives the identical registers no matter how many
-    times it runs. "Previous generation" would NOT suffice as the base:
-    after one rebase-rewrite the previous generation also contains the
-    replayed batch, so a second replay would double-count — the naive
-    protocol the first version of this function shipped with and its
-    test caught. The prune correspondingly keeps the BASE generation
-    (the last state not containing this batch), not merely the
-    numerically previous one; replays are sequential under the
-    single-writer lease, so one foreign-batch recovery point is always
-    enough."""
+    records the ``batch_id`` that produced it and a call whose batch_id
+    MATCHES the latest committed generation is a NO-OP — that
+    generation already holds exactly this batch folded onto the
+    pre-batch state, in every crash window:
+
+    - crash BEFORE this table committed: the torn directory is
+      invisible (no _SUCCESS), the replay recomputes from the latest
+      committed (foreign-bid) generation — same kept set, same result;
+    - crash AFTER this table committed but BEFORE the corpus append:
+      the replay re-derives the same kept set, sees its own bid on the
+      latest generation, and skips — content already correct;
+    - crash AFTER the corpus append (before the streaming checkpoint):
+      the replay's kept set is EMPTY (every doc now fingerprint-matches
+      its stored copy) — the skip is what makes this window safe. The
+      earlier rebase-and-rewrite protocol recomputed base+∅ here and
+      PRUNED the first attempt's correct generation, permanently
+      dropping the batch from the histogram (review finding, round 12).
+
+    Correctness therefore requires batch ids to be unique across live
+    batches (Structured Streaming's epoch ids; the sequential
+    single-writer lease makes one committed generation per id enough) —
+    ``ingest_batch`` refuses a defaulted batch_id when this telemetry
+    is enabled, because two distinct batches sharing an id would make
+    the second silently skip."""
     batch_regs = hdr_registers(
         new_docs.select(F.length("text").alias("len")), "len"
     )
-    gens = _stats_generations(spark, hdr_path)
-    latest = gens[-1] if gens else 0
-
-    def _bid(gen: int) -> int | None:
-        row = (
-            spark.read.schema(LEN_HDR_SCHEMA)
-            .parquet(f"{hdr_path}/v{gen}")
-            .select("batch_id")
-            .first()
-        )
-        return None if row is None else int(row.batch_id)
-
-    # newest committed generation NOT produced by this batch_id (the
-    # pruned table holds at most two generations, so at most two reads)
-    base_gen = next(
-        (g for g in reversed(gens) if _bid(g) != int(batch_id)), None
-    )
-    base = (
-        spark.read.schema(LEN_HDR_SCHEMA)
-        .parquet(f"{hdr_path}/v{base_gen}")
-        .select("bucket", "n")
-        if base_gen is not None
-        else None
-    )
+    old, latest, last_bid = _latest_len_hdr(spark, hdr_path)
+    if old is not None and last_bid == int(batch_id):
+        return  # replay of an already-folded batch — see docstring
+    base = old.select("bucket", "n") if old is not None else None
     merged = batch_regs if base is None else hdr_merge(base, batch_regs)
     rows = merged.withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
@@ -1314,18 +1304,19 @@ def update_length_histogram(
     spark.createDataFrame(rows, LEN_HDR_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{hdr_path}/v{latest + 1}")
-    # prune: keep the just-committed generation and its BASE (the
-    # replay recovery point); drop every other generation and any torn
-    # (uncommitted) directory — safe under the single-writer assumption
-    # since the only in-flight write (ours) just committed
+    # prune: keep the just-committed generation and its base (the
+    # stats-table discipline: previous generation as recovery point);
+    # drop older generations and any torn (uncommitted) directory —
+    # safe under the single-writer assumption since the only in-flight
+    # write (ours) just committed
     committed = set(_stats_generations(spark, hdr_path))
     for name in list_subdirs(spark, hdr_path):
         if not (name.startswith("v") and name[1:].isdigit()):
             continue
         n = int(name[1:])
-        if n == latest + 1 or n == base_gen:
+        if n == latest + 1 or n == latest:
             continue
-        if n not in committed or n <= latest:
+        if n not in committed or n < latest:
             delete_dir(spark, f"{hdr_path}/v{n}")
 
 
@@ -1547,7 +1538,7 @@ def ingest_batch(
     batch_df: DataFrame,
     corpus_path: str,
     config: IngestConfig | None = None,
-    batch_id: int = 0,
+    batch_id: int | None = None,
     **gate_kwargs,
 ) -> None:
     """Dedup one batch against the persisted corpus; append survivors.
@@ -1633,6 +1624,22 @@ def ingest_batch(
     and skipping the release would accumulate cached blocks for the
     lifetime of the query."""
     config = _resolve_config(config, gate_kwargs)
+    if batch_id is None:
+        # drift/heavy-hitter telemetry tolerates the historical default
+        # (worst case: batch=0 partitions overwrite), but the length
+        # histogram's replay detection is KEYED on the id — two distinct
+        # batches sharing one would make the second silently skip
+        # (review finding, round 12), so a defaulted id refuses loudly
+        if config.len_hdr_path is not None:
+            raise ValueError(
+                "len_hdr_path requires an explicit, unique batch_id per "
+                "batch: the length histogram detects crash replays by "
+                "batch id, so a defaulted id would make every later "
+                "batch look like a replay and be dropped from the "
+                "telemetry (run_streaming_ingest passes the streaming "
+                "epoch id automatically)"
+            )
+        batch_id = 0
     threshold = config.threshold
     stats_path = config.stats_path
     drift_path = config.drift_path
