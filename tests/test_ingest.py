@@ -672,3 +672,122 @@ def test_ingest_batch_refuses_defaulted_batch_id_with_len_hdr(spark, tmp_path):
         spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING"),
         str(tmp_path / "corpus2"),
     )
+
+
+def test_bm25_lexicon_matches_corpus_scan_exactly(spark, tmp_path):
+    """After a multi-batch ingest, (N, avgdl, idf) derived from the
+    incremental lexicon must equal operators.bm25.bm25_stats recomputed
+    by scanning the final corpus — EXACTLY (additive integer statistics
+    through the same math.log idf), and bm25_topk fed from the lexicon
+    returns identical rankings."""
+    from ts_etl_spark.operators.bm25 import bm25_stats, bm25_topk
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        bm25_stats_from_lexicon,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = IngestConfig(bm25_lexicon_path=lex)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(3, BASE), (4, THIRD)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=0)
+    ingest_batch(spark, b2, corpus_path, cfg, batch_id=1)  # 3 exact-dups
+    corpus = spark.read.parquet(corpus_path)
+    queries = {0: "alpha table sun", 1: "omega lid dune missingterm"}
+    want = bm25_stats(corpus, queries)
+    got = bm25_stats_from_lexicon(spark, lex, queries)
+    assert got == want  # exact: ints, one division, same libm log
+    a = sorted(map(tuple, bm25_topk(corpus, queries, stats=got).collect()))
+    b = sorted(map(tuple, bm25_topk(corpus, queries, stats=want).collect()))
+    assert a == b and a
+
+
+def test_bm25_lexicon_replay_and_torn_append_converge(spark, tmp_path):
+    """The two crash windows: a replay under an already-recorded
+    batch_id no-ops (including the post-corpus-append empty-kept shape),
+    and a torn first attempt (terms appended, totals missing) re-appends
+    duplicate-but-identical rows that the reader's DISTINCT collapses."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.bm25 import _tokens, bm25_stats
+    from ts_etl_spark.streaming.ingest import (
+        bm25_lexicon_paths,
+        bm25_stats_from_lexicon,
+        update_bm25_lexicon,
+    )
+
+    lex = str(tmp_path / "lex")
+    b0 = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    b1 = spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, b0, lex, batch_id=0)
+
+    # torn first attempt for batch 1: term rows land, totals row doesn't
+    toks = _tokens(b1, "text", "doc_id")
+    (
+        toks.select("doc_id", F.explode("ws").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("batch_id", F.lit(1).cast("long"))
+        .write.mode("append")
+        .parquet(bm25_lexicon_paths(lex)["terms"])
+    )
+    # the replay re-runs the whole update (same kept set)
+    update_bm25_lexicon(spark, b1, lex, batch_id=1)
+    queries = {0: "alpha table"}
+    both = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        both, queries
+    )
+    # post-append replay: same id, empty kept — a no-op
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, empty, lex, batch_id=1)
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        both, queries
+    )
+    # zero-kept batches still record presence (else re-derived forever)
+    update_bm25_lexicon(spark, empty, lex, batch_id=2)
+    update_bm25_lexicon(spark, b0, lex, batch_id=2)  # replay sees presence
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        both, queries
+    )
+
+
+def test_bm25_lexicon_compacts_under_the_manifest_protocol(spark, tmp_path):
+    """compact_ingest_state treats the two lexicon tables as ordinary
+    append-accumulated state: the attested rewrite collapses per-batch
+    file sets and preserves the summed statistics exactly."""
+    import glob
+
+    from ts_etl_spark.streaming.ingest import (
+        bm25_lexicon_paths,
+        bm25_stats_from_lexicon,
+        compact_ingest_state,
+        update_bm25_lexicon,
+    )
+
+    lex = str(tmp_path / "lex")
+    for i, text in enumerate((BASE, NOVEL, THIRD)):
+        docs = spark.createDataFrame(
+            [(i, text)], "doc_id LONG, text STRING"
+        )
+        update_bm25_lexicon(spark, docs, lex, batch_id=i)
+    queries = {0: "alpha sun table"}
+    before = bm25_stats_from_lexicon(spark, lex, queries)
+    files_before = len(
+        glob.glob(f"{bm25_lexicon_paths(lex)['terms']}/*.parquet")
+    )
+    out = compact_ingest_state(spark, bm25_lexicon_path=lex)
+    assert set(out) == set(bm25_lexicon_paths(lex).values())
+    files_after = len(
+        glob.glob(f"{bm25_lexicon_paths(lex)['terms']}/*.parquet")
+    )
+    assert files_after < files_before
+    assert bm25_stats_from_lexicon(spark, lex, queries) == before

@@ -903,6 +903,7 @@ def run_ingest(
     max_files: int | None = 1,
     stats_path: str | None = None,
     len_hdr_path: str | None = None,
+    bm25_lexicon_path: str | None = None,
     drift_path: str | None = None,
     hh_path: str | None = None,
     sem_index_path: str | None = None,
@@ -948,6 +949,7 @@ def run_ingest(
                 ),
                 stats_path=stats_path,
                 len_hdr_path=len_hdr_path,
+                bm25_lexicon_path=bm25_lexicon_path,
                 drift_path=drift_path,
                 hh_path=hh_path,
                 sem_index_path=sem_index_path,
@@ -969,6 +971,7 @@ def run_ingest(
                     dedup_index_path=dedup_index_path,
                     win_index_path=win_index_path,
                     sem_index_path=sem_index_path,
+                    bm25_lexicon_path=bm25_lexicon_path,
                     # the drain released its lease; re-take the same one
                     # so nothing else slips in between drain and compact
                     lease_path=lease_path,
@@ -1014,6 +1017,10 @@ def _ingest_main(argv: list[str]) -> int:
     parser.add_argument(
         "--len-hdr",
         help="corpus length-histogram path (HDR quantile telemetry)",
+    )
+    parser.add_argument(
+        "--bm25-lexicon",
+        help="incremental BM25 lexicon path (per-batch term df + totals)",
     )
     parser.add_argument("--drift", help="per-batch PSI drift log path")
     parser.add_argument("--hh", help="attempt heavy-hitter register path")
@@ -1061,6 +1068,7 @@ def _ingest_main(argv: list[str]) -> int:
             max_files=args.max_files if args.max_files != 0 else None,
             stats_path=args.stats,
             len_hdr_path=args.len_hdr,
+            bm25_lexicon_path=args.bm25_lexicon,
             drift_path=args.drift,
             hh_path=args.hh,
             sem_index_path=args.sem_index,
@@ -1130,6 +1138,7 @@ def run_compact_state(
     dedup_index_path: str | None = None,
     win_index_path: str | None = None,
     sem_index_path: str | None = None,
+    bm25_lexicon_path: str | None = None,
     target_mb: int | None = None,
     drift_path: str | None = None,
     hh_path: str | None = None,
@@ -1161,6 +1170,7 @@ def run_compact_state(
             dedup_index_path=dedup_index_path,
             win_index_path=win_index_path,
             sem_index_path=sem_index_path,
+            bm25_lexicon_path=bm25_lexicon_path,
             target_file_bytes=(
                 target_mb * 1024 * 1024 if target_mb else None
             ),
@@ -1204,6 +1214,9 @@ def _compact_state_main(argv: list[str]) -> int:
     parser.add_argument("--win-index", help="substring-gate index path")
     parser.add_argument("--sem-index", help="semantic-gate index path")
     parser.add_argument(
+        "--bm25-lexicon", help="incremental BM25 lexicon base path"
+    )
+    parser.add_argument(
         "--target-mb", type=int, help="target output file size in MiB"
     )
     parser.add_argument(
@@ -1226,6 +1239,7 @@ def _compact_state_main(argv: list[str]) -> int:
     args = parser.parse_args(argv)
     if not (
         args.corpus or args.dedup_index or args.win_index or args.sem_index
+        or args.bm25_lexicon
         or (args.telemetry_horizon and (args.drift_path or args.hh_path))
     ):
         print("compact-state: give at least one state path", file=sys.stderr)
@@ -1236,6 +1250,7 @@ def _compact_state_main(argv: list[str]) -> int:
             dedup_index_path=args.dedup_index,
             win_index_path=args.win_index,
             sem_index_path=args.sem_index,
+            bm25_lexicon_path=args.bm25_lexicon,
             target_mb=args.target_mb,
             drift_path=args.drift_path,
             hh_path=args.hh_path,

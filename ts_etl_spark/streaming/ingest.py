@@ -73,6 +73,18 @@ STATS_SCHEMA = "bucket STRING, rho INT"
 #: detector for the SUM-merge, see update_length_histogram)
 LEN_HDR_SCHEMA = "bucket INT, n BIGINT, batch_id BIGINT"
 
+#: incremental BM25 lexicon (update_bm25_lexicon): per-batch term
+#: document frequencies and corpus totals, append-only + sum-on-read —
+#: df and the totals are ADDITIVE across batches because every corpus
+#: document belongs to exactly one batch
+LEX_TERMS_SCHEMA = "term STRING, df BIGINT, batch_id BIGINT"
+LEX_TOTALS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, batch_id BIGINT"
+
+
+def bm25_lexicon_paths(base: str) -> dict[str, str]:
+    """The two append-only tables of a BM25 lexicon deployment."""
+    return {"terms": f"{base}/terms", "totals": f"{base}/totals"}
+
 #: materialized semantic index: every KEPT document's embedding with its
 #: 1-assign cell — appended per ingest, never recomputed from the corpus
 SEM_INDEX_SCHEMA = "vec_id LONG, cell INT, v ARRAY<DOUBLE>, nrm DOUBLE"
@@ -785,6 +797,7 @@ def ingest_state_dirs(
     dedup_index_path: str | None = None,
     win_index_path: str | None = None,
     sem_index_path: str | None = None,
+    bm25_lexicon_path: str | None = None,
 ) -> list[str]:
     """Every append-accumulating state directory of an ingest deployment
     with the given paths configured — the compaction (and recovery)
@@ -804,6 +817,11 @@ def ingest_state_dirs(
         dirs.append(orig_fp_index_path(win_index_path))
     if sem_index_path is not None:
         dirs.append(sem_index_path)
+    if bm25_lexicon_path is not None:
+        # append-only + sum-on-read: per-batch file sets accumulate like
+        # the dedup index's, and the attested rewrite preserves rows
+        # (the reader's DISTINCT semantics are unaffected)
+        dirs.extend(bm25_lexicon_paths(bm25_lexicon_path).values())
     return dirs
 
 
@@ -816,6 +834,7 @@ def compact_ingest_state(
     target_file_bytes: int | None = None,
     lease_path: str | None = None,
     lease_ttl_s: float = INGEST_LEASE_TTL_S,
+    bm25_lexicon_path: str | None = None,
 ) -> dict[str, int]:
     """Compact every existing state table of an ingest deployment (the
     maintenance pass a production stream schedules between drains);
@@ -839,7 +858,8 @@ def compact_ingest_state(
     failures: dict[str, str] = {}
     try:
         for d in ingest_state_dirs(
-            corpus_path, dedup_index_path, win_index_path, sem_index_path
+            corpus_path, dedup_index_path, win_index_path, sem_index_path,
+            bm25_lexicon_path,
         ):
             recover_state_compaction(spark, d)
             if not path_exists(spark, d):
@@ -1337,6 +1357,125 @@ def corpus_length_quantiles(
     }
 
 
+def update_bm25_lexicon(
+    spark: SparkSession, new_docs: DataFrame, lexicon_path: str, batch_id: int
+) -> None:
+    """Fold the batch's term statistics into the incremental BM25
+    lexicon — the production path for sparse retrieval over a growing
+    corpus: ``bm25_stats_from_lexicon`` then derives (N, avgdl, idf)
+    from the skinny persisted tables alone, never re-tokenizing
+    history (the corpus-scan ``operators.bm25.bm25_stats`` performs on
+    every call).
+
+    Layout: two append-only tables (``terms/``: per-batch (term, df);
+    ``totals/``: per-batch (n_docs, sum_dl)), summed on read. df and
+    the totals are additive across batches because every corpus
+    document lands in exactly one batch, so sum-on-read equals a full
+    recompute EXACTLY (integer arithmetic end to end — the lexicon
+    feeds the same bit-exact idf path as the scan-based stats).
+
+    Crash/replay analysis (the HDR-telemetry discipline — batch_id is
+    the replay key, so it must be unique per batch; write order is
+    terms THEN totals, and presence is judged on totals):
+
+    - crash between the two appends: the replay (same kept set — the
+      corpus has not advanced) sees no totals row, re-appends the SAME
+      term rows (whole-file task commits mean duplicates are complete
+      identical rows) and the totals row; the reader's DISTINCT
+      collapses the duplicates;
+    - crash after totals, before the corpus append: presence recorded,
+      replay no-ops — content already correct;
+    - crash after the corpus append: the replay's kept set is EMPTY,
+      and the presence check is what keeps the batch's true rows from
+      being replaced (the HDR post-append lesson).
+
+    A zero-kept batch appends no term rows but DOES append its totals
+    row — presence must be recorded or the stream would re-derive the
+    batch forever."""
+    p = bm25_lexicon_paths(lexicon_path)
+    if path_exists(spark, p["totals"]):
+        seen = (
+            spark.read.schema(LEX_TOTALS_SCHEMA)
+            .parquet(p["totals"])
+            .filter(F.col("batch_id") == int(batch_id))
+            .first()
+        )
+        if seen is not None:
+            return  # replay of an already-folded batch
+    from ts_etl_spark.operators.bm25 import _tokens
+
+    toks = _tokens(new_docs, "text", "doc_id").localCheckpoint(eager=True)
+    try:
+        bid = F.lit(int(batch_id)).cast("long")
+        terms = (
+            toks.select("doc_id", F.explode("ws").alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("batch_id", bid)
+        )
+        totals = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        ).withColumn("batch_id", bid)
+        # terms BEFORE totals — see the crash-window analysis above
+        terms.write.mode("append").parquet(p["terms"])
+        totals.write.mode("append").parquet(p["totals"])
+    finally:
+        toks.unpersist()
+
+
+def bm25_stats_from_lexicon(
+    spark: SparkSession,
+    lexicon_path: str,
+    queries: dict[int, str] | None = None,
+) -> tuple[int, float, dict[str, float]]:
+    """(N, avgdl, {term: idf}) for ``operators.bm25.bm25_topk``'s
+    ``stats`` argument, from the persisted lexicon alone — EXACTLY what
+    ``bm25_stats`` would compute by scanning the corpus (additive
+    integer statistics; the same CPython-math.log idf). The DISTINCT
+    collapses torn-append duplicates (complete identical rows, see
+    ``update_bm25_lexicon``); both reads prune to the query terms /
+    the two total columns before any shuffle."""
+    import math as _math
+
+    from ts_etl_spark.operators.bm25 import BM25_QUERIES, _query_terms
+
+    queries = BM25_QUERIES if queries is None else queries
+    p = bm25_lexicon_paths(lexicon_path)
+    if not path_exists(spark, p["totals"]):
+        raise ValueError(f"no BM25 lexicon at {lexicon_path}")
+    tot = (
+        spark.read.schema(LEX_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)),
+        )
+        .first()
+    )
+    n_docs, sum_dl = int(tot[0]), int(tot[1])
+    if n_docs == 0:
+        raise ValueError("bm25_stats_from_lexicon: empty corpus")
+    avgdl = sum_dl / n_docs
+    wanted = sorted({t for _, t in _query_terms(queries)})
+    rows = (
+        spark.read.schema(LEX_TERMS_SCHEMA)
+        .parquet(p["terms"])
+        .filter(F.col("term").isin(wanted))
+        .distinct()
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    idf = {
+        r["term"]: _math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in rows
+    }
+    return n_docs, avgdl, idf
+
+
 def monitor_batch_drift(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1447,8 +1586,13 @@ class IngestConfig:
       corpus-stats sketch (distinct-document telemetry per ingest).
     - ``len_hdr_path`` — fold the batch's document-length HDR registers
       into the corpus-lifetime length histogram (quantile telemetry via
-      ``corpus_length_quantiles``; replay-safe via per-generation
-      batch-id rebase — see ``update_length_histogram``).
+      ``corpus_length_quantiles``; replay-safe via the batch-id no-op —
+      see ``update_length_histogram``).
+    - ``bm25_lexicon_path`` — maintain the incremental BM25 lexicon
+      (per-batch term df + corpus totals, append-only + sum-on-read;
+      ``bm25_stats_from_lexicon`` feeds ``operators.bm25.bm25_topk``
+      without ever re-tokenizing the corpus). Like ``len_hdr_path``,
+      requires an explicit unique ``batch_id`` per batch.
     - ``drift_path`` — record the batch's PSI against the corpus-so-far
       (``monitor_batch_drift``).
     - ``hh_path`` — attempt heavy-hitter registers (pre-gate by design:
@@ -1481,6 +1625,7 @@ class IngestConfig:
     threshold: float = JACCARD_THRESHOLD
     stats_path: str | None = None
     len_hdr_path: str | None = None
+    bm25_lexicon_path: str | None = None
     drift_path: str | None = None
     hh_path: str | None = None
     sem_index_path: str | None = None
@@ -1630,14 +1775,14 @@ def ingest_batch(
         # histogram's replay detection is KEYED on the id — two distinct
         # batches sharing one would make the second silently skip
         # (review finding, round 12), so a defaulted id refuses loudly
-        if config.len_hdr_path is not None:
+        if config.len_hdr_path is not None or config.bm25_lexicon_path is not None:
             raise ValueError(
-                "len_hdr_path requires an explicit, unique batch_id per "
-                "batch: the length histogram detects crash replays by "
-                "batch id, so a defaulted id would make every later "
+                "len_hdr_path / bm25_lexicon_path require an explicit, "
+                "unique batch_id per batch: both detect crash replays "
+                "by batch id, so a defaulted id would make every later "
                 "batch look like a replay and be dropped from the "
-                "telemetry (run_streaming_ingest passes the streaming "
-                "epoch id automatically)"
+                "lexicon/telemetry (run_streaming_ingest passes the "
+                "streaming epoch id automatically)"
             )
         batch_id = 0
     threshold = config.threshold
@@ -1661,7 +1806,8 @@ def ingest_batch(
     # (a handful of FS existence checks per batch — see the compaction
     # protocol block above)
     for _d in ingest_state_dirs(
-        corpus_path, dedup_index_path, win_index_path, sem_index_path
+        corpus_path, dedup_index_path, win_index_path, sem_index_path,
+        config.bm25_lexicon_path,
     ):
         recover_state_compaction(spark, _d)
     corpus = _corpus(spark, corpus_path)
@@ -1858,10 +2004,16 @@ def ingest_batch(
             update_corpus_stats(spark, kept, stats_path)
         if config.len_hdr_path is not None:
             # same before-append reasoning as the stats sketch; replay
-            # safety comes from the batch-id rebase, not merge
+            # safety comes from the batch-id no-op, not merge
             # idempotence (SUM-merge double-counts where max no-ops)
             update_length_histogram(
                 spark, kept, config.len_hdr_path, batch_id
+            )
+        if config.bm25_lexicon_path is not None:
+            # before the corpus append for the same lineage reason;
+            # replay-safe via the totals presence check
+            update_bm25_lexicon(
+                spark, kept, config.bm25_lexicon_path, batch_id
             )
         origfp_delta = None
         if win_delta is not None:
