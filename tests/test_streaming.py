@@ -447,10 +447,15 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
     ]
     landing = _ingest_landing(tmp_path, "landing", files)
 
-    # reference: the uninterrupted drain
+    # reference: the uninterrupted drain (round 12: the two SUM-based
+    # state tables ride along, so their replay contracts are proven
+    # through the REAL recovery path — the post_commit window is exactly
+    # the empty-kept replay the review found the naive protocols losing)
     cfg_a = IngestConfig(
         dedup_index_path=str(tmp_path / "idx_a"),
         stats_path=str(tmp_path / "stats_a"),
+        len_hdr_path=str(tmp_path / "lenhdr_a"),
+        bm25_lexicon_path=str(tmp_path / "lex_a"),
     )
     run_streaming_ingest(
         spark, landing, str(tmp_path / "corpus_a"), str(tmp_path / "ckpt_a"),
@@ -462,6 +467,8 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
     cfg_b = IngestConfig(
         dedup_index_path=str(tmp_path / "idx_b"),
         stats_path=str(tmp_path / "stats_b"),
+        len_hdr_path=str(tmp_path / "lenhdr_b"),
+        bm25_lexicon_path=str(tmp_path / "lex_b"),
         lease_path=str(tmp_path / "lease_b"),
     )
     crashed = {"done": False}
@@ -518,3 +525,26 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
         ).collect()
     ]
     assert sorted(seen_b) == sorted(set(seen_b)) == [1, 2, 10, 11, 20, 21]
+    # the SUM-based state tables converged too: the length histogram's
+    # registers and the lexicon-derived stats equal the uninterrupted
+    # run's (a double-count or a dropped batch shows up exactly here)
+    from ts_etl_spark.streaming.ingest import (
+        _latest_len_hdr,
+        bm25_stats_from_lexicon,
+    )
+
+    regs_a = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, str(tmp_path / "lenhdr_a"))[0].collect()
+    )
+    regs_b = sorted(
+        (r.bucket, r.n)
+        for r in _latest_len_hdr(spark, str(tmp_path / "lenhdr_b"))[0].collect()
+    )
+    assert regs_b == regs_a, "length histogram diverged across the crash"
+    probe = {0: f"{base.split()[0]} w1 w42"}
+    assert bm25_stats_from_lexicon(
+        spark, str(tmp_path / "lex_b"), probe
+    ) == bm25_stats_from_lexicon(spark, str(tmp_path / "lex_a"), probe), (
+        "BM25 lexicon diverged across the crash"
+    )
