@@ -3,6 +3,7 @@ replay idempotence."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.dedup import dedup_incremental
@@ -791,3 +792,113 @@ def test_bm25_lexicon_compacts_under_the_manifest_protocol(spark, tmp_path):
     )
     assert files_after < files_before
     assert bm25_stats_from_lexicon(spark, lex, queries) == before
+
+
+def test_bm25_lexicon_bootstraps_on_adoption(spark, tmp_path):
+    """Enabling the lexicon on a deployment with a pre-existing corpus
+    must fold the STORED corpus first (reserved bootstrap id), not
+    silently cover only post-adoption batches (review finding) — and a
+    torn bootstrap (terms landed, totals missing) re-runs to the same
+    state."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.operators.bm25 import _tokens, bm25_stats
+    from ts_etl_spark.streaming.ingest import (
+        BM25_BOOTSTRAP_ID,
+        IngestConfig,
+        bm25_lexicon_paths,
+        bm25_stats_from_lexicon,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    # two batches land BEFORE the lexicon exists
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING"),
+        corpus_path,
+    )
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING"),
+        corpus_path,
+    )
+    # adoption: the lexicon is configured from batch 7 onward — and the
+    # torn-bootstrap shape is simulated by pre-appending the bootstrap
+    # term rows WITHOUT the totals row (whole-file duplicate-identical)
+    lex = str(tmp_path / "lex")
+    pre = spark.read.parquet(corpus_path)
+    (
+        _tokens(pre, "text", "doc_id")
+        .select("doc_id", F.explode("ws").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("batch_id", F.lit(BM25_BOOTSTRAP_ID).cast("long"))
+        .write.mode("append")
+        .parquet(bm25_lexicon_paths(lex)["terms"])
+    )
+    cfg = IngestConfig(bm25_lexicon_path=lex)
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(3, THIRD)], "doc_id LONG, text STRING"),
+        corpus_path,
+        cfg,
+        batch_id=7,
+    )
+    corpus = spark.read.parquet(corpus_path)
+    queries = {0: "alpha table sun"}
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        corpus, queries
+    ), "adopted lexicon must cover the pre-existing corpus exactly"
+
+
+def test_bm25_lexicon_and_len_hdr_refuse_out_of_order_ids(spark, tmp_path):
+    """A batch id BELOW the last folded one is a restarted id sequence
+    (checkpoint reset against live state), not a replay — both SUM-based
+    tables refuse loudly instead of silently skipping or double-folding
+    (review finding), and rebuild_bm25_lexicon is the lexicon remedy."""
+    from ts_etl_spark.operators.bm25 import bm25_stats
+    from ts_etl_spark.streaming.ingest import (
+        bm25_stats_from_lexicon,
+        rebuild_bm25_lexicon,
+        update_bm25_lexicon,
+        update_length_histogram,
+    )
+
+    lex = str(tmp_path / "lex")
+    hdr = str(tmp_path / "lenhdr")
+    corpus_path = str(tmp_path / "corpus")
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, b, lex, batch_id=5)
+    update_length_histogram(spark, b, hdr, batch_id=5)
+    with pytest.raises(RuntimeError, match="out-of-order batch 3"):
+        update_bm25_lexicon(spark, b, lex, batch_id=3)
+    with pytest.raises(RuntimeError, match="out-of-order batch 3"):
+        update_length_histogram(spark, b, hdr, batch_id=3)
+    # the lexicon remedy: rebuild from the stored corpus, then any id folds
+    b.write.mode("overwrite").parquet(corpus_path)
+    rebuild_bm25_lexicon(spark, corpus_path, lex)
+    queries = {0: "alpha beta"}
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        spark.read.parquet(corpus_path), queries
+    )
+    update_bm25_lexicon(
+        spark,
+        spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING"),
+        lex,
+        batch_id=0,
+    )  # post-rebuild ids restart legally (only the bootstrap id remains)
+
+
+def test_ingest_batch_refuses_defaulted_batch_id_with_bm25_lexicon(
+    spark, tmp_path
+):
+    """The refusal's bm25-only arm (review finding: only the len_hdr arm
+    was covered)."""
+    from ts_etl_spark.streaming.ingest import IngestConfig
+
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    cfg = IngestConfig(bm25_lexicon_path=str(tmp_path / "lex"))
+    with pytest.raises(ValueError, match="explicit, unique batch_id"):
+        ingest_batch(spark, b, str(tmp_path / "corpus"), cfg)
+    ingest_batch(spark, b, str(tmp_path / "corpus"), cfg, batch_id=0)

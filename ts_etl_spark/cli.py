@@ -1263,6 +1263,48 @@ def _compact_state_main(argv: list[str]) -> int:
         return 1
 
 
+def run_bm25_rebuild(
+    corpus_path: str, lexicon_path: str, spark=None
+) -> None:
+    """Drop and re-derive a BM25 lexicon from the stored corpus — the
+    recovery path for a ghost batch or a restarted batch-id sequence
+    (see ``streaming.ingest.rebuild_bm25_lexicon``)."""
+    from ts_etl_spark.streaming.ingest import rebuild_bm25_lexicon
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-bm25-rebuild")
+    try:
+        rebuild_bm25_lexicon(spark, corpus_path, lexicon_path)
+        print(
+            f"bm25-rebuild: lexicon at {lexicon_path} re-derived from "
+            f"{corpus_path}",
+            file=sys.stderr,
+        )
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _bm25_rebuild_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark bm25-rebuild",
+        description=(
+            "Re-derive an incremental BM25 lexicon from the stored "
+            "corpus (recovery for ghost batches / restarted batch ids)."
+        ),
+    )
+    parser.add_argument("corpus_path", help="corpus parquet path")
+    parser.add_argument("lexicon_path", help="lexicon base path")
+    args = parser.parse_args(argv)
+    try:
+        run_bm25_rebuild(args.corpus_path, args.lexicon_path)
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during bm25-rebuild: {exc}", file=sys.stderr)
+        return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -1270,6 +1312,8 @@ def main(argv: list[str] | None = None) -> int:
         return _ingest_main(argv[1:])
     if argv and argv[0] == "seen-admit":
         return _seen_admit_main(argv[1:])
+    if argv and argv[0] == "bm25-rebuild":
+        return _bm25_rebuild_main(argv[1:])
     if argv and argv[0] == "compact-state":
         return _compact_state_main(argv[1:])
     if argv and argv[0] == "sem-train":

@@ -89,6 +89,14 @@ BM25_QUERIES: dict[int, str] = {
 }
 
 
+def idf(n_docs: int, df: int) -> float:
+    """The Lucene non-negative idf — THE shared expression both the
+    corpus-scan stats and the incremental-lexicon stats must call, so
+    the bit-exactness contract (module docstring point 3) is pinned in
+    exactly one place: ints, +0.5, one division, +1.0, one libm log."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 def _query_terms(queries: dict[int, str]) -> list[tuple[int, str]]:
     """Distinct (q_id, term) pairs, term-sorted within query."""
     return [
@@ -136,11 +144,8 @@ def bm25_stats(
         .agg(F.countDistinct("doc_id").alias("df"))
         .collect()
     )
-    idf = {
-        r["w"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in df_rows
-    }
-    return n_docs, avgdl, idf
+    idfs = {r["w"]: idf(n_docs, r["df"]) for r in df_rows}
+    return n_docs, avgdl, idfs
 
 
 def bm25_topk(
@@ -158,12 +163,12 @@ def bm25_topk(
     queries = BM25_QUERIES if queries is None else queries
     if stats is None:
         stats = bm25_stats(docs, queries, text_col, id_col)
-    _, avgdl, idf = stats
+    _, avgdl, idfs = stats  # idfs, not idf — don't shadow the helper
     spark = docs.sparkSession
     matched = _query_terms(queries)
     # terms with df = 0 have no tf rows to join — drop them up front so
     # the broadcast map and the isin pushdown carry only live terms
-    qmap = [(q, t, idf[t]) for q, t in matched if t in idf]
+    qmap = [(q, t, idfs[t]) for q, t in matched if t in idfs]
     if not qmap:
         return spark.createDataFrame(
             [], "q_id long, doc_id long, score double, rn int"

@@ -1316,6 +1316,19 @@ def update_length_histogram(
     old, latest, last_bid = _latest_len_hdr(spark, hdr_path)
     if old is not None and last_bid == int(batch_id):
         return  # replay of an already-folded batch — see docstring
+    if old is not None and last_bid is not None and int(batch_id) < last_bid:
+        # an id BELOW the latest folded one is neither a replay (only the
+        # last batch replays under single-writer streaming) nor a new
+        # batch — it is a restarted id sequence (checkpoint reset against
+        # live state), which would double-count every doc it re-folds.
+        # Refuse loudly; the remedy is a fresh histogram (delete + let
+        # the stream rebuild, or re-derive from the corpus).
+        raise RuntimeError(
+            f"length histogram at {hdr_path} last folded batch "
+            f"{last_bid}, got out-of-order batch {int(batch_id)} — a "
+            "restarted batch-id sequence cannot be folded safely; "
+            "rebuild the histogram state"
+        )
     base = old.select("bucket", "n") if old is not None else None
     merged = batch_regs if base is None else hdr_merge(base, batch_regs)
     rows = merged.withColumn(
@@ -1394,17 +1407,38 @@ def update_bm25_lexicon(
     batch forever."""
     p = bm25_lexicon_paths(lexicon_path)
     if path_exists(spark, p["totals"]):
-        seen = (
+        last = (
             spark.read.schema(LEX_TOTALS_SCHEMA)
             .parquet(p["totals"])
-            .filter(F.col("batch_id") == int(batch_id))
-            .first()
+            .agg(F.max("batch_id"))
+            .first()[0]
         )
-        if seen is not None:
-            return  # replay of an already-folded batch
+        if last is not None and int(batch_id) == int(last):
+            return  # replay of the last folded batch
+        if last is not None and int(batch_id) < int(last):
+            # not a replay (only the LAST batch replays under
+            # single-writer streaming) — a restarted id sequence
+            # (checkpoint reset) would silently skip or double-fold;
+            # refuse loudly, same contract as the dedup index's
+            # out-of-order guard. Remedy: rebuild_bm25_lexicon.
+            raise RuntimeError(
+                f"BM25 lexicon at {lexicon_path} last folded batch "
+                f"{int(last)}, got out-of-order batch {int(batch_id)} — "
+                "a restarted batch-id sequence cannot be folded safely; "
+                "rebuild_bm25_lexicon re-derives it from the corpus"
+            )
+    _append_lexicon_rows(spark, new_docs, p, int(batch_id))
+
+
+def _append_lexicon_rows(
+    spark: SparkSession, docs: DataFrame, p: dict[str, str], batch_id: int
+) -> None:
+    """Derive and append one id's (term, df) and (n_docs, sum_dl) rows —
+    the shared body of the per-batch fold and the adoption bootstrap.
+    Terms append BEFORE totals (the crash-window ordering)."""
     from ts_etl_spark.operators.bm25 import _tokens
 
-    toks = _tokens(new_docs, "text", "doc_id").localCheckpoint(eager=True)
+    toks = _tokens(docs, "text", "doc_id").localCheckpoint(eager=True)
     try:
         bid = F.lit(int(batch_id)).cast("long")
         terms = (
@@ -1418,11 +1452,55 @@ def update_bm25_lexicon(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).withColumn("batch_id", bid)
-        # terms BEFORE totals — see the crash-window analysis above
         terms.write.mode("append").parquet(p["terms"])
         totals.write.mode("append").parquet(p["totals"])
     finally:
         toks.unpersist()
+
+
+#: reserved lexicon id for the adoption bootstrap — below every real
+#: streaming epoch id, so the out-of-order guard and max-based replay
+#: detection are unaffected
+BM25_BOOTSTRAP_ID = -1
+
+
+def bootstrap_bm25_lexicon(
+    spark: SparkSession, corpus: DataFrame, lexicon_path: str
+) -> bool:
+    """Adopt the lexicon on a PRE-EXISTING corpus: when no lexicon
+    exists yet but the corpus is non-empty, fold the ENTIRE stored
+    corpus once under the reserved ``BM25_BOOTSTRAP_ID`` — without
+    this, enabling ``bm25_lexicon_path`` on a live deployment would
+    silently cover only post-adoption batches (review finding; the
+    dedup/orig-fp indexes bootstrap the same way). Idempotent and
+    crash-safe like the per-batch fold: a torn bootstrap (terms landed,
+    totals missing) re-runs and its duplicate rows — identical, since
+    the corpus has not advanced while the lexicon is absent — collapse
+    under the reader's DISTINCT. ``ingest_batch`` calls this before
+    every per-batch fold (one existence check per batch once adopted).
+    Returns True if a bootstrap fold ran."""
+    p = bm25_lexicon_paths(lexicon_path)
+    if path_exists(spark, p["totals"]):
+        return False
+    if corpus.first() is None:
+        return False  # fresh deployment — batch folds build the lexicon
+    _append_lexicon_rows(spark, corpus, p, BM25_BOOTSTRAP_ID)
+    return True
+
+
+def rebuild_bm25_lexicon(
+    spark: SparkSession, corpus_path: str, lexicon_path: str
+) -> None:
+    """Drop and re-derive the lexicon from the stored corpus — the
+    remedy for the states the skinny aggregated schema cannot repair on
+    read: a ghost batch (totals committed, corpus append never landed,
+    checkpoint abandoned — the aggregated rows carry no doc ids to
+    anti-join out, unlike the dedup index) or a restarted batch-id
+    sequence (the out-of-order guard's refusal). One corpus scan."""
+    for d in bm25_lexicon_paths(lexicon_path).values():
+        if path_exists(spark, d):
+            delete_dir(spark, d)
+    bootstrap_bm25_lexicon(spark, _corpus(spark, corpus_path), lexicon_path)
 
 
 def bm25_stats_from_lexicon(
@@ -1437,9 +1515,7 @@ def bm25_stats_from_lexicon(
     collapses torn-append duplicates (complete identical rows, see
     ``update_bm25_lexicon``); both reads prune to the query terms /
     the two total columns before any shuffle."""
-    import math as _math
-
-    from ts_etl_spark.operators.bm25 import BM25_QUERIES, _query_terms
+    from ts_etl_spark.operators.bm25 import BM25_QUERIES, _query_terms, idf
 
     queries = BM25_QUERIES if queries is None else queries
     p = bm25_lexicon_paths(lexicon_path)
@@ -1469,11 +1545,8 @@ def bm25_stats_from_lexicon(
         .agg(F.sum("df").alias("df"))
         .collect()
     )
-    idf = {
-        r["term"]: _math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in rows
-    }
-    return n_docs, avgdl, idf
+    idfs = {r["term"]: idf(n_docs, r["df"]) for r in rows}
+    return n_docs, avgdl, idfs
 
 
 def monitor_batch_drift(
@@ -2011,7 +2084,10 @@ def ingest_batch(
             )
         if config.bm25_lexicon_path is not None:
             # before the corpus append for the same lineage reason;
-            # replay-safe via the totals presence check
+            # replay-safe via the totals max-id check. Adoption on a
+            # pre-existing corpus folds the stored corpus first (the
+            # PRE-batch frame — kept is folded separately below)
+            bootstrap_bm25_lexicon(spark, corpus, config.bm25_lexicon_path)
             update_bm25_lexicon(
                 spark, kept, config.bm25_lexicon_path, batch_id
             )
