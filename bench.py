@@ -100,6 +100,10 @@ HEADLINE = [
     # cost regression in either arm was invisible to the per-round bench
     "dedup_exact",
     "embed_ann_ivf",
+    # round-12 addition (same rationale): the hdr quantile-sketch arm
+    # rides quantiles_sketches — its register pass + merge-law gate add
+    # three bounded lineitem scans that must stay tracked
+    "quantiles_sketches",
 ]
 
 # Entries that memoize construction per (applicationId, sf_dir) — BPE

@@ -1388,8 +1388,12 @@ def update_bm25_lexicon(
     feeds the same bit-exact idf path as the scan-based stats).
 
     Crash/replay analysis (the HDR-telemetry discipline — batch_id is
-    the replay key, so it must be unique per batch; write order is
-    terms THEN totals, and presence is judged on totals):
+    the replay key, so it must be unique AND monotonically increasing
+    per batch; write order is terms THEN totals, and presence is judged
+    against the MAX id in totals: equal = replay no-op, below = a
+    restarted id sequence that refuses loudly — ``rebuild_bm25_lexicon``
+    is the remedy — since matching against any historic id would let a
+    checkpoint reset silently drop every new batch):
 
     - crash between the two appends: the replay (same kept set — the
       corpus has not advanced) sees no totals row, re-appends the SAME
