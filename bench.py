@@ -123,6 +123,7 @@ MEMOIZED = (
     "corpus_report",
     "embed_ann_ivf",
     "dedup_incremental_indexed",
+    "bm25_indexed",
 )
 
 
@@ -141,6 +142,8 @@ def _clear_construction_memos(name: str):
         from ts_etl_spark.operators.similarity import _IVF_MEMO as m
     elif name == "dedup_incremental_indexed":
         from ts_etl_spark.operators.dedup import _BENCH_INDEX_MEMO as m
+    elif name == "bm25_indexed":
+        from ts_etl_spark.operators.bm25 import _BENCH_LEX_MEMO as m
     else:
         raise KeyError(f"no construction memo registered for {name!r}")
     m.clear()
@@ -151,6 +154,7 @@ def _clear_construction_memos(name: str):
 # tests instead (tests/test_incremental.py). Names map to callables with
 # the same (spark, sf_dir) -> DataFrame signature.
 def _supplement():
+    from ts_etl_spark.operators.bm25 import q_bm25_indexed, q_bm25_scan
     from ts_etl_spark.operators.dedup import (
         q_dedup_incremental,
         q_dedup_incremental_indexed,
@@ -165,6 +169,12 @@ def _supplement():
         # saving the index buys; the one-time index build lands in the
         # first sample, which min-of-N discards (memoized staging).
         "dedup_incremental_indexed": q_dedup_incremental_indexed,
+        # round 13: the same pair replayed for retrieval — full-scan
+        # BM25 (stats + tokenize + rank per call) vs the persisted
+        # postings index (query touches only matching postings); the
+        # delta is the per-query saving the lexicon buys.
+        "bm25_scan": q_bm25_scan,
+        "bm25_indexed": q_bm25_indexed,
         "sequence_packing": q_sequence_packing,
     }
 

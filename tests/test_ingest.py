@@ -762,7 +762,7 @@ def test_bm25_lexicon_replay_and_torn_append_converge(spark, tmp_path):
 
 
 def test_bm25_lexicon_compacts_under_the_manifest_protocol(spark, tmp_path):
-    """compact_ingest_state treats the two lexicon tables as ordinary
+    """compact_ingest_state treats the three lexicon tables as ordinary
     append-accumulated state: the attested rewrite collapses per-batch
     file sets and preserves the summed statistics exactly."""
     import glob
@@ -902,3 +902,301 @@ def test_ingest_batch_refuses_defaulted_batch_id_with_bm25_lexicon(
     with pytest.raises(ValueError, match="explicit, unique batch_id"):
         ingest_batch(spark, b, str(tmp_path / "corpus"), cfg)
     ingest_batch(spark, b, str(tmp_path / "corpus"), cfg, batch_id=0)
+
+
+def test_bm25_postings_index_matches_scan_exactly(spark, tmp_path):
+    """Round 13: bm25_topk_from_index answers from the persisted
+    postings alone — stats from the skinny tables, candidates from the
+    term-pruned postings, the SAME _bm25_rank body — and must be
+    EXACT-frame-equal (scores, ranks, everything) to the corpus-scan
+    bm25_topk over the stored corpus. A pre-postings lexicon refuses
+    both ranking and further folding with the bm25-rebuild remedy, and
+    the rebuild upgrades it in one scan."""
+    import shutil
+
+    from ts_etl_spark.operators.bm25 import bm25_topk
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        bm25_lexicon_paths,
+        bm25_topk_from_index,
+        rebuild_bm25_lexicon,
+        update_bm25_lexicon,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = IngestConfig(bm25_lexicon_path=lex)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    b2 = spark.createDataFrame(
+        [(3, THIRD), (4, BASE + " " + THIRD)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=0)
+    ingest_batch(spark, b2, corpus_path, cfg, batch_id=1)
+    corpus = spark.read.parquet(corpus_path)
+    queries = {0: "alpha table sun", 1: "dune lid alpha"}
+    want = sorted(map(tuple, bm25_topk(corpus, queries).collect()))
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, lex, queries).collect())
+    )
+    assert got == want and got
+
+    # pre-postings layout: ranking and folding refuse with the remedy
+    shutil.rmtree(bm25_lexicon_paths(lex)["postings"])
+    with pytest.raises(ValueError, match="no postings index"):
+        bm25_topk_from_index(spark, lex, queries)
+    with pytest.raises(RuntimeError, match="pre-postings"):
+        update_bm25_lexicon(spark, b1, lex, batch_id=2)
+    rebuild_bm25_lexicon(spark, corpus_path, lex)
+    got2 = sorted(
+        map(tuple, bm25_topk_from_index(spark, lex, queries).collect())
+    )
+    assert got2 == want
+
+
+def test_bm25_postings_torn_append_collapses_on_read(spark, tmp_path):
+    """A crash AFTER the postings append (before terms/totals) replays
+    to duplicate-but-IDENTICAL postings rows; the index reader's
+    DISTINCT collapses them, so index-backed ranking still equals the
+    scan exactly."""
+    from ts_etl_spark.operators.bm25 import _tokens, bm25_topk
+    from ts_etl_spark.streaming.ingest import (
+        bm25_lexicon_paths,
+        bm25_topk_from_index,
+        update_bm25_lexicon,
+    )
+
+    lex = str(tmp_path / "lex")
+    b0 = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    b1 = spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, b0, lex, batch_id=0)
+    # torn attempt for batch 1: postings rows land, nothing else does
+    toks = _tokens(b1, "text", "doc_id")
+    (
+        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("batch_id", F.lit(1).cast("long"))
+        .write.mode("append")
+        .parquet(bm25_lexicon_paths(lex)["postings"])
+    )
+    update_bm25_lexicon(spark, b1, lex, batch_id=1)  # the replay
+    both = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    queries = {0: "alpha table"}
+    want = sorted(map(tuple, bm25_topk(both, queries).collect()))
+    got = sorted(
+        map(tuple, bm25_topk_from_index(spark, lex, queries).collect())
+    )
+    assert got == want and got
+
+
+def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
+    """Round 13 (r12 verdict #2): compact-state probes the lexicon's
+    doc count against the corpus row count. A planted ghost batch
+    (totals committed, corpus append never landed, checkpoint
+    abandoned — previously invisible until someone noticed skewed idf)
+    raises Bm25LexiconDriftError carrying both counts AND the completed
+    compaction results; the CLI's --auto-rebuild-bm25 re-derives the
+    lexicon from the corpus."""
+    from ts_etl_spark.cli import run_compact_state
+    from ts_etl_spark.operators.bm25 import bm25_stats
+    from ts_etl_spark.streaming.ingest import (
+        Bm25LexiconDriftError,
+        IngestConfig,
+        bm25_stats_from_lexicon,
+        compact_ingest_state,
+        update_bm25_lexicon,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = IngestConfig(bm25_lexicon_path=lex)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=0)
+    # healthy deployment: probe passes silently
+    assert compact_ingest_state(
+        spark, corpus_path=corpus_path, bm25_lexicon_path=lex
+    )
+    # ghost: the lexicon folds a batch whose corpus append never lands
+    ghost = spark.createDataFrame([(3, THIRD)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, ghost, lex, batch_id=1)
+    with pytest.raises(Bm25LexiconDriftError, match="ghost") as exc:
+        compact_ingest_state(
+            spark, corpus_path=corpus_path, bm25_lexicon_path=lex
+        )
+    assert exc.value.lex_n == 3 and exc.value.corpus_n == 2
+    assert exc.value.compacted  # the compaction work itself completed
+    # CLI remediation
+    run_compact_state(
+        corpus_path=corpus_path,
+        bm25_lexicon_path=lex,
+        auto_rebuild_bm25=True,
+        spark=spark,
+    )
+    queries = {0: "alpha table"}
+    assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
+        spark.read.parquet(corpus_path), queries
+    )
+    # and the probe passes again
+    assert compact_ingest_state(
+        spark, corpus_path=corpus_path, bm25_lexicon_path=lex
+    )
+
+
+def test_len_hdr_bootstraps_on_adoption_and_rebuilds(spark, tmp_path):
+    """Round 13 (r12 advice #1): enabling len_hdr_path on a deployment
+    with a pre-existing corpus folds the STORED corpus first under the
+    reserved bootstrap id, so the histogram covers the full history —
+    not just post-adoption batches; rebuild_length_histogram re-derives
+    the state from the corpus."""
+    from ts_etl_spark.operators.sketches import hdr_registers
+    from ts_etl_spark.streaming.ingest import (
+        LEN_HDR_BOOTSTRAP_ID,
+        IngestConfig,
+        _latest_len_hdr,
+        rebuild_length_histogram,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    # two batches land BEFORE the histogram exists
+    for i, text in enumerate((BASE, NOVEL)):
+        ingest_batch(
+            spark,
+            spark.createDataFrame([(i, text)], "doc_id LONG, text STRING"),
+            corpus_path,
+        )
+    hdr = str(tmp_path / "lenhdr")
+    cfg = IngestConfig(len_hdr_path=hdr)
+    ingest_batch(
+        spark,
+        spark.createDataFrame([(7, THIRD)], "doc_id LONG, text STRING"),
+        corpus_path,
+        cfg,
+        batch_id=7,
+    )
+    corpus = spark.read.parquet(corpus_path)
+    want = sorted(
+        (r.bucket, r.n)
+        for r in hdr_registers(
+            corpus.select(F.length("text").alias("len")), "len"
+        ).collect()
+    )
+    regs, _, bid = _latest_len_hdr(spark, hdr)
+    assert bid == 7
+    assert sorted((r.bucket, r.n) for r in regs.collect()) == want, (
+        "adopted histogram must cover the pre-existing corpus exactly"
+    )
+    # rebuild re-derives the identical registers under the bootstrap id
+    rebuild_length_histogram(spark, corpus_path, hdr)
+    regs, _, bid = _latest_len_hdr(spark, hdr)
+    assert bid == LEN_HDR_BOOTSTRAP_ID
+    assert sorted((r.bucket, r.n) for r in regs.collect()) == want
+
+
+def test_len_hdr_empty_first_generation_keeps_batch_id(spark, tmp_path):
+    """Round 13 (r12 advice #4): a first-ever fold with an empty kept
+    set must still carry its batch id (zero-count sentinel register) —
+    a zero-row generation would silently disable the replay no-op and
+    the out-of-order guard for the next fold."""
+    from ts_etl_spark.streaming.ingest import (
+        _latest_len_hdr,
+        _stats_generations,
+        corpus_length_quantiles,
+        update_length_histogram,
+    )
+
+    hdr = str(tmp_path / "lenhdr")
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    update_length_histogram(spark, empty, hdr, batch_id=5)
+    regs, gen, bid = _latest_len_hdr(spark, hdr)
+    assert bid == 5
+    assert corpus_length_quantiles(spark, hdr) == {}  # sentinel is a no-op
+    # replay of id 5 no-ops (no new generation)
+    update_length_histogram(spark, empty, hdr, batch_id=5)
+    assert _stats_generations(spark, hdr)[-1] == gen
+    # an id below 5 is a restarted sequence — the guard still fires
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    with pytest.raises(RuntimeError, match="out-of-order batch 3"):
+        update_length_histogram(spark, b, hdr, batch_id=3)
+    # a later real fold works and the sentinel contributes nothing
+    update_length_histogram(spark, b, hdr, batch_id=6)
+    assert corpus_length_quantiles(spark, hdr)
+
+
+def test_length_quantile_drift_flags_shifted_batch(spark, tmp_path):
+    """Round 13 (r12 verdict #6): the HDR length telemetry now has a
+    consumer — per batch, the p50/p99 length-quantile ratio against the
+    corpus histogram is logged next to the PSI drift rows and flagged
+    outside the band. A same-distribution batch passes; a planted
+    length-shifted batch flags."""
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        bootstrap_length_histogram,
+        length_drift_path,
+        monitor_length_quantile_drift,
+    )
+
+    hdr = str(tmp_path / "lenhdr")
+    drift = str(tmp_path / "drift")
+    corpus = spark.createDataFrame(
+        [(i, BASE + f" w{i}") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    assert bootstrap_length_histogram(spark, corpus, hdr)
+    same = spark.createDataFrame(
+        [(100, NOVEL), (101, THIRD)], "doc_id LONG, text STRING"
+    )
+    shifted = spark.createDataFrame(
+        [(200 + i, "x " * 3000) for i in range(4)], "doc_id LONG, text STRING"
+    )
+    monitor_length_quantile_drift(spark, hdr, same, drift, 0)
+    monitor_length_quantile_drift(spark, hdr, shifted, drift, 1)
+    lenq = length_drift_path(drift)
+    ok_rows = spark.read.parquet(f"{lenq}/batch=0").collect()
+    bad_rows = spark.read.parquet(f"{lenq}/batch=1").collect()
+    assert ok_rows and not any(r.flagged for r in ok_rows)
+    assert bad_rows and all(r.flagged for r in bad_rows)
+    assert all(r.ratio > 2.0 for r in bad_rows)
+    # wired through ingest_batch: both paths configured => rows land
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+    cfg = IngestConfig(len_hdr_path=hdr, drift_path=drift)
+    ingest_batch(spark, same, corpus_path, cfg, batch_id=2)
+    assert spark.read.parquet(f"{lenq}/batch=2").count() == 2
+
+
+def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):
+    """Round 13 (r12 verdict #7): compact_ingest_state refreshes the
+    lease between tables, so a multi-hour pass over many tables never
+    outlives the TTL mid-swap and becomes stealable — acquire runs once
+    at entry plus once per state dir."""
+    import ts_etl_spark.streaming.ingest as ing
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = ing.IngestConfig(bm25_lexicon_path=lex)
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    ingest_batch(spark, b, corpus_path, cfg, batch_id=0)
+
+    calls = []
+    real = ing.acquire_ingest_lease
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(ing, "acquire_ingest_lease", counting)
+    lease = str(tmp_path / "lease")
+    ing.compact_ingest_state(
+        spark,
+        corpus_path=corpus_path,
+        bm25_lexicon_path=lex,
+        lease_path=lease,
+    )
+    # 1 entry + 4 state dirs (corpus + postings/terms/totals)
+    assert len(calls) == 5

@@ -1144,6 +1144,7 @@ def run_compact_state(
     hh_path: str | None = None,
     telemetry_horizon: int | None = None,
     lease_path: str | None = None,
+    auto_rebuild_bm25: bool = False,
     spark=None,
 ) -> dict[str, int]:
     """Compact an ingest deployment's append-accumulated state tables
@@ -1154,28 +1155,61 @@ def run_compact_state(
     (drift-log prune + heavy-hitter rollup; the horizon must exceed the
     stream's maximum replay depth — see ``prune_ingest_telemetry``).
     Returns {table_dir: output_file_count} for compacted tables plus
-    {telemetry_path: batch_dirs_removed} (also logged to stderr)."""
+    {telemetry_path: batch_dirs_removed} (also logged to stderr).
+
+    With both ``corpus_path`` and ``bm25_lexicon_path`` given, the pass
+    probes the lexicon's ghost-batch invariant (lexicon doc count ==
+    corpus row count); on drift it raises — or, with
+    ``auto_rebuild_bm25``, prints the drift and re-derives the lexicon
+    from the corpus in one scan (``rebuild_bm25_lexicon``)."""
     from ts_etl_spark.streaming.ingest import (
+        Bm25LexiconDriftError,
+        acquire_ingest_lease,
         compact_ingest_state,
         prune_ingest_telemetry,
+        rebuild_bm25_lexicon,
+        release_ingest_lease,
     )
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-compact-state")
     try:
-        out = compact_ingest_state(
-            spark,
-            corpus_path=corpus_path,
-            dedup_index_path=dedup_index_path,
-            win_index_path=win_index_path,
-            sem_index_path=sem_index_path,
-            bm25_lexicon_path=bm25_lexicon_path,
-            target_file_bytes=(
-                target_mb * 1024 * 1024 if target_mb else None
-            ),
-            lease_path=lease_path,
-        )
+        try:
+            out = compact_ingest_state(
+                spark,
+                corpus_path=corpus_path,
+                dedup_index_path=dedup_index_path,
+                win_index_path=win_index_path,
+                sem_index_path=sem_index_path,
+                bm25_lexicon_path=bm25_lexicon_path,
+                target_file_bytes=(
+                    target_mb * 1024 * 1024 if target_mb else None
+                ),
+                lease_path=lease_path,
+            )
+        except Bm25LexiconDriftError as drift:
+            if not auto_rebuild_bm25:
+                raise
+            # the compaction work itself completed (the probe runs last)
+            print(
+                f"compact-state: BM25 lexicon drift detected "
+                f"(lexicon {drift.lex_n} docs vs corpus {drift.corpus_n})"
+                " — rebuilding from the corpus",
+                file=sys.stderr,
+            )
+            if lease_path is not None:
+                acquire_ingest_lease(spark, lease_path)
+            try:
+                rebuild_bm25_lexicon(spark, corpus_path, bm25_lexicon_path)
+            finally:
+                if lease_path is not None:
+                    release_ingest_lease(spark, lease_path)
+            print(
+                f"compact-state: lexicon at {bm25_lexicon_path} rebuilt",
+                file=sys.stderr,
+            )
+            out = drift.compacted
         for d, n in out.items():
             print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
         if telemetry_horizon is not None:
@@ -1236,6 +1270,13 @@ def _compact_state_main(argv: list[str]) -> int:
         help="single-writer lease file shared with the deployment's "
         "ingest runs",
     )
+    parser.add_argument(
+        "--auto-rebuild-bm25",
+        action="store_true",
+        help="when the lexicon/corpus ghost-batch probe detects drift "
+        "(requires --corpus and --bm25-lexicon), re-derive the lexicon "
+        "from the corpus instead of failing",
+    )
     args = parser.parse_args(argv)
     if not (
         args.corpus or args.dedup_index or args.win_index or args.sem_index
@@ -1243,6 +1284,13 @@ def _compact_state_main(argv: list[str]) -> int:
         or (args.telemetry_horizon and (args.drift_path or args.hh_path))
     ):
         print("compact-state: give at least one state path", file=sys.stderr)
+        return 1
+    if args.auto_rebuild_bm25 and not (args.corpus and args.bm25_lexicon):
+        print(
+            "compact-state: --auto-rebuild-bm25 needs both --corpus and "
+            "--bm25-lexicon",
+            file=sys.stderr,
+        )
         return 1
     try:
         run_compact_state(
@@ -1256,6 +1304,7 @@ def _compact_state_main(argv: list[str]) -> int:
             hh_path=args.hh_path,
             telemetry_horizon=args.telemetry_horizon,
             lease_path=args.lease,
+            auto_rebuild_bm25=args.auto_rebuild_bm25,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary
@@ -1264,18 +1313,36 @@ def _compact_state_main(argv: list[str]) -> int:
 
 
 def run_bm25_rebuild(
-    corpus_path: str, lexicon_path: str, spark=None
+    corpus_path: str,
+    lexicon_path: str,
+    lease_path: str | None = None,
+    spark=None,
 ) -> None:
     """Drop and re-derive a BM25 lexicon from the stored corpus — the
-    recovery path for a ghost batch or a restarted batch-id sequence
-    (see ``streaming.ingest.rebuild_bm25_lexicon``)."""
-    from ts_etl_spark.streaming.ingest import rebuild_bm25_lexicon
+    recovery path for a ghost batch, a restarted batch-id sequence, or
+    a pre-postings layout (see ``streaming.ingest
+    .rebuild_bm25_lexicon``). ``lease_path``: the deployment's
+    single-writer lease — a rebuild racing a live drain could lose or
+    double-fold a batch (the delete-then-refold window breaks the
+    replay/out-of-order contract), so point this at the same lease file
+    the ingests use; acquired for the rebuild, released after."""
+    from ts_etl_spark.streaming.ingest import (
+        acquire_ingest_lease,
+        rebuild_bm25_lexicon,
+        release_ingest_lease,
+    )
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-bm25-rebuild")
     try:
-        rebuild_bm25_lexicon(spark, corpus_path, lexicon_path)
+        if lease_path is not None:
+            acquire_ingest_lease(spark, lease_path)
+        try:
+            rebuild_bm25_lexicon(spark, corpus_path, lexicon_path)
+        finally:
+            if lease_path is not None:
+                release_ingest_lease(spark, lease_path)
         print(
             f"bm25-rebuild: lexicon at {lexicon_path} re-derived from "
             f"{corpus_path}",
@@ -1291,17 +1358,87 @@ def _bm25_rebuild_main(argv: list[str]) -> int:
         prog="ts-etl-spark bm25-rebuild",
         description=(
             "Re-derive an incremental BM25 lexicon from the stored "
-            "corpus (recovery for ghost batches / restarted batch ids)."
+            "corpus (recovery for ghost batches / restarted batch ids; "
+            "upgrade path for pre-postings lexicons)."
         ),
     )
     parser.add_argument("corpus_path", help="corpus parquet path")
     parser.add_argument("lexicon_path", help="lexicon base path")
+    parser.add_argument(
+        "--lease",
+        help="single-writer lease file shared with the deployment's "
+        "ingest runs (a rebuild racing a live drain can lose or "
+        "double-fold a batch)",
+    )
     args = parser.parse_args(argv)
     try:
-        run_bm25_rebuild(args.corpus_path, args.lexicon_path)
+        run_bm25_rebuild(args.corpus_path, args.lexicon_path, args.lease)
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during bm25-rebuild: {exc}", file=sys.stderr)
+        return 1
+
+
+def run_len_hdr_rebuild(
+    corpus_path: str,
+    hdr_path: str,
+    lease_path: str | None = None,
+    spark=None,
+) -> None:
+    """Drop and re-derive a corpus-length HDR histogram from the stored
+    corpus — the remedy for a restarted batch-id sequence and the
+    upgrade path for a histogram adopted before the bootstrap existed
+    (see ``streaming.ingest.rebuild_length_histogram``). Same lease
+    contract as ``run_bm25_rebuild``."""
+    from ts_etl_spark.streaming.ingest import (
+        acquire_ingest_lease,
+        rebuild_length_histogram,
+        release_ingest_lease,
+    )
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-len-hdr-rebuild")
+    try:
+        if lease_path is not None:
+            acquire_ingest_lease(spark, lease_path)
+        try:
+            rebuild_length_histogram(spark, corpus_path, hdr_path)
+        finally:
+            if lease_path is not None:
+                release_ingest_lease(spark, lease_path)
+        print(
+            f"len-hdr-rebuild: histogram at {hdr_path} re-derived from "
+            f"{corpus_path}",
+            file=sys.stderr,
+        )
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _len_hdr_rebuild_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark len-hdr-rebuild",
+        description=(
+            "Re-derive the corpus-length HDR histogram from the stored "
+            "corpus (recovery for restarted batch ids; upgrade for "
+            "histograms adopted before the bootstrap existed)."
+        ),
+    )
+    parser.add_argument("corpus_path", help="corpus parquet path")
+    parser.add_argument("hdr_path", help="length-histogram state path")
+    parser.add_argument(
+        "--lease",
+        help="single-writer lease file shared with the deployment's "
+        "ingest runs",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_len_hdr_rebuild(args.corpus_path, args.hdr_path, args.lease)
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during len-hdr-rebuild: {exc}", file=sys.stderr)
         return 1
 
 
@@ -1314,6 +1451,8 @@ def main(argv: list[str] | None = None) -> int:
         return _seen_admit_main(argv[1:])
     if argv and argv[0] == "bm25-rebuild":
         return _bm25_rebuild_main(argv[1:])
+    if argv and argv[0] == "len-hdr-rebuild":
+        return _len_hdr_rebuild_main(argv[1:])
     if argv and argv[0] == "compact-state":
         return _compact_state_main(argv[1:])
     if argv and argv[0] == "sem-train":

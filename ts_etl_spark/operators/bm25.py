@@ -11,10 +11,11 @@ Scoring is classic Okapi/Lucene BM25 with the non-negative idf::
 
 with k1 = 1.2, b = 0.75, query-term multiplicity ignored (the standard
 short-query simplification). Reference parity: the reference engine has
-no retrieval operator (it is a CSV/PRN normalization ETL —
-/root/reference/src/etl/transform.ts); BM25 is part of the mandated
-LLM-pipeline extension surface, spec from Robertson & Zaragoza (2009)
-and Lucene's BM25Similarity.
+no retrieval operator of any kind — it is a CSV/PRN normalization ETL
+(/root/reference/src/index.ts, README.md; its sources are parsers/
+renderers/utils only); BM25 is part of the mandated LLM-pipeline
+extension surface, spec from Robertson & Zaragoza (2009) and Lucene's
+BM25Similarity.
 
 Cross-engine exactness (the oracle hash-matches bit-for-bit, the same
 ladder as trainer_prep's mix arm):
@@ -33,8 +34,11 @@ ladder as trainer_prep's mix arm):
    need not match libm) — the idf reaches the plan as a literal column.
 4. The tf factor is pure +−×/ over doubles with the SAME expression
    tree on both sides (every constant is injected via ``repr()`` so both
-   parsers bind the identical binary64 — note ``k1 + 1`` is NOT the
-   literal 2.2); IEEE arithmetic is deterministic given the tree.
+   parsers bind the identical binary64 — derived constants are computed
+   once in Python and shipped as literals, never re-derived in SQL text,
+   so agreement does not hinge on whether a particular sum happens to
+   round to its decimal literal); IEEE arithmetic is deterministic
+   given the tree.
 5. The per-(query, doc) sum is an ORDERED left fold over term-sorted
    score lists (``F.aggregate`` over ``sort_array`` / DuckDB
    ``list_reduce(list(... ORDER BY term))``; the 0.0 seed is absorbed —
@@ -70,8 +74,10 @@ from ts_etl_spark.operators.bpe import WORD_PAT
 K1 = 1.2
 B = 0.75
 #: derived constants computed ONCE in Python and injected (repr) into
-#: BOTH plans — `1.2 + 1.0` != the decimal literal `2.2` in binary64,
-#: so the oracle must not re-derive them in SQL text.
+#: BOTH plans. For THESE values `1.2 + 1.0 == 2.2` happens to hold in
+#: binary64, but the contract must not hinge on such coincidences
+#: (`0.1 + 0.2 != 0.3` does not) — so the oracle never re-derives a
+#: constant in SQL text; it binds the repr of the Python double.
 K1_PLUS_1 = K1 + 1.0
 ONE_MINUS_B = 1.0 - B
 BM25_TOP_K = 5
@@ -148,41 +154,29 @@ def bm25_stats(
     return n_docs, avgdl, idfs
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: dict[int, str] | None = None,
-    stats: tuple[int, float, dict[str, float]] | None = None,
-    top_k: int = BM25_TOP_K,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact BM25 top-k per query: (q_id, doc_id, score, rn), score
-    rounded to 6 digits, rank ties broken by doc_id. ``stats`` lets a
-    caller reuse a persisted lexicon (and the oracle-gated arm memoize
-    the pass); omitted, the lexicon pass runs here."""
-    queries = BM25_QUERIES if queries is None else queries
-    if stats is None:
-        stats = bm25_stats(docs, queries, text_col, id_col)
-    _, avgdl, idfs = stats  # idfs, not idf — don't shadow the helper
-    spark = docs.sparkSession
-    matched = _query_terms(queries)
-    # terms with df = 0 have no tf rows to join — drop them up front so
-    # the broadcast map and the isin pushdown carry only live terms
-    qmap = [(q, t, idfs[t]) for q, t in matched if t in idfs]
-    if not qmap:
-        return spark.createDataFrame(
-            [], "q_id long, doc_id long, score double, rn int"
-        )
-    qdf = spark.createDataFrame(qmap, "q_id long, term string, idf double")
-    terms = sorted({t for _, t, _ in qmap})
+def _live_qmap(
+    queries: dict[int, str], idfs: dict[str, float]
+) -> list[tuple[int, str, float]]:
+    """(q_id, term, idf) for query terms with df > 0 — terms with df = 0
+    have no tf rows to join, so dropping them up front keeps the
+    broadcast map and the isin pushdown carrying only live terms."""
+    return [(q, t, idfs[t]) for q, t in _query_terms(queries) if t in idfs]
 
-    toks = _tokens(docs, text_col, id_col)
-    tf = (
-        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "dl", "term")  # dl is per-doc — a free key
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+
+def _bm25_rank(
+    tf: DataFrame,
+    qmap: list[tuple[int, str, float]],
+    avgdl: float,
+    top_k: int,
+) -> DataFrame:
+    """The shared ranking body over a ``(doc_id, dl, term, tf)`` frame —
+    ONE implementation on purpose: the corpus-scan path (``bm25_topk``)
+    and the postings-index path (``streaming.ingest
+    .bm25_topk_from_index``) must produce bit-identical scores, and
+    sharing the expression tree plus the ordered fold plus the two-phase
+    top-k makes that structural rather than a claim to re-verify."""
+    spark = tf.sparkSession
+    qdf = spark.createDataFrame(qmap, "q_id long, term string, idf double")
     # the tf factor — expression tree pinned to the oracle's (point 4)
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
@@ -220,6 +214,97 @@ def bm25_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, str] | None = None,
+    stats: tuple[int, float, dict[str, float]] | None = None,
+    top_k: int = BM25_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact BM25 top-k per query: (q_id, doc_id, score, rn), score
+    rounded to 6 digits, rank ties broken by doc_id. ``stats`` lets a
+    caller reuse a persisted lexicon (and the oracle-gated arm memoize
+    the pass); omitted, the lexicon pass runs here. This path tokenizes
+    the corpus per call — the batch-sweep shape; a deployment serving
+    repeated queries should maintain the postings index
+    (``streaming.ingest.update_bm25_lexicon``) and rank through
+    ``streaming.ingest.bm25_topk_from_index``, which touches only the
+    matching postings and is exact-equal to this by construction."""
+    queries = BM25_QUERIES if queries is None else queries
+    if stats is None:
+        stats = bm25_stats(docs, queries, text_col, id_col)
+    _, avgdl, idfs = stats  # idfs, not idf — don't shadow the helper
+    qmap = _live_qmap(queries, idfs)
+    if not qmap:
+        return docs.sparkSession.createDataFrame(
+            [], "q_id long, doc_id long, score double, rn int"
+        )
+    terms = sorted({t for _, t, _ in qmap})
+    toks = _tokens(docs, text_col, id_col)
+    tf = (
+        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")  # dl is per-doc — a free key
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_rank(tf, qmap, avgdl, top_k)
+
+
+#: per-(application, sf_dir) memo of the staged lexicon directory for
+#: the INDEXED bench supplement — built+written on the first call (which
+#: bench's min-of-N discards; the cold number is recorded separately),
+#: reused by later samples so the measured number is the steady-state
+#: QUERY cost a persisted postings index buys.
+_BENCH_LEX_MEMO: dict = {}
+
+
+def q_bm25_scan(spark, sf_dir: str) -> DataFrame:
+    """Bench supplement: the corpus-scan BM25 path END TO END — stats
+    pass + full tokenize + rank, no stats memo on purpose (the gated
+    ``embed_topk`` arm memoizes the stats pass; this entry times what a
+    one-off decontamination sweep actually pays). NOT a ``queries()``
+    entry (the registry is consolidated to 50); correctness is covered
+    by tests/test_bm25.py. The delta vs ``bm25_indexed`` is the
+    per-query saving the persisted postings index buys."""
+    from ts_etl_spark.operators.relational import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs)
+
+
+def q_bm25_indexed(spark, sf_dir: str) -> DataFrame:
+    """``q_bm25_scan`` answered from a PRE-MATERIALIZED postings
+    lexicon (``streaming.ingest``'s ``bm25_lexicon_path`` shape built
+    via the adoption bootstrap): the query touches only matching
+    postings plus the two skinny stats tables — never a corpus
+    tokenize. Bench SUPPLEMENT only; exact equality with the scan path
+    is tested (tests/test_ingest.py). Staging uses a driver-side
+    tempdir — bench-harness plumbing, not the production path
+    (``ingest_batch`` maintains the real lexicon incrementally)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ts_etl_spark.operators.relational import load_table
+    from ts_etl_spark.streaming.ingest import (
+        bm25_topk_from_index,
+        bootstrap_bm25_lexicon,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _BENCH_LEX_MEMO:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="tsetl_bench_lex_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        if not bootstrap_bm25_lexicon(spark, docs, d):
+            # degenerate empty table: match the scan supplement's
+            # graceful empty result instead of staging an empty lexicon
+            return q_bm25_scan(spark, sf_dir)
+        _BENCH_LEX_MEMO[key] = d
+    return bm25_topk_from_index(spark, _BENCH_LEX_MEMO[key])
+
+
 def bm25_oracle_sql(
     queries: dict[int, str] | None = None, top_k: int = BM25_TOP_K
 ) -> str:
@@ -227,8 +312,12 @@ def bm25_oracle_sql(
     — every float constant injected via repr from the SAME Python
     values the Spark plan uses (module docstring points 3-6)."""
     queries = BM25_QUERIES if queries is None else queries
+    # caller-supplied terms are embedded in SQL text: escape single
+    # quotes so a term like "o'brien" cannot break (or inject into)
+    # the oracle query; the fixed BM25_QUERIES are all WORD_PAT-clean
     values = ", ".join(
-        f"({q}, '{t}')" for q, t in _query_terms(queries)
+        f"({int(q)}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for q, t in _query_terms(queries)
     )
     return f"""
         WITH bm25_dl AS (

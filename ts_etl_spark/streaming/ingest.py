@@ -73,17 +73,26 @@ STATS_SCHEMA = "bucket STRING, rho INT"
 #: detector for the SUM-merge, see update_length_histogram)
 LEN_HDR_SCHEMA = "bucket INT, n BIGINT, batch_id BIGINT"
 
-#: incremental BM25 lexicon (update_bm25_lexicon): per-batch term
-#: document frequencies and corpus totals, append-only + sum-on-read —
-#: df and the totals are ADDITIVE across batches because every corpus
+#: incremental BM25 lexicon (update_bm25_lexicon): per-batch postings,
+#: term document frequencies and corpus totals, append-only +
+#: sum/distinct-on-read — additive across batches because every corpus
 #: document belongs to exactly one batch
+LEX_POSTINGS_SCHEMA = "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, batch_id BIGINT"
 LEX_TERMS_SCHEMA = "term STRING, df BIGINT, batch_id BIGINT"
 LEX_TOTALS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, batch_id BIGINT"
 
 
 def bm25_lexicon_paths(base: str) -> dict[str, str]:
-    """The two append-only tables of a BM25 lexicon deployment."""
-    return {"terms": f"{base}/terms", "totals": f"{base}/totals"}
+    """The three append-only tables of a BM25 lexicon deployment:
+    ``postings/`` (term, doc_id, tf, dl — the inverted index a query
+    probes), ``terms/`` (per-batch term df) and ``totals/`` (per-batch
+    n_docs + sum_dl; ALSO the per-batch presence/commit marker — always
+    written last)."""
+    return {
+        "postings": f"{base}/postings",
+        "terms": f"{base}/terms",
+        "totals": f"{base}/totals",
+    }
 
 #: materialized semantic index: every KEPT document's embedding with its
 #: 1-assign cell — appended per ingest, never recomputed from the corpus
@@ -850,17 +859,31 @@ def compact_ingest_state(
 
     ``lease_path``: pass the deployment's lease file (the one its
     ingests use) to refuse loudly if a drain is live — acquired for the
-    pass, released after."""
+    pass, REFRESHED between tables (a multi-hour compaction over
+    thousands of batches at real scale must not outlive the TTL
+    mid-swap and become stealable; size the TTL to the longest
+    single-table rewrite, not the whole pass), released after.
+
+    When BOTH ``corpus_path`` and ``bm25_lexicon_path`` are given and
+    the lexicon exists, the pass also runs the ghost-batch invariant
+    probe (``verify_bm25_lexicon``): a count mismatch raises
+    ``Bm25LexiconDriftError`` AFTER the compaction work completes —
+    previously that state was invisible until someone noticed skewed
+    idf."""
     _require_success_markers(spark)
     if lease_path is not None:
         acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
     out: dict[str, int] = {}
     failures: dict[str, str] = {}
+    drift: tuple[int, int] | None = None
     try:
         for d in ingest_state_dirs(
             corpus_path, dedup_index_path, win_index_path, sem_index_path,
             bm25_lexicon_path,
         ):
+            if lease_path is not None:
+                # heartbeat: each table's rewrite restarts the TTL clock
+                acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
             recover_state_compaction(spark, d)
             if not path_exists(spark, d):
                 continue
@@ -871,6 +894,18 @@ def compact_ingest_state(
                 # per-table failure like any other — it must not abort the
                 # remaining tables' maintenance
                 failures[d] = str(exc)
+        if (
+            corpus_path is not None
+            and bm25_lexicon_path is not None
+            and path_exists(
+                spark, bm25_lexicon_paths(bm25_lexicon_path)["totals"]
+            )
+        ):
+            lex_n, corpus_n = verify_bm25_lexicon(
+                spark, corpus_path, bm25_lexicon_path
+            )
+            if lex_n != corpus_n:
+                drift = (lex_n, corpus_n)
     finally:
         if lease_path is not None:
             release_ingest_lease(spark, lease_path)
@@ -885,6 +920,8 @@ def compact_ingest_state(
                 else ""
             )
         )
+    if drift is not None:
+        raise Bm25LexiconDriftError(bm25_lexicon_path, *drift, compacted=out)
     return out
 
 
@@ -1003,14 +1040,21 @@ def _prune_telemetry_body(
     from ts_etl_spark.fs import list_data_files, write_text_file
 
     out: dict[str, int] = {}
-    if drift_path is not None and path_exists(spark, drift_path):
-        dirs = _numeric_batch_dirs(spark, drift_path)
-        victims = (
-            [n for i, n in dirs if i <= dirs[-1][0] - horizon] if dirs else []
-        )
-        for name in victims:
-            delete_dir(spark, f"{drift_path}/{name}")
-        out[drift_path] = len(victims)
+    if drift_path is not None:
+        # the PSI log and its length-quantile sibling share the same
+        # per-batch-no-aggregate-meaning retention: plain prune
+        for p in (drift_path, length_drift_path(drift_path)):
+            if not path_exists(spark, p):
+                continue
+            dirs = _numeric_batch_dirs(spark, p)
+            victims = (
+                [n for i, n in dirs if i <= dirs[-1][0] - horizon]
+                if dirs
+                else []
+            )
+            for name in victims:
+                delete_dir(spark, f"{p}/{name}")
+            out[p] = len(victims)
     if hh_path is not None and path_exists(spark, hh_path):
         recover_hh_rollup(spark, hh_path)
         dirs = _numeric_batch_dirs(spark, hh_path)
@@ -1317,6 +1361,8 @@ def update_length_histogram(
     if old is not None and last_bid == int(batch_id):
         return  # replay of an already-folded batch — see docstring
     if old is not None and last_bid is not None and int(batch_id) < last_bid:
+        # (None last_bid cannot happen since the empty-generation
+        # sentinel below — kept for pre-sentinel generations)
         # an id BELOW the latest folded one is neither a replay (only the
         # last batch replays under single-writer streaming) nor a new
         # batch — it is a restarted id sequence (checkpoint reset against
@@ -1334,6 +1380,15 @@ def update_length_histogram(
     rows = merged.withColumn(
         "batch_id", F.lit(int(batch_id)).cast("long")
     ).collect()  # <= 960 rows by construction (see hdr_registers)
+    if not rows:
+        # first-ever fold with an empty kept set: a zero-row generation
+        # would lose its batch_id, silently disabling the replay no-op
+        # AND the out-of-order guard for the next fold (review finding,
+        # round 12) — carry the id on a zero-count register instead,
+        # which every consumer treats as a no-op (SUM-merge adds 0; the
+        # rank walk never reaches cum >= 1 on an all-zero table, so
+        # corpus_length_quantiles still answers {})
+        rows = [(0, 0, int(batch_id))]
     spark.createDataFrame(rows, LEN_HDR_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{hdr_path}/v{latest + 1}")
@@ -1370,6 +1425,48 @@ def corpus_length_quantiles(
     }
 
 
+#: reserved length-histogram batch id for the adoption bootstrap —
+#: below every real streaming epoch id, so the replay no-op and the
+#: out-of-order guard are unaffected (the BM25_BOOTSTRAP_ID discipline)
+LEN_HDR_BOOTSTRAP_ID = -1
+
+
+def bootstrap_length_histogram(
+    spark: SparkSession, corpus: DataFrame, hdr_path: str
+) -> bool:
+    """Adopt the length histogram on a PRE-EXISTING corpus: when no
+    generation exists yet but the corpus is non-empty, fold the ENTIRE
+    stored corpus once under the reserved ``LEN_HDR_BOOTSTRAP_ID`` —
+    without this, enabling ``len_hdr_path`` on a live deployment would
+    silently cover only post-adoption batches, the exact defect class
+    the BM25 lexicon's bootstrap closed (review finding, round 12).
+    Idempotent and crash-safe: the generation write is atomic
+    (_SUCCESS-gated), a torn bootstrap is invisible and re-runs, and
+    once committed the existence check skips in one probe per batch.
+    ``ingest_batch`` calls this before every per-batch fold. Returns
+    True if a bootstrap fold ran."""
+    if _stats_generations(spark, hdr_path):
+        return False
+    if corpus.first() is None:
+        return False  # fresh deployment — batch folds build the histogram
+    update_length_histogram(spark, corpus, hdr_path, LEN_HDR_BOOTSTRAP_ID)
+    return True
+
+
+def rebuild_length_histogram(
+    spark: SparkSession, corpus_path: str, hdr_path: str
+) -> None:
+    """Drop and re-derive the length histogram from the stored corpus —
+    the remedy the out-of-order guard's refusal points at (a restarted
+    batch-id sequence cannot be folded safely), and the upgrade path
+    for a histogram adopted mid-stream before the bootstrap existed
+    (which covers only post-adoption batches). One corpus scan,
+    column-pruned to lengths."""
+    if path_exists(spark, hdr_path):
+        delete_dir(spark, hdr_path)
+    bootstrap_length_histogram(spark, _corpus(spark, corpus_path), hdr_path)
+
+
 def update_bm25_lexicon(
     spark: SparkSession, new_docs: DataFrame, lexicon_path: str, batch_id: int
 ) -> None:
@@ -1380,37 +1477,55 @@ def update_bm25_lexicon(
     history (the corpus-scan ``operators.bm25.bm25_stats`` performs on
     every call).
 
-    Layout: two append-only tables (``terms/``: per-batch (term, df);
-    ``totals/``: per-batch (n_docs, sum_dl)), summed on read. df and
-    the totals are additive across batches because every corpus
-    document lands in exactly one batch, so sum-on-read equals a full
-    recompute EXACTLY (integer arithmetic end to end — the lexicon
-    feeds the same bit-exact idf path as the scan-based stats).
+    Layout: three append-only tables (``postings/``: per-batch
+    (term, doc_id, tf, dl) — the inverted index ``bm25_topk_from_index``
+    probes so a query touches only matching postings, never the corpus
+    text; ``terms/``: per-batch (term, df); ``totals/``: per-batch
+    (n_docs, sum_dl)), distinct/summed on read. All three are additive
+    across batches because every corpus document lands in exactly one
+    batch, so read-side derivation equals a full recompute EXACTLY
+    (integer arithmetic end to end — the lexicon feeds the same
+    bit-exact idf path as the scan-based stats).
 
     Crash/replay analysis (the HDR-telemetry discipline — batch_id is
     the replay key, so it must be unique AND monotonically increasing
-    per batch; write order is terms THEN totals, and presence is judged
-    against the MAX id in totals: equal = replay no-op, below = a
-    restarted id sequence that refuses loudly — ``rebuild_bm25_lexicon``
-    is the remedy — since matching against any historic id would let a
+    per batch; write order is postings, THEN terms, THEN totals — the
+    presence marker is always last — and presence is judged against the
+    MAX id in totals: equal = replay no-op, below = a restarted id
+    sequence that refuses loudly — ``rebuild_bm25_lexicon`` is the
+    remedy — since matching against any historic id would let a
     checkpoint reset silently drop every new batch):
 
-    - crash between the two appends: the replay (same kept set — the
-      corpus has not advanced) sees no totals row, re-appends the SAME
-      term rows (whole-file task commits mean duplicates are complete
-      identical rows) and the totals row; the reader's DISTINCT
-      collapses the duplicates;
+    - crash between any of the three appends: the replay (same kept
+      set — the corpus has not advanced) sees no totals row,
+      re-appends the SAME postings/term rows (whole-file task commits
+      mean duplicates are complete identical rows) and the totals row;
+      the readers' DISTINCT collapses the duplicates;
     - crash after totals, before the corpus append: presence recorded,
       replay no-ops — content already correct;
     - crash after the corpus append: the replay's kept set is EMPTY,
       and the presence check is what keeps the batch's true rows from
       being replaced (the HDR post-append lesson).
 
-    A zero-kept batch appends no term rows but DOES append its totals
-    row — presence must be recorded or the stream would re-derive the
-    batch forever."""
+    A zero-kept batch appends empty postings/terms frames but DOES
+    append its totals row — presence must be recorded or the stream
+    would re-derive the batch forever (the empty postings write also
+    creates the directory, so the pre-postings-layout guard below can
+    tell "no postings yet" from "legacy lexicon")."""
     p = bm25_lexicon_paths(lexicon_path)
     if path_exists(spark, p["totals"]):
+        if not path_exists(spark, p["postings"]):
+            # a lexicon created before the postings table existed:
+            # folding new batches would silently leave the index
+            # missing all pre-upgrade history — refuse loudly with the
+            # one-scan remedy (same contract as the out-of-order guard)
+            raise RuntimeError(
+                f"BM25 lexicon at {lexicon_path} has terms/totals but "
+                "no postings table (a pre-postings layout); folding "
+                "new batches would leave the postings index silently "
+                "missing its history — run rebuild_bm25_lexicon "
+                "(CLI bm25-rebuild) to upgrade it in one corpus scan"
+            )
         last = (
             spark.read.schema(LEX_TOTALS_SCHEMA)
             .parquet(p["totals"])
@@ -1437,18 +1552,30 @@ def update_bm25_lexicon(
 def _append_lexicon_rows(
     spark: SparkSession, docs: DataFrame, p: dict[str, str], batch_id: int
 ) -> None:
-    """Derive and append one id's (term, df) and (n_docs, sum_dl) rows —
-    the shared body of the per-batch fold and the adoption bootstrap.
-    Terms append BEFORE totals (the crash-window ordering)."""
+    """Derive and append one id's (term, doc_id, tf, dl) postings,
+    (term, df) and (n_docs, sum_dl) rows — the shared body of the
+    per-batch fold and the adoption bootstrap. Postings append first,
+    totals LAST (the crash-window ordering: totals is the presence
+    marker). The postings frame is checkpointed once and feeds the df
+    derivation too (df = postings rows per term, since (term, doc_id)
+    is unique within a batch); each batch's postings files are sorted
+    by term within partitions so parquet footer min/max stats prune
+    non-matching files under a query's term filter at scale."""
     from ts_etl_spark.operators.bm25 import _tokens
 
     toks = _tokens(docs, "text", "doc_id").localCheckpoint(eager=True)
+    bid = F.lit(int(batch_id)).cast("long")
+    postings = (
+        toks.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .groupBy("doc_id", "dl", "term")  # dl is per-doc — a free key
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("batch_id", bid)
+        .localCheckpoint(eager=True)
+    )
     try:
-        bid = F.lit(int(batch_id)).cast("long")
         terms = (
-            toks.select("doc_id", F.explode("ws").alias("term"))
-            .distinct()
-            .groupBy("term")
+            postings.groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
             .withColumn("batch_id", bid)
         )
@@ -1456,9 +1583,13 @@ def _append_lexicon_rows(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).withColumn("batch_id", bid)
+        postings.sortWithinPartitions("term").write.mode("append").parquet(
+            p["postings"]
+        )
         terms.write.mode("append").parquet(p["terms"])
         totals.write.mode("append").parquet(p["totals"])
     finally:
+        postings.unpersist()
         toks.unpersist()
 
 
@@ -1492,6 +1623,36 @@ def bootstrap_bm25_lexicon(
     return True
 
 
+class Bm25LexiconDriftError(RuntimeError):
+    """A lexicon whose recorded doc count disagrees with the corpus —
+    the ghost-batch state ``verify_bm25_lexicon`` detects. Carries the
+    two counts so callers (``compact-state --auto-rebuild-bm25``) can
+    report and remediate without re-probing."""
+
+    def __init__(
+        self,
+        lexicon_path: str,
+        lex_n: int,
+        corpus_n: int,
+        compacted: dict[str, int] | None = None,
+    ):
+        self.lexicon_path = lexicon_path
+        self.lex_n = lex_n
+        self.corpus_n = corpus_n
+        #: the compaction results that completed before the probe fired
+        #: (the probe runs last) — so a handler can still report them
+        self.compacted = dict(compacted or {})
+        super().__init__(
+            f"BM25 lexicon at {lexicon_path} records {lex_n} docs but "
+            f"the corpus holds {corpus_n}: a ghost batch (totals "
+            "committed, corpus append never landed, checkpoint "
+            "abandoned) or state maintained outside the fold protocol "
+            "— every idf derived from this lexicon is skewed; run "
+            "bm25-rebuild (or compact-state --auto-rebuild-bm25) to "
+            "re-derive it from the corpus"
+        )
+
+
 def rebuild_bm25_lexicon(
     spark: SparkSession, corpus_path: str, lexicon_path: str
 ) -> None:
@@ -1499,8 +1660,9 @@ def rebuild_bm25_lexicon(
     remedy for the states the skinny aggregated schema cannot repair on
     read: a ghost batch (totals committed, corpus append never landed,
     checkpoint abandoned — the aggregated rows carry no doc ids to
-    anti-join out, unlike the dedup index) or a restarted batch-id
-    sequence (the out-of-order guard's refusal). One corpus scan."""
+    anti-join out, unlike the dedup index), a restarted batch-id
+    sequence (the out-of-order guard's refusal), or a pre-postings
+    layout (the upgrade path). One corpus scan."""
     for d in bm25_lexicon_paths(lexicon_path).values():
         if path_exists(spark, d):
             delete_dir(spark, d)
@@ -1553,6 +1715,88 @@ def bm25_stats_from_lexicon(
     return n_docs, avgdl, idfs
 
 
+def bm25_topk_from_index(
+    spark: SparkSession,
+    lexicon_path: str,
+    queries: dict[int, str] | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Exact BM25 top-k answered ENTIRELY from the persisted lexicon —
+    the production retrieval path at corpus scale. Stats come from the
+    skinny terms/totals tables (``bm25_stats_from_lexicon``); candidate
+    (doc_id, dl, term, tf) rows come from the postings index pruned to
+    the query terms BEFORE anything else happens (an ``isin`` filter
+    the parquet scan pushes down, against per-batch term-sorted files
+    whose footer min/max stats skip non-matching files) — so a query
+    touches only its matching postings, never a corpus tokenize, never
+    a full explode. The ranking body is the SAME ``_bm25_rank`` the
+    corpus-scan ``operators.bm25.bm25_topk`` uses, making the two paths
+    bit-identical by construction (and tested: exact frame equality
+    over a multi-batch-built lexicon vs a scan of the stored corpus).
+    The DISTINCT collapses torn-append duplicates, which are complete
+    identical rows including batch_id (see ``update_bm25_lexicon``)."""
+    from ts_etl_spark.operators.bm25 import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        _bm25_rank,
+        _live_qmap,
+    )
+
+    queries = BM25_QUERIES if queries is None else queries
+    top_k = BM25_TOP_K if top_k is None else top_k
+    p = bm25_lexicon_paths(lexicon_path)
+    if not path_exists(spark, p["postings"]):
+        raise ValueError(
+            f"no postings index at {lexicon_path} — a pre-postings "
+            "lexicon serves stats only; run rebuild_bm25_lexicon "
+            "(CLI bm25-rebuild) to upgrade it, or rank with "
+            "operators.bm25.bm25_topk (corpus scan)"
+        )
+    _, avgdl, idfs = bm25_stats_from_lexicon(spark, lexicon_path, queries)
+    qmap = _live_qmap(queries, idfs)
+    if not qmap:
+        return spark.createDataFrame(
+            [], "q_id long, doc_id long, score double, rn int"
+        )
+    terms = sorted({t for _, t, _ in qmap})
+    tf = (
+        spark.read.schema(LEX_POSTINGS_SCHEMA)
+        .parquet(p["postings"])
+        .filter(F.col("term").isin(terms))
+        .distinct()
+        .select("doc_id", "dl", "term", "tf")
+    )
+    return _bm25_rank(tf, qmap, avgdl, top_k)
+
+
+def verify_bm25_lexicon(
+    spark: SparkSession, corpus_path: str, lexicon_path: str
+) -> tuple[int, int]:
+    """Ghost-batch invariant probe: ``(lexicon_n_docs, corpus_rows)``.
+    Equality is an invariant of the fold protocol (every corpus doc is
+    folded exactly once, totals last), so a mismatch means either a
+    GHOST batch — totals committed, corpus append never landed, and the
+    checkpoint was abandoned so no replay repaired it (lexicon >
+    corpus; the documented unrepairable-on-read state, previously
+    invisible until someone noticed skewed idf) — or state maintained
+    outside the protocol (corpus > lexicon). Remedy either way:
+    ``rebuild_bm25_lexicon``. Cheap: one distinct-sum over the skinny
+    totals table + one column-pruned corpus count — ``compact-state``
+    runs it whenever it is given both paths."""
+    p = bm25_lexicon_paths(lexicon_path)
+    if not path_exists(spark, p["totals"]):
+        raise ValueError(f"no BM25 lexicon at {lexicon_path}")
+    lex_n = int(
+        spark.read.schema(LEX_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .agg(F.coalesce(F.sum("n_docs"), F.lit(0)))
+        .first()[0]
+    )
+    corpus_n = _corpus(spark, corpus_path).select("doc_id").count()
+    return lex_n, corpus_n
+
+
 def monitor_batch_drift(
     spark: SparkSession,
     corpus: DataFrame,
@@ -1587,6 +1831,68 @@ def monitor_batch_drift(
     psi_drift(base, cur, "v", n_buckets=n_buckets).write.mode(
         "overwrite"
     ).parquet(f"{drift_path}/batch={int(batch_id)}")
+
+
+#: default acceptance band for the per-batch length-quantile shift
+#: signal: a batch whose p50/p99 document length is less than half or
+#: more than double the corpus's is flagged
+LEN_DRIFT_BAND = (0.5, 2.0)
+
+LEN_DRIFT_SCHEMA = (
+    "phi DOUBLE, corpus_len BIGINT, batch_len BIGINT, "
+    "ratio DOUBLE, flagged BOOLEAN"
+)
+
+
+def length_drift_path(drift_path: str) -> str:
+    """The length-quantile drift log lives NEXT TO the PSI drift log —
+    a sibling directory, because its row schema differs and parquet
+    partition discovery must not mix the two."""
+    return f"{drift_path}_lenq"
+
+
+def monitor_length_quantile_drift(
+    spark: SparkSession,
+    hdr_path: str,
+    batch_df: DataFrame,
+    drift_path: str,
+    batch_id: int,
+    phis: tuple = (0.5, 0.99),
+    band: tuple = LEN_DRIFT_BAND,
+) -> None:
+    """The consumer the HDR length telemetry existed for: per batch,
+    estimate the batch's document-length quantiles (its own ≤960-row
+    HDR register pass — both sides carry the sketch's ≤2^-s error) and
+    flag the probes whose ratio against the CORPUS histogram's
+    estimate leaves ``band`` — the "is this crawl slice drawn from the
+    same length distribution?" check, logged per batch next to the PSI
+    drift rows (``length_drift_path(drift_path)/batch=<id>``, written
+    with overwrite so a replay rewrites its own partition — the PSI
+    log's idempotence discipline; like the PSI log, a replayed batch
+    re-measures against the by-then-grown baseline, acceptable for
+    telemetry). No committed histogram yet (fresh deployment, first
+    batch) or an empty batch → nothing to compare, no rows."""
+    corpus_q = corpus_length_quantiles(spark, hdr_path, phis)
+    if not corpus_q:
+        return
+    batch_regs = hdr_registers(
+        batch_df.select(F.length("text").alias("len")), "len"
+    )
+    batch_q = {
+        float(r.phi): int(r.estimate)
+        for r in hdr_quantile_estimates(batch_regs, phis).collect()
+    }
+    if not batch_q:
+        return  # empty batch
+    lo, hi = band
+    rows = []
+    for phi in sorted(batch_q):
+        c, b = corpus_q[phi], batch_q[phi]
+        ratio = float(b) / float(max(c, 1))
+        rows.append((phi, c, b, ratio, not (lo <= ratio <= hi)))
+    spark.createDataFrame(rows, LEN_DRIFT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{length_drift_path(drift_path)}/batch={int(batch_id)}")
 
 
 CM_SCHEMA = "d INT, slot INT, c BIGINT"
@@ -1974,6 +2280,16 @@ def ingest_batch(
             spark, corpus, batch_df, drift_path, batch_id,
             base_lens=base_lens,
         )
+        if config.len_hdr_path is not None:
+            # the quantile-shift twin of the PSI row set (the consumer
+            # of the HDR length telemetry): baseline = the persisted
+            # corpus-lifetime histogram, bootstrapped here if absent so
+            # adoption on a pre-existing corpus compares against the
+            # full history from the first batch
+            bootstrap_length_histogram(spark, corpus, config.len_hdr_path)
+            monitor_length_quantile_drift(
+                spark, config.len_hdr_path, batch_df, drift_path, batch_id
+            )
     win_delta = None
     fp_index = entrant_fps = None
     if win_index_path is not None:
@@ -2082,7 +2398,10 @@ def ingest_batch(
         if config.len_hdr_path is not None:
             # same before-append reasoning as the stats sketch; replay
             # safety comes from the batch-id no-op, not merge
-            # idempotence (SUM-merge double-counts where max no-ops)
+            # idempotence (SUM-merge double-counts where max no-ops).
+            # Adoption on a pre-existing corpus folds the stored corpus
+            # first (the PRE-batch frame — kept is folded separately)
+            bootstrap_length_histogram(spark, corpus, config.len_hdr_path)
             update_length_histogram(
                 spark, kept, config.len_hdr_path, batch_id
             )
