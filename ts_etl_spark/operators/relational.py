@@ -1224,10 +1224,30 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pure integer/dyadic bucket arithmetic means FULL value parity —
     # every register row and every quantile estimate hash-matches the
     # oracle, not just a tolerance boolean (see sketches._hdr_index).
+    # ONE lineitem scan for the whole arm (round 13 — was three): the
+    # per-parity register table is built in a single pass and the
+    # even/odd/full tables are sliced out of its ≤2×960 collected rows
+    # (counts partition exactly by parity, so full = even + odd is an
+    # identity, not an approximation); the merge-law gate then runs
+    # over local relations.
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    par_regs = hdr_registers(
+        li.select(
+            (F.col("l_orderkey") % 2).alias("par"), cents.alias("cents")
+        ),
+        "cents",
+        extra_keys=("par",),
+    ).collect()
+    halves: dict[int, dict[int, int]] = {0: {}, 1: {}}
+    for r in par_regs:
+        halves[int(r["par"])][int(r["bucket"])] = int(r["n"])
+    full_counts: dict[int, int] = {}
+    for h in halves.values():
+        for b, n in h.items():
+            full_counts[b] = full_counts.get(b, 0) + n
+    reg_schema = "bucket INT, n BIGINT"
     hdr_full = spark.createDataFrame(
-        hdr_registers(li.select(cents.alias("cents")), "cents").collect(),
-        "bucket INT, n BIGINT",
+        sorted(full_counts.items()), reg_schema
     )
     hdr_reg_rows = hdr_full.select(
         F.concat(
@@ -1259,15 +1279,12 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # merge law gate: registers of disjoint halves, hdr_merge'd, must
     # equal the full table EXACTLY (the monoid the incremental-ingest
-    # path relies on) — a full-outer compare folded to one boolean row
-    even = hdr_registers(
-        li.filter(F.col("l_orderkey") % 2 == 0).select(cents.alias("cents")),
-        "cents",
-    )
-    odd = hdr_registers(
-        li.filter(F.col("l_orderkey") % 2 == 1).select(cents.alias("cents")),
-        "cents",
-    )
+    # path relies on) — a full-outer compare folded to one boolean row,
+    # over the per-parity slices of the fused single scan above (the
+    # gate still exercises the REAL hdr_merge operator; only the
+    # register derivation is shared)
+    even = spark.createDataFrame(sorted(halves[0].items()), reg_schema)
+    odd = spark.createDataFrame(sorted(halves[1].items()), reg_schema)
     merged = hdr_merge(even, odd)
     mismatches = (
         merged.join(hdr_full.withColumnRenamed("n", "n_full"), "bucket", "full")

@@ -394,7 +394,9 @@ def hdr_width(bucket: Column, s: int = HDR_S) -> Column:
     )
 
 
-def hdr_registers(df: DataFrame, col: str, s: int = HDR_S) -> DataFrame:
+def hdr_registers(
+    df: DataFrame, col: str, s: int = HDR_S, extra_keys: tuple = ()
+) -> DataFrame:
     """The HDR register table for a NON-NEGATIVE integer column: one row
     per occupied bucket, ``(bucket: int, n: bigint)`` — at most
     ``(64-s)·2^s`` rows ever (s=4: ≤ 960; a 24-bit value domain: ≤ 336).
@@ -404,13 +406,21 @@ def hdr_registers(df: DataFrame, col: str, s: int = HDR_S) -> DataFrame:
     the mantissa-bit extraction and silently mis-bucket (breaking
     ``lower ≤ v`` and the est ≤ truth quantile guarantee) — are a
     domain error (raise where a real pipeline would route to
-    quarantine)."""
+    quarantine).
+
+    ``extra_keys``: additional grouping columns carried through (one
+    register table per key combination in ONE scan — e.g. per-parity
+    halves for the merge-law gate; ≤960 rows per combination). The
+    per-key tables sliced out of the result sum to exactly the plain
+    table — counts partition by key."""
     if not 1 <= s <= 8:
         raise ValueError("s must be in [1, 8]")
     v = F.col(col).cast("long")
+    keys = [F.col(k) for k in extra_keys]
     return (
         df.filter(v.isNotNull())
         .select(
+            *keys,
             F.when(
                 (v < 0) | (v > F.lit(1 << 53)),
                 F.raise_error(
@@ -418,9 +428,9 @@ def hdr_registers(df: DataFrame, col: str, s: int = HDR_S) -> DataFrame:
                 ),
             )
             .otherwise(_hdr_index(v, s))
-            .alias("bucket")
+            .alias("bucket"),
         )
-        .groupBy("bucket")
+        .groupBy(*extra_keys, "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
