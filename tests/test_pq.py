@@ -1,0 +1,147 @@
+"""Product quantization (round 13): encode/ADC/re-rank properties.
+
+The driver gate (the ``q_id = -2`` row of ``embed_ann_ivf``) asserts the
+bounded recall/error properties on the real embeddings; these tests pin
+the ALGEBRAIC identities that make those bounds meaningful:
+
+- a codebook containing every corpus subvector encodes LOSSLESSLY
+  (qerr = 0) and makes the ADC score equal the exact dot — so the whole
+  approximate path degrades to exact retrieval when quantization is
+  perfect (any bug in slicing, LUT construction, or code indexing
+  breaks this equality somewhere);
+- with a shortlist covering the whole corpus, the exact re-rank makes
+  ``pq_topk`` equal ``brute_topk`` even under a LOSSY codebook (the
+  re-rank really is exact);
+- ``qerr`` from the encode's argmin pass equals the reconstruction
+  error computed independently;
+- training is deterministic under a fixed seed.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.similarity import (
+    brute_topk,
+    norm,
+    pq_encode,
+    pq_topk,
+    pq_train,
+    _pq_candidates,
+)
+
+D = 8  # dims; M=4 subspaces of 2
+
+
+def _vec_frame(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    return df.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+
+
+def _rows(n, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(D)])
+        for i in range(n)
+    ]
+
+
+def _exact_codebook(spark, rows, m):
+    """A codebook whose entries are EXACTLY the corpus subvectors (plus
+    index-shifted duplicates to exercise tie-breaks): encoding against
+    it must be lossless."""
+    dsub = D // m
+    ents = []
+    for j in range(m):
+        seen = []
+        for _, v in rows:
+            sub = [round(x, 10) for x in v[j * dsub : (j + 1) * dsub]]
+            if sub not in seen:
+                seen.append(sub)
+        for c, sub in enumerate(seen):
+            ents.append((j, c, sub))
+    return spark.createDataFrame(ents, "j INT, code INT, cent ARRAY<DOUBLE>")
+
+
+def test_lossless_codebook_gives_zero_qerr_and_exact_adc(spark):
+    rows = _rows(30)
+    vecs = _vec_frame(spark, rows)
+    m = 4
+    cb = _exact_codebook(spark, rows, m)
+    enc = pq_encode(vecs, cb, m=m)
+    got = enc.collect()
+    assert len(got) == len(rows)
+    assert all(len(r["codes"]) == m for r in got)
+    assert all(abs(r["qerr"]) < 1e-18 for r in got), "lossless => qerr 0"
+    # ADC over a lossless codebook == the exact cosine for EVERY pair
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = _pq_candidates(vecs, enc, cb, q, shortlist=len(rows)).collect()
+    assert cand
+    for r in cand:
+        assert r["adc"] == pytest.approx(r["cosine"], abs=1e-9)
+
+
+def test_full_shortlist_rerank_equals_brute_force_even_lossy(spark):
+    rows = _rows(40, seed=9)
+    vecs = _vec_frame(spark, rows)
+    q = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cb = pq_train(vecs, m=4, k=4, max_iter=5)  # deliberately coarse
+    enc = pq_encode(vecs, cb, m=4)
+    got = sorted(
+        map(
+            tuple,
+            pq_topk(vecs, enc, cb, q, top_k=5, shortlist=len(rows)).collect(),
+        )
+    )
+    want = sorted(map(tuple, brute_topk(vecs, q, top_k=5).collect()))
+    assert got == want and got
+
+
+def test_qerr_equals_independent_reconstruction_error(spark):
+    rows = _rows(25, seed=5)
+    vecs = _vec_frame(spark, rows)
+    m, dsub = 4, D // 4
+    cb = pq_train(vecs, m=m, k=3, max_iter=5)
+    ents = {(r["j"], r["code"]): list(r["cent"]) for r in cb.collect()}
+    enc = {r["vec_id"]: (list(r["codes"]), r["qerr"])
+           for r in pq_encode(vecs, cb, m=m).collect()}
+    for vid, v in rows:
+        codes, qerr = enc[vid]
+        recon = []
+        for j in range(m):
+            recon.extend(ents[(j, codes[j])])
+        err = sum((a - b) ** 2 for a, b in zip(v, recon))
+        assert math.isclose(qerr, err, rel_tol=1e-9, abs_tol=1e-12)
+        # and the code really is the argmin for its subspace
+        for j in range(m):
+            sub = v[j * dsub : (j + 1) * dsub]
+            dists = {
+                c: sum((a - b) ** 2 for a, b in zip(sub, cent))
+                for (jj, c), cent in ents.items()
+                if jj == j
+            }
+            best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+            assert math.isclose(
+                dists[codes[j]], best[1], rel_tol=1e-9, abs_tol=1e-12
+            )
+
+
+def test_pq_train_deterministic_and_refuses_bad_dims(spark):
+    rows = _rows(20, seed=1)
+    vecs = _vec_frame(spark, rows)
+    a = sorted(map(tuple, pq_train(vecs, m=4, k=3, max_iter=5).collect()))
+    b = sorted(map(tuple, pq_train(vecs, m=4, k=3, max_iter=5).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(vecs, m=3)

@@ -464,15 +464,17 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
     assert S._IVF_MEMO == first  # same four entries, same objects
     # vecs + trained centroids + the shared brute-force exact frame that
     # feeds both the trained-recall gate and the q8 recall/error gates,
-    # plus the pca gate's literal evidence row (plain data, not a frame —
-    # safe to memoize across clearCache, unlike checkpointed frames)
-    assert len(first) == 4
+    # plus the pca and pq gates' literal evidence rows (plain data, not
+    # frames — safe to memoize across clearCache, unlike checkpointed
+    # frames)
+    assert len(first) == 5
     assert {kind for (_, _, kind) in first} == {
-        "vecs", "tcents", "exact", "pca_gate",
+        "vecs", "tcents", "exact", "pca_gate", "pq_gate",
     }
-    assert isinstance(first[next(
-        k for k in first if k[2] == "pca_gate"
-    )], tuple)
+    for gate in ("pca_gate", "pq_gate"):
+        assert isinstance(first[next(
+            k for k in first if k[2] == gate
+        )], tuple)
     for (_, _, _kind), frame in first.items():
         if hasattr(frame, "unpersist"):
             frame.unpersist()
