@@ -1188,7 +1188,11 @@ def quantized_topk(
 PQ_M = 8
 PQ_K = 256
 PQ_TRAIN_SEED = 11
-PQ_TRAIN_ITER = 15
+#: 10 Lloyd iterations: k-means|| init is already good and the gate
+#: floors are calibrated WITH this value (more iterations measurably
+#: buy nothing on the gate data while the m fits are the arm's
+#: dominant cold cost)
+PQ_TRAIN_ITER = 10
 #: ADC shortlist size re-ranked exactly (the production IVF-PQ query
 #: shape: approximate-distance candidate generation, exact re-rank)
 PQ_SHORTLIST = 50
@@ -1217,7 +1221,15 @@ def pq_train(
     d/m doubles each, trivially broadcastable. Training cost is m
     small MLlib jobs over the (samplable, like every tokenizer/sketch
     trainer here) training frame; at 100 TB you train on a sample and
-    encode the full corpus with the fixed codebooks."""
+    encode the full corpus with the fixed codebooks. The m fits are
+    INDEPENDENT, so they run on a driver thread pool — Spark schedules
+    concurrent jobs fine, and each fit on a training sample is
+    overhead-dominated, so serializing them multiplies wall-clock by m
+    for nothing (measured 21.5 s sequential vs ~6 s pooled for the
+    gated arm's cold build at sf0.1). The training frame is persisted
+    for the fits' repeated passes and released after."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1229,16 +1241,30 @@ def pq_train(
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
     spark = vecs.sparkSession
-    rows = []
-    for j in range(m):
-        sub = vecs.select(
+    train = vecs.select(
+        *[
             array_to_vector(
                 F.slice(F.col(emb_col), j * dsub + 1, dsub)
-            ).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(sub)
-        for c, cent in enumerate(model.clusterCenters()):
-            rows.append((j, c, [float(x) for x in cent]))
+            ).alias(f"f{j}")
+            for j in range(m)
+        ]
+    ).persist()
+
+    def fit(j: int):
+        model = KMeans(
+            k=k, seed=seed + j, maxIter=max_iter, featuresCol=f"f{j}"
+        ).fit(train)
+        return [
+            (j, c, [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+
+    try:
+        with ThreadPoolExecutor(max_workers=m) as pool:
+            parts = list(pool.map(fit, range(m)))
+    finally:
+        train.unpersist()
+    rows = [r for part in parts for r in part]
     return spark.createDataFrame(rows, "j INT, code INT, cent ARRAY<DOUBLE>")
 
 
@@ -1261,15 +1287,18 @@ def pq_encode(
     aggregation (ties break to the smaller code — deterministic) →
     one groupBy assembling the code array. Only skinny
     (id, j, code, d2) rows ever shuffle; the double vectors never
-    do."""
-    dist = F.aggregate(
-        F.zip_with("sub", "cent", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    do. The distance is UNROLLED over the (statically known) subspace
+    width instead of a zip_with/aggregate HOF — HOF lambdas evaluate
+    interpreted per element, and this expression runs m·k times per
+    vector (the §6 HOF-lambda lesson; measured ~2× on the encode)."""
     first = vecs.select(emb_col).first()
     d = len(first[0])
     dsub = d // m
+    dist = None
+    for i in range(dsub):
+        t = F.col("sub").getItem(i) - F.col("cent").getItem(i)
+        term = t * t
+        dist = term if dist is None else dist + term
     subs = vecs.filter(F.col(emb_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(

@@ -1608,12 +1608,13 @@ def bootstrap_bm25_lexicon(
     this, enabling ``bm25_lexicon_path`` on a live deployment would
     silently cover only post-adoption batches (review finding; the
     dedup/orig-fp indexes bootstrap the same way). Idempotent and
-    crash-safe like the per-batch fold: a torn bootstrap (terms landed,
-    totals missing) re-runs and its duplicate rows — identical, since
-    the corpus has not advanced while the lexicon is absent — collapse
-    under the reader's DISTINCT. ``ingest_batch`` calls this before
-    every per-batch fold (one existence check per batch once adopted).
-    Returns True if a bootstrap fold ran."""
+    crash-safe like the per-batch fold: a torn bootstrap (postings
+    and/or terms landed, totals missing) re-runs and its duplicate
+    rows — identical, since the corpus has not advanced while the
+    lexicon is absent — collapse under the readers' DISTINCT.
+    ``ingest_batch`` calls this before every per-batch fold (one
+    existence check per batch once adopted). Returns True if a
+    bootstrap fold ran."""
     p = bm25_lexicon_paths(lexicon_path)
     if path_exists(spark, p["totals"]):
         return False
