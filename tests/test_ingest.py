@@ -1032,13 +1032,26 @@ def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
         )
     assert exc.value.lex_n == 3 and exc.value.corpus_n == 2
     assert exc.value.compacted  # the compaction work itself completed
-    # CLI remediation
-    run_compact_state(
+    # auto-rebuild REQUIRES the lease (an unleased rebuild racing a
+    # live drain can drop its in-flight batch — review finding)
+    with pytest.raises(ValueError, match="requires lease_path"):
+        compact_ingest_state(
+            spark,
+            corpus_path=corpus_path,
+            bm25_lexicon_path=lex,
+            auto_rebuild_bm25=True,
+        )
+    # CLI remediation (under the held lease; the returned dict carries
+    # the -1 rebuild marker)
+    lease = str(tmp_path / "lease")
+    out = run_compact_state(
         corpus_path=corpus_path,
         bm25_lexicon_path=lex,
         auto_rebuild_bm25=True,
+        lease_path=lease,
         spark=spark,
     )
+    assert out[lex] == -1
     queries = {0: "alpha table"}
     assert bm25_stats_from_lexicon(spark, lex, queries) == bm25_stats(
         spark.read.parquet(corpus_path), queries
@@ -1047,6 +1060,39 @@ def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
     assert compact_ingest_state(
         spark, corpus_path=corpus_path, bm25_lexicon_path=lex
     )
+
+
+def test_rebuilds_and_probe_refuse_missing_corpus_path(spark, tmp_path):
+    """Review findings (round 13): a typo'd corpus path must not read
+    as an EMPTY corpus — verify_bm25_lexicon would report fictitious
+    drift, and the rebuilds would delete real state and 'rebuild'
+    nothing while reporting success."""
+    from ts_etl_spark.streaming.ingest import (
+        bm25_stats_from_lexicon,
+        bm25_lexicon_paths,
+        rebuild_bm25_lexicon,
+        rebuild_length_histogram,
+        update_bm25_lexicon,
+        update_length_histogram,
+        verify_bm25_lexicon,
+        _latest_len_hdr,
+    )
+
+    lex = str(tmp_path / "lex")
+    hdr = str(tmp_path / "lenhdr")
+    missing = str(tmp_path / "corpsu")  # the typo
+    b = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, b, lex, batch_id=0)
+    update_length_histogram(spark, b, hdr, batch_id=0)
+    with pytest.raises(ValueError, match="no corpus at"):
+        verify_bm25_lexicon(spark, missing, lex)
+    with pytest.raises(ValueError, match="no corpus at"):
+        rebuild_bm25_lexicon(spark, missing, lex)
+    with pytest.raises(ValueError, match="no corpus at"):
+        rebuild_length_histogram(spark, missing, hdr)
+    # nothing was deleted by the refused rebuilds
+    assert bm25_stats_from_lexicon(spark, lex, {0: "alpha"})
+    assert _latest_len_hdr(spark, hdr)[0] is not None
 
 
 def test_len_hdr_bootstraps_on_adoption_and_rebuilds(spark, tmp_path):

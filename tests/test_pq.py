@@ -137,6 +137,28 @@ def test_qerr_equals_independent_reconstruction_error(spark):
             )
 
 
+def test_pq_handles_null_vectors_and_empty_frames(spark):
+    """Review finding (round 13): a leading NULL embedding (or an
+    all-null/empty frame) must not TypeError on the driver-side width
+    probe — pq_train trains on the non-null rows, pq_encode encodes
+    them and returns empty for none."""
+    rows = _rows(12, seed=2)
+    with_null = _vec_frame(spark, rows).unionByName(
+        spark.createDataFrame(
+            [(999, None, None)], "vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE"
+        )
+    )
+    # NULL row sorted first exercises the old first()-row crash
+    leading_null = with_null.orderBy(F.col("v").isNotNull())
+    cb = pq_train(leading_null, m=4, k=3, max_iter=5)
+    enc = pq_encode(leading_null, cb, m=4)
+    assert enc.count() == len(rows)  # the null row is excluded
+    empty = spark.createDataFrame([], "vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE")
+    assert pq_encode(empty, cb, m=4).count() == 0
+    with pytest.raises(ValueError, match="non-null"):
+        pq_train(empty, m=4, k=3)
+
+
 def test_pq_train_deterministic_and_refuses_bad_dims(spark):
     rows = _rows(20, seed=1)
     vecs = _vec_frame(spark, rows)

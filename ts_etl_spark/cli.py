@@ -1160,58 +1160,41 @@ def run_compact_state(
     With both ``corpus_path`` and ``bm25_lexicon_path`` given, the pass
     probes the lexicon's ghost-batch invariant (lexicon doc count ==
     corpus row count); on drift it raises — or, with
-    ``auto_rebuild_bm25``, prints the drift and re-derives the lexicon
-    from the corpus in one scan (``rebuild_bm25_lexicon``)."""
+    ``auto_rebuild_bm25`` (which requires ``lease_path``), re-derives
+    the lexicon from the corpus UNDER THE SAME HELD LEASE (see
+    ``compact_ingest_state`` — re-acquiring after release would let a
+    drain slip between probe and rebuild)."""
     from ts_etl_spark.streaming.ingest import (
-        Bm25LexiconDriftError,
-        acquire_ingest_lease,
         compact_ingest_state,
         prune_ingest_telemetry,
-        rebuild_bm25_lexicon,
-        release_ingest_lease,
     )
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-compact-state")
     try:
-        try:
-            out = compact_ingest_state(
-                spark,
-                corpus_path=corpus_path,
-                dedup_index_path=dedup_index_path,
-                win_index_path=win_index_path,
-                sem_index_path=sem_index_path,
-                bm25_lexicon_path=bm25_lexicon_path,
-                target_file_bytes=(
-                    target_mb * 1024 * 1024 if target_mb else None
-                ),
-                lease_path=lease_path,
-            )
-        except Bm25LexiconDriftError as drift:
-            if not auto_rebuild_bm25:
-                raise
-            # the compaction work itself completed (the probe runs last)
-            print(
-                f"compact-state: BM25 lexicon drift detected "
-                f"(lexicon {drift.lex_n} docs vs corpus {drift.corpus_n})"
-                " — rebuilding from the corpus",
-                file=sys.stderr,
-            )
-            if lease_path is not None:
-                acquire_ingest_lease(spark, lease_path)
-            try:
-                rebuild_bm25_lexicon(spark, corpus_path, bm25_lexicon_path)
-            finally:
-                if lease_path is not None:
-                    release_ingest_lease(spark, lease_path)
-            print(
-                f"compact-state: lexicon at {bm25_lexicon_path} rebuilt",
-                file=sys.stderr,
-            )
-            out = drift.compacted
+        out = compact_ingest_state(
+            spark,
+            corpus_path=corpus_path,
+            dedup_index_path=dedup_index_path,
+            win_index_path=win_index_path,
+            sem_index_path=sem_index_path,
+            bm25_lexicon_path=bm25_lexicon_path,
+            target_file_bytes=(
+                target_mb * 1024 * 1024 if target_mb else None
+            ),
+            lease_path=lease_path,
+            auto_rebuild_bm25=auto_rebuild_bm25,
+        )
         for d, n in out.items():
-            print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
+            if n == -1:  # the rebuild marker (see compact_ingest_state)
+                print(
+                    f"compact-state: BM25 lexicon drift detected — "
+                    f"{d} rebuilt from the corpus",
+                    file=sys.stderr,
+                )
+            else:
+                print(f"compact-state: {d} -> {n} file(s)", file=sys.stderr)
         if telemetry_horizon is not None:
             pruned = prune_ingest_telemetry(
                 spark,
@@ -1274,8 +1257,9 @@ def _compact_state_main(argv: list[str]) -> int:
         "--auto-rebuild-bm25",
         action="store_true",
         help="when the lexicon/corpus ghost-batch probe detects drift "
-        "(requires --corpus and --bm25-lexicon), re-derive the lexicon "
-        "from the corpus instead of failing",
+        "(requires --corpus, --bm25-lexicon AND --lease: an unleased "
+        "rebuild racing a live drain can drop its in-flight batch), "
+        "re-derive the lexicon from the corpus instead of failing",
     )
     args = parser.parse_args(argv)
     if not (
@@ -1285,10 +1269,12 @@ def _compact_state_main(argv: list[str]) -> int:
     ):
         print("compact-state: give at least one state path", file=sys.stderr)
         return 1
-    if args.auto_rebuild_bm25 and not (args.corpus and args.bm25_lexicon):
+    if args.auto_rebuild_bm25 and not (
+        args.corpus and args.bm25_lexicon and args.lease
+    ):
         print(
-            "compact-state: --auto-rebuild-bm25 needs both --corpus and "
-            "--bm25-lexicon",
+            "compact-state: --auto-rebuild-bm25 needs --corpus, "
+            "--bm25-lexicon and --lease",
             file=sys.stderr,
         )
         return 1
@@ -1312,6 +1298,24 @@ def _compact_state_main(argv: list[str]) -> int:
         return 1
 
 
+def _with_ingest_lease(spark, lease_path: str | None, fn):
+    """Run ``fn()`` under the deployment's single-writer lease (no-op
+    when ``lease_path`` is None) — the one acquire/try/finally/release
+    shape every maintenance subcommand shares."""
+    from ts_etl_spark.streaming.ingest import (
+        acquire_ingest_lease,
+        release_ingest_lease,
+    )
+
+    if lease_path is None:
+        return fn()
+    acquire_ingest_lease(spark, lease_path)
+    try:
+        return fn()
+    finally:
+        release_ingest_lease(spark, lease_path)
+
+
 def run_bm25_rebuild(
     corpus_path: str,
     lexicon_path: str,
@@ -1326,23 +1330,17 @@ def run_bm25_rebuild(
     double-fold a batch (the delete-then-refold window breaks the
     replay/out-of-order contract), so point this at the same lease file
     the ingests use; acquired for the rebuild, released after."""
-    from ts_etl_spark.streaming.ingest import (
-        acquire_ingest_lease,
-        rebuild_bm25_lexicon,
-        release_ingest_lease,
-    )
+    from ts_etl_spark.streaming.ingest import rebuild_bm25_lexicon
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-bm25-rebuild")
     try:
-        if lease_path is not None:
-            acquire_ingest_lease(spark, lease_path)
-        try:
-            rebuild_bm25_lexicon(spark, corpus_path, lexicon_path)
-        finally:
-            if lease_path is not None:
-                release_ingest_lease(spark, lease_path)
+        _with_ingest_lease(
+            spark,
+            lease_path,
+            lambda: rebuild_bm25_lexicon(spark, corpus_path, lexicon_path),
+        )
         print(
             f"bm25-rebuild: lexicon at {lexicon_path} re-derived from "
             f"{corpus_path}",
@@ -1390,23 +1388,17 @@ def run_len_hdr_rebuild(
     upgrade path for a histogram adopted before the bootstrap existed
     (see ``streaming.ingest.rebuild_length_histogram``). Same lease
     contract as ``run_bm25_rebuild``."""
-    from ts_etl_spark.streaming.ingest import (
-        acquire_ingest_lease,
-        rebuild_length_histogram,
-        release_ingest_lease,
-    )
+    from ts_etl_spark.streaming.ingest import rebuild_length_histogram
 
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-len-hdr-rebuild")
     try:
-        if lease_path is not None:
-            acquire_ingest_lease(spark, lease_path)
-        try:
-            rebuild_length_histogram(spark, corpus_path, hdr_path)
-        finally:
-            if lease_path is not None:
-                release_ingest_lease(spark, lease_path)
+        _with_ingest_lease(
+            spark,
+            lease_path,
+            lambda: rebuild_length_histogram(spark, corpus_path, hdr_path),
+        )
         print(
             f"len-hdr-rebuild: histogram at {hdr_path} re-derived from "
             f"{corpus_path}",

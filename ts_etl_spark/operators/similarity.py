@@ -840,13 +840,25 @@ def _pq_gate_row(vecs: DataFrame, q: DataFrame, exact_full: DataFrame) -> tuple:
     finally:
         enc.unpersist()
     n_codes = int(stats.n)
-    m_meas = int(stats.mmin) if stats.mmin == stats.mmax else -1
+    m_meas = (
+        int(stats.mmin)
+        if stats.mmin is not None and stats.mmin == stats.mmax
+        else -1
+    )
+    # degenerate inputs (no queries, all-null or all-zero-norm rows)
+    # leave the aggregates NULL — fail the gate booleans rather than
+    # crash the entry (review finding, round 13; the ok/pca arms'
+    # coalesce discipline)
+    min_hits = 0 if recall_row.min_hits is None else int(recall_row.min_hits)
     return (
         n_codes,
         m_meas,
-        bool(recall_row.min_hits / TOP_K >= PQ_RECALL_FLOOR),
-        bool(float(err_row.err) <= PQ_ADC_ERR_BOUND),
-        bool(float(stats.mse) <= PQ_MSE_BOUND),
+        bool(min_hits / TOP_K >= PQ_RECALL_FLOOR),
+        bool(
+            err_row.err is not None
+            and float(err_row.err) <= PQ_ADC_ERR_BOUND
+        ),
+        bool(stats.mse is not None and float(stats.mse) <= PQ_MSE_BOUND),
     )
 
 
@@ -1233,15 +1245,16 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    first = vecs.select(emb_col).first()
-    if first is None or first[0] is None:
+    nn = vecs.filter(F.col(emb_col).isNotNull())
+    first = nn.select(emb_col).first()
+    if first is None:
         raise ValueError("pq_train needs at least one non-null vector")
     d = len(first[0])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
     spark = vecs.sparkSession
-    train = vecs.select(
+    train = nn.select(
         *[
             array_to_vector(
                 F.slice(F.col(emb_col), j * dsub + 1, dsub)
@@ -1290,8 +1303,15 @@ def pq_encode(
     do. The distance is UNROLLED over the (statically known) subspace
     width instead of a zip_with/aggregate HOF — HOF lambdas evaluate
     interpreted per element, and this expression runs m·k times per
-    vector (the §6 HOF-lambda lesson; measured ~2× on the encode)."""
-    first = vecs.select(emb_col).first()
+    vector (the §6 HOF-lambda lesson; measured ~2× on the encode).
+    NULL vectors are excluded (the width probe and the fan-out both
+    look only at non-null rows); an all-null or empty frame encodes to
+    an empty result rather than a driver TypeError."""
+    first = vecs.filter(F.col(emb_col).isNotNull()).select(emb_col).first()
+    if first is None:
+        return vecs.sparkSession.createDataFrame(
+            [], "vec_id LONG, codes ARRAY<INT>, qerr DOUBLE"
+        )
     d = len(first[0])
     dsub = d // m
     dist = None

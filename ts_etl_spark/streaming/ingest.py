@@ -844,6 +844,7 @@ def compact_ingest_state(
     lease_path: str | None = None,
     lease_ttl_s: float = INGEST_LEASE_TTL_S,
     bm25_lexicon_path: str | None = None,
+    auto_rebuild_bm25: bool = False,
 ) -> dict[str, int]:
     """Compact every existing state table of an ingest deployment (the
     maintenance pass a production stream schedules between drains);
@@ -869,8 +870,31 @@ def compact_ingest_state(
     probe (``verify_bm25_lexicon``): a count mismatch raises
     ``Bm25LexiconDriftError`` AFTER the compaction work completes —
     previously that state was invisible until someone noticed skewed
-    idf."""
+    idf. NOTE the probe detects the INVARIANT violation, not its
+    cause: a drain that crashed after the lexicon fold but before the
+    corpus append shows the same one-batch mismatch while its pending
+    checkpoint replay would repair it for free — if a stream is
+    mid-recovery, restart it first and re-probe before reaching for a
+    rebuild. (A rebuild in that window is still SAFE, not just
+    wasteful: the replay folds the batch into the rebuilt lexicon like
+    any new batch, converging to the same state.)
+
+    ``auto_rebuild_bm25``: on drift, re-derive the lexicon from the
+    corpus INSIDE this pass — under the SAME held lease, so no drain
+    can slip between the probe and the rebuild (re-acquiring after
+    release would open exactly that race) — then re-probe; the
+    returned dict records the rebuild as ``{bm25_lexicon_path: -1}``.
+    Requires ``lease_path``: an unleased probe racing a live drain
+    reads the routine fold-before-corpus-append window as drift and a
+    rebuild from the pre-append corpus would then permanently drop the
+    in-flight batch (the abandoned-checkpoint case, manufactured)."""
     _require_success_markers(spark)
+    if auto_rebuild_bm25 and lease_path is None:
+        raise ValueError(
+            "auto_rebuild_bm25 requires lease_path: an unleased "
+            "probe+rebuild racing a live drain can drop its in-flight "
+            "batch from the lexicon (see docstring)"
+        )
     if lease_path is not None:
         acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
     out: dict[str, int] = {}
@@ -904,6 +928,13 @@ def compact_ingest_state(
             lex_n, corpus_n = verify_bm25_lexicon(
                 spark, corpus_path, bm25_lexicon_path
             )
+            if lex_n != corpus_n and auto_rebuild_bm25:
+                # under the held lease — see the docstring's race note
+                rebuild_bm25_lexicon(spark, corpus_path, bm25_lexicon_path)
+                lex_n, corpus_n = verify_bm25_lexicon(
+                    spark, corpus_path, bm25_lexicon_path
+                )
+                out[bm25_lexicon_path] = -1  # the rebuild marker
             if lex_n != corpus_n:
                 drift = (lex_n, corpus_n)
     finally:
@@ -1461,7 +1492,15 @@ def rebuild_length_histogram(
     batch-id sequence cannot be folded safely), and the upgrade path
     for a histogram adopted mid-stream before the bootstrap existed
     (which covers only post-adoption batches). One corpus scan,
-    column-pruned to lengths."""
+    column-pruned to lengths. REFUSES a missing corpus path before
+    deleting anything — the rebuild_bm25_lexicon contract (a typo'd
+    path must not silently destroy the state it claims to rebuild)."""
+    if not path_exists(spark, corpus_path):
+        raise ValueError(
+            f"rebuild_length_histogram: no corpus at {corpus_path!r} — "
+            "refusing to delete the histogram and rebuild from nothing "
+            "(check the path)"
+        )
     if path_exists(spark, hdr_path):
         delete_dir(spark, hdr_path)
     bootstrap_length_histogram(spark, _corpus(spark, corpus_path), hdr_path)
@@ -1648,9 +1687,12 @@ class Bm25LexiconDriftError(RuntimeError):
             f"the corpus holds {corpus_n}: a ghost batch (totals "
             "committed, corpus append never landed, checkpoint "
             "abandoned) or state maintained outside the fold protocol "
-            "— every idf derived from this lexicon is skewed; run "
-            "bm25-rebuild (or compact-state --auto-rebuild-bm25) to "
-            "re-derive it from the corpus"
+            "— every idf derived from this lexicon is skewed. If a "
+            "drain crashed mid-batch and its checkpoint is intact, "
+            "restart the stream first: the pending replay repairs this "
+            "window without a rebuild. Otherwise run bm25-rebuild (or "
+            "compact-state --auto-rebuild-bm25) to re-derive the "
+            "lexicon from the corpus"
         )
 
 
@@ -1663,7 +1705,20 @@ def rebuild_bm25_lexicon(
     checkpoint abandoned — the aggregated rows carry no doc ids to
     anti-join out, unlike the dedup index), a restarted batch-id
     sequence (the out-of-order guard's refusal), or a pre-postings
-    layout (the upgrade path). One corpus scan."""
+    layout (the upgrade path). One corpus scan.
+
+    REFUSES a corpus path that does not exist (before deleting
+    anything): a typo'd path would otherwise read as an empty corpus
+    and silently destroy the lexicon while "rebuilding" nothing
+    (review finding, round 13). A corpus path that exists but holds
+    zero documents is legitimate — the state is dropped and the next
+    folds rebuild it."""
+    if not path_exists(spark, corpus_path):
+        raise ValueError(
+            f"rebuild_bm25_lexicon: no corpus at {corpus_path!r} — "
+            "refusing to delete the lexicon and rebuild from nothing "
+            "(check the path)"
+        )
     for d in bm25_lexicon_paths(lexicon_path).values():
         if path_exists(spark, d):
             delete_dir(spark, d)
@@ -1783,10 +1838,20 @@ def verify_bm25_lexicon(
     outside the protocol (corpus > lexicon). Remedy either way:
     ``rebuild_bm25_lexicon``. Cheap: one distinct-sum over the skinny
     totals table + one column-pruned corpus count — ``compact-state``
-    runs it whenever it is given both paths."""
+    runs it whenever it is given both paths.
+
+    A MISSING corpus path raises rather than reading as 0 documents:
+    probing a typo'd path against a populated lexicon would otherwise
+    report (and, under --auto-rebuild-bm25, "repair") a fictitious
+    total drift (review finding, round 13)."""
     p = bm25_lexicon_paths(lexicon_path)
     if not path_exists(spark, p["totals"]):
         raise ValueError(f"no BM25 lexicon at {lexicon_path}")
+    if not path_exists(spark, corpus_path):
+        raise ValueError(
+            f"verify_bm25_lexicon: no corpus at {corpus_path!r} — a "
+            "missing path is not an empty corpus (check the path)"
+        )
     lex_n = int(
         spark.read.schema(LEX_TOTALS_SCHEMA)
         .parquet(p["totals"])
