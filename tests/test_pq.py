@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ts_etl_spark.operators.similarity import (
     brute_topk,
+    ivf_assign,
+    ivf_pq_topk,
     norm,
     pq_encode,
     pq_topk,
@@ -135,6 +137,59 @@ def test_qerr_equals_independent_reconstruction_error(spark):
             assert math.isclose(
                 dists[codes[j]], best[1], rel_tol=1e-9, abs_tol=1e-12
             )
+
+
+def test_ivf_pq_degrades_to_brute_force_and_respects_routing(spark):
+    """The composed IVF-PQ: with EVERY cell probed and a full-corpus
+    shortlist it must equal brute_topk exactly (the approximation
+    lives in the two knobs, never the plumbing), and with restricted
+    probes every returned neighbor must belong to one of the query's
+    probed cells (routing soundness)."""
+    rows = _rows(40, seed=11)
+    vecs = _vec_frame(spark, rows)
+    q = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # deterministic seed centroids (the registered-entry pattern)
+    cents = vecs.filter(F.col("vec_id").between(5, 8)).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cb = pq_train(vecs, m=4, k=4, max_iter=5)
+    enc = pq_encode(vecs, cb, m=4)
+    full = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                vecs, enc, cb, cents, q,
+                nprobe=4, top_k=5, shortlist=len(rows),
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, brute_topk(vecs, q, top_k=5).collect()))
+    assert full == want and full
+    # restricted routing: results only from probed cells
+    got = ivf_pq_topk(
+        vecs, enc, cb, cents, q, nprobe=2, top_k=5, shortlist=len(rows)
+    ).collect()
+    assigned = {
+        r.vec_id: r.cell for r in ivf_assign(vecs, cents, 1).collect()
+    }
+    probed = {}
+    qv = q.select(
+        F.col("q_id").alias("vec_id"), F.col("qv").alias("v"),
+        F.col("qn").alias("nrm"),
+    )
+    for r in ivf_assign(qv, cents, 2).collect():
+        probed.setdefault(r.vec_id, set()).add(r.cell)
+    assert got
+    for r in got:
+        assert assigned[r.neighbor_id] in probed[r.q_id], (
+            "neighbor outside the probed cells"
+        )
 
 
 def test_pq_handles_null_vectors_and_empty_frames(spark):

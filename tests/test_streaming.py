@@ -548,3 +548,21 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
     ) == bm25_stats_from_lexicon(spark, str(tmp_path / "lex_a"), probe), (
         "BM25 lexicon diverged across the crash"
     )
+    # round 13: the postings table converged too — the full inverted
+    # index (distinct of the append-only rows, minus the batch id),
+    # not just the aggregated stats, is identical across the crash
+    from ts_etl_spark.streaming.ingest import bm25_lexicon_paths
+
+    def _postings(base_dir):
+        return sorted(
+            (r.term, r.doc_id, r.tf, r.dl)
+            for r in spark.read.parquet(
+                bm25_lexicon_paths(str(tmp_path / base_dir))["postings"]
+            )
+            .distinct()
+            .collect()
+        )
+
+    assert _postings("lex_b") == _postings("lex_a"), (
+        "postings index diverged across the crash"
+    )

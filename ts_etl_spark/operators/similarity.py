@@ -1357,6 +1357,7 @@ def _pq_candidates(
     codebooks: DataFrame,
     queries: DataFrame,
     shortlist: int = PQ_SHORTLIST,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist with exact verification scores: for each query,
     rank the corpus by the asymmetric-distance approximation (lookup
@@ -1408,6 +1409,10 @@ def _pq_candidates(
     scored = codes.join(
         vecs.select("vec_id", "nrm").filter(F.col("nrm") > 0), "vec_id"
     ).join(F.broadcast(luts), F.col("vec_id") != F.col("q_id"))
+    if pairs is not None:
+        # cell routing (ivf_pq_topk): only the (query, vector) pairs the
+        # coarse quantizer admits are ADC-scored at all
+        scored = scored.join(pairs, ["q_id", "vec_id"], "left_semi")
     adc_dot = None
     for j in range(m):
         term = F.element_at(
@@ -1436,16 +1441,18 @@ def pq_topk(
     queries: DataFrame,
     top_k: int = TOP_K,
     shortlist: int = PQ_SHORTLIST,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PQ approximate top-k, production shape: ADC candidate
     generation over the 32×-compressed codes, exact re-rank of the
     bounded shortlist (so the returned cosines are EXACT — rank
     quality, not score quality, is the approximation, and recall is
-    the gated property). Compose with ``ivf_assign`` to restrict the
-    ADC scan to probed cells for the full IVF-PQ."""
+    the gated property). ``pairs`` optionally restricts the ADC scan
+    to admitted (q_id, vec_id) pairs — ``ivf_pq_topk`` passes the
+    coarse quantizer's cell routing here."""
     from pyspark.sql.window import Window
 
-    cand = _pq_candidates(vecs, codes, codebooks, queries, shortlist)
+    cand = _pq_candidates(vecs, codes, codebooks, queries, shortlist, pairs)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
     return (
         cand.withColumn("rn", F.row_number().over(w))
@@ -1456,6 +1463,46 @@ def pq_topk(
             F.round("cosine", 6).alias("cosine"),
             "rn",
         )
+    )
+
+
+def ivf_pq_topk(
+    vecs: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """Full IVF-PQ (Jégou et al. 2011): the coarse quantizer routes
+    each query to its ``nprobe`` nearest cells and only THOSE cells'
+    codes are ADC-scored, then the PQ shortlist re-ranks exactly —
+    the compounded reduction (scan nprobe/K of the corpus, each code
+    32× smaller than the float vector) that makes billion-vector
+    search interactive. Composes the two tested halves verbatim:
+    ``ivf_assign`` for routing (the oracle-mirrored IVF operator) and
+    ``pq_topk``'s candidate/re-rank machinery — with every cell
+    probed and a full-corpus shortlist this degrades exactly to
+    ``brute_topk`` (tested), so the approximation comes only from the
+    two knobs, never from the plumbing."""
+    assigned = ivf_assign(vecs, cents, n_assign=1).select("vec_id", "cell")
+    probes = (
+        ivf_assign(
+            queries.select(
+                F.col("q_id").alias("vec_id"),
+                F.col("qv").alias("v"),
+                F.col("qn").alias("nrm"),
+            ),
+            cents,
+            n_assign=nprobe,
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    pairs = assigned.join(probes, "cell").select("q_id", "vec_id")
+    return pq_topk(
+        vecs, codes, codebooks, queries, top_k, shortlist, pairs=pairs
     )
 
 
