@@ -1062,6 +1062,57 @@ def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
     )
 
 
+def test_postings_files_are_term_clustered_for_footer_pruning(
+    spark, tmp_path
+):
+    """The postings write is range-partitioned by term ON PURPOSE: the
+    tf groupBy leaves rows hash-scattered, so without the range
+    exchange every file would span the whole term domain and the
+    footer min/max stats the index-backed query relies on would prune
+    nothing. Asserted against the REAL parquet footers (the
+    test_layout discipline): per batch, files cover disjoint term
+    ranges, so any single term overlaps at most one file per batch."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from ts_etl_spark.streaming.ingest import (
+        bm25_lexicon_paths,
+        update_bm25_lexicon,
+    )
+
+    lex = str(tmp_path / "lex")
+    docs = spark.createDataFrame(
+        [(i, " ".join([BASE, NOVEL, THIRD][i % 3].split()[: 20 + i]))
+         for i in range(60)],
+        "doc_id LONG, text STRING",
+    )
+    update_bm25_lexicon(spark, docs, lex, batch_id=0)
+    files = sorted(glob.glob(f"{bm25_lexicon_paths(lex)['postings']}/*.parquet"))
+    ranges = []
+    for f in files:
+        md = papq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        col = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "term"
+        )
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "range partitioning produced a single file"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file term ranges overlap: {hi1!r} > {lo2!r}"
+    # a probe term therefore overlaps at most one file
+    probe = "alpha"
+    assert sum(lo <= probe <= hi for lo, hi in ranges) <= 1
+
+
 def test_rebuilds_and_probe_refuse_missing_corpus_path(spark, tmp_path):
     """Review findings (round 13): a typo'd corpus path must not read
     as an EMPTY corpus — verify_bm25_lexicon would report fictitious

@@ -1597,9 +1597,16 @@ def _append_lexicon_rows(
     totals LAST (the crash-window ordering: totals is the presence
     marker). The postings frame is checkpointed once and feeds the df
     derivation too (df = postings rows per term, since (term, doc_id)
-    is unique within a batch); each batch's postings files are sorted
-    by term within partitions so parquet footer min/max stats prune
-    non-matching files under a query's term filter at scale."""
+    is unique within a batch); each batch's postings files are
+    RANGE-PARTITIONED + sorted by term — the groupBy leaves rows
+    hash-scattered, so without the range exchange every file would
+    span the whole term domain and footer min/max pruning would be
+    vacuous; range-clustered, a query term overlaps ≤1 file per batch
+    (tested against the real parquet footers). NOTE the state
+    compaction's round-robin rewrite does not preserve this clustering
+    — at a scale where it matters, re-cluster the compacted postings
+    by term (``pipelines.layout.cluster_parquet`` / ``optimize``) or
+    bucket the table by term instead."""
     from ts_etl_spark.operators.bm25 import _tokens
 
     toks = _tokens(docs, "text", "doc_id").localCheckpoint(eager=True)
@@ -1622,8 +1629,13 @@ def _append_lexicon_rows(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).withColumn("batch_id", bid)
-        postings.sortWithinPartitions("term").write.mode("append").parquet(
-            p["postings"]
+        (
+            postings.repartitionByRange(
+                max(2, spark.sparkContext.defaultParallelism // 4), "term"
+            )
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .parquet(p["postings"])
         )
         terms.write.mode("append").parquet(p["terms"])
         totals.write.mode("append").parquet(p["totals"])
@@ -1782,10 +1794,11 @@ def bm25_topk_from_index(
     skinny terms/totals tables (``bm25_stats_from_lexicon``); candidate
     (doc_id, dl, term, tf) rows come from the postings index pruned to
     the query terms BEFORE anything else happens (an ``isin`` filter
-    the parquet scan pushes down, against per-batch term-sorted files
-    whose footer min/max stats skip non-matching files) — so a query
-    touches only its matching postings, never a corpus tokenize, never
-    a full explode. The ranking body is the SAME ``_bm25_rank`` the
+    the parquet scan pushes down, against per-batch RANGE-CLUSTERED
+    files whose footer min/max stats skip every file not covering a
+    query term — tested against the real footers) — so a query touches
+    only its matching postings, never a corpus tokenize, never a full
+    explode. The ranking body is the SAME ``_bm25_rank`` the
     corpus-scan ``operators.bm25.bm25_topk`` uses, making the two paths
     bit-identical by construction (and tested: exact frame equality
     over a multi-batch-built lexicon vs a scan of the stored corpus).
