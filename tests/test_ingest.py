@@ -1081,6 +1081,10 @@ def test_postings_files_are_term_clustered_for_footer_pruning(
         update_bm25_lexicon,
     )
 
+    import os
+
+    from ts_etl_spark.streaming.ingest import compact_ingest_state
+
     lex = str(tmp_path / "lex")
     docs = spark.createDataFrame(
         [(i, " ".join([BASE, NOVEL, THIRD][i % 3].split()[: 20 + i]))
@@ -1088,29 +1092,45 @@ def test_postings_files_are_term_clustered_for_footer_pruning(
         "doc_id LONG, text STRING",
     )
     update_bm25_lexicon(spark, docs, lex, batch_id=0)
-    files = sorted(glob.glob(f"{bm25_lexicon_paths(lex)['postings']}/*.parquet"))
-    ranges = []
-    for f in files:
-        md = papq.ParquetFile(f).metadata
-        if md.num_rows == 0:
-            continue
-        col = next(
-            i for i in range(md.num_columns)
-            if md.row_group(0).column(i).path_in_schema == "term"
-        )
-        mins, maxs = [], []
-        for g in range(md.num_row_groups):
-            st = md.row_group(g).column(col).statistics
-            mins.append(st.min)
-            maxs.append(st.max)
-        ranges.append((min(mins), max(maxs)))
-    assert len(ranges) >= 2, "range partitioning produced a single file"
-    ranges.sort()
-    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
-        assert hi1 <= lo2, f"file term ranges overlap: {hi1!r} > {lo2!r}"
-    # a probe term therefore overlaps at most one file
-    probe = "alpha"
-    assert sum(lo <= probe <= hi for lo, hi in ranges) <= 1
+    postings = bm25_lexicon_paths(lex)["postings"]
+
+    def _term_ranges():
+        ranges = []
+        for f in sorted(glob.glob(f"{postings}/*.parquet")):
+            md = papq.ParquetFile(f).metadata
+            if md.num_rows == 0:
+                continue
+            col = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "term"
+            )
+            mins, maxs = [], []
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(col).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return sorted(ranges)
+
+    def _assert_disjoint(ranges):
+        assert len(ranges) >= 2, "range partitioning produced a single file"
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"file term ranges overlap: {hi1!r} > {lo2!r}"
+        # a probe term therefore overlaps at most one file
+        assert sum(lo <= "alpha" <= hi for lo, hi in ranges) <= 1
+
+    _assert_disjoint(_term_ranges())
+    # compaction must PRESERVE the clustering (the rewrite of this
+    # table range-partitions by term instead of round-robin — a
+    # round-robin rewrite silently reverts footer pruning to vacuous;
+    # review finding). Target size chosen to force several output files.
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(f"{postings}/*.parquet")
+    )
+    compact_ingest_state(
+        spark, bm25_lexicon_path=lex, target_file_bytes=max(1, total // 3)
+    )
+    _assert_disjoint(_term_ranges())
 
 
 def test_rebuilds_and_probe_refuse_missing_corpus_path(spark, tmp_path):

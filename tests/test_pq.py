@@ -172,9 +172,22 @@ def test_ivf_pq_degrades_to_brute_force_and_respects_routing(spark):
     want = sorted(map(tuple, brute_topk(vecs, q, top_k=5).collect()))
     assert full == want and full
     # restricted routing: results only from probed cells
-    got = ivf_pq_topk(
+    routed = ivf_pq_topk(
         vecs, enc, cb, cents, q, nprobe=2, top_k=5, shortlist=len(rows)
-    ).collect()
+    )
+    # the routing must prune BEFORE any per-query expansion: the routed
+    # plan's only nested-loop joins are ivf_assign's bounded
+    # corpus-x-centroids crosses (unconditioned); the |corpus|x|queries|
+    # expansion join — recognizable by its NOT (vec_id = q_id)
+    # condition — must not appear (only the unrouted pq_topk uses it,
+    # by design: queries are broadcast)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    nlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert nlj, "ivf_assign's centroid crosses should still be NLJs"
+    assert all("vec_id" not in l and "q_id" not in l for l in nlj), (
+        "the per-query expansion ran as an all-pairs NLJ despite routing"
+    )
+    got = routed.collect()
     assigned = {
         r.vec_id: r.cell for r in ivf_assign(vecs, cents, 1).collect()
     }

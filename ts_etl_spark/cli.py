@@ -1020,7 +1020,8 @@ def _ingest_main(argv: list[str]) -> int:
     )
     parser.add_argument(
         "--bm25-lexicon",
-        help="incremental BM25 lexicon path (per-batch term df + totals)",
+        help="incremental BM25 lexicon path (per-batch postings + term "
+        "df + totals; bm25_topk_from_index answers queries from it)",
     )
     parser.add_argument("--drift", help="per-batch PSI drift log path")
     parser.add_argument("--hh", help="attempt heavy-hitter register path")

@@ -1370,8 +1370,10 @@ def _pq_candidates(
     query rows — queries are a bounded handful by contract (the
     brute_topk broadcast assumption) — and shipped as one broadcast
     literal frame; the ADC score is m array lookups + adds per
-    (query, vector), whole-stage codegen, no shuffle until the
-    bounded shortlist window."""
+    (query, vector), whole-stage codegen. Unrouted, nothing shuffles
+    until the bounded shortlist window; routed (``pairs``), the skinny
+    admitted-pair relation equi-joins the codes by vec_id — the
+    pruning happens before any per-query expansion."""
     from pyspark.sql.window import Window
 
     cb = {(r["j"], r["code"]): list(r["cent"]) for r in codebooks.collect()}
@@ -1406,13 +1408,26 @@ def _pq_candidates(
         lut_rows,
         "q_id LONG, qv ARRAY<DOUBLE>, qn DOUBLE, lut ARRAY<ARRAY<DOUBLE>>",
     )
-    scored = codes.join(
+    base = codes.join(
         vecs.select("vec_id", "nrm").filter(F.col("nrm") > 0), "vec_id"
-    ).join(F.broadcast(luts), F.col("vec_id") != F.col("q_id"))
-    if pairs is not None:
-        # cell routing (ivf_pq_topk): only the (query, vector) pairs the
-        # coarse quantizer admits are ADC-scored at all
-        scored = scored.join(pairs, ["q_id", "vec_id"], "left_semi")
+    )
+    if pairs is None:
+        scored = base.join(F.broadcast(luts), F.col("vec_id") != F.col("q_id"))
+    else:
+        # cell routing (ivf_pq_topk): attach q_id by an EQUI join on the
+        # admitted (q_id, vec_id) pairs BEFORE the query expansion — a
+        # semi-join above the all-pairs broadcast join would still
+        # enumerate |corpus|×|queries| rows first (Catalyst cannot push
+        # a semi keyed on both legs below the join; review finding,
+        # round 13). Here only admitted pairs ever materialize. ``pairs``
+        # must be UNIQUE on (q_id, vec_id) — ivf_pq_topk's routing is by
+        # construction (each vector has ONE assigned cell) — or
+        # duplicate candidates would double-rank in the shortlist.
+        scored = (
+            base.join(pairs, "vec_id")
+            .join(F.broadcast(luts), "q_id")
+            .filter(F.col("vec_id") != F.col("q_id"))
+        )
     adc_dot = None
     for j in range(m):
         term = F.element_at(

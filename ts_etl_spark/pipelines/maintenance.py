@@ -147,6 +147,7 @@ def compact_parquet(
     path: str,
     out_path: str,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    cluster_by: str | None = None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ``ceil(total_bytes / target)`` files. The small-files problem is the
@@ -158,6 +159,14 @@ def compact_parquet(
     sizes; partition-key-aware layouts should instead rewrite via
     ``table_sink.write_parquet`` with ``partition_by``.
 
+    ``cluster_by``: range-partition + sort the rewrite on this column
+    instead of round-robin, PRESERVING a key-clustered layout whose
+    footer min/max stats a reader's filter prunes on (the BM25 postings
+    table's shape — a round-robin rewrite would make every output file
+    span the whole key domain and silently revert the pruning to
+    vacuous; review finding, round 13). Content is identical either
+    way — only file assignment changes.
+
     Input size comes from the Hadoop FileSystem API, so any URI scheme the
     session supports works (hdfs://, s3a://, ...); an input with zero
     parquet bytes raises instead of silently compacting to one file."""
@@ -165,7 +174,12 @@ def compact_parquet(
     if total == 0:
         raise ValueError(f"no parquet data found at {path!r}")
     n_files = max(1, math.ceil(total / target_file_bytes))
-    spark.read.parquet(path).repartition(n_files).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    df = spark.read.parquet(path)
+    if cluster_by is not None:
+        df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
     return n_files

@@ -719,22 +719,28 @@ def compact_state_table(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int | None = None,
+    cluster_by: str | None = None,
 ) -> int:
     """Compact ONE state table in place under the attested
     manifest-commit protocol; returns the output file count. Refuses a
     missing table, a TORN one (no _SUCCESS), and a hive-partitioned
-    layout (see the protocol block)."""
+    layout (see the protocol block). ``cluster_by`` preserves a
+    key-clustered file layout through the rewrite (see
+    ``compact_parquet``)."""
     _require_success_markers(spark)
     recover_state_compaction(spark, table_dir)
     if not path_exists(spark, table_dir):
         raise ValueError(f"no state table at {table_dir!r}")
-    return _compact_recovered_table(spark, table_dir, target_file_bytes)
+    return _compact_recovered_table(
+        spark, table_dir, target_file_bytes, cluster_by
+    )
 
 
 def _compact_recovered_table(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int | None = None,
+    cluster_by: str | None = None,
 ) -> int:
     """The compaction body, assuming recovery already ran and the table
     exists (``compact_ingest_state`` calls this directly so each table
@@ -769,6 +775,7 @@ def _compact_recovered_table(
         table_dir,
         staged,
         target_file_bytes or DEFAULT_TARGET_FILE_BYTES,
+        cluster_by=cluster_by,
     )
     live_h = table_content_hash(spark.read.parquet(table_dir))
     staged_h = table_content_hash(spark.read.parquet(staged))
@@ -900,6 +907,11 @@ def compact_ingest_state(
     out: dict[str, int] = {}
     failures: dict[str, str] = {}
     drift: tuple[int, int] | None = None
+    postings_dir = (
+        bm25_lexicon_paths(bm25_lexicon_path)["postings"]
+        if bm25_lexicon_path is not None
+        else None
+    )
     try:
         for d in ingest_state_dirs(
             corpus_path, dedup_index_path, win_index_path, sem_index_path,
@@ -912,7 +924,15 @@ def compact_ingest_state(
             if not path_exists(spark, d):
                 continue
             try:
-                out[d] = _compact_recovered_table(spark, d, target_file_bytes)
+                out[d] = _compact_recovered_table(
+                    spark,
+                    d,
+                    target_file_bytes,
+                    # the postings table's term clustering is what the
+                    # index-backed query's footer pruning runs on — a
+                    # round-robin rewrite would silently revert it
+                    cluster_by="term" if d == postings_dir else None,
+                )
             except (ValueError, RuntimeError, OSError) as exc:
                 # OSError: a filesystem-refused rename (fs.rename_dir) is a
                 # per-table failure like any other — it must not abort the
@@ -1602,11 +1622,10 @@ def _append_lexicon_rows(
     hash-scattered, so without the range exchange every file would
     span the whole term domain and footer min/max pruning would be
     vacuous; range-clustered, a query term overlaps ≤1 file per batch
-    (tested against the real parquet footers). NOTE the state
-    compaction's round-robin rewrite does not preserve this clustering
-    — at a scale where it matters, re-cluster the compacted postings
-    by term (``pipelines.layout.cluster_parquet`` / ``optimize``) or
-    bucket the table by term instead."""
+    (tested against the real parquet footers). State compaction
+    preserves the clustering: ``compact_ingest_state`` rewrites THIS
+    table with ``cluster_by="term"`` instead of round-robin (also
+    footer-tested)."""
     from ts_etl_spark.operators.bm25 import _tokens
 
     toks = _tokens(docs, "text", "doc_id").localCheckpoint(eager=True)
