@@ -118,8 +118,8 @@ def test_attestation_failure_aborts_and_keeps_live(
 
     real = maint.compact_parquet
 
-    def lossy(spark_, path, out_path, target):
-        n = real(spark_, path, out_path, target)
+    def lossy(spark_, path, out_path, target, **kw):
+        n = real(spark_, path, out_path, target, **kw)
         # corrupt the staged copy: rewrite it minus one row
         df = spark_.read.parquet(out_path).orderBy("doc_id").limit(
             len(before) - 1
