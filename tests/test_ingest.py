@@ -1062,6 +1062,67 @@ def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
     )
 
 
+def test_compact_failures_do_not_mask_detected_drift(spark, tmp_path):
+    """Round 14 (ADVICE): when a per-table compaction fails AND the
+    ghost-batch probe detects drift, the failures RuntimeError must
+    carry the drift finding instead of silently dropping the very
+    signal the probe exists to surface."""
+    import os
+
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        compact_ingest_state,
+        update_bm25_lexicon,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = IngestConfig(bm25_lexicon_path=lex)
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=0)
+    # plant a ghost batch (drift) AND tear the corpus table (failure)
+    ghost = spark.createDataFrame([(3, THIRD)], "doc_id LONG, text STRING")
+    update_bm25_lexicon(spark, ghost, lex, batch_id=1)
+    os.remove(f"{corpus_path}/_SUCCESS")
+    with pytest.raises(RuntimeError, match="_SUCCESS") as exc:
+        compact_ingest_state(
+            spark, corpus_path=corpus_path, bm25_lexicon_path=lex
+        )
+    msg = str(exc.value)
+    assert "ghost-batch probe detected drift" in msg
+    assert "records 3 docs" in msg and "holds 2" in msg
+
+
+def test_cli_lease_heartbeat_keeps_long_rebuild_held(spark, tmp_path, monkeypatch):
+    """Round 14 (ADVICE): ``_with_ingest_lease`` heartbeats the lease
+    at TTL/3 while the wrapped maintenance op runs, so a rebuild longer
+    than the TTL never becomes stealable mid-refold."""
+    import time
+
+    import ts_etl_spark.streaming.ingest as ing
+    from ts_etl_spark.cli import _with_ingest_lease
+
+    calls = []
+    real = ing.acquire_ingest_lease
+
+    def counting(*a, **k):
+        calls.append(time.time())
+        return real(*a, **k)
+
+    monkeypatch.setattr(ing, "INGEST_LEASE_TTL_S", 0.6)
+    monkeypatch.setattr(ing, "acquire_ingest_lease", counting)
+    lease = str(tmp_path / "lease")
+    _with_ingest_lease(spark, lease, lambda: time.sleep(0.9))
+    # 1 initial acquire + >=1 heartbeat refresh at TTL/3 = 0.2s cadence
+    assert len(calls) >= 2
+    # released on exit (owner-checked)
+    from ts_etl_spark.fs import path_exists
+
+    assert not path_exists(spark, lease)
+
+
 def test_postings_files_are_term_clustered_for_footer_pruning(
     spark, tmp_path
 ):
@@ -1315,5 +1376,7 @@ def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):
         bm25_lexicon_path=lex,
         lease_path=lease,
     )
-    # 1 entry + 4 state dirs (corpus + postings/terms/totals)
-    assert len(calls) == 5
+    # 1 entry + 4 state dirs (corpus + postings/terms/totals) + 1
+    # before the ghost-batch probe (round 14 — the probe and a
+    # potential auto-rebuild run after the last per-table heartbeat)
+    assert len(calls) == 6

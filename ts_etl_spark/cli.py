@@ -1302,8 +1302,19 @@ def _compact_state_main(argv: list[str]) -> int:
 def _with_ingest_lease(spark, lease_path: str | None, fn):
     """Run ``fn()`` under the deployment's single-writer lease (no-op
     when ``lease_path`` is None) — the one acquire/try/finally/release
-    shape every maintenance subcommand shares."""
+    shape every maintenance subcommand shares. A daemon HEARTBEAT
+    thread refreshes the held lease at TTL/3 while ``fn`` runs: a
+    rebuild is one long Spark job with no natural per-table refresh
+    point (unlike ``compact_ingest_state``'s loop), so without the
+    heartbeat any run longer than the TTL became stealable mid-delete —
+    the exact window the lease exists to close. The refresh writes only
+    OUR OWN record (acquire refreshes, never contends once held), and
+    the thread is joined before release so it cannot resurrect a
+    released lease."""
+    import threading
+
     from ts_etl_spark.streaming.ingest import (
+        INGEST_LEASE_TTL_S,
         acquire_ingest_lease,
         release_ingest_lease,
     )
@@ -1311,9 +1322,25 @@ def _with_ingest_lease(spark, lease_path: str | None, fn):
     if lease_path is None:
         return fn()
     acquire_ingest_lease(spark, lease_path)
+    done = threading.Event()
+
+    def _beat():
+        while not done.wait(INGEST_LEASE_TTL_S / 3.0):
+            try:
+                acquire_ingest_lease(spark, lease_path)
+            except RuntimeError:
+                # lease lost to a TTL steal anyway (e.g. the process was
+                # suspended past the TTL): stop beating — the release
+                # below is owner-checked, so the new holder is safe
+                return
+
+    beat = threading.Thread(target=_beat, name="ingest-lease-heartbeat", daemon=True)
+    beat.start()
     try:
         return fn()
     finally:
+        done.set()
+        beat.join()
         release_ingest_lease(spark, lease_path)
 
 

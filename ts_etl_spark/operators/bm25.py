@@ -296,12 +296,20 @@ def q_bm25_indexed(spark, sf_dir: str) -> DataFrame:
     if key not in _BENCH_LEX_MEMO:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         d = tempfile.mkdtemp(prefix="tsetl_bench_lex_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
         if not bootstrap_bm25_lexicon(spark, docs, d):
-            # degenerate empty table: match the scan supplement's
-            # graceful empty result instead of staging an empty lexicon
-            return q_bm25_scan(spark, sf_dir)
-        _BENCH_LEX_MEMO[key] = d
+            # degenerate empty table: defer to the scan supplement,
+            # whose stats pass raises the canonical empty-corpus
+            # ValueError, instead of staging an empty lexicon. Memoize
+            # the SENTINEL (and drop the unused tempdir now) so
+            # repeated bench samples neither accumulate tempdirs nor
+            # re-probe the empty corpus every call.
+            shutil.rmtree(d, ignore_errors=True)
+            _BENCH_LEX_MEMO[key] = None
+        else:
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            _BENCH_LEX_MEMO[key] = d
+    if _BENCH_LEX_MEMO[key] is None:
+        return q_bm25_scan(spark, sf_dir)
     return bm25_topk_from_index(spark, _BENCH_LEX_MEMO[key])
 
 

@@ -945,11 +945,20 @@ def compact_ingest_state(
                 spark, bm25_lexicon_paths(bm25_lexicon_path)["totals"]
             )
         ):
+            if lease_path is not None:
+                # the probe (two count scans) and especially the rebuild
+                # (a full lexicon re-derive) run after the LAST per-table
+                # heartbeat — restart the TTL clock first or a long
+                # rebuild becomes stealable mid-refold, the exact window
+                # the held-lease requirement exists to close
+                acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
             lex_n, corpus_n = verify_bm25_lexicon(
                 spark, corpus_path, bm25_lexicon_path
             )
             if lex_n != corpus_n and auto_rebuild_bm25:
                 # under the held lease — see the docstring's race note
+                if lease_path is not None:
+                    acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
                 rebuild_bm25_lexicon(spark, corpus_path, bm25_lexicon_path)
                 lex_n, corpus_n = verify_bm25_lexicon(
                     spark, corpus_path, bm25_lexicon_path
@@ -968,6 +977,16 @@ def compact_ingest_state(
                 f" — {len(out)} other table(s) compacted successfully: "
                 + ", ".join(sorted(out))
                 if out
+                else ""
+            )
+            + (
+                # one error path must not mask the other: the ghost-batch
+                # probe's finding rides along when table failures win the
+                # raise (the drift is still remediable via bm25-rebuild)
+                f"; ADDITIONALLY the BM25 ghost-batch probe detected "
+                f"drift (lexicon records {drift[0]} docs, corpus holds "
+                f"{drift[1]}) — run bm25-rebuild after fixing the above"
+                if drift is not None
                 else ""
             )
         )
