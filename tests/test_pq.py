@@ -235,3 +235,84 @@ def test_pq_train_deterministic_and_refuses_bad_dims(spark):
     assert a == b
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(vecs, m=3)
+
+
+def test_pq_train_partition_independent_and_mllib_fallback(spark, monkeypatch):
+    """Round 14: the driver-local Lloyd path sorts the collected
+    training rows into canonical order first, so the codebook is a pure
+    function of the training SET — repartitioning the input must not
+    change one double. Above PQ_DRIVER_TRAIN_MAX the MLlib path still
+    runs (forced here by shrinking the threshold) and returns the same
+    (j, code, cent) shape under the shared contract."""
+    import ts_etl_spark.operators.similarity as S
+
+    rows = _rows(60, seed=21)
+    vecs = _vec_frame(spark, rows)
+    a = sorted(map(tuple, pq_train(vecs, m=4, k=5, max_iter=5).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_train(vecs.repartition(7), m=4, k=5, max_iter=5).collect(),
+        )
+    )
+    assert a == b and len(a) == 4 * 5
+    monkeypatch.setattr(S, "PQ_DRIVER_TRAIN_MAX", 0)
+    ml = S.pq_train(vecs, m=4, k=5, max_iter=5).collect()
+    assert {(r["j"], r["code"]) for r in ml} == {
+        (j, c) for j in range(4) for c in range(5)
+    }
+    assert all(len(r["cent"]) == 2 for r in ml)
+
+
+def test_ivfpq_gate_row_passes_on_real_data_and_catches_unrouted(
+    spark, monkeypatch
+):
+    """Round 14: the q_id = -3 arm's evidence on the real sf0.001
+    embeddings — all booleans TRUE with the registered entry's own seed
+    quantizer — and FALSIFIABILITY of the routing-soundness boolean: a
+    composed path that ignores its routing (monkeypatched to return the
+    unrouted brute-force ranking) must flip ivfpq_sound_ok to False,
+    because brute-force neighbors include vectors outside the probed
+    cells."""
+    import ts_etl_spark.operators.similarity as S
+
+    sfd = "/root/testdata/sf0.001"
+    vecs = S._vectors(spark, sfd).persist()
+    try:
+        cents = vecs.filter(
+            (F.col("vec_id") >= 100)
+            & (F.col("vec_id") < 100 + S.IVF_CENTROIDS)
+        ).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        q = vecs.filter(F.col("vec_id") < S.N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        seed_topk = S.ivf_topk(vecs, cents, q, nprobe=S.IVF_NPROBE)
+        nn = vecs.filter(F.col("v").isNotNull())
+        cb = S.pq_train(nn)
+        enc = S.pq_encode(nn, cb).persist()
+        try:
+            nq, k_meas, r_ok, s_ok, e_ok = S._ivfpq_gate_row(
+                vecs, q, cents, seed_topk, cb, enc
+            )
+            assert (nq, k_meas) == (S.N_QUERIES, S.TOP_K)
+            assert r_ok and s_ok and e_ok
+            # falsify soundness: an "ivf_pq_topk" that never routes
+            monkeypatch.setattr(
+                S,
+                "ivf_pq_topk",
+                lambda vecs, enc, cb, cents, q, **kw: S.brute_topk(vecs, q),
+            )
+            _, _, _, s_bad, _ = S._ivfpq_gate_row(
+                vecs, q, cents, seed_topk, cb, enc
+            )
+            assert not s_bad, "unrouted results must trip soundness"
+        finally:
+            enc.unpersist()
+    finally:
+        vecs.unpersist()

@@ -464,14 +464,17 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
     assert S._IVF_MEMO == first  # same four entries, same objects
     # vecs + trained centroids + the shared brute-force exact frame that
     # feeds both the trained-recall gate and the q8 recall/error gates,
-    # plus the pca and pq gates' literal evidence rows (plain data, not
-    # frames — safe to memoize across clearCache, unlike checkpointed
-    # frames)
-    assert len(first) == 5
+    # plus the pca/pq/ivfpq gates' literal evidence rows (plain data,
+    # not frames — safe to memoize across clearCache, unlike
+    # checkpointed frames) and the PQ codebooks/codes the -2 and -3
+    # arms share (round 14 — one train + one full-corpus encode per
+    # dataset)
+    assert len(first) == 8
     assert {kind for (_, _, kind) in first} == {
         "vecs", "tcents", "exact", "pca_gate", "pq_gate",
+        "pq_cb", "pq_codes", "ivfpq_gate",
     }
-    for gate in ("pca_gate", "pq_gate"):
+    for gate in ("pca_gate", "pq_gate", "ivfpq_gate"):
         assert isinstance(first[next(
             k for k in first if k[2] == gate
         )], tuple)

@@ -763,10 +763,18 @@ def _pca_gate_row(vecs: DataFrame) -> tuple:
     )
 
 
-def _pq_gate_row(vecs: DataFrame, q: DataFrame, exact_full: DataFrame) -> tuple:
+def _pq_gate_row(
+    vecs: DataFrame,
+    q: DataFrame,
+    exact_full: DataFrame,
+    cb: DataFrame,
+    enc: DataFrame,
+) -> tuple:
     """The pq arm's driver-side evidence (the ``_pca_gate_row``
-    pattern): train the PQ codebooks, encode the full corpus, run the
-    ADC-shortlist + exact-re-rank query path, and reduce to ONE literal
+    pattern): over the SHARED memoized codebooks + encoded corpus
+    (``cb``/``enc`` — also consumed by ``_ivfpq_gate_row``, so training
+    and the full-corpus encode run once per dataset), run the
+    ADC-shortlist + exact-re-rank query path and reduce to ONE literal
     row of exact counts and bounded booleans —
 
     - ``n_codes``: vectors encoded (= non-null embeddings; DuckDB
@@ -787,58 +795,53 @@ def _pq_gate_row(vecs: DataFrame, q: DataFrame, exact_full: DataFrame) -> tuple:
     from pyspark.sql.window import Window
 
     nn = vecs.filter(F.col("v").isNotNull())
-    cb = pq_train(nn)
-    enc = pq_encode(nn, cb).persist()
+    stats = (
+        enc.join(nn.select("vec_id", "nrm"), "vec_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("codes")).alias("mmin"),
+            F.max(F.size("codes")).alias("mmax"),
+            F.avg(
+                F.when(
+                    F.col("nrm") > 0,
+                    F.col("qerr") / (F.col("nrm") * F.col("nrm")),
+                )
+            ).alias("mse"),
+        )
+        .first()
+    )
+    cand = _pq_candidates(vecs, enc, cb, q).persist()
     try:
-        stats = (
-            enc.join(nn.select("vec_id", "nrm"), "vec_id")
+        err_row = cand.agg(
+            F.max(F.abs(F.col("adc") - F.col("cosine"))).alias("err")
+        ).first()
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        rr = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        recall_row = (
+            q.select("q_id")
+            .join(
+                rr.join(
+                    exact_full.select("q_id", "neighbor_id"),
+                    ["q_id", "neighbor_id"],
+                )
+                .groupBy("q_id")
+                .agg(F.count("*").alias("__h")),
+                "q_id",
+                "left",
+            )
             .agg(
-                F.count("*").alias("n"),
-                F.min(F.size("codes")).alias("mmin"),
-                F.max(F.size("codes")).alias("mmax"),
-                F.avg(
-                    F.when(
-                        F.col("nrm") > 0,
-                        F.col("qerr") / (F.col("nrm") * F.col("nrm")),
-                    )
-                ).alias("mse"),
+                F.min(F.coalesce("__h", F.lit(0))).alias("min_hits")
             )
             .first()
         )
-        cand = _pq_candidates(vecs, enc, cb, q).persist()
-        try:
-            err_row = cand.agg(
-                F.max(F.abs(F.col("adc") - F.col("cosine"))).alias("err")
-            ).first()
-            w = Window.partitionBy("q_id").orderBy(
-                F.col("cosine").desc(), "vec_id"
-            )
-            rr = (
-                cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= TOP_K)
-                .select("q_id", F.col("vec_id").alias("neighbor_id"))
-            )
-            recall_row = (
-                q.select("q_id")
-                .join(
-                    rr.join(
-                        exact_full.select("q_id", "neighbor_id"),
-                        ["q_id", "neighbor_id"],
-                    )
-                    .groupBy("q_id")
-                    .agg(F.count("*").alias("__h")),
-                    "q_id",
-                    "left",
-                )
-                .agg(
-                    F.min(F.coalesce("__h", F.lit(0))).alias("min_hits")
-                )
-                .first()
-            )
-        finally:
-            cand.unpersist()
     finally:
-        enc.unpersist()
+        cand.unpersist()
     n_codes = int(stats.n)
     m_meas = (
         int(stats.mmin)
@@ -859,6 +862,128 @@ def _pq_gate_row(vecs: DataFrame, q: DataFrame, exact_full: DataFrame) -> tuple:
             and float(err_row.err) <= PQ_ADC_ERR_BOUND
         ),
         bool(stats.mse is not None and float(stats.mse) <= PQ_MSE_BOUND),
+    )
+
+
+#: composed IVF-PQ gate (round 14): min per-query recall of
+#: ``ivf_pq_topk`` against the ROUTED-EXACT ranking (``ivf_topk`` over
+#: the same seed cells) — the right decomposition, because the routing
+#: loss is deterministic given the seed quantizer (the exact-checked
+#: seed arm pins it) and what the composed row must gate is the
+#: PQ-stage loss WITHIN the admitted candidate set. Measured
+#: 1.0/1.0/0.8 at sf0.001/0.01/0.1 with the round-14 Lloyd codebooks
+#: and shortlist 80; 0.6 leaves 1.33x headroom (the PQ arm's floor,
+#: same worst-case data).
+IVFPQ_RECALL_FLOOR = 0.6
+
+
+def _ivfpq_gate_row(
+    vecs: DataFrame,
+    q: DataFrame,
+    cents: DataFrame,
+    seed_topk: DataFrame,
+    cb: DataFrame,
+    enc: DataFrame,
+) -> tuple:
+    """The composed-IVF-PQ arm's driver-side evidence (round 14 —
+    closes the last test-proven-but-ungated production route):
+    ``ivf_pq_topk`` (coarse routing → ADC over probed cells' codes →
+    exact re-rank) runs END TO END over the shared memoized
+    codebooks/codes and the registered entry's own seed quantizer, and
+    reduces to ONE literal row —
+
+    - ``nq``: queries answered (DuckDB mirrors it as the count of
+      norm-positive query vectors);
+    - ``k_meas``: the MEASURED per-query result count, taken only when
+      every query agrees (min == max), else -1 — vs the oracle's
+      literal TOP_K;
+    - ``ivfpq_recall_ok``: min per-query recall vs the ROUTED-EXACT
+      top-k (``seed_topk`` — the same probes, exactly ranked)
+      ≥ IVFPQ_RECALL_FLOOR: the PQ stage loses boundedly little within
+      the admitted set (routing loss itself is pinned by the
+      exact-checked seed rows);
+    - ``ivfpq_sound_ok``: ZERO results outside a probed cell — every
+      (q_id, neighbor) pair the composed path returns is admitted by
+      the deterministic cell assignment (re-derived independently here
+      via ``ivf_assign`` and anti-joined);
+    - ``ivfpq_exact_ok``: on the pairs shared with the routed-exact
+      frame the returned cosine EQUALS the exact cosine (both sides
+      round to 6 digits over the same expression tree) — the re-rank
+      really is exact through the composition, max |Δ| == 0.
+
+    Degenerate inputs (no norm-positive queries) leave the aggregates
+    NULL — fail the booleans rather than crash (the pq arm's
+    discipline)."""
+    res = ivf_pq_topk(vecs, enc, cb, cents, q).persist()
+    try:
+        crow = (
+            res.groupBy("q_id")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("nq"),
+                F.min("c").alias("cmin"),
+                F.max("c").alias("cmax"),
+            )
+            .first()
+        )
+        assigned = ivf_assign(vecs, cents, n_assign=1).select(
+            "vec_id", "cell"
+        )
+        probes = (
+            ivf_assign(
+                q.filter(F.col("qn") > 0).select(
+                    F.col("q_id").alias("vec_id"),
+                    F.col("qv").alias("v"),
+                    F.col("qn").alias("nrm"),
+                ),
+                cents,
+                n_assign=IVF_NPROBE,
+            )
+            .select(F.col("vec_id").alias("q_id"), "cell")
+        )
+        admitted = assigned.join(probes, "cell").select(
+            "q_id", F.col("vec_id").alias("neighbor_id")
+        )
+        viol = (
+            res.select("q_id", "neighbor_id")
+            .join(admitted, ["q_id", "neighbor_id"], "left_anti")
+            .count()
+        )
+        joined = res.select("q_id", "neighbor_id", "cosine").join(
+            seed_topk.select(
+                "q_id", "neighbor_id", F.col("cosine").alias("xcos")
+            ),
+            ["q_id", "neighbor_id"],
+        )
+        stats = joined.groupBy("q_id").agg(
+            F.count("*").alias("__h"),
+            F.max(F.abs(F.col("cosine") - F.col("xcos"))).alias("__gap"),
+        )
+        rrow = (
+            q.filter(F.col("qn") > 0)
+            .select("q_id")
+            .join(stats, "q_id", "left")
+            .agg(
+                F.min(F.coalesce("__h", F.lit(0))).alias("min_hits"),
+                F.max(F.coalesce("__gap", F.lit(0.0))).alias("max_gap"),
+            )
+            .first()
+        )
+    finally:
+        res.unpersist()
+    nq = int(crow.nq or 0)
+    k_meas = (
+        int(crow.cmin)
+        if crow.cmin is not None and crow.cmin == crow.cmax
+        else -1
+    )
+    min_hits = 0 if rrow.min_hits is None else int(rrow.min_hits)
+    return (
+        nq,
+        k_meas,
+        bool(min_hits / TOP_K >= IVFPQ_RECALL_FLOOR),
+        bool(viol == 0),
+        bool(rrow.max_gap is not None and float(rrow.max_gap) == 0.0),
     )
 
 
@@ -917,7 +1042,19 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded booleans — min per-query re-ranked recall vs the SAME
     shared brute-force frame, max ADC-vs-exact score error over the
     shortlist, mean relative reconstruction error (see
-    ``_pq_gate_row``)."""
+    ``_pq_gate_row``).
+
+    The ``q_id = -3`` sentinel row (round 14) gates the COMPOSED
+    production route ``ivf_pq_topk`` (coarse routing × PQ codes —
+    previously test-proven but outside the driver sweep): queries
+    answered + the measured uniform per-query result count vs the
+    literal TOP_K, plus three booleans — recall vs the ROUTED-EXACT
+    ranking (isolating the PQ-stage loss; the routing loss is pinned
+    by the exact-checked seed rows), routing soundness (zero results
+    outside a probed cell), and exact-cosine equality through the
+    composition (see ``_ivfpq_gate_row``). The PQ codebooks and
+    encoded corpus are memoized ONCE and shared by the -2 and -3
+    arms."""
     vecs = _memo(
         spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist()
     )
@@ -994,11 +1131,29 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-1, n_proj, float(k_meas), k_meas, var_ok, ortho_ok, recon_ok)],
         arm_schema,
     )
+    nn = vecs.filter(F.col("v").isNotNull())
+    pq_cb = _memo(spark, sf_dir, "pq_cb", lambda: pq_train(nn))
+    pq_codes = _memo(
+        spark, sf_dir, "pq_codes", lambda: pq_encode(nn, pq_cb).persist()
+    )
     n_codes, m_meas, pqr_ok, pqe_ok, pqm_ok = _memo(
-        spark, sf_dir, "pq_gate", lambda: _pq_gate_row(vecs, q, exact_full)
+        spark,
+        sf_dir,
+        "pq_gate",
+        lambda: _pq_gate_row(vecs, q, exact_full, pq_cb, pq_codes),
     )
     pq_arm = spark.createDataFrame(
         [(-2, n_codes, float(m_meas), m_meas, pqr_ok, pqe_ok, pqm_ok)],
+        arm_schema,
+    )
+    nq, kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok = _memo(
+        spark,
+        sf_dir,
+        "ivfpq_gate",
+        lambda: _ivfpq_gate_row(vecs, q, cents, seed_topk, pq_cb, pq_codes),
+    )
+    ivfpq_arm = spark.createDataFrame(
+        [(-3, nq, float(kq_meas), kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok)],
         arm_schema,
     )
     return (
@@ -1014,6 +1169,7 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(pca_arm)
         .unionByName(pq_arm)
+        .unionByName(ivfpq_arm)
     )
 
 
@@ -1206,16 +1362,130 @@ PQ_TRAIN_SEED = 11
 #: dominant cold cost)
 PQ_TRAIN_ITER = 10
 #: ADC shortlist size re-ranked exactly (the production IVF-PQ query
-#: shape: approximate-distance candidate generation, exact re-rank)
-PQ_SHORTLIST = 50
-#: gate floors, calibrated on the synthetic (near-isotropic — the PQ
-#: worst case, see pca_reduce's adoption note) embeddings at
-#: sf0.001/0.01/0.1: measured min per-query reranked recall 0.8/1.0,
-#: max ADC score error ~0.17, mean relative reconstruction error
-#: ~0.11-0.23 — floors leave ~2x headroom without going vacuous
+#: shape: approximate-distance candidate generation, exact re-rank).
+#: 80, recalibrated in round 14 with the driver-local Lloyd codebooks:
+#: at sf0.1 (2,000 near-isotropic vectors — the PQ worst case) the
+#: worst query's re-ranked recall was 0.60 at shortlist 50 and 0.80 at
+#: 80 with codebooks of the same measured ADC quality; the shortlist
+#: is the query-time knob that buys recall headroom for a bounded
+#: extra exact re-rank (80 rows per query), unlike retraining.
+PQ_SHORTLIST = 80
+#: gate floors, re-measured in round 14 (driver-local Lloyd training,
+#: shortlist 80) on the synthetic (near-isotropic — the PQ worst case,
+#: see pca_reduce's adoption note) embeddings at sf0.001/0.01/0.1:
+#: min per-query reranked recall 1.0/1.0/0.8, max ADC score error
+#: ~0.11-0.19, mean relative reconstruction error ~0.10-0.23 — floors
+#: leave ≥1.33x headroom without going vacuous
 PQ_RECALL_FLOOR = 0.6
 PQ_ADC_ERR_BOUND = 0.3
 PQ_MSE_BOUND = 0.5
+
+
+#: above this many training vectors, pq_train falls back to the
+#: distributed MLlib path; at or below it, the whole training frame is
+#: collected and all m codebooks fit driver-side with numpy Lloyd —
+#: 8 MLlib fits on a small sample are pure per-job scheduling overhead
+#: (~16 s of the gated arm's cold build at sf0.1 was the fits, on
+#: 2,000 vectors), while the numpy fits finish in milliseconds. Driver
+#: memory at the threshold: 65,536 × d doubles (~34 MB at d=64) plus
+#: one n×k distance matrix per subspace step (~134 MB) — bounded. At
+#: 100 TB you train on a sample anyway (every tokenizer/sketch trainer
+#: here samples), so the driver path IS the production path; the MLlib
+#: branch covers callers that insist on training over an
+#: above-threshold frame.
+PQ_DRIVER_TRAIN_MAX = 65_536
+
+
+#: driver-local k-means++ restarts: MLlib's k-means|| init oversamples
+#: candidates, which a single greedy k-means++ pass does not match —
+#: measured at sf0.1 (2,000 near-isotropic vectors, the PQ worst case)
+#: as min re-ranked recall 0.60 single-init vs 0.80 for MLlib. Multiple
+#: deterministic restarts with lowest-inertia selection recover the
+#: gap at millisecond cost.
+PQ_LLOYD_RESTARTS = 5
+
+
+def _lloyd(X, k: int, seed: int, max_iter: int):
+    """Deterministic driver-side k-means over ``X`` (n × dsub float64):
+    PQ_LLOYD_RESTARTS seeded k-means++ inits, each run ``max_iter``
+    Lloyd steps, lowest final inertia wins (first on ties — seeds are
+    enumerated in a fixed order). Assignment ties break to the SMALLER
+    center index (numpy argmin — matching ``pq_encode``'s smaller-code
+    tie-break); empty clusters re-seed at the point currently farthest
+    from its center (first max on ties). With n ≤ k distinct rows the
+    unique rows themselves are the (lossless) codebook — the same
+    degenerate-k behavior as MLlib's fit. Returns a list of center
+    rows (≤ k)."""
+    import numpy as np
+
+    uniq = np.unique(X, axis=0)  # lexicographically sorted — canonical
+    if len(uniq) <= k:
+        return [c.tolist() for c in uniq]
+    xsq = (X * X).sum(axis=1)
+
+    def one_run(run_seed: int):
+        rng = np.random.default_rng(run_seed)
+        # k-means++: distance to the nearest chosen center drives
+        # sampling. Distances via the ||x||² − 2x·c + ||c||² expansion
+        # (one matvec, no n×d temporaries) and inverse-CDF sampling via
+        # searchsorted (rng.choice re-validates p per call) — both
+        # deterministic given the rng sequence.
+        cents = [X[int(rng.integers(len(X)))]]
+        c = cents[0]
+        d2 = np.maximum(xsq - 2.0 * (X @ c) + (c @ c), 0.0)
+        for _ in range(1, k):
+            cum = np.cumsum(d2)
+            tot = cum[-1]
+            if tot > 0:
+                idx = int(
+                    np.searchsorted(cum, rng.random() * tot, side="right")
+                )
+                idx = min(idx, len(X) - 1)
+            else:
+                idx = int(rng.integers(len(X)))
+            c = X[idx]
+            cents.append(c)
+            d2 = np.minimum(
+                d2, np.maximum(xsq - 2.0 * (X @ c) + (c @ c), 0.0)
+            )
+        C = np.stack(cents)
+        rows = np.arange(len(X))
+        for _ in range(max_iter):
+            # argmin_c ||x − c||² = argmin_c (||c||² − 2x·c): the ||x||²
+            # term is constant per row, so it stays out of the n×k
+            # broadcast (one temporary instead of three)
+            score = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = score.argmin(axis=1)
+            # vectorized center update (a per-center Python loop was the
+            # whole fit cost: 256 mask+mean pairs per iteration)
+            counts = np.bincount(assign, minlength=k)
+            sums = np.empty_like(C)
+            for dcol in range(X.shape[1]):
+                sums[:, dcol] = np.bincount(
+                    assign, weights=X[:, dcol], minlength=k
+                )
+            new_c = C.copy()
+            filled = counts > 0
+            new_c[filled] = sums[filled] / counts[filled, None]
+            empty = np.flatnonzero(~filled)
+            if empty.size:
+                # re-seed empties at the points currently farthest from
+                # their centers (stable order — deterministic)
+                far = np.argsort(
+                    -(xsq + score[rows, assign]), kind="stable"
+                )
+                new_c[empty] = X[far[: empty.size]]
+            if np.array_equal(new_c, C):
+                break
+            C = new_c
+        score = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        return float((xsq + score.min(axis=1)).sum()), C
+
+    best = min(
+        (one_run(seed + 7919 * r) for r in range(PQ_LLOYD_RESTARTS)),
+        key=lambda t: t[0],
+    )
+    return [c.tolist() for c in best[1]]
 
 
 def pq_train(
@@ -1228,23 +1498,24 @@ def pq_train(
 ) -> DataFrame:
     """Train per-subspace PQ codebooks (Jégou et al. 2011): split the
     d dims into ``m`` contiguous subspaces and fit an independent
-    k-means (MLlib, fixed seed — deterministic) in each. Returns the
-    codebook frame ``(j, code, cent array<double>)`` — m·k rows of
-    d/m doubles each, trivially broadcastable. Training cost is m
-    small MLlib jobs over the (samplable, like every tokenizer/sketch
-    trainer here) training frame; at 100 TB you train on a sample and
-    encode the full corpus with the fixed codebooks. The m fits are
-    INDEPENDENT, so they run on a driver thread pool — Spark schedules
-    concurrent jobs fine, and each fit on a training sample is
-    overhead-dominated, so serializing them multiplies wall-clock by m
-    for nothing (measured 21.5 s sequential vs ~6 s pooled for the
-    gated arm's cold build at sf0.1). The training frame is persisted
-    for the fits' repeated passes and released after."""
-    from concurrent.futures import ThreadPoolExecutor
+    k-means (fixed seed — deterministic) in each. Returns the codebook
+    frame ``(j, code, cent array<double>)`` — m·k rows of d/m doubles
+    each, trivially broadcastable.
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    Two fit paths behind one contract (round 14 — the BPE
+    driver-local-merge-loop precedent, ``operators/bpe.py``): a
+    training frame of ≤ PQ_DRIVER_TRAIN_MAX vectors is collected ONCE
+    (sorted lexicographically first, so the result is independent of
+    partition/read order) and all m codebooks fit driver-side with a
+    seeded numpy Lloyd (``_lloyd``) — the m MLlib jobs this replaces
+    are per-job-scheduling-bound on sample-sized data (they were ~16 s
+    of the gated arm's cold build at sf0.1, on 2,000 vectors; the
+    numpy fits are milliseconds). Above the threshold the original
+    MLlib path runs, its m independent fits pooled on driver threads
+    (measured 21.5 s sequential vs ~6 s pooled) over a persisted
+    training frame. At 100 TB you train on a sample and encode the
+    full corpus with the fixed codebooks — so the driver path is the
+    production shape, not a shortcut."""
     nn = vecs.filter(F.col(emb_col).isNotNull())
     first = nn.select(emb_col).first()
     if first is None:
@@ -1254,6 +1525,30 @@ def pq_train(
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
     spark = vecs.sparkSession
+    n_train = nn.count()  # column-pruned existence count
+    if n_train <= PQ_DRIVER_TRAIN_MAX:
+        import numpy as np
+
+        X = np.array(
+            [r[0] for r in nn.select(emb_col).collect()], dtype=np.float64
+        )
+        X = X[np.lexsort(X.T[::-1])]  # canonical row order
+        rows = [
+            (j, c, cent)
+            for j in range(m)
+            for c, cent in enumerate(
+                _lloyd(X[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter)
+            )
+        ]
+        return spark.createDataFrame(
+            rows, "j INT, code INT, cent ARRAY<DOUBLE>"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     train = nn.select(
         *[
             array_to_vector(
@@ -1855,6 +2150,24 @@ ORACLE = {
                (SELECT COUNT(embedding) FROM embeddings) AS neighbor_id,
                CAST({PQ_M} AS DOUBLE) AS cosine,
                CAST({PQ_M} AS INT) AS rn,
+               TRUE AS trained_recall_ok,
+               TRUE AS q8_recall_ok,
+               TRUE AS q8_err_ok
+        UNION ALL
+        -- ivfpq arm (round 14): the COMPOSED route (coarse routing x
+        -- PQ codes x exact re-rank). The oracle re-derives the
+        -- norm-positive query count and the literal per-query result
+        -- count; the three booleans (recall vs the routed-exact
+        -- ranking, routing soundness via the deterministic cell
+        -- assignment, exact-cosine equality through the composition)
+        -- have no SQL mirror for the code side, so the oracle asserts
+        -- them TRUE (the trained/q8/pq pattern)
+        SELECT -3 AS q_id,
+               (SELECT COUNT(*) FROM v WHERE vec_id < {N_QUERIES}
+                 AND list_sum(list_transform(v, x -> x*x)) > 0
+               ) AS neighbor_id,
+               CAST({TOP_K} AS DOUBLE) AS cosine,
+               CAST({TOP_K} AS INT) AS rn,
                TRUE AS trained_recall_ok,
                TRUE AS q8_recall_ok,
                TRUE AS q8_err_ok
