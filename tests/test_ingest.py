@@ -971,7 +971,10 @@ def test_bm25_postings_torn_append_collapses_on_read(spark, tmp_path):
     b0 = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
     b1 = spark.createDataFrame([(2, NOVEL)], "doc_id LONG, text STRING")
     update_bm25_lexicon(spark, b0, lex, batch_id=0)
-    # torn attempt for batch 1: postings rows land, nothing else does
+    # torn attempt for batch 1: postings rows land (in the real writer's
+    # bucketed layout), nothing else does
+    from ts_etl_spark.streaming.ingest import _term_bucket_col
+
     toks = _tokens(b1, "text", "doc_id")
     (
         toks.select("doc_id", "dl", F.explode("ws").alias("term"))
@@ -979,7 +982,9 @@ def test_bm25_postings_torn_append_collapses_on_read(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "doc_id", "tf", "dl")
         .withColumn("batch_id", F.lit(1).cast("long"))
-        .write.mode("append")
+        .withColumn("tbucket", _term_bucket_col())
+        .write.partitionBy("tbucket")
+        .mode("append")
         .parquet(bm25_lexicon_paths(lex)["postings"])
     )
     update_bm25_lexicon(spark, b1, lex, batch_id=1)  # the replay
@@ -1123,75 +1128,107 @@ def test_cli_lease_heartbeat_keeps_long_rebuild_held(spark, tmp_path, monkeypatc
     assert not path_exists(spark, lease)
 
 
-def test_postings_files_are_term_clustered_for_footer_pruning(
-    spark, tmp_path
-):
-    """The postings write is range-partitioned by term ON PURPOSE: the
-    tf groupBy leaves rows hash-scattered, so without the range
-    exchange every file would span the whole term domain and the
-    footer min/max stats the index-backed query relies on would prune
-    nothing. Asserted against the REAL parquet footers (the
-    test_layout discipline): per batch, files cover disjoint term
-    ranges, so any single term overlaps at most one file per batch."""
+def test_postings_bucketed_layout_prunes_at_planning_time(spark, tmp_path):
+    """Round 14 (r13 verdict #2): the postings table is hive-partitioned
+    by term hash bucket, so a query term maps to ONE ``tbucket=<n>``
+    directory and the scan plans over only that directory's files — at
+    any batch count, without min/max luck. Asserted three ways: (a) the
+    on-disk layout is bucketed and every row sits in its term's bucket;
+    (b) the index-backed query's executed plan carries the bucket
+    PartitionFilters and its scan reads only the probed buckets'
+    files; (c) compaction rewrites per bucket — file count drops,
+    layout and in-bucket term sort survive, ranking unchanged."""
     import glob
+    import os
 
     import pyarrow.parquet as papq
 
+    from ts_etl_spark.operators.bm25 import bm25_topk
     from ts_etl_spark.streaming.ingest import (
         bm25_lexicon_paths,
+        bm25_topk_from_index,
+        compact_ingest_state,
+        term_bucket,
         update_bm25_lexicon,
     )
 
-    import os
-
-    from ts_etl_spark.streaming.ingest import compact_ingest_state
-
     lex = str(tmp_path / "lex")
-    docs = spark.createDataFrame(
-        [(i, " ".join([BASE, NOVEL, THIRD][i % 3].split()[: 20 + i]))
-         for i in range(60)],
-        "doc_id LONG, text STRING",
-    )
-    update_bm25_lexicon(spark, docs, lex, batch_id=0)
+    all_docs = []
+    for b in range(3):  # multi-batch: files accumulate per bucket
+        docs = [
+            (b * 100 + i,
+             " ".join([BASE, NOVEL, THIRD][i % 3].split()[: 20 + i]))
+            for i in range(20)
+        ]
+        all_docs += docs
+        update_bm25_lexicon(
+            spark,
+            spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+            lex,
+            batch_id=b,
+        )
     postings = bm25_lexicon_paths(lex)["postings"]
 
-    def _term_ranges():
-        ranges = []
-        for f in sorted(glob.glob(f"{postings}/*.parquet")):
-            md = papq.ParquetFile(f).metadata
-            if md.num_rows == 0:
-                continue
-            col = next(
-                i for i in range(md.num_columns)
-                if md.row_group(0).column(i).path_in_schema == "term"
-            )
-            mins, maxs = [], []
-            for g in range(md.num_row_groups):
-                st = md.row_group(g).column(col).statistics
-                mins.append(st.min)
-                maxs.append(st.max)
-            ranges.append((min(mins), max(maxs)))
-        return sorted(ranges)
+    # (a) bucketed layout; every row in its term's bucket; in-bucket sort
+    def _bucket_dirs():
+        return sorted(
+            d for d in os.listdir(postings) if d.startswith("tbucket=")
+        )
 
-    def _assert_disjoint(ranges):
-        assert len(ranges) >= 2, "range partitioning produced a single file"
-        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
-            assert hi1 <= lo2, f"file term ranges overlap: {hi1!r} > {lo2!r}"
-        # a probe term therefore overlaps at most one file
-        assert sum(lo <= "alpha" <= hi for lo, hi in ranges) <= 1
+    def _check_rows_and_sort():
+        for d in _bucket_dirs():
+            want_bucket = int(d.split("=", 1)[1])
+            for f in glob.glob(f"{postings}/{d}/*.parquet"):
+                t = papq.read_table(f, columns=["term"])
+                terms = t.column("term").to_pylist()
+                assert all(term_bucket(x) == want_bucket for x in terms)
+                assert terms == sorted(terms), "in-bucket term sort lost"
 
-    _assert_disjoint(_term_ranges())
-    # compaction must PRESERVE the clustering (the rewrite of this
-    # table range-partitions by term instead of round-robin — a
-    # round-robin rewrite silently reverts footer pruning to vacuous;
-    # review finding). Target size chosen to force several output files.
-    total = sum(
-        os.path.getsize(f) for f in glob.glob(f"{postings}/*.parquet")
+    assert _bucket_dirs(), "postings not bucketed"
+    assert not glob.glob(f"{postings}/*.parquet"), "flat files present"
+    _check_rows_and_sort()
+
+    # (b) planning-time pruning: the plan carries the bucket
+    # PartitionFilters, and BEHAVIORALLY a corrupted parquet file in an
+    # unprobed bucket never trips the query — the scan does not even
+    # open files outside the probed directories
+    queries = {0: "alpha table", 1: "dune"}
+    ranked = bm25_topk_from_index(spark, lex, queries)
+    corpus = spark.createDataFrame(all_docs, "doc_id LONG, text STRING")
+    want = sorted(map(tuple, bm25_topk(corpus, queries).collect()))
+    assert sorted(map(tuple, ranked.collect())) == want and want
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbucket" in plan, plan
+    probe_buckets = {term_bucket(t) for t in ("alpha", "table", "dune")}
+    victim_dir = next(
+        d for d in _bucket_dirs()
+        if int(d.split("=", 1)[1]) not in probe_buckets
     )
-    compact_ingest_state(
-        spark, bm25_lexicon_path=lex, target_file_bytes=max(1, total // 3)
+    victim = sorted(glob.glob(f"{postings}/{victim_dir}/*.parquet"))[0]
+    original = open(victim, "rb").read()
+    try:
+        with open(victim, "wb") as fh:
+            fh.write(b"not parquet at all")
+        got_pruned = sorted(
+            map(tuple, bm25_topk_from_index(spark, lex, queries).collect())
+        )
+        assert got_pruned == want, "scan opened an unprobed bucket's file"
+    finally:
+        with open(victim, "wb") as fh:
+            fh.write(original)
+
+    # (c) per-bucket compaction: fewer files, same layout/sort/results
+    files_before = len(glob.glob(f"{postings}/tbucket=*/*.parquet"))
+    out = compact_ingest_state(spark, bm25_lexicon_path=lex)
+    assert out[postings] >= 1
+    files_after = len(glob.glob(f"{postings}/tbucket=*/*.parquet"))
+    assert files_after < files_before
+    assert files_after == len(_bucket_dirs())  # ~1 file per bucket
+    _check_rows_and_sort()
+    got2 = sorted(
+        map(tuple, bm25_topk_from_index(spark, lex, queries).collect())
     )
-    _assert_disjoint(_term_ranges())
+    assert got2 == want
 
 
 def test_rebuilds_and_probe_refuse_missing_corpus_path(spark, tmp_path):
@@ -1346,6 +1383,81 @@ def test_length_quantile_drift_flags_shifted_batch(spark, tmp_path):
     cfg = IngestConfig(len_hdr_path=hdr, drift_path=drift)
     ingest_batch(spark, same, corpus_path, cfg, batch_id=2)
     assert spark.read.parquet(f"{lenq}/batch=2").count() == 2
+
+
+def test_drift_report_cli_surfaces_flagged_batches(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Round 14 (r13 verdict #5): the telemetry finally has an
+    operational consumer — ``drift-report`` reads the PSI drift log,
+    the ``_lenq`` length-quantile log and the attempt heavy-hitter
+    registers, prints one line per (table, batch), and under
+    ``--fail-on-flagged`` exits 1 when a planted drifted batch is
+    visible end to end."""
+    from ts_etl_spark import cli
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        bootstrap_length_histogram,
+        ingest_batch,
+    )
+
+    hdr = str(tmp_path / "lenhdr")
+    drift = str(tmp_path / "drift")
+    hh = str(tmp_path / "hh")
+    corpus_path = str(tmp_path / "corpus")
+    corpus = spark.createDataFrame(
+        [(i, BASE + f" w{i}") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    corpus.write.parquet(corpus_path)
+    assert bootstrap_length_histogram(spark, corpus, hdr)
+    cfg = IngestConfig(len_hdr_path=hdr, drift_path=drift, hh_path=hh)
+    same = spark.createDataFrame(
+        [(100, NOVEL), (101, THIRD)], "doc_id LONG, text STRING"
+    )
+    shifted = spark.createDataFrame(
+        [(200 + i, "x " * 3000) for i in range(4)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, same, corpus_path, cfg, batch_id=0)
+    ingest_batch(spark, shifted, corpus_path, cfg, batch_id=1)
+
+    report = cli.run_drift_report(
+        drift_path=drift, hh_path=hh, spark=spark
+    )
+    out = capsys.readouterr().out
+    # the shifted batch is flagged in the length-quantile log (its PSI
+    # vs the by-then-mixed corpus may or may not clear the PSI band —
+    # the lenq band is the planted signal) and every batch reports
+    assert ("lenq", 1) in report["flagged"]
+    assert all(r[4] for r in report["lenq"][1])  # flagged column
+    assert not any(r[4] for r in report["lenq"][0])
+    assert set(report["psi"]) == {0, 1}
+    assert report["hh"][0] == 2 and report["hh"][1] == 4  # exact attempts
+    assert "lenq batch=1" in out and "FLAGGED" in out
+    assert "hh batch=1 attempts=4" in out
+
+    # CLI wiring: exit 0 without the flag gate, 1 with it (the shared
+    # test session is injected — main() would otherwise getOrCreate the
+    # same session and stop it on exit)
+    real_rdr = cli.run_drift_report
+    monkeypatch.setattr(
+        cli,
+        "run_drift_report",
+        lambda **kw: real_rdr(**{**kw, "spark": spark}),
+    )
+    assert cli.main(["drift-report", "--drift", drift, "--hh", hh]) == 0
+    assert (
+        cli.main(
+            ["drift-report", "--drift", drift, "--hh", hh,
+             "--fail-on-flagged"]
+        )
+        == 1
+    )
+    # --last bounds the report to the newest batch ids
+    report2 = cli.run_drift_report(
+        drift_path=drift, hh_path=hh, last=1, spark=spark
+    )
+    assert set(report2["psi"]) == {1} and set(report2["hh"]) == {1}
+    assert cli.main(["drift-report"]) == 1  # no paths: usage error
 
 
 def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):

@@ -1462,6 +1462,187 @@ def _len_hdr_rebuild_main(argv: list[str]) -> int:
         return 1
 
 
+#: PSI acceptance band for the drift report — the standard population-
+#: stability banding (Siddiqi, "Credit Risk Scorecards": < 0.1 stable,
+#: 0.1-0.25 moderate, > 0.25 significant shift). The per-batch PSI log
+#: stores raw values; the report applies the band at READ time so the
+#: threshold can evolve without rewriting telemetry.
+PSI_FLAG_THRESHOLD = 0.25
+
+
+def run_drift_report(
+    drift_path: str | None = None,
+    hh_path: str | None = None,
+    last: int | None = None,
+    psi_threshold: float = PSI_FLAG_THRESHOLD,
+    out=None,
+    spark=None,
+) -> dict:
+    """Read the ingest telemetry the monitors write (and nothing
+    operational read until round 14): the per-batch PSI drift log, its
+    ``_lenq`` length-quantile sibling, and the attempt heavy-hitter
+    registers — and render one line per (table, batch) plus a summary.
+    Returns a structured dict (``psi``/``lenq``/``hh`` per-batch maps +
+    the ``flagged`` list) so callers can act on it; the CLI wrapper
+    exits 1 on any flagged batch under ``--fail-on-flagged``.
+
+    Read shapes: every table is bounded by batches × buckets/registers
+    (telemetry-sized, never corpus-sized); only COMMITTED batch dirs
+    are read (``_SUCCESS`` — torn writes are the stream's to replay);
+    the heavy-hitter read rolls a crashed retention pass forward first
+    (``recover_hh_rollup`` — the documented reader discipline, so a
+    half-committed rollup is never double-counted) and reports per
+    batch the exact attempt count ``sum(c where d = 0)`` (each attempt
+    increments exactly one slot per register row). ``last`` bounds the
+    report to the newest N batch ids per table."""
+    from pyspark.sql import functions as F
+
+    from ts_etl_spark.fs import list_subdirs, path_exists
+    from ts_etl_spark.streaming.ingest import (
+        CM_SCHEMA,
+        HH_ROLLUP_DIR,
+        LEN_DRIFT_SCHEMA,
+        length_drift_path,
+        recover_hh_rollup,
+    )
+
+    out = sys.stdout if out is None else out
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-drift-report")
+    report: dict = {"psi": {}, "lenq": {}, "hh": {}, "flagged": []}
+
+    def _committed_batches(base: str) -> list[tuple[int | str, str]]:
+        if base is None or not path_exists(spark, base):
+            return []
+        found = []
+        for name in list_subdirs(spark, base):
+            if not name.startswith("batch=") or not path_exists(
+                spark, f"{base}/{name}/_SUCCESS"
+            ):
+                continue
+            tag = name.split("=", 1)[1]
+            found.append((int(tag) if tag.isdigit() else tag, f"{base}/{name}"))
+        nums = sorted(
+            (b for b in found if isinstance(b[0], int)), key=lambda t: t[0]
+        )
+        if last is not None:
+            nums = nums[-last:]
+        return [b for b in found if not isinstance(b[0], int)] + nums
+
+    try:
+        if drift_path is not None:
+            for bid, d in _committed_batches(drift_path):
+                row = (
+                    spark.read.parquet(d)
+                    .filter(F.col("bucket") == -1)
+                    .select("psi_term")
+                    .first()
+                )
+                psi = float(row[0]) if row is not None else 0.0
+                flagged = psi > psi_threshold
+                report["psi"][bid] = (psi, flagged)
+                if flagged:
+                    report["flagged"].append(("psi", bid))
+                print(
+                    f"psi batch={bid} psi={psi:.4f} "
+                    f"{'FLAGGED' if flagged else 'ok'}",
+                    file=out,
+                )
+            for bid, d in _committed_batches(length_drift_path(drift_path)):
+                rows = (
+                    spark.read.schema(LEN_DRIFT_SCHEMA)
+                    .parquet(d)
+                    .orderBy("phi")
+                    .collect()
+                )
+                report["lenq"][bid] = [tuple(r) for r in rows]
+                for r in rows:
+                    if r.flagged:
+                        report["flagged"].append(("lenq", bid))
+                    print(
+                        f"lenq batch={bid} phi={r.phi:g} "
+                        f"corpus={r.corpus_len} batch_len={r.batch_len} "
+                        f"ratio={r.ratio:.3f} "
+                        f"{'FLAGGED' if r.flagged else 'ok'}",
+                        file=out,
+                    )
+        if hh_path is not None and path_exists(spark, hh_path):
+            recover_hh_rollup(spark, hh_path)
+            for bid, d in _committed_batches(hh_path):
+                n = (
+                    spark.read.schema(CM_SCHEMA)
+                    .parquet(d)
+                    .filter(F.col("d") == 0)
+                    .agg(F.coalesce(F.sum("c"), F.lit(0)))
+                    .first()[0]
+                )
+                tag = (
+                    "rollup"
+                    if f"{hh_path}/{HH_ROLLUP_DIR}" == d
+                    else bid
+                )
+                report["hh"][tag] = int(n)
+                print(f"hh batch={tag} attempts={int(n)}", file=out)
+        n_flagged = len(report["flagged"])
+        print(
+            f"drift-report: {n_flagged} flagged signal(s) across "
+            f"{len(report['psi'])} psi / {len(report['lenq'])} lenq / "
+            f"{len(report['hh'])} hh batch dirs",
+            file=out,
+        )
+        return report
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _drift_report_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark drift-report",
+        description=(
+            "Report the ingest drift telemetry per batch: PSI drift "
+            "log, length-quantile log, attempt heavy-hitter registers."
+        ),
+    )
+    parser.add_argument("--drift", help="per-batch PSI drift log path")
+    parser.add_argument(
+        "--hh", help="attempt heavy-hitter register path"
+    )
+    parser.add_argument(
+        "--last", type=int, help="only the newest N batch ids per table"
+    )
+    parser.add_argument(
+        "--psi-threshold",
+        type=float,
+        default=PSI_FLAG_THRESHOLD,
+        help="flag batches whose total PSI exceeds this "
+        f"(default {PSI_FLAG_THRESHOLD})",
+    )
+    parser.add_argument(
+        "--fail-on-flagged",
+        action="store_true",
+        help="exit 1 when any batch is flagged (for cron/CI wiring)",
+    )
+    args = parser.parse_args(argv)
+    if not (args.drift or args.hh):
+        print("drift-report: give --drift and/or --hh", file=sys.stderr)
+        return 1
+    try:
+        report = run_drift_report(
+            drift_path=args.drift,
+            hh_path=args.hh,
+            last=args.last,
+            psi_threshold=args.psi_threshold,
+        )
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during drift-report: {exc}", file=sys.stderr)
+        return 1
+    if args.fail_on_flagged and report["flagged"]:
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
@@ -1475,6 +1656,8 @@ def main(argv: list[str] | None = None) -> int:
         return _len_hdr_rebuild_main(argv[1:])
     if argv and argv[0] == "compact-state":
         return _compact_state_main(argv[1:])
+    if argv and argv[0] == "drift-report":
+        return _drift_report_main(argv[1:])
     if argv and argv[0] == "sem-train":
         return _sem_train_main(argv[1:])
     if argv and argv[0] == "curate":

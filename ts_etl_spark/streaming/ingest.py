@@ -81,6 +81,46 @@ LEX_POSTINGS_SCHEMA = "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, batch_i
 LEX_TERMS_SCHEMA = "term STRING, df BIGINT, batch_id BIGINT"
 LEX_TOTALS_SCHEMA = "n_docs BIGINT, sum_dl BIGINT, batch_id BIGINT"
 
+#: the postings table is hive-partitioned BY TERM HASH BUCKET
+#: (``tbucket=<n>`` directories, round 14). Round 13's per-batch term
+#: range-clustering gave footer min/max pruning, but vanilla Spark
+#: schedules a scan task per FILE and only skips row groups inside it —
+#: after thousands of batches a query still lists and opens every
+#: batch's files. Directory partitioning moves the pruning to PLANNING
+#: time: a query term hashes to exactly one of LEX_POSTINGS_BUCKETS
+#: directories and the scan never schedules a task outside it,
+#: regardless of batch count or min/max distribution luck. Within each
+#: bucket, files stay term-sorted (row-group pruning inside the bucket)
+#: and compaction rewrites PER BUCKET (``compact_bucketed_state_table``)
+#: so files-per-bucket returns to ~1. 32 buckets suit the test corpora;
+#: a 100 TB deployment raises it (buckets only bound the per-query scan
+#: fraction at 1/B — more buckets, finer pruning, same layout).
+LEX_POSTINGS_BUCKETS = 32
+#: partition column appended to LEX_POSTINGS_SCHEMA on read (its values
+#: come from the directory names)
+LEX_POSTINGS_READ_SCHEMA = LEX_POSTINGS_SCHEMA + ", tbucket INT"
+
+
+def term_bucket(term: str) -> int:
+    """Driver-side twin of the postings bucket expression — the
+    engine-portable md5 fold (``classifier._hash8`` with prefix
+    ``pb#``) mod LEX_POSTINGS_BUCKETS, so a reader can turn query terms
+    into partition filters without a Spark job. Keep in lockstep with
+    ``_term_bucket_col``."""
+    import hashlib
+
+    h = hashlib.md5(f"pb#{term}".encode("utf-8")).hexdigest()[:8]
+    return int(h, 16) % LEX_POSTINGS_BUCKETS
+
+
+def _term_bucket_col():
+    """The Spark-side bucket expression (see ``term_bucket``)."""
+    from ts_etl_spark.operators.classifier import _hash8
+
+    return (
+        _hash8("pb#", F.col("term")) % LEX_POSTINGS_BUCKETS
+    ).cast("int")
+
 
 def bm25_lexicon_paths(base: str) -> dict[str, str]:
     """The three append-only tables of a BM25 lexicon deployment:
@@ -736,15 +776,68 @@ def compact_state_table(
     )
 
 
+def compact_bucketed_state_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int | None = None,
+    cluster_by: str | None = None,
+    partition_prefix: str = "tbucket=",
+) -> int:
+    """Compact a HASH-BUCKET-partitioned state table (the BM25 postings
+    layout: ``<table>/tbucket=<n>/part-*.parquet``) by running the full
+    attested manifest-commit protocol PER BUCKET DIRECTORY — each
+    bucket is a flat file set, so the existing swap machinery applies
+    unchanged with the ``_SUCCESS`` check redirected to the table root
+    (partition appends commit at job level; only the root carries the
+    marker). Returns the total output file count across buckets.
+
+    Per-bucket staging/manifest artifacts are siblings INSIDE the table
+    dir (``_compact_tbucket=<n>`` / ``_compact_manifest_tbucket=<n>``),
+    hidden from readers by the underscore prefix; a crash at any point
+    either discards pre-commit staging or rolls forward on the next
+    pass (each bucket runs its own recovery first), and a reader
+    between the crash and that pass sees at worst old+new duplicate
+    rows — which this table's readers collapse by DISTINCT (the
+    torn-append contract). Keeps the bucket count: compaction restores
+    files-per-bucket, never re-buckets; ``cluster_by`` (the term sort)
+    preserves row-group pruning inside each bucket."""
+    _require_success_markers(spark)
+    from ts_etl_spark.fs import list_subdirs
+
+    if not path_exists(spark, table_dir):
+        raise ValueError(f"no state table at {table_dir!r}")
+    if not path_exists(spark, f"{table_dir}/_SUCCESS"):
+        raise ValueError(
+            f"state table at {table_dir!r} has no _SUCCESS marker — a "
+            "torn/uncommitted write; compacting it would launder the "
+            "torn state (re-run the owning bootstrap/ingest first)"
+        )
+    n = 0
+    for name in sorted(list_subdirs(spark, table_dir)):
+        if not name.startswith(partition_prefix):
+            continue
+        sub = f"{table_dir}/{name}"
+        recover_state_compaction(spark, sub)
+        n += _compact_recovered_table(
+            spark, sub, target_file_bytes, cluster_by, success_dir=table_dir
+        )
+    return n
+
+
 def _compact_recovered_table(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int | None = None,
     cluster_by: str | None = None,
+    success_dir: str | None = None,
 ) -> int:
     """The compaction body, assuming recovery already ran and the table
     exists (``compact_ingest_state`` calls this directly so each table
-    pays ONE recovery pass, not two)."""
+    pays ONE recovery pass, not two). ``success_dir``: where the
+    ``_SUCCESS`` marker lives when ``table_dir`` is one PARTITION of a
+    committed table (``compact_bucketed_state_table`` passes the table
+    root — partition writes commit at job level, so only the root
+    carries a marker)."""
     import json
 
     from ts_etl_spark.fs import list_data_files, list_subdirs, write_text_file
@@ -754,7 +847,7 @@ def _compact_recovered_table(
         table_content_hash,
     )
 
-    if not path_exists(spark, f"{table_dir}/_SUCCESS"):
+    if not path_exists(spark, f"{success_dir or table_dir}/_SUCCESS"):
         raise ValueError(
             f"state table at {table_dir!r} has no _SUCCESS marker — a "
             "torn/uncommitted write; compacting it would stamp a fresh "
@@ -766,8 +859,9 @@ def _compact_recovered_table(
         raise ValueError(
             f"state table at {table_dir!r} has a partitioned layout "
             f"({part_dirs[:3]!r}...) — the round-robin rewrite would "
-            "destroy it; compact partitioned tables via table_sink with "
-            "partition_by instead"
+            "destroy it; compact bucketed state via "
+            "compact_bucketed_state_table, other partitioned tables via "
+            "table_sink with partition_by"
         )
     staged = _compact_staging(table_dir)
     n = compact_parquet(
@@ -924,15 +1018,27 @@ def compact_ingest_state(
             if not path_exists(spark, d):
                 continue
             try:
-                out[d] = _compact_recovered_table(
-                    spark,
-                    d,
-                    target_file_bytes,
-                    # the postings table's term clustering is what the
-                    # index-backed query's footer pruning runs on — a
-                    # round-robin rewrite would silently revert it
-                    cluster_by="term" if d == postings_dir else None,
-                )
+                if d == postings_dir and not _postings_layout_is_flat(
+                    spark, d
+                ):
+                    # the bucketed postings layout compacts PER BUCKET
+                    # directory, preserving both the planning-time
+                    # partition pruning and the in-bucket term sort; a
+                    # legacy flat layout (pre-round-14) still takes the
+                    # unpartitioned path below with term clustering
+                    out[d] = compact_bucketed_state_table(
+                        spark, d, target_file_bytes, cluster_by="term"
+                    )
+                else:
+                    out[d] = _compact_recovered_table(
+                        spark,
+                        d,
+                        target_file_bytes,
+                        # a legacy flat postings table's term clustering
+                        # is what its footer pruning runs on — a
+                        # round-robin rewrite would silently revert it
+                        cluster_by="term" if d == postings_dir else None,
+                    )
             except (ValueError, RuntimeError, OSError) as exc:
                 # OSError: a filesystem-refused rename (fs.rename_dir) is a
                 # per-table failure like any other — it must not abort the
@@ -1545,6 +1651,17 @@ def rebuild_length_histogram(
     bootstrap_length_histogram(spark, _corpus(spark, corpus_path), hdr_path)
 
 
+def _postings_layout_is_flat(spark: SparkSession, postings_dir: str) -> bool:
+    """True when the postings dir holds top-level data files — the
+    round-13 flat range-clustered layout, superseded by the bucketed
+    ``tbucket=<n>`` directories. Writers and the index reader refuse a
+    flat layout with the bm25-rebuild remedy (one corpus scan upgrades
+    it)."""
+    from ts_etl_spark.fs import list_data_files
+
+    return bool(list_data_files(spark, postings_dir))
+
+
 def update_bm25_lexicon(
     spark: SparkSession, new_docs: DataFrame, lexicon_path: str, batch_id: int
 ) -> None:
@@ -1604,6 +1721,18 @@ def update_bm25_lexicon(
                 "missing its history — run rebuild_bm25_lexicon "
                 "(CLI bm25-rebuild) to upgrade it in one corpus scan"
             )
+        if _postings_layout_is_flat(spark, p["postings"]):
+            # a round-13 flat (range-clustered) postings layout: new
+            # bucketed appends would MIX layouts — partition discovery
+            # refuses a dir with both partitioned and unpartitioned
+            # files, and even if it read, the bucket filter would drop
+            # the flat history. Refuse with the same one-scan remedy.
+            raise RuntimeError(
+                f"BM25 lexicon at {lexicon_path} has a pre-bucketed "
+                "(flat) postings layout; folding bucketed batches into "
+                "it would mix layouts — run rebuild_bm25_lexicon "
+                "(CLI bm25-rebuild) to upgrade it in one corpus scan"
+            )
         last = (
             spark.read.schema(LEX_TOTALS_SCHEMA)
             .parquet(p["totals"])
@@ -1636,15 +1765,15 @@ def _append_lexicon_rows(
     totals LAST (the crash-window ordering: totals is the presence
     marker). The postings frame is checkpointed once and feeds the df
     derivation too (df = postings rows per term, since (term, doc_id)
-    is unique within a batch); each batch's postings files are
-    RANGE-PARTITIONED + sorted by term — the groupBy leaves rows
-    hash-scattered, so without the range exchange every file would
-    span the whole term domain and footer min/max pruning would be
-    vacuous; range-clustered, a query term overlaps ≤1 file per batch
-    (tested against the real parquet footers). State compaction
-    preserves the clustering: ``compact_ingest_state`` rewrites THIS
-    table with ``cluster_by="term"`` instead of round-robin (also
-    footer-tested)."""
+    is unique within a batch); postings land HIVE-PARTITIONED by term
+    hash bucket (``tbucket=<n>`` — see LEX_POSTINGS_BUCKETS: planning-
+    time directory pruning that holds at any batch count, where the
+    round-13 per-batch range clustering still scheduled a scan task per
+    file) and term-SORTED within each bucket's file (row-group pruning
+    inside the probed bucket; both asserted against real layouts/
+    footers). State compaction preserves the layout:
+    ``compact_ingest_state`` rewrites THIS table per bucket directory
+    with ``cluster_by="term"`` (``compact_bucketed_state_table``)."""
     from ts_etl_spark.operators.bm25 import _tokens
 
     toks = _tokens(docs, "text", "doc_id").localCheckpoint(eager=True)
@@ -1655,6 +1784,7 @@ def _append_lexicon_rows(
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("term", "doc_id", "tf", "dl")
         .withColumn("batch_id", bid)
+        .withColumn("tbucket", _term_bucket_col())
         .localCheckpoint(eager=True)
     )
     try:
@@ -1668,11 +1798,10 @@ def _append_lexicon_rows(
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).withColumn("batch_id", bid)
         (
-            postings.repartitionByRange(
-                max(2, spark.sparkContext.defaultParallelism // 4), "term"
-            )
-            .sortWithinPartitions("term")
-            .write.mode("append")
+            postings.repartition(LEX_POSTINGS_BUCKETS, "tbucket")
+            .sortWithinPartitions("tbucket", "term")
+            .write.partitionBy("tbucket")
+            .mode("append")
             .parquet(p["postings"])
         )
         terms.write.mode("append").parquet(p["terms"])
@@ -1831,17 +1960,20 @@ def bm25_topk_from_index(
     the production retrieval path at corpus scale. Stats come from the
     skinny terms/totals tables (``bm25_stats_from_lexicon``); candidate
     (doc_id, dl, term, tf) rows come from the postings index pruned to
-    the query terms BEFORE anything else happens (an ``isin`` filter
-    the parquet scan pushes down, against per-batch RANGE-CLUSTERED
-    files whose footer min/max stats skip every file not covering a
-    query term — tested against the real footers) — so a query touches
-    only its matching postings, never a corpus tokenize, never a full
-    explode. The ranking body is the SAME ``_bm25_rank`` the
-    corpus-scan ``operators.bm25.bm25_topk`` uses, making the two paths
-    bit-identical by construction (and tested: exact frame equality
-    over a multi-batch-built lexicon vs a scan of the stored corpus).
-    The DISTINCT collapses torn-append duplicates, which are complete
-    identical rows including batch_id (see ``update_bm25_lexicon``)."""
+    the query terms BEFORE anything else happens: the terms hash to
+    their ``tbucket=<n>`` partition directories driver-side
+    (``term_bucket``) and the scan PLANS over only those directories —
+    a query touches 1/LEX_POSTINGS_BUCKETS of the index's files no
+    matter how many batches accumulated (plan-tested: PartitionFilters
+    carries the bucket isin) — then the term ``isin`` prunes row groups
+    inside the probed buckets against the term-sorted footers. Never a
+    corpus tokenize, never a full explode. The ranking body is the SAME
+    ``_bm25_rank`` the corpus-scan ``operators.bm25.bm25_topk`` uses,
+    making the two paths bit-identical by construction (and tested:
+    exact frame equality over a multi-batch-built lexicon vs a scan of
+    the stored corpus). The DISTINCT collapses torn-append duplicates,
+    which are complete identical rows including batch_id and bucket
+    (see ``update_bm25_lexicon``)."""
     from ts_etl_spark.operators.bm25 import (
         BM25_QUERIES,
         BM25_TOP_K,
@@ -1859,6 +1991,12 @@ def bm25_topk_from_index(
             "(CLI bm25-rebuild) to upgrade it, or rank with "
             "operators.bm25.bm25_topk (corpus scan)"
         )
+    if _postings_layout_is_flat(spark, p["postings"]):
+        raise ValueError(
+            f"postings index at {lexicon_path} has a pre-bucketed "
+            "(flat) layout — run rebuild_bm25_lexicon (CLI "
+            "bm25-rebuild) to upgrade it in one corpus scan"
+        )
     _, avgdl, idfs = bm25_stats_from_lexicon(spark, lexicon_path, queries)
     qmap = _live_qmap(queries, idfs)
     if not qmap:
@@ -1866,10 +2004,12 @@ def bm25_topk_from_index(
             [], "q_id long, doc_id long, score double, rn int"
         )
     terms = sorted({t for _, t, _ in qmap})
+    buckets = sorted({term_bucket(t) for t in terms})
     tf = (
-        spark.read.schema(LEX_POSTINGS_SCHEMA)
+        spark.read.schema(LEX_POSTINGS_READ_SCHEMA)
         .parquet(p["postings"])
-        .filter(F.col("term").isin(terms))
+        .filter(F.col("tbucket").isin(buckets) & F.col("term").isin(terms))
+        .drop("tbucket")
         .distinct()
         .select("doc_id", "dl", "term", "tf")
     )
