@@ -141,8 +141,26 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       shared-libm idf literals, a pinned IEEE expression tree, and an
       ordered per-term fold (the full ladder in the bm25 module
       docstring). The lexicon pass (N, avgdl, per-term df) is memoized
-      per (application, dataset) like the IVF frames."""
-    from ts_etl_spark.operators.bm25 import bm25_stats, bm25_topk
+      per (application, dataset) like the IVF frames.
+    - ``op='bm25idx'`` (round 14) — ONE sentinel row gating the
+      postings-INDEX retrieval path (``streaming.ingest.
+      bm25_topk_from_index`` over a bootstrapped temp lexicon, the
+      production serving shape) against the scan arm above: Spark
+      computes the exact two-way frame difference between the indexed
+      and scan rankings and reduces it to ``cosine`` = 1.0 on exact
+      equality (0.0 breaks the hash on any divergence — score, rank,
+      membership, anything), ``neighbor_id`` = the scan ranking's row
+      count (the oracle re-derives it as COUNT over its own bm25
+      subquery), ``q_id`` = -1, ``rn`` = 1. The shared ``_bm25_rank``
+      body makes equality structural; this row makes it DRIVER-GATED —
+      previously the index-backed route was the one production path
+      proven only by tests. The temp lexicon is the bench supplement's
+      memoized staging (one bootstrap per application+dataset)."""
+    from ts_etl_spark.operators.bm25 import (
+        bm25_stats,
+        bm25_topk,
+        q_bm25_indexed,
+    )
     from ts_etl_spark.operators.embedding import embed_documents
 
     vecs = _vectors(spark, sf_dir)
@@ -168,14 +186,34 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _memo(
         spark, sf_dir, "bm25_stats", lambda: bm25_stats(docs)
     )
-    bm25_arm = bm25_topk(docs, stats=stats).select(
+    scan_rank = bm25_topk(docs, stats=stats)
+    bm25_arm = scan_rank.select(
         F.lit("bm25").alias("op"),
         "q_id",
         F.col("doc_id").alias("neighbor_id"),
         F.col("score").alias("cosine"),
         "rn",
     )
-    return topk_arm.unionByName(embdoc_arm).unionByName(bm25_arm)
+
+    def _bm25idx_gate() -> tuple:
+        idx_rank = q_bm25_indexed(spark, sf_dir)
+        n_scan = scan_rank.count()
+        diff = (
+            scan_rank.exceptAll(idx_rank).count()
+            + idx_rank.exceptAll(scan_rank).count()
+        )
+        return n_scan, diff == 0
+
+    n_scan, idx_equal = _memo(spark, sf_dir, "bm25idx_gate", _bm25idx_gate)
+    bm25idx_arm = spark.createDataFrame(
+        [("bm25idx", -1, n_scan, 1.0 if idx_equal else 0.0, 1)],
+        "op STRING, q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT",
+    )
+    return (
+        topk_arm.unionByName(embdoc_arm)
+        .unionByName(bm25_arm)
+        .unionByName(bm25idx_arm)
+    )
 
 
 def q_embed_neardup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1991,6 +2029,15 @@ ORACLE = {
         SELECT 'bm25' AS op, q_id, doc_id AS neighbor_id,
                score AS cosine, rn
         FROM ({_BM25_SQL})
+        UNION ALL
+        -- bm25idx arm (round 14): Spark proves the postings-index path
+        -- frame-equal to the scan path (cosine 1.0 on exact equality;
+        -- any divergence writes 0.0 and breaks the hash) and carries
+        -- the scan ranking's row count, which the oracle re-derives
+        -- from its own bm25 subquery
+        SELECT 'bm25idx' AS op, CAST(-1 AS BIGINT) AS q_id,
+               (SELECT COUNT(*) FROM ({_BM25_SQL})) AS neighbor_id,
+               1.0 AS cosine, 1 AS rn
     """,
     "embed_neardup_label": f"""
         WITH v AS (
