@@ -1385,6 +1385,73 @@ def test_length_quantile_drift_flags_shifted_batch(spark, tmp_path):
     assert spark.read.parquet(f"{lenq}/batch=2").count() == 2
 
 
+def test_postings_bucket_count_is_persisted_and_enforced(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (review): the bucket count is baked into the directory
+    names AND the reader's term→bucket hash, so changing
+    LEX_POSTINGS_BUCKETS against existing state must refuse loudly
+    (historical postings would silently vanish from rankings) — the
+    marker is written before the first append, validated by reads and
+    folds, and a rebuild re-derives the layout under the new count."""
+    import ts_etl_spark.streaming.ingest as ing
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = ing.IngestConfig(bm25_lexicon_path=lex)
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, NOVEL)], "doc_id LONG, text STRING"
+    )
+    ingest_batch(spark, docs, corpus_path, cfg, batch_id=0)
+    queries = {0: "alpha table"}
+    want = sorted(
+        map(tuple, ing.bm25_topk_from_index(spark, lex, queries).collect())
+    )
+    assert want
+    monkeypatch.setattr(ing, "LEX_POSTINGS_BUCKETS", 64)
+    with pytest.raises(RuntimeError, match="32 term buckets"):
+        ing.bm25_topk_from_index(spark, lex, queries)
+    b2 = spark.createDataFrame([(3, THIRD)], "doc_id LONG, text STRING")
+    with pytest.raises(RuntimeError, match="32 term buckets"):
+        ing.update_bm25_lexicon(spark, b2, lex, batch_id=1)
+    # the remedy re-derives layout + marker under the new count
+    ing.rebuild_bm25_lexicon(spark, corpus_path, lex)
+    got = sorted(
+        map(tuple, ing.bm25_topk_from_index(spark, lex, queries).collect())
+    )
+    assert got == want
+
+
+def test_rebuild_clears_stale_compaction_siblings(spark, tmp_path):
+    """Round 14 (review): a compaction manifest left by a crash AFTER
+    its commit PUT would be rolled FORWARD by the next compact-state
+    and resurrect the pre-rebuild generation's files into the rebuilt
+    table — rebuild_bm25_lexicon must clear the staging/manifest
+    siblings along with the tables."""
+    import ts_etl_spark.streaming.ingest as ing
+    from ts_etl_spark.fs import path_exists, write_text_file
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = ing.IngestConfig(bm25_lexicon_path=lex)
+    docs = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    ingest_batch(spark, docs, corpus_path, cfg, batch_id=0)
+    postings = ing.bm25_lexicon_paths(lex)["postings"]
+    staging = ing._compact_staging(postings)
+    manifest = ing._compact_manifest(postings)
+    write_text_file(spark, f"{staging}/stale.parquet", "stale")
+    write_text_file(
+        spark, manifest, '{"table": "x", "hash": 0, "files": ["stale.parquet"]}'
+    )
+    ing.rebuild_bm25_lexicon(spark, corpus_path, lex)
+    assert not path_exists(spark, staging)
+    assert not path_exists(spark, manifest)
+    # and compact-state runs clean over the rebuilt deployment
+    assert ing.compact_ingest_state(
+        spark, corpus_path=corpus_path, bm25_lexicon_path=lex
+    )
+
+
 def test_drift_report_cli_surfaces_flagged_batches(
     spark, tmp_path, capsys, monkeypatch
 ):
@@ -1428,6 +1495,8 @@ def test_drift_report_cli_surfaces_flagged_batches(
     # vs the by-then-mixed corpus may or may not clear the PSI band —
     # the lenq band is the planted signal) and every batch reports
     assert ("lenq", 1) in report["flagged"]
+    # ONE signal per (table, batch) even when both quantiles flag
+    assert report["flagged"].count(("lenq", 1)) == 1
     assert all(r[4] for r in report["lenq"][1])  # flagged column
     assert not any(r[4] for r in report["lenq"][0])
     assert set(report["psi"]) == {0, 1}
@@ -1458,6 +1527,11 @@ def test_drift_report_cli_surfaces_flagged_batches(
     )
     assert set(report2["psi"]) == {1} and set(report2["hh"]) == {1}
     assert cli.main(["drift-report"]) == 1  # no paths: usage error
+    # --last 0 would slice to EVERYTHING and negatives drop the oldest —
+    # both refuse (review finding)
+    assert (
+        cli.main(["drift-report", "--drift", drift, "--last", "0"]) == 1
+    )
 
 
 def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):
@@ -1488,7 +1562,16 @@ def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):
         bm25_lexicon_path=lex,
         lease_path=lease,
     )
-    # 1 entry + 4 state dirs (corpus + postings/terms/totals) + 1
-    # before the ghost-batch probe (round 14 — the probe and a
-    # potential auto-rebuild run after the last per-table heartbeat)
-    assert len(calls) == 6
+    # 1 entry + 4 state dirs (corpus + postings/terms/totals) + 1 per
+    # postings bucket dir (round 14 — the bucketed table compacts as
+    # sequential per-bucket swaps, each behind a heartbeat) + 1 before
+    # the ghost-batch probe (the probe and a potential auto-rebuild run
+    # after the last per-table heartbeat)
+    import os
+
+    postings = ing.bm25_lexicon_paths(lex)["postings"]
+    n_buckets = sum(
+        1 for d in os.listdir(postings) if d.startswith("tbucket=")
+    )
+    assert n_buckets >= 1
+    assert len(calls) == 6 + n_buckets

@@ -1333,6 +1333,15 @@ def _with_ingest_lease(spark, lease_path: str | None, fn):
                 # suspended past the TTL): stop beating — the release
                 # below is owner-checked, so the new holder is safe
                 return
+            except Exception as exc:  # noqa: BLE001 — keep beating
+                # a transient FS/JVM hiccup must not silently KILL the
+                # heartbeat (that would re-open the stealable window
+                # this thread exists to close) — log and retry next tick
+                print(
+                    f"ingest-lease-heartbeat: refresh failed ({exc}); "
+                    "retrying",
+                    file=sys.stderr,
+                )
 
     beat = threading.Thread(target=_beat, name="ingest-lease-heartbeat", daemon=True)
     beat.start()
@@ -1497,15 +1506,19 @@ def run_drift_report(
     report to the newest N batch ids per table."""
     from pyspark.sql import functions as F
 
-    from ts_etl_spark.fs import list_subdirs, path_exists
+    from ts_etl_spark.fs import path_exists
     from ts_etl_spark.streaming.ingest import (
         CM_SCHEMA,
-        HH_ROLLUP_DIR,
         LEN_DRIFT_SCHEMA,
+        committed_batch_dirs,
         length_drift_path,
         recover_hh_rollup,
     )
 
+    if last is not None and last < 1:
+        # nums[-0:] would be EVERYTHING and a negative slice drops the
+        # oldest instead of bounding to the newest — refuse both
+        raise ValueError(f"drift-report: --last must be >= 1 (got {last})")
     out = sys.stdout if out is None else out
     own_session = spark is None
     if own_session:
@@ -1513,19 +1526,14 @@ def run_drift_report(
     report: dict = {"psi": {}, "lenq": {}, "hh": {}, "flagged": []}
 
     def _committed_batches(base: str) -> list[tuple[int | str, str]]:
-        if base is None or not path_exists(spark, base):
-            return []
-        found = []
-        for name in list_subdirs(spark, base):
-            if not name.startswith("batch=") or not path_exists(
-                spark, f"{base}/{name}/_SUCCESS"
-            ):
-                continue
-            tag = name.split("=", 1)[1]
-            found.append((int(tag) if tag.isdigit() else tag, f"{base}/{name}"))
-        nums = sorted(
-            (b for b in found if isinstance(b[0], int)), key=lambda t: t[0]
-        )
+        # the shared committed-dir discipline (torn dirs skipped) plus
+        # this report's extras: numeric tags as ints, `last` bounding
+        # the numeric tail (non-numeric tags — the rollup — always kept)
+        found = [
+            (int(tag) if tag.isdigit() else tag, path)
+            for tag, path in committed_batch_dirs(spark, base)
+        ]
+        nums = [b for b in found if isinstance(b[0], int)]
         if last is not None:
             nums = nums[-last:]
         return [b for b in found if not isinstance(b[0], int)] + nums
@@ -1557,9 +1565,11 @@ def run_drift_report(
                     .collect()
                 )
                 report["lenq"][bid] = [tuple(r) for r in rows]
+                if any(r.flagged for r in rows):
+                    # ONE signal per (table, batch) — per-row appends
+                    # duplicated the tuple when both quantiles flagged
+                    report["flagged"].append(("lenq", bid))
                 for r in rows:
-                    if r.flagged:
-                        report["flagged"].append(("lenq", bid))
                     print(
                         f"lenq batch={bid} phi={r.phi:g} "
                         f"corpus={r.corpus_len} batch_len={r.batch_len} "
@@ -1577,13 +1587,8 @@ def run_drift_report(
                     .agg(F.coalesce(F.sum("c"), F.lit(0)))
                     .first()[0]
                 )
-                tag = (
-                    "rollup"
-                    if f"{hh_path}/{HH_ROLLUP_DIR}" == d
-                    else bid
-                )
-                report["hh"][tag] = int(n)
-                print(f"hh batch={tag} attempts={int(n)}", file=out)
+                report["hh"][bid] = int(n)
+                print(f"hh batch={bid} attempts={int(n)}", file=out)
         n_flagged = len(report["flagged"])
         print(
             f"drift-report: {n_flagged} flagged signal(s) across "

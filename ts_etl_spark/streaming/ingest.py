@@ -782,6 +782,7 @@ def compact_bucketed_state_table(
     target_file_bytes: int | None = None,
     cluster_by: str | None = None,
     partition_prefix: str = "tbucket=",
+    heartbeat=None,
 ) -> int:
     """Compact a HASH-BUCKET-partitioned state table (the BM25 postings
     layout: ``<table>/tbucket=<n>/part-*.parquet``) by running the full
@@ -816,6 +817,12 @@ def compact_bucketed_state_table(
     for name in sorted(list_subdirs(spark, table_dir)):
         if not name.startswith(partition_prefix):
             continue
+        if heartbeat is not None:
+            # the bucketed table compacts as up-to-B sequential swap
+            # passes — refresh the caller's lease per bucket so the
+            # whole pass never outlives the TTL mid-swap (the same
+            # per-table discipline compact_ingest_state applies)
+            heartbeat()
         sub = f"{table_dir}/{name}"
         recover_state_compaction(spark, sub)
         n += _compact_recovered_table(
@@ -1027,7 +1034,19 @@ def compact_ingest_state(
                     # legacy flat layout (pre-round-14) still takes the
                     # unpartitioned path below with term clustering
                     out[d] = compact_bucketed_state_table(
-                        spark, d, target_file_bytes, cluster_by="term"
+                        spark,
+                        d,
+                        target_file_bytes,
+                        cluster_by="term",
+                        heartbeat=(
+                            (
+                                lambda: acquire_ingest_lease(
+                                    spark, lease_path, ttl_s=lease_ttl_s
+                                )
+                            )
+                            if lease_path is not None
+                            else None
+                        ),
                     )
                 else:
                     out[d] = _compact_recovered_table(
@@ -1662,6 +1681,102 @@ def _postings_layout_is_flat(spark: SparkSession, postings_dir: str) -> bool:
     return bool(list_data_files(spark, postings_dir))
 
 
+def _postings_buckets_marker(postings_dir: str) -> str:
+    """The persisted bucket-count marker — a single-object JSON file
+    INSIDE the postings dir (underscore prefix: hidden from parquet
+    readers)."""
+    return f"{postings_dir}/_tbuckets"
+
+
+def _validate_postings_buckets(spark: SparkSession, postings_dir: str) -> None:
+    """Refuse a postings table whose PERSISTED bucket count disagrees
+    with LEX_POSTINGS_BUCKETS (review finding, round 14): the bucket
+    count is baked into every directory name AND into the reader's
+    driver-side term→bucket hash, so changing the constant against
+    existing state would silently route query terms to the wrong
+    directories — historical postings would vanish from rankings with
+    no error. The marker is written BEFORE the first postings append
+    (so bucketed data implies a marker); a mismatch, a torn marker, or
+    bucketed data with no marker all refuse loudly with the
+    bm25-rebuild remedy (which re-derives the layout under the current
+    constant)."""
+    import json
+
+    from ts_etl_spark.fs import list_subdirs, read_text_file
+
+    marker = _postings_buckets_marker(postings_dir)
+    if path_exists(spark, marker):
+        try:
+            n = int(json.loads(read_text_file(spark, marker))["buckets"])
+        except (ValueError, KeyError, TypeError, OSError):
+            raise RuntimeError(
+                f"postings bucket marker at {marker!r} is torn/garbled — "
+                "run rebuild_bm25_lexicon (CLI bm25-rebuild) to re-derive "
+                "the index under the current bucket count"
+            ) from None
+        if n != LEX_POSTINGS_BUCKETS:
+            raise RuntimeError(
+                f"postings index at {postings_dir!r} was built with "
+                f"{n} term buckets but this engine is configured for "
+                f"{LEX_POSTINGS_BUCKETS} — querying or folding would "
+                "route terms to the wrong directories and silently drop "
+                "historical postings; run rebuild_bm25_lexicon (CLI "
+                "bm25-rebuild) to re-derive the index under the current "
+                "bucket count"
+            )
+    elif any(
+        d.startswith("tbucket=") for d in list_subdirs(spark, postings_dir)
+    ):
+        raise RuntimeError(
+            f"postings index at {postings_dir!r} has bucket directories "
+            "but no _tbuckets marker — its bucket count cannot be "
+            "verified against this engine's; run rebuild_bm25_lexicon "
+            "(CLI bm25-rebuild)"
+        )
+
+
+def _ensure_postings_buckets_marker(
+    spark: SparkSession, postings_dir: str
+) -> None:
+    """Validate-or-create the bucket-count marker BEFORE any postings
+    append — so bucketed data always implies a marker (the torn window
+    is marker-without-data, which the next writer just re-validates)."""
+    import json
+
+    from ts_etl_spark.fs import write_text_file
+
+    _validate_postings_buckets(spark, postings_dir)
+    marker = _postings_buckets_marker(postings_dir)
+    if not path_exists(spark, marker):
+        write_text_file(
+            spark, marker, json.dumps({"buckets": LEX_POSTINGS_BUCKETS})
+        )
+
+
+def committed_batch_dirs(
+    spark: SparkSession, base: str
+) -> list[tuple[str, str]]:
+    """(tag, path) of every COMMITTED ``batch=<tag>`` subdirectory of
+    ``base`` ([] if absent). Torn dirs — no ``_SUCCESS``, a crash
+    mid-write the stream's replay rewrites — are skipped: THE shared
+    listing discipline for per-batch telemetry readers
+    (``heavyhitter_estimate``, the drift-report CLI), extracted in
+    round 14 after a third inline copy appeared. Non-numeric tags (the
+    heavy-hitter ``batch=rollup``) sort first, numeric tags ascending."""
+    if not path_exists(spark, base):
+        return []
+    named: list[tuple[str, str]] = []
+    nums: list[tuple[str, str]] = []
+    for name in list_subdirs(spark, base):
+        if not name.startswith("batch=") or not path_exists(
+            spark, f"{base}/{name}/_SUCCESS"
+        ):
+            continue
+        tag = name.split("=", 1)[1]
+        (nums if tag.isdigit() else named).append((tag, f"{base}/{name}"))
+    return sorted(named) + sorted(nums, key=lambda t: int(t[0]))
+
+
 def update_bm25_lexicon(
     spark: SparkSession, new_docs: DataFrame, lexicon_path: str, batch_id: int
 ) -> None:
@@ -1733,6 +1848,7 @@ def update_bm25_lexicon(
                 "it would mix layouts — run rebuild_bm25_lexicon "
                 "(CLI bm25-rebuild) to upgrade it in one corpus scan"
             )
+        _validate_postings_buckets(spark, p["postings"])
         last = (
             spark.read.schema(LEX_TOTALS_SCHEMA)
             .parquet(p["totals"])
@@ -1797,6 +1913,9 @@ def _append_lexicon_rows(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         ).withColumn("batch_id", bid)
+        # marker first: bucketed data must always imply a verifiable
+        # bucket count (see _validate_postings_buckets)
+        _ensure_postings_buckets_marker(spark, p["postings"])
         (
             postings.repartition(LEX_POSTINGS_BUCKETS, "tbucket")
             .sortWithinPartitions("tbucket", "term")
@@ -1899,6 +2018,14 @@ def rebuild_bm25_lexicon(
             "(check the path)"
         )
     for d in bm25_lexicon_paths(lexicon_path).values():
+        # stale compaction siblings go with the table: a manifest left
+        # by a compaction that crashed after its commit PUT would
+        # otherwise be rolled FORWARD by the next compact-state and
+        # resurrect the pre-rebuild generation's files into the rebuilt
+        # table (review finding, round 14 — the flat→bucketed upgrade
+        # path made this a layout-mixing wedge)
+        delete_dir(spark, _compact_staging(d))
+        delete_dir(spark, _compact_manifest(d))
         if path_exists(spark, d):
             delete_dir(spark, d)
     bootstrap_bm25_lexicon(spark, _corpus(spark, corpus_path), lexicon_path)
@@ -1997,6 +2124,7 @@ def bm25_topk_from_index(
             "(flat) layout — run rebuild_bm25_lexicon (CLI "
             "bm25-rebuild) to upgrade it in one corpus scan"
         )
+    _validate_postings_buckets(spark, p["postings"])
     _, avgdl, idfs = bm25_stats_from_lexicon(spark, lexicon_path, queries)
     qmap = _live_qmap(queries, idfs)
     if not qmap:
@@ -2196,12 +2324,7 @@ def heavyhitter_estimate(
     if not path_exists(spark, hh_path):
         return {fp: 0 for fp in fingerprints}
     recover_hh_rollup(spark, hh_path)
-    committed = [
-        f"{hh_path}/{name}"
-        for name in list_subdirs(spark, hh_path)
-        if name.startswith("batch=")
-        and path_exists(spark, f"{hh_path}/{name}/_SUCCESS")
-    ]
+    committed = [p for _, p in committed_batch_dirs(spark, hh_path)]
     if not committed:
         return {fp: 0 for fp in fingerprints}
     merged = (
