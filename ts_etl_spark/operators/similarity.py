@@ -1221,20 +1221,41 @@ def train_ivf_centroids(
     The registered query keeps seed centroids because the DuckDB oracle
     must reproduce the assignment; THIS is the production path for real
     (clustered) embedding corpora, where learned cells align with the data
-    distribution and recall at fixed nprobe improves accordingly. Training
-    is one MLlib job (k·d floats to the driver — tiny); returns
+    distribution and recall at fixed nprobe improves accordingly. Returns
     (c_id, cv, cn) shaped exactly like the seed-centroid frame so
     ``ivf_assign`` works with either source.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    feats = vecs.select("vec_id", array_to_vector("v").alias("features"))
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    Like ``pq_train`` (round 14), a training frame of
+    ≤ PQ_DRIVER_TRAIN_MAX vectors — the shared driver-local k-means
+    threshold — is collected once (canonical sorted order, so the
+    result is partition-independent) and fit with the deterministic
+    numpy Lloyd: the single MLlib fit this replaces is per-job
+    scheduling overhead on sample-sized data (~5.5 s of the gated
+    entry's cold build at sf0.1, on 2,000 vectors). Above the
+    threshold the distributed MLlib fit runs as before; at 100 TB you
+    train the coarse quantizer on a sample either way."""
     spark = vecs.sparkSession
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    nn = vecs.filter(F.col("v").isNotNull())
+    if nn.count() <= PQ_DRIVER_TRAIN_MAX:
+        import numpy as np
+
+        X = np.array(
+            [r[0] for r in nn.select("v").collect()], dtype=np.float64
+        )
+        X = X[np.lexsort(X.T[::-1])]
+        rows = [
+            (i, c) for i, c in enumerate(_lloyd(X, k, seed, max_iter))
+        ]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = nn.select("vec_id", array_to_vector("v").alias("features"))
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+        rows = [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
     cents = spark.createDataFrame(rows, "c_id INT, cv ARRAY<DOUBLE>")
     return cents.select("c_id", "cv", norm(F.col("cv")).alias("cn"))
 
