@@ -1452,6 +1452,41 @@ def test_rebuild_clears_stale_compaction_siblings(spark, tmp_path):
     )
 
 
+def test_lease_steal_aborts_compaction_pass_loudly(
+    spark, tmp_path, monkeypatch
+):
+    """Round 14 (review): a lease steal mid-pass must abort the WHOLE
+    compaction as IngestLeaseError — never be swallowed into the
+    per-table failures dict as an ordinary 'compaction failed' entry
+    (a second live writer means every further mutation risks
+    interleaving)."""
+    import ts_etl_spark.streaming.ingest as ing
+
+    corpus_path = str(tmp_path / "corpus")
+    lex = str(tmp_path / "lex")
+    cfg = ing.IngestConfig(bm25_lexicon_path=lex)
+    docs = spark.createDataFrame([(1, BASE)], "doc_id LONG, text STRING")
+    ingest_batch(spark, docs, corpus_path, cfg, batch_id=0)
+
+    calls = []
+    real = ing.acquire_ingest_lease
+
+    def stolen_after_two(*a, **k):
+        calls.append(1)
+        if len(calls) > 2:
+            raise ing.IngestLeaseError("stolen by another writer")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ing, "acquire_ingest_lease", stolen_after_two)
+    with pytest.raises(ing.IngestLeaseError, match="stolen"):
+        ing.compact_ingest_state(
+            spark,
+            corpus_path=corpus_path,
+            bm25_lexicon_path=lex,
+            lease_path=str(tmp_path / "lease"),
+        )
+
+
 def test_drift_report_cli_surfaces_flagged_batches(
     spark, tmp_path, capsys, monkeypatch
 ):

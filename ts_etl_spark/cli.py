@@ -1315,6 +1315,7 @@ def _with_ingest_lease(spark, lease_path: str | None, fn):
 
     from ts_etl_spark.streaming.ingest import (
         INGEST_LEASE_TTL_S,
+        IngestLeaseError,
         acquire_ingest_lease,
         release_ingest_lease,
     )
@@ -1328,7 +1329,7 @@ def _with_ingest_lease(spark, lease_path: str | None, fn):
         while not done.wait(INGEST_LEASE_TTL_S / 3.0):
             try:
                 acquire_ingest_lease(spark, lease_path)
-            except RuntimeError:
+            except IngestLeaseError:
                 # lease lost to a TTL steal anyway (e.g. the process was
                 # suspended past the TTL): stop beating — the release
                 # below is owner-checked, so the new holder is safe

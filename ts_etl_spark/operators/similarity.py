@@ -1236,13 +1236,8 @@ def train_ivf_centroids(
     train the coarse quantizer on a sample either way."""
     spark = vecs.sparkSession
     nn = vecs.filter(F.col("v").isNotNull())
-    if nn.count() <= PQ_DRIVER_TRAIN_MAX:
-        import numpy as np
-
-        X = np.array(
-            [r[0] for r in nn.select("v").collect()], dtype=np.float64
-        )
-        X = X[np.lexsort(X.T[::-1])]
+    X = _collect_train_matrix(nn, "v")
+    if X is not None:
         rows = [
             (i, c) for i, c in enumerate(_lloyd(X, k, seed, max_iter))
         ]
@@ -1455,6 +1450,31 @@ PQ_MSE_BOUND = 0.5
 PQ_DRIVER_TRAIN_MAX = 65_536
 
 
+def _collect_train_matrix(nn: DataFrame, col: str):
+    """Driver-local k-means feed shared by ``pq_train`` and
+    ``train_ivf_centroids``: collect up to PQ_DRIVER_TRAIN_MAX + 1
+    non-null vectors in ONE job (the limit decides the branch AND
+    supplies the data — no separate count pass over the upstream
+    embedding pipeline) and return the canonically sorted float64
+    matrix, or None when the frame exceeds the threshold (caller falls
+    through to the distributed MLlib path). The lexicographic row sort
+    makes the downstream ``_lloyd`` a pure function of the training
+    SET — partition/read order cannot change one double. Raises the
+    explicit empty-input ValueError instead of letting numpy's lexsort
+    TypeError surface (review finding, round 14)."""
+    import numpy as np
+
+    rows = nn.select(col).limit(PQ_DRIVER_TRAIN_MAX + 1).collect()
+    if not rows:
+        raise ValueError(
+            "k-means training needs at least one non-null vector"
+        )
+    if len(rows) > PQ_DRIVER_TRAIN_MAX:
+        return None
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return X[np.lexsort(X.T[::-1])]
+
+
 #: driver-local k-means++ restarts: MLlib's k-means|| init oversamples
 #: candidates, which a single greedy k-means++ pass does not match —
 #: measured at sf0.1 (2,000 near-isotropic vectors, the PQ worst case)
@@ -1576,22 +1596,22 @@ def pq_train(
     full corpus with the fixed codebooks — so the driver path is the
     production shape, not a shortcut."""
     nn = vecs.filter(F.col(emb_col).isNotNull())
-    first = nn.select(emb_col).first()
-    if first is None:
-        raise ValueError("pq_train needs at least one non-null vector")
-    d = len(first[0])
+    spark = vecs.sparkSession
+    try:
+        X = _collect_train_matrix(nn, emb_col)
+    except ValueError:
+        raise ValueError(
+            "pq_train needs at least one non-null vector"
+        ) from None
+    d = (
+        int(X.shape[1])
+        if X is not None
+        else len(nn.select(emb_col).first()[0])
+    )
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
-    spark = vecs.sparkSession
-    n_train = nn.count()  # column-pruned existence count
-    if n_train <= PQ_DRIVER_TRAIN_MAX:
-        import numpy as np
-
-        X = np.array(
-            [r[0] for r in nn.select(emb_col).collect()], dtype=np.float64
-        )
-        X = X[np.lexsort(X.T[::-1])]  # canonical row order
+    if X is not None:
         rows = [
             (j, c, cent)
             for j in range(m)

@@ -500,6 +500,16 @@ def admit_seen_ids(
 
 INGEST_LEASE_TTL_S = 600.0
 
+
+class IngestLeaseError(RuntimeError):
+    """Another writer holds (or stole) the single-writer lease. ALWAYS
+    fatal to the current pass — continuing would interleave two
+    writers' mutations, the exact corruption the lease exists to
+    prevent — so per-table failure aggregation
+    (``compact_ingest_state``) must never swallow it as an ordinary
+    table failure (review finding, round 14). Subclasses RuntimeError
+    so existing handlers/tests keep matching."""
+
 #: stable per-process owner token (host + pid + random suffix so a pid
 #: reuse after a crash never impersonates the dead holder)
 _LEASE_OWNER: str | None = None
@@ -546,7 +556,7 @@ def acquire_ingest_lease(
         held_by = doc.get("owner")
         age = now - float(doc.get("ts", 0.0))
         if held_by not in (None, owner) and age < ttl_s:
-            raise RuntimeError(
+            raise IngestLeaseError(
                 f"ingest state at {lease_path!r} is leased by "
                 f"{held_by!r} ({age:.0f}s ago, ttl {ttl_s:.0f}s): a second "
                 "concurrent writer would corrupt single-writer state — "
@@ -1013,6 +1023,25 @@ def compact_ingest_state(
         if bm25_lexicon_path is not None
         else None
     )
+
+    def _bucket_heartbeat() -> None:
+        # per-bucket refresh for the postings table's sequential swaps.
+        # A transient FS/JVM hiccup on the refresh must not abort the
+        # remaining buckets (the CLI heartbeat thread tolerates the
+        # same); a lease-contention IngestLeaseError stays fatal — a
+        # second live writer means stop NOW.
+        import sys as _sys
+
+        try:
+            acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
+        except IngestLeaseError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — keep compacting
+            print(
+                f"compact-state: lease refresh failed ({exc}); "
+                "continuing",
+                file=_sys.stderr,
+            )
     try:
         for d in ingest_state_dirs(
             corpus_path, dedup_index_path, win_index_path, sem_index_path,
@@ -1039,11 +1068,7 @@ def compact_ingest_state(
                         target_file_bytes,
                         cluster_by="term",
                         heartbeat=(
-                            (
-                                lambda: acquire_ingest_lease(
-                                    spark, lease_path, ttl_s=lease_ttl_s
-                                )
-                            )
+                            _bucket_heartbeat
                             if lease_path is not None
                             else None
                         ),
@@ -1058,6 +1083,11 @@ def compact_ingest_state(
                         # round-robin rewrite would silently revert it
                         cluster_by="term" if d == postings_dir else None,
                     )
+            except IngestLeaseError:
+                # a lease steal is NOT a per-table failure: a second
+                # live writer means every further mutation risks
+                # interleaving — abort the whole pass loudly
+                raise
             except (ValueError, RuntimeError, OSError) as exc:
                 # OSError: a filesystem-refused rename (fs.rename_dir) is a
                 # per-table failure like any other — it must not abort the
