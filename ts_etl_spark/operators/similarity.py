@@ -1933,51 +1933,112 @@ def pca_reduce(
     16/64 dims capture only ~38%, ANN recall@10 drops to ~0.26) lose
     neighbor structure with nothing gained; the parity test's
     low-rank-plus-noise fixture shows the favourable regime (>99.9%
-    captured at the intrinsic rank)."""
-    from pyspark.ml.feature import PCA as MLPCA
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    captured at the intrinsic rank).
 
+    Fit paths (round 14 — the pq_train/train_ivf_centroids precedent):
+    a corpus of ≤ PQ_DRIVER_TRAIN_MAX non-null vectors is collected
+    once and fit with a driver-side numpy SVD (the MLlib PCA fit it
+    replaces was ~5 s of per-job scheduling on 2,000 vectors); the
+    projection then runs JVM-side as k unrolled centered dot products
+    (whole-stage codegen — no Python in the loop either way). Above the
+    threshold the distributed MLlib fit runs as before. Both paths
+    return the identical (projected, model) contract: same
+    k×d components shape, same n−1 variance denominator, same
+    variance-RATIO semantics (eigenvalue over TOTAL trace)."""
     nn = vecs.filter(F.col(emb_col).isNotNull())
-    first = nn.select(emb_col).first()
-    if first is None:
+    try:
+        X = _collect_train_matrix(nn, emb_col)
+    except ValueError:
         raise ValueError(
             f"pca_reduce needs at least one row with a non-null {emb_col!r}"
-        )
-    d = len(first[0])
+        ) from None
+    d = (
+        int(X.shape[1])
+        if X is not None
+        else len(nn.select(emb_col).first()[0])
+    )
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     dv = as_double(F.col(emb_col))
-    mean_row = nn.agg(
-        *[F.avg(dv.getItem(i)).alias(f"m{i}") for i in range(d)]
-    ).first()
-    mean = [float(mean_row[i]) for i in range(d)]
-    centered = nn.withColumn(
-        "__c",
-        array_to_vector(
-            F.zip_with(
-                dv,
-                F.array(*[F.lit(m) for m in mean]),
-                lambda a, b: a - b,
-            )
-        ),
-    )
-    model = MLPCA(k=k, inputCol="__c", outputCol="__p").fit(centered)
-    projected_nn = (
-        model.transform(centered)
-        .withColumn(out_col, vector_to_array(F.col("__p")))
-        .drop("__c", "__p")
-    )
+    if X is not None:
+        import numpy as np
+
+        mean_arr = X.mean(axis=0)
+        Xc = X - mean_arr
+        _, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+        denom = max(len(X) - 1, 1)
+        total = float((Xc * Xc).sum()) / denom
+        mean = [float(m) for m in mean_arr]
+        comps = [[float(x) for x in Vt[j]] for j in range(k)]
+        ratios = [
+            float((S[j] * S[j] / denom) / total) if total > 0 else 0.0
+            for j in range(k)
+        ]
+        # projection as k centered dot products in the ALLOWED HOF form
+        # (zip_with/aggregate whose lambdas touch only element args,
+        # §6), assembled as ONE parsed SQL expression. Two rejected
+        # shapes, both measured: building the term tree out of Column
+        # objects costs ~4·k·d py4j round-trips (~8 s at k=16, d=64),
+        # and a fully UNROLLED k·d sum blows Janino's 64 KB method
+        # limit (codegen falls back interpreted anyway, with an ERROR
+        # in the log). The interpreted HOF evaluation is bounded by the
+        # driver-local threshold (≤65,536 rows — ms at gate scale); the
+        # distributed MLlib path serves larger corpora.
+        centered_col = F.zip_with(dv, F.lit(mean), lambda a, b: a - b)
+        body = ", ".join(
+            "aggregate(zip_with(__cd, array("
+            + ", ".join(repr(x) for x in comps[j])
+            + "), (x, y) -> x * y), 0D, (a, x) -> a + x)"
+            for j in range(k)
+        )
+        projected_nn = (
+            nn.withColumn("__cd", centered_col)
+            .withColumn(out_col, F.expr(f"array({body})"))
+            .drop("__cd")
+        )
+        info = {
+            "mean": mean,
+            "components": comps,
+            "explained_variance": ratios,
+        }
+    else:
+        from pyspark.ml.feature import PCA as MLPCA
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+
+        mean_row = nn.agg(
+            *[F.avg(dv.getItem(i)).alias(f"m{i}") for i in range(d)]
+        ).first()
+        mean = [float(mean_row[i]) for i in range(d)]
+        centered = nn.withColumn(
+            "__c",
+            array_to_vector(
+                F.zip_with(
+                    dv,
+                    F.array(*[F.lit(m) for m in mean]),
+                    lambda a, b: a - b,
+                )
+            ),
+        )
+        model = MLPCA(k=k, inputCol="__c", outputCol="__p").fit(centered)
+        projected_nn = (
+            model.transform(centered)
+            .withColumn(out_col, vector_to_array(F.col("__p")))
+            .drop("__c", "__p")
+        )
+        pc = model.pc.toArray()  # d x k, column-major components
+        info = {
+            "mean": mean,
+            "components": [
+                [float(pc[i][j]) for i in range(d)] for j in range(k)
+            ],
+            "explained_variance": [
+                float(x) for x in model.explainedVariance
+            ],
+        }
     null_rows = vecs.filter(F.col(emb_col).isNull()).withColumn(
         out_col, F.lit(None).cast("array<double>")
     )
-    projected = projected_nn.unionByName(null_rows)
-    pc = model.pc.toArray()  # d x k, column-major components
-    info = {
-        "mean": mean,
-        "components": [[float(pc[i][j]) for i in range(d)] for j in range(k)],
-        "explained_variance": [float(x) for x in model.explainedVariance],
-    }
-    return projected, info
+    return projected_nn.unionByName(null_rows), info
 
 
 # embdoc-arm SQL-twin constants (oracle side of q_embed_topk's embdoc
