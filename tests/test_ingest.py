@@ -1471,13 +1471,19 @@ def test_lease_steal_aborts_compaction_pass_loudly(
     calls = []
     real = ing.acquire_ingest_lease
 
-    def stolen_after_two(*a, **k):
+    def stolen_mid_buckets(*a, **k):
         calls.append(1)
-        if len(calls) > 2:
+        # trip on the 4th acquire: (1) entry, (2) corpus heartbeat,
+        # (3) postings heartbeat — all OUTSIDE the per-table try, where
+        # a raise propagates trivially — (4) the FIRST per-bucket
+        # heartbeat inside compact_bucketed_state_table, which runs
+        # INSIDE the per-table try whose failure aggregation used to
+        # swallow it (the path this test exists to guard)
+        if len(calls) > 3:
             raise ing.IngestLeaseError("stolen by another writer")
         return real(*a, **k)
 
-    monkeypatch.setattr(ing, "acquire_ingest_lease", stolen_after_two)
+    monkeypatch.setattr(ing, "acquire_ingest_lease", stolen_mid_buckets)
     with pytest.raises(ing.IngestLeaseError, match="stolen"):
         ing.compact_ingest_state(
             spark,
@@ -1485,6 +1491,7 @@ def test_lease_steal_aborts_compaction_pass_loudly(
             bm25_lexicon_path=lex,
             lease_path=str(tmp_path / "lease"),
         )
+    assert len(calls) == 4  # the trip really was the in-try bucket beat
 
 
 def test_drift_report_cli_surfaces_flagged_batches(

@@ -543,6 +543,32 @@ def test_pca_reduce_matches_numpy_and_preserves_structure(spark):
         pca_reduce(empty, 2)
 
 
+def test_pca_reduce_handles_fewer_rows_than_components(spark):
+    """Round 14 (review): n < k ≤ d is legal — the d×d covariance
+    eigendecomposition yields k components regardless of row count
+    (the Gram-based MLlib fit always did; an SVD of the n×d matrix
+    yields only min(n, d) and crashed). With n=3 rows and k=8 the
+    trailing components span directions with ~zero variance and the
+    identity proj = Xc·Cᵀ still holds."""
+    import numpy as np
+
+    from ts_etl_spark.operators.similarity import pca_reduce
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    projected, info = pca_reduce(df, 8)
+    got = projected.orderBy("vec_id").collect()
+    assert all(len(r.proj) == 8 for r in got)
+    X = np.array([r.embedding for r in got])
+    P = np.array([r.proj for r in got])
+    C = np.array(info["components"])  # 8 x 16
+    np.testing.assert_allclose(P, (X - X.mean(axis=0)) @ C.T, atol=1e-9)
+    # only n-1 = 2 directions can carry variance
+    ev = info["explained_variance"]
+    assert sum(ev[:2]) > 0.999 and all(abs(e) < 1e-9 for e in ev[2:])
+
+
 def test_pca_reduce_tolerates_null_embeddings(spark):
     """NULL embeddings (embed_documents' token-less-doc contract) fit on
     non-NULL rows only and come back with NULL proj — even when the FIRST

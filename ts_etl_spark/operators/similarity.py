@@ -1236,7 +1236,7 @@ def train_ivf_centroids(
     train the coarse quantizer on a sample either way."""
     spark = vecs.sparkSession
     nn = vecs.filter(F.col("v").isNotNull())
-    X = _collect_train_matrix(nn, "v")
+    X, _d = _collect_train_matrix(nn, "v")
     if X is not None:
         rows = [
             (i, c) for i, c in enumerate(_lloyd(X, k, seed, max_iter))
@@ -1450,29 +1450,41 @@ PQ_MSE_BOUND = 0.5
 PQ_DRIVER_TRAIN_MAX = 65_536
 
 
+class _EmptyTrainInput(ValueError):
+    """No non-null training vectors — distinct from numpy's own
+    ValueErrors (e.g. ragged rows) so callers re-wording the
+    empty-input message cannot mis-report a genuinely corrupt corpus
+    as empty (review finding, round 14)."""
+
+
 def _collect_train_matrix(nn: DataFrame, col: str):
-    """Driver-local k-means feed shared by ``pq_train`` and
-    ``train_ivf_centroids``: collect up to PQ_DRIVER_TRAIN_MAX + 1
-    non-null vectors in ONE job (the limit decides the branch AND
-    supplies the data — no separate count pass over the upstream
-    embedding pipeline) and return the canonically sorted float64
-    matrix, or None when the frame exceeds the threshold (caller falls
-    through to the distributed MLlib path). The lexicographic row sort
-    makes the downstream ``_lloyd`` a pure function of the training
-    SET — partition/read order cannot change one double. Raises the
-    explicit empty-input ValueError instead of letting numpy's lexsort
-    TypeError surface (review finding, round 14)."""
+    """Driver-local fit feed shared by ``pq_train``,
+    ``train_ivf_centroids`` and ``pca_reduce``: returns
+    ``(X_or_None, d)`` — the canonically sorted float64 matrix when the
+    frame holds ≤ PQ_DRIVER_TRAIN_MAX non-null vectors, else None (the
+    caller falls through to the distributed MLlib path) — plus the
+    vector width in either case. Two BOUNDED jobs: a limit(N+1) count
+    decides the branch without shipping vectors (an above-threshold
+    frame previously collected and discarded 65k vectors — a driver
+    memory spike at wide d), then either the full below-threshold
+    collect or a single-row width probe. The lexicographic row sort
+    makes the downstream fit a pure function of the training SET —
+    partition/read order cannot change one double. Raises
+    ``_EmptyTrainInput`` (a ValueError) on an empty/all-null frame;
+    numpy's ragged-row ValueError propagates untouched."""
     import numpy as np
 
-    rows = nn.select(col).limit(PQ_DRIVER_TRAIN_MAX + 1).collect()
-    if not rows:
-        raise ValueError(
+    cnt = nn.limit(PQ_DRIVER_TRAIN_MAX + 1).count()
+    if cnt == 0:
+        raise _EmptyTrainInput(
             "k-means training needs at least one non-null vector"
         )
-    if len(rows) > PQ_DRIVER_TRAIN_MAX:
-        return None
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    return X[np.lexsort(X.T[::-1])]
+    if cnt > PQ_DRIVER_TRAIN_MAX:
+        return None, len(nn.select(col).first()[0])
+    X = np.array(
+        [r[0] for r in nn.select(col).collect()], dtype=np.float64
+    )
+    return X[np.lexsort(X.T[::-1])], int(X.shape[1])
 
 
 #: driver-local k-means++ restarts: MLlib's k-means|| init oversamples
@@ -1598,16 +1610,11 @@ def pq_train(
     nn = vecs.filter(F.col(emb_col).isNotNull())
     spark = vecs.sparkSession
     try:
-        X = _collect_train_matrix(nn, emb_col)
-    except ValueError:
+        X, d = _collect_train_matrix(nn, emb_col)
+    except _EmptyTrainInput:
         raise ValueError(
             "pq_train needs at least one non-null vector"
         ) from None
-    d = (
-        int(X.shape[1])
-        if X is not None
-        else len(nn.select(emb_col).first()[0])
-    )
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
@@ -1947,16 +1954,11 @@ def pca_reduce(
     variance-RATIO semantics (eigenvalue over TOTAL trace)."""
     nn = vecs.filter(F.col(emb_col).isNotNull())
     try:
-        X = _collect_train_matrix(nn, emb_col)
-    except ValueError:
+        X, d = _collect_train_matrix(nn, emb_col)
+    except _EmptyTrainInput:
         raise ValueError(
             f"pca_reduce needs at least one row with a non-null {emb_col!r}"
         ) from None
-    d = (
-        int(X.shape[1])
-        if X is not None
-        else len(nn.select(emb_col).first()[0])
-    )
     if not 1 <= k <= d:
         raise ValueError(f"k must be in [1, {d}], got {k}")
     dv = as_double(F.col(emb_col))
@@ -1965,14 +1967,21 @@ def pca_reduce(
 
         mean_arr = X.mean(axis=0)
         Xc = X - mean_arr
-        _, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+        # eigendecomposition of the d×d sample covariance, NOT an SVD
+        # of Xc: svd(full_matrices=False) yields only min(n, d)
+        # components, crashing legal n < k ≤ d calls that the Gram-based
+        # MLlib fit (d×d, independent of n) always handled (review
+        # finding, round 14). eigh always yields d eigenpairs.
         denom = max(len(X) - 1, 1)
-        total = float((Xc * Xc).sum()) / denom
+        cov = (Xc.T @ Xc) / denom
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1]
+        w, v = w[order], v[:, order]
+        total = float(w.sum())
         mean = [float(m) for m in mean_arr]
-        comps = [[float(x) for x in Vt[j]] for j in range(k)]
+        comps = [[float(x) for x in v[:, j]] for j in range(k)]
         ratios = [
-            float((S[j] * S[j] / denom) / total) if total > 0 else 0.0
-            for j in range(k)
+            float(w[j] / total) if total > 0 else 0.0 for j in range(k)
         ]
         # projection as k centered dot products in the ALLOWED HOF form
         # (zip_with/aggregate whose lambdas touch only element args,
