@@ -1,0 +1,321 @@
+"""Persisted IVF-PQ serving index (round 15): the dense-retrieval twin
+of the BM25 lexicon tests.
+
+The driver gate (the ``q_id = -4`` row of ``embed_ann_ivf``) asserts
+frame-exactness + replay idempotence + coverage on the real embeddings;
+these tests pin the protocol properties underneath:
+
+- a multi-batch-built index serves EXACTLY what the in-session
+  ``ivf_pq_topk`` composition computes over the same model;
+- replays no-op, out-of-order batch ids refuse, a second model
+  generation over live codes refuses;
+- the probed-cell partition pruning is real (a corrupted parquet file
+  in an unprobed cell never trips a query — the bucketed-postings
+  behavioral proof) and structural (PartitionFilters);
+- the coverage probe catches ghost batches both ways (totals vs corpus,
+  totals vs codes);
+- qdrift flags a planted distribution shift and stays quiet in
+  distribution;
+- per-cell compaction preserves served results and restores
+  files-per-cell.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ts_etl_spark.operators.similarity import (
+    ivf_pq_topk,
+    norm,
+    pq_encode,
+)
+from ts_etl_spark.streaming.ann_index import (
+    ANN_BOOTSTRAP_ID,
+    ANN_QDRIFT_SCHEMA,
+    ANN_QDRIFT_THRESHOLD,
+    ANN_TOTALS_SCHEMA,
+    AnnIndexDriftError,
+    _ann_model,
+    ann_index_paths,
+    ann_topk_from_index,
+    bootstrap_ann_index,
+    rebuild_ann_index,
+    train_ann_model,
+    update_ann_index,
+    verify_ann_index,
+)
+
+D = 8
+
+
+def _vec_frame(spark, rows):
+    df = spark.createDataFrame(rows, "vec_id LONG, v ARRAY<DOUBLE>")
+    return df.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+
+
+def _rows(n, seed=3, lo=-1.0, hi=1.0, start=0):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (start + i, [round(rng.uniform(lo, hi), 3) for _ in range(D)])
+        for i in range(n)
+    ]
+
+
+def _queries(vecs, n=4):
+    return vecs.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+
+
+def _frames_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+@pytest.fixture()
+def idx(tmp_path):
+    return str(tmp_path / "ann_index")
+
+
+def _build_multi_batch(spark, idx, rows, splits=(30, 55)):
+    """Bootstrap on rows[:splits[0]], then one update per remaining
+    slice — the adoption-then-stream shape."""
+    s0 = splits[0]
+    assert bootstrap_ann_index(spark, _vec_frame(spark, rows[:s0]), idx)
+    prev = s0
+    for bid, end in enumerate(list(splits[1:]) + [len(rows)], start=1):
+        update_ann_index(spark, _vec_frame(spark, rows[prev:end]), idx, bid)
+        prev = end
+
+
+def test_multi_batch_index_serves_frame_exact(spark, idx):
+    rows = _rows(80)
+    _build_multi_batch(spark, idx, rows)
+    vecs = _vec_frame(spark, rows)
+    q = _queries(vecs)
+    served = ann_topk_from_index(spark, idx, vecs, q)
+    # the in-session composition over the SAME persisted model: encode
+    # the whole corpus against the committed codebooks and route with
+    # the committed centroids
+    _gen, cents, cbs, _nc, m = _ann_model(spark, idx)
+    enc = pq_encode(vecs.filter(F.col("v").isNotNull()), cbs, m=m)
+    expected = ivf_pq_topk(vecs, enc, cbs, cents, q)
+    assert served.count() > 0
+    assert _frames_equal(served, expected)
+
+
+def test_replay_noop_and_out_of_order_refuses(spark, idx):
+    rows = _rows(60)
+    _build_multi_batch(spark, idx, rows, splits=(30, 45))
+    p = ann_index_paths(idx)
+    before_codes = spark.read.parquet(p["codes"]).distinct().count()
+    before_tot = (
+        spark.read.schema(ANN_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .count()
+    )
+    # replay of the LAST folded batch: a no-op
+    update_ann_index(spark, _vec_frame(spark, rows[45:]), idx, 2)
+    assert spark.read.parquet(p["codes"]).distinct().count() == before_codes
+    assert (
+        spark.read.schema(ANN_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .count()
+        == before_tot
+    )
+    # an out-of-order id (restarted sequence) refuses loudly
+    with pytest.raises(RuntimeError, match="out-of-order"):
+        update_ann_index(spark, _vec_frame(spark, rows[30:45]), idx, 1)
+
+
+def test_missing_model_and_second_generation_refuse(spark, idx):
+    rows = _rows(20)
+    vecs = _vec_frame(spark, rows)
+    with pytest.raises(ValueError, match="no ANN index model"):
+        ann_topk_from_index(spark, idx, vecs, _queries(vecs))
+    with pytest.raises(ValueError, match="no ANN index model"):
+        update_ann_index(spark, vecs, idx, 1)
+    assert bootstrap_ann_index(spark, vecs, idx)
+    # re-bootstrap: adoption is idempotent, not an error
+    assert not bootstrap_ann_index(spark, vecs, idx)
+    # retraining over live codes would orphan them — refuse
+    with pytest.raises(RuntimeError, match="rebuild_ann_index"):
+        train_ann_model(spark, vecs, idx)
+
+
+def test_empty_and_all_null_batches_record_presence(spark, idx):
+    rows = _rows(20)
+    assert bootstrap_ann_index(spark, _vec_frame(spark, rows), idx)
+    nulls = spark.createDataFrame(
+        [(100, None), (101, None)], "vec_id LONG, v ARRAY<DOUBLE>"
+    ).select("vec_id", "v", F.lit(None).cast("double").alias("nrm"))
+    update_ann_index(spark, nulls, idx, 1)
+    p = ann_index_paths(idx)
+    tot = {
+        int(r["batch_id"]): (int(r["n_docs"]), int(r["n_vecs"]))
+        for r in spark.read.schema(ANN_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .collect()
+    }
+    assert tot[1] == (2, 0)  # presence recorded, nothing encoded
+    assert tot[ANN_BOOTSTRAP_ID] == (20, 20)
+    # an empty frame that would be a fresh bootstrap stays a no-op
+    empty = spark.createDataFrame([], "vec_id LONG, v ARRAY<DOUBLE>").select(
+        "vec_id", "v", F.lit(None).cast("double").alias("nrm")
+    )
+    update_ann_index(spark, empty, idx, 2)
+    assert (
+        spark.read.schema(ANN_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .distinct()
+        .filter(F.col("batch_id") == 2)
+        .first()["n_docs"]
+        == 0
+    )
+
+
+def test_probed_cell_pruning_structural_and_behavioral(spark, idx):
+    rows = _rows(80)
+    _build_multi_batch(spark, idx, rows)
+    vecs = _vec_frame(spark, rows)
+    q = _queries(vecs, n=2)
+    # which cells does this query set probe?
+    from ts_etl_spark.operators.similarity import IVF_NPROBE, ivf_assign
+
+    _gen, cents, _cbs, n_cells, _m = _ann_model(spark, idx)
+    probed = {
+        int(r["cell"])
+        for r in ivf_assign(
+            q.select(
+                F.col("q_id").alias("vec_id"),
+                F.col("qv").alias("v"),
+                F.col("qn").alias("nrm"),
+            ),
+            cents,
+            n_assign=IVF_NPROBE,
+        ).collect()
+    }
+    p = ann_index_paths(idx)
+    unprobed = [
+        c
+        for c in range(n_cells)
+        if c not in probed
+        and os.path.isdir(f"{p['codes']}/cell={c}")
+    ]
+    assert unprobed, "test needs at least one populated unprobed cell"
+    # structural: the probed cells appear as PLANNING-time partition
+    # filters on the codes scan
+    served = ann_topk_from_index(spark, idx, vecs, q)
+    plan = served._sc._jvm.PythonSQLUtils.explainString(
+        served._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    # behavioral: a corrupted parquet file in an UNPROBED cell is never
+    # opened by the query (the bucketed-postings proof shape) — if the
+    # scan listed/scheduled it, the query would throw
+    victim = f"{p['codes']}/cell={unprobed[0]}/part-corrupt.parquet"
+    with open(victim, "w") as fh:
+        fh.write("this is not parquet")
+    try:
+        assert served.count() > 0
+        again = ann_topk_from_index(spark, idx, vecs, q)
+        assert again.count() > 0
+    finally:
+        os.remove(victim)
+
+
+def test_verify_catches_ghosts_both_ways(spark, idx, tmp_path):
+    rows = _rows(40)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], "doc_id LONG, text STRING"
+    ).write.parquet(corpus)
+    assert bootstrap_ann_index(spark, _vec_frame(spark, rows), idx)
+    assert verify_ann_index(spark, corpus, idx) == (40, 40)
+    with pytest.raises(ValueError, match="missing path is not an empty"):
+        verify_ann_index(spark, str(tmp_path / "nope"), idx)
+    # ghost batch: totals committed, corpus append never landed
+    p = ann_index_paths(idx)
+    spark.createDataFrame(
+        [(5, 5, 99)], ANN_TOTALS_SCHEMA
+    ).write.mode("append").parquet(p["totals"])
+    with pytest.raises(AnnIndexDriftError) as ei:
+        verify_ann_index(spark, corpus, idx)
+    assert ei.value.idx_docs == 45 and ei.value.corpus_n == 40
+    # the internal probe: totals' n_vecs now also disagrees with codes
+    assert ei.value.idx_vecs == 45 and ei.value.code_rows == 40
+
+
+def test_qdrift_flags_planted_shift_and_stays_quiet(spark, idx):
+    rows = _rows(40)
+    assert bootstrap_ann_index(spark, _vec_frame(spark, rows), idx)
+    # in-distribution batch: same generator, new ids — quiet
+    update_ann_index(
+        spark, _vec_frame(spark, _rows(15, seed=9, start=100)), idx, 1
+    )
+    # planted shift: vectors far outside the trained cube — flagged
+    update_ann_index(
+        spark,
+        _vec_frame(spark, _rows(15, seed=11, lo=9.0, hi=11.0, start=200)),
+        idx,
+        2,
+    )
+    p = ann_index_paths(idx)
+    qd = {
+        b: spark.read.schema(ANN_QDRIFT_SCHEMA)
+        .parquet(f"{p['qdrift']}/batch={b}")
+        .first()
+        for b in (1, 2)
+    }
+    assert not qd[1]["flagged"], f"in-distribution flagged: {qd[1]}"
+    assert qd[2]["flagged"], f"planted shift not flagged: {qd[2]}"
+    assert qd[2]["mean_rel_err"] > ANN_QDRIFT_THRESHOLD
+
+
+def test_per_cell_compaction_preserves_results(spark, idx):
+    from ts_etl_spark.streaming.ingest import compact_bucketed_state_table
+
+    rows = _rows(90)
+    _build_multi_batch(spark, idx, rows, splits=(30, 50, 70))
+    vecs = _vec_frame(spark, rows)
+    q = _queries(vecs)
+    before = ann_topk_from_index(spark, idx, vecs, q).collect()
+    p = ann_index_paths(idx)
+    n = compact_bucketed_state_table(
+        spark, p["codes"], partition_prefix="cell="
+    )
+    assert n >= 1
+    # one file per populated cell after compaction
+    for name in os.listdir(p["codes"]):
+        if name.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(f"{p['codes']}/{name}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (name, files)
+    after = ann_topk_from_index(spark, idx, vecs, q).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+def test_rebuild_refuses_missing_corpus_and_rederives(spark, idx, tmp_path):
+    with pytest.raises(ValueError, match="refusing to delete"):
+        rebuild_ann_index(spark, str(tmp_path / "nope"), idx)
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} {'x' * (i % 7)}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    ).write.parquet(corpus)
+    rebuild_ann_index(spark, corpus, idx)
+    assert verify_ann_index(spark, corpus, idx) == (30, 30)
+    # rebuild over an existing index drops and re-derives cleanly
+    rebuild_ann_index(spark, corpus, idx)
+    assert verify_ann_index(spark, corpus, idx) == (30, 30)

@@ -1754,7 +1754,13 @@ def _pq_candidates(
     (query, vector), whole-stage codegen. Unrouted, nothing shuffles
     until the bounded shortlist window; routed (``pairs``), the skinny
     admitted-pair relation equi-joins the codes by vec_id — the
-    pruning happens before any per-query expansion."""
+    pruning happens before any per-query expansion.
+
+    A ``codes`` frame that already carries ``nrm`` (the persisted
+    serving index, ``streaming.ann_index`` — norms are stored next to
+    the codes at encode time) skips the vecs join entirely: the ADC
+    stage then reads NOTHING but index state, and ``vecs`` is touched
+    only by the bounded exact re-rank point-lookup."""
     from pyspark.sql.window import Window
 
     cb = {(r["j"], r["code"]): list(r["cent"]) for r in codebooks.collect()}
@@ -1789,9 +1795,12 @@ def _pq_candidates(
         lut_rows,
         "q_id LONG, qv ARRAY<DOUBLE>, qn DOUBLE, lut ARRAY<ARRAY<DOUBLE>>",
     )
-    base = codes.join(
-        vecs.select("vec_id", "nrm").filter(F.col("nrm") > 0), "vec_id"
-    )
+    if "nrm" in codes.columns:
+        base = codes.filter(F.col("nrm") > 0)
+    else:
+        base = codes.join(
+            vecs.select("vec_id", "nrm").filter(F.col("nrm") > 0), "vec_id"
+        )
     if pairs is None:
         scored = base.join(F.broadcast(luts), F.col("vec_id") != F.col("q_id"))
     else:
