@@ -319,3 +319,228 @@ def test_rebuild_refuses_missing_corpus_and_rederives(spark, idx, tmp_path):
     # rebuild over an existing index drops and re-derives cleanly
     rebuild_ann_index(spark, corpus, idx)
     assert verify_ann_index(spark, corpus, idx) == (30, 30)
+
+
+# --------------------------------------------------------------------------
+# deployment integration: ingest fold, compact-state probe, drift-report
+# --------------------------------------------------------------------------
+
+_W = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+    "nu xi omicron pi rho sigma tau upsilon phi chi psi omega".split()
+)
+
+
+def _docs(spark, ids, seed=0):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(rng.choice(_W) for _ in range(20)) + f" d{i}")
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_ingest_batch_maintains_serving_index(spark, tmp_path):
+    """The ann_index_path config: per-batch folds through the embedder
+    seam, adoption bootstrap on a pre-existing corpus, coverage probe
+    green after multiple batches, and the served ranking answered from
+    persisted state matches the from-scratch in-session composition."""
+    from ts_etl_spark.streaming.ann_index import doc_vectors
+    from ts_etl_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    corpus_path = str(tmp_path / "corpus")
+    idx = str(tmp_path / "ann")
+    # pre-existing corpus BEFORE adoption — the bootstrap must cover it
+    _docs(spark, range(10), seed=1).write.parquet(corpus_path)
+    cfg = IngestConfig(ann_index_path=idx)
+    ingest_batch(spark, _docs(spark, range(100, 110), seed=2),
+                 corpus_path, cfg, batch_id=1)
+    ingest_batch(spark, _docs(spark, range(200, 210), seed=3),
+                 corpus_path, cfg, batch_id=2)
+    assert verify_ann_index(spark, corpus_path, idx) == (30, 30)
+    # an explicit batch_id is required (replay detection is keyed on it)
+    with pytest.raises(ValueError, match="explicit, unique batch_id"):
+        ingest_batch(spark, _docs(spark, [300]), corpus_path, cfg)
+    # served result == in-session composition over the persisted model
+    corpus_docs = spark.read.parquet(corpus_path).select("doc_id", "text")
+    vecs = doc_vectors(corpus_docs)
+    q = _queries(vecs.filter(F.col("vec_id") >= 100), n=103)
+    served = ann_topk_from_index(spark, idx, vecs, q)
+    _gen, cents, cbs, _nc, m = _ann_model(spark, idx)
+    enc = pq_encode(vecs.filter(F.col("v").isNotNull()), cbs, m=m)
+    expected = ivf_pq_topk(vecs, enc, cbs, cents, q)
+    assert served.count() > 0
+    assert _frames_equal(served, expected)
+
+
+def test_compact_state_compacts_and_probes_serving_index(spark, tmp_path):
+    """compact-state over a deployment with the ANN index: codes
+    compact per cell, model/totals flat, the coverage probe passes
+    clean, a planted ghost raises AnnIndexDriftError, and
+    auto_rebuild_ann repairs it under the lease."""
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        compact_ingest_state,
+        ingest_batch,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    idx = str(tmp_path / "ann")
+    cfg = IngestConfig(ann_index_path=idx)
+    for bid in range(3):
+        ingest_batch(
+            spark,
+            _docs(spark, range(bid * 10, bid * 10 + 6), seed=bid),
+            corpus_path,
+            cfg,
+            batch_id=bid,
+        )
+    p = ann_index_paths(idx)
+    out = compact_ingest_state(
+        spark, corpus_path=corpus_path, ann_index_path=idx
+    )
+    assert p["codes"] in out and p["totals"] in out
+    # one file per populated cell after the per-cell swap
+    for name in os.listdir(p["codes"]):
+        if name.startswith("cell="):
+            files = [
+                f
+                for f in os.listdir(f"{p['codes']}/{name}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (name, files)
+    assert verify_ann_index(spark, corpus_path, idx)
+    # planted ghost: totals row whose batch never reached the corpus
+    spark.createDataFrame(
+        [(3, 3, 99)], ANN_TOTALS_SCHEMA
+    ).write.mode("append").parquet(p["totals"])
+    with pytest.raises(AnnIndexDriftError):
+        compact_ingest_state(
+            spark, corpus_path=corpus_path, ann_index_path=idx
+        )
+    # auto-rebuild requires the lease (the bm25 race contract)
+    with pytest.raises(ValueError, match="auto_rebuild_ann requires"):
+        compact_ingest_state(
+            spark,
+            corpus_path=corpus_path,
+            ann_index_path=idx,
+            auto_rebuild_ann=True,
+        )
+    out = compact_ingest_state(
+        spark,
+        corpus_path=corpus_path,
+        ann_index_path=idx,
+        auto_rebuild_ann=True,
+        lease_path=str(tmp_path / "lease"),
+    )
+    assert out[idx] == -1  # the rebuild marker
+    assert verify_ann_index(spark, corpus_path, idx)
+
+
+def test_drift_report_ann_rows_and_single_job_reads(
+    spark, tmp_path, capsys
+):
+    """drift-report --ann surfaces the qdrift rows (a planted
+    out-of-distribution batch FLAGGED, in-distribution quiet), and the
+    round-15 single-read refactor holds: the whole report runs a
+    BOUNDED number of Spark jobs regardless of batch count (was one+
+    per batch dir)."""
+    from ts_etl_spark import cli
+    from ts_etl_spark.streaming.ingest import IngestConfig, ingest_batch
+
+    corpus_path = str(tmp_path / "corpus")
+    idx = str(tmp_path / "ann")
+    drift = str(tmp_path / "drift")
+    hh = str(tmp_path / "hh")
+    cfg = IngestConfig(ann_index_path=idx, drift_path=drift, hh_path=hh)
+    n_batches = 6
+    for bid in range(n_batches):
+        ingest_batch(
+            spark,
+            _docs(spark, range(bid * 10, bid * 10 + 5), seed=bid),
+            corpus_path,
+            cfg,
+            batch_id=bid,
+        )
+    # plant codebook drift: a batch whose embeddings the trained
+    # codebooks cannot represent (one giant repeated token — a single
+    # massive bucket count, nothing like the training distribution)
+    shifted = spark.createDataFrame(
+        [(900 + i, ("zzz " * 400) + f"unique{i}") for i in range(4)],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, shifted, corpus_path, cfg, batch_id=n_batches)
+
+    sc = spark.sparkContext
+    group = "drift-report-jobcount"
+    sc.setJobGroup(group, "bounded-read assertion")
+    try:
+        report = cli.run_drift_report(
+            drift_path=drift, hh_path=hh, ann_index_path=idx, spark=spark
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    njobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert njobs <= 8, f"drift-report ran {njobs} jobs for 7 batch dirs"
+    out = capsys.readouterr().out
+    assert ("ann", n_batches) in report["flagged"]
+    assert report["ann"][n_batches][3] is True
+    assert all(
+        not report["ann"][b][3] for b in report["ann"] if b != n_batches
+    )
+    assert f"ann batch={n_batches}" in out and "FLAGGED" in out
+    # --last bounds the ann rows like every other table
+    report2 = cli.run_drift_report(
+        ann_index_path=idx, last=2, spark=spark
+    )
+    assert set(report2["ann"]) == {n_batches - 1, n_batches}
+
+
+def test_ann_index_gate_row_on_real_data_and_falsifiable(spark):
+    """The q_id = -4 arm's evidence on the real sf0.001 embeddings —
+    all booleans TRUE with the registered entry's own seed quantizer —
+    and FALSIFIABILITY of the frame-equality boolean: comparing the
+    index-served ranking against the UNROUTED brute-force ranking must
+    flip annidx_exact_ok to False (the served ranking is routed, so the
+    frames genuinely differ)."""
+    import ts_etl_spark.operators.similarity as S
+
+    sfd = "/root/testdata/sf0.001"
+    vecs = S._vectors(spark, sfd).persist()
+    try:
+        cents = vecs.filter(
+            (F.col("vec_id") >= 100)
+            & (F.col("vec_id") < 100 + S.IVF_CENTROIDS)
+        ).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        q = vecs.filter(F.col("vec_id") < S.N_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        nn = vecs.filter(F.col("v").isNotNull())
+        cb = S.pq_train(nn)
+        enc = S.pq_encode(nn, cb).persist()
+        res = S.ivf_pq_topk(vecs, enc, cb, cents, q).persist()
+        try:
+            n_codes, k_meas, x_ok, r_ok, c_ok = S._ann_index_gate_row(
+                spark, vecs, q, cents, cb, res
+            )
+            assert n_codes == nn.count()
+            assert k_meas == S.TOP_K
+            assert x_ok and r_ok and c_ok
+            bad = S.brute_topk(vecs, q)
+            _, _, x_bad, _, _ = S._ann_index_gate_row(
+                spark, vecs, q, cents, cb, bad
+            )
+            assert not x_bad, "unrouted reference must trip frame equality"
+        finally:
+            res.unpersist()
+            enc.unpersist()
+    finally:
+        vecs.unpersist()

@@ -1146,6 +1146,8 @@ def run_compact_state(
     telemetry_horizon: int | None = None,
     lease_path: str | None = None,
     auto_rebuild_bm25: bool = False,
+    ann_index_path: str | None = None,
+    auto_rebuild_ann: bool = False,
     spark=None,
 ) -> dict[str, int]:
     """Compact an ingest deployment's append-accumulated state tables
@@ -1186,11 +1188,13 @@ def run_compact_state(
             ),
             lease_path=lease_path,
             auto_rebuild_bm25=auto_rebuild_bm25,
+            ann_index_path=ann_index_path,
+            auto_rebuild_ann=auto_rebuild_ann,
         )
         for d, n in out.items():
             if n == -1:  # the rebuild marker (see compact_ingest_state)
                 print(
-                    f"compact-state: BM25 lexicon drift detected — "
+                    f"compact-state: index drift detected — "
                     f"{d} rebuilt from the corpus",
                     file=sys.stderr,
                 )
@@ -1262,10 +1266,20 @@ def _compact_state_main(argv: list[str]) -> int:
         "rebuild racing a live drain can drop its in-flight batch), "
         "re-derive the lexicon from the corpus instead of failing",
     )
+    parser.add_argument(
+        "--ann-index", help="persisted ANN serving index base path"
+    )
+    parser.add_argument(
+        "--auto-rebuild-ann",
+        action="store_true",
+        help="when the ANN coverage probe detects drift (requires "
+        "--corpus, --ann-index AND --lease), re-derive the serving "
+        "index from the corpus instead of failing",
+    )
     args = parser.parse_args(argv)
     if not (
         args.corpus or args.dedup_index or args.win_index or args.sem_index
-        or args.bm25_lexicon
+        or args.bm25_lexicon or args.ann_index
         or (args.telemetry_horizon and (args.drift_path or args.hh_path))
     ):
         print("compact-state: give at least one state path", file=sys.stderr)
@@ -1276,6 +1290,15 @@ def _compact_state_main(argv: list[str]) -> int:
         print(
             "compact-state: --auto-rebuild-bm25 needs --corpus, "
             "--bm25-lexicon and --lease",
+            file=sys.stderr,
+        )
+        return 1
+    if args.auto_rebuild_ann and not (
+        args.corpus and args.ann_index and args.lease
+    ):
+        print(
+            "compact-state: --auto-rebuild-ann needs --corpus, "
+            "--ann-index and --lease",
             file=sys.stderr,
         )
         return 1
@@ -1292,6 +1315,8 @@ def _compact_state_main(argv: list[str]) -> int:
             telemetry_horizon=args.telemetry_horizon,
             lease_path=args.lease,
             auto_rebuild_bm25=args.auto_rebuild_bm25,
+            ann_index_path=args.ann_index,
+            auto_rebuild_ann=args.auto_rebuild_ann,
         )
         return 0
     except Exception as exc:  # noqa: BLE001 — CLI boundary
@@ -1415,6 +1440,66 @@ def _bm25_rebuild_main(argv: list[str]) -> int:
         return 1
 
 
+def run_ann_rebuild(
+    corpus_path: str,
+    index_path: str,
+    lease_path: str | None = None,
+    spark=None,
+) -> None:
+    """Drop and re-derive the persisted ANN serving index from the
+    stored corpus — the recovery path for a ghost batch or a restarted
+    batch-id sequence, and the RETRAIN path when qdrift flags codebook
+    staleness (a fresh model generation trains on the current corpus
+    and every vector re-encodes against it; see
+    ``streaming.ann_index.rebuild_ann_index``). Same single-writer
+    lease contract as ``run_bm25_rebuild``."""
+    from ts_etl_spark.streaming.ann_index import rebuild_ann_index
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="ts-etl-spark-ann-rebuild")
+    try:
+        _with_ingest_lease(
+            spark,
+            lease_path,
+            lambda: rebuild_ann_index(spark, corpus_path, index_path),
+        )
+        print(
+            f"ann-rebuild: serving index at {index_path} re-derived "
+            f"from {corpus_path}",
+            file=sys.stderr,
+        )
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _ann_rebuild_main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="ts-etl-spark ann-rebuild",
+        description=(
+            "Re-derive the persisted ANN serving index from the stored "
+            "corpus (recovery for ghost batches / restarted batch ids; "
+            "the retrain path when qdrift flags codebook staleness)."
+        ),
+    )
+    parser.add_argument("corpus_path", help="corpus parquet path")
+    parser.add_argument("index_path", help="serving index base path")
+    parser.add_argument(
+        "--lease",
+        help="single-writer lease file shared with the deployment's "
+        "ingest runs (a rebuild racing a live drain can lose or "
+        "double-fold a batch)",
+    )
+    args = parser.parse_args(argv)
+    try:
+        run_ann_rebuild(args.corpus_path, args.index_path, args.lease)
+        return 0
+    except Exception as exc:  # noqa: BLE001 — CLI boundary
+        print(f"Error during ann-rebuild: {exc}", file=sys.stderr)
+        return 1
+
+
 def run_len_hdr_rebuild(
     corpus_path: str,
     hdr_path: str,
@@ -1487,16 +1572,23 @@ def run_drift_report(
     psi_threshold: float = PSI_FLAG_THRESHOLD,
     out=None,
     spark=None,
+    ann_index_path: str | None = None,
 ) -> dict:
-    """Read the ingest telemetry the monitors write (and nothing
-    operational read until round 14): the per-batch PSI drift log, its
-    ``_lenq`` length-quantile sibling, and the attempt heavy-hitter
-    registers — and render one line per (table, batch) plus a summary.
-    Returns a structured dict (``psi``/``lenq``/``hh`` per-batch maps +
-    the ``flagged`` list) so callers can act on it; the CLI wrapper
-    exits 1 on any flagged batch under ``--fail-on-flagged``.
+    """Read the ingest telemetry the monitors write: the per-batch PSI
+    drift log, its ``_lenq`` length-quantile sibling, the attempt
+    heavy-hitter registers, and (round 15) the ANN serving index's
+    quantization-drift rows — and render one line per (table, batch)
+    plus a summary. Returns a structured dict (``psi``/``lenq``/``hh``/
+    ``ann`` per-batch maps + the ``flagged`` list) so callers can act
+    on it; the CLI wrapper exits 1 on any flagged batch under
+    ``--fail-on-flagged``.
 
-    Read shapes: every table is bounded by batches × buckets/registers
+    Read shapes (round 15 — ONE job per table, was one per batch dir):
+    each table's committed batch dirs are read in a single pass, the
+    batch id recovered from the ``batch=<tag>`` directory name by
+    partition discovery — thousands of retained batches used to mean
+    thousands of driver-side jobs, now they are path lists in one scan.
+    Every table is bounded by batches × buckets/registers
     (telemetry-sized, never corpus-sized); only COMMITTED batch dirs
     are read (``_SUCCESS`` — torn writes are the stream's to replay);
     the heavy-hitter read rolls a crashed retention pass forward first
@@ -1524,31 +1616,53 @@ def run_drift_report(
     own_session = spark is None
     if own_session:
         spark = get_spark(app_name="ts-etl-spark-drift-report")
-    report: dict = {"psi": {}, "lenq": {}, "hh": {}, "flagged": []}
+    report: dict = {"psi": {}, "lenq": {}, "hh": {}, "ann": {}, "flagged": []}
 
-    def _committed_batches(base: str) -> list[tuple[int | str, str]]:
-        # the shared committed-dir discipline (torn dirs skipped) plus
-        # this report's extras: numeric tags as ints, `last` bounding
-        # the numeric tail (non-numeric tags — the rollup — always kept)
-        found = [
-            (int(tag) if tag.isdigit() else tag, path)
-            for tag, path in committed_batch_dirs(spark, base)
-        ]
-        nums = [b for b in found if isinstance(b[0], int)]
+    def _bid(tag: str) -> int | str:
+        return int(tag) if tag.isdigit() else tag
+
+    def _order(b) -> tuple:
+        # non-numeric tags (the rollup) first, numeric ascending — the
+        # committed_batch_dirs listing order
+        return (1, b, "") if isinstance(b, int) else (0, 0, b)
+
+    def _read_batches(base: str, schema: str):
+        """ONE read over every committed ``batch=<tag>`` dir of
+        ``base`` (bounded by ``last``); partition discovery against
+        ``basePath`` supplies the tag as a string ``batch`` column.
+        None when nothing is committed."""
+        found = committed_batch_dirs(spark, base)
         if last is not None:
-            nums = nums[-last:]
-        return [b for b in found if not isinstance(b[0], int)] + nums
+            nums = [b for b in found if b[0].isdigit()]
+            keep = {t for t, _ in nums[-last:]}
+            found = [
+                b for b in found if not b[0].isdigit() or b[0] in keep
+            ]
+        if not found:
+            return None
+        return (
+            spark.read.option("basePath", base)
+            .schema(schema + ", batch STRING")
+            .parquet(*[p for _, p in found])
+        )
 
     try:
         if drift_path is not None:
-            for bid, d in _committed_batches(drift_path):
-                row = (
-                    spark.read.parquet(d)
-                    .filter(F.col("bucket") == -1)
-                    .select("psi_term")
-                    .first()
-                )
-                psi = float(row[0]) if row is not None else 0.0
+            df = _read_batches(
+                drift_path,
+                "bucket INT, share_base DOUBLE, share_cur DOUBLE, "
+                "psi_term DOUBLE",
+            )
+            got = (
+                []
+                if df is None
+                else df.filter(F.col("bucket") == -1)
+                .select("batch", "psi_term")
+                .collect()
+            )
+            for r in sorted(got, key=lambda r: _order(_bid(r["batch"]))):
+                bid = _bid(r["batch"])
+                psi = float(r["psi_term"]) if r["psi_term"] is not None else 0.0
                 flagged = psi > psi_threshold
                 report["psi"][bid] = (psi, flagged)
                 if flagged:
@@ -1558,14 +1672,19 @@ def run_drift_report(
                     f"{'FLAGGED' if flagged else 'ok'}",
                     file=out,
                 )
-            for bid, d in _committed_batches(length_drift_path(drift_path)):
-                rows = (
-                    spark.read.schema(LEN_DRIFT_SCHEMA)
-                    .parquet(d)
-                    .orderBy("phi")
-                    .collect()
-                )
-                report["lenq"][bid] = [tuple(r) for r in rows]
+            ldf = _read_batches(
+                length_drift_path(drift_path), LEN_DRIFT_SCHEMA
+            )
+            lrows = [] if ldf is None else ldf.collect()
+            by_batch: dict = {}
+            for r in lrows:
+                by_batch.setdefault(_bid(r["batch"]), []).append(r)
+            for bid in sorted(by_batch, key=_order):
+                rows = sorted(by_batch[bid], key=lambda r: r.phi)
+                report["lenq"][bid] = [
+                    (r.phi, r.corpus_len, r.batch_len, r.ratio, r.flagged)
+                    for r in rows
+                ]
                 if any(r.flagged for r in rows):
                     # ONE signal per (table, batch) — per-row appends
                     # duplicated the tuple when both quantiles flagged
@@ -1580,21 +1699,54 @@ def run_drift_report(
                     )
         if hh_path is not None and path_exists(spark, hh_path):
             recover_hh_rollup(spark, hh_path)
-            for bid, d in _committed_batches(hh_path):
-                n = (
-                    spark.read.schema(CM_SCHEMA)
-                    .parquet(d)
-                    .filter(F.col("d") == 0)
-                    .agg(F.coalesce(F.sum("c"), F.lit(0)))
-                    .first()[0]
-                )
-                report["hh"][bid] = int(n)
-                print(f"hh batch={bid} attempts={int(n)}", file=out)
+            hdf = _read_batches(hh_path, CM_SCHEMA)
+            hrows = (
+                []
+                if hdf is None
+                else hdf.filter(F.col("d") == 0)
+                .groupBy("batch")
+                .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n"))
+                .collect()
+            )
+            for r in sorted(hrows, key=lambda r: _order(_bid(r["batch"]))):
+                bid = _bid(r["batch"])
+                report["hh"][bid] = int(r["n"])
+                print(f"hh batch={bid} attempts={int(r['n'])}", file=out)
+        if ann_index_path is not None:
+            from ts_etl_spark.streaming.ann_index import (
+                ANN_QDRIFT_SCHEMA,
+                ann_index_paths,
+            )
+
+            qdrift = ann_index_paths(ann_index_path)["qdrift"]
+            if path_exists(spark, qdrift):
+                adf = _read_batches(qdrift, ANN_QDRIFT_SCHEMA)
+                arows = [] if adf is None else adf.collect()
+                for r in sorted(
+                    arows, key=lambda r: _order(_bid(r["batch"]))
+                ):
+                    bid = _bid(r["batch"])
+                    report["ann"][bid] = (
+                        int(r["gen"]),
+                        int(r["n_vecs"]),
+                        float(r["mean_rel_err"]),
+                        bool(r["flagged"]),
+                    )
+                    if r["flagged"]:
+                        report["flagged"].append(("ann", bid))
+                    print(
+                        f"ann batch={bid} gen={int(r['gen'])} "
+                        f"n_vecs={int(r['n_vecs'])} "
+                        f"mean_rel_err={float(r['mean_rel_err']):.4f} "
+                        f"{'FLAGGED' if r['flagged'] else 'ok'}",
+                        file=out,
+                    )
         n_flagged = len(report["flagged"])
         print(
             f"drift-report: {n_flagged} flagged signal(s) across "
             f"{len(report['psi'])} psi / {len(report['lenq'])} lenq / "
-            f"{len(report['hh'])} hh batch dirs",
+            f"{len(report['hh'])} hh / {len(report['ann'])} ann "
+            "batch dirs",
             file=out,
         )
         return report
@@ -1616,6 +1768,11 @@ def _drift_report_main(argv: list[str]) -> int:
         "--hh", help="attempt heavy-hitter register path"
     )
     parser.add_argument(
+        "--ann",
+        help="persisted ANN serving index base path (reports its "
+        "per-batch quantization-drift rows — codebook staleness)",
+    )
+    parser.add_argument(
         "--last", type=int, help="only the newest N batch ids per table"
     )
     parser.add_argument(
@@ -1631,8 +1788,11 @@ def _drift_report_main(argv: list[str]) -> int:
         help="exit 1 when any batch is flagged (for cron/CI wiring)",
     )
     args = parser.parse_args(argv)
-    if not (args.drift or args.hh):
-        print("drift-report: give --drift and/or --hh", file=sys.stderr)
+    if not (args.drift or args.hh or args.ann):
+        print(
+            "drift-report: give --drift, --hh and/or --ann",
+            file=sys.stderr,
+        )
         return 1
     try:
         report = run_drift_report(
@@ -1640,6 +1800,7 @@ def _drift_report_main(argv: list[str]) -> int:
             hh_path=args.hh,
             last=args.last,
             psi_threshold=args.psi_threshold,
+            ann_index_path=args.ann,
         )
     except Exception as exc:  # noqa: BLE001 — CLI boundary
         print(f"Error during drift-report: {exc}", file=sys.stderr)
@@ -1658,6 +1819,8 @@ def main(argv: list[str] | None = None) -> int:
         return _seen_admit_main(argv[1:])
     if argv and argv[0] == "bm25-rebuild":
         return _bm25_rebuild_main(argv[1:])
+    if argv and argv[0] == "ann-rebuild":
+        return _ann_rebuild_main(argv[1:])
     if argv and argv[0] == "len-hdr-rebuild":
         return _len_hdr_rebuild_main(argv[1:])
     if argv and argv[0] == "compact-state":

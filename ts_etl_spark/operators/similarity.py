@@ -922,6 +922,7 @@ def _ivfpq_gate_row(
     seed_topk: DataFrame,
     cb: DataFrame,
     enc: DataFrame,
+    res: DataFrame | None = None,
 ) -> tuple:
     """The composed-IVF-PQ arm's driver-side evidence (round 14 —
     closes the last test-proven-but-ungated production route):
@@ -951,8 +952,15 @@ def _ivfpq_gate_row(
 
     Degenerate inputs (no norm-positive queries) leave the aggregates
     NULL — fail the booleans rather than crash (the pq arm's
-    discipline)."""
-    res = ivf_pq_topk(vecs, enc, cb, cents, q).persist()
+    discipline). ``res`` optionally passes a precomputed (persisted)
+    ``ivf_pq_topk`` frame — round 15 shares ONE composed-route result
+    between this arm and the ``q_id = -4`` serving-index arm (which
+    proves the persisted index frame-equal to it), halving the gate's
+    ADC query cost; owned frames are unpersisted here, shared ones are
+    the caller's."""
+    own = res is None
+    if own:
+        res = ivf_pq_topk(vecs, enc, cb, cents, q).persist()
     try:
         crow = (
             res.groupBy("q_id")
@@ -1008,7 +1016,8 @@ def _ivfpq_gate_row(
             .first()
         )
     finally:
-        res.unpersist()
+        if own:
+            res.unpersist()
     nq = int(crow.nq or 0)
     k_meas = (
         int(crow.cmin)
@@ -1023,6 +1032,120 @@ def _ivfpq_gate_row(
         bool(viol == 0),
         bool(rrow.max_gap is not None and float(rrow.max_gap) == 0.0),
     )
+
+
+def _ann_index_gate_row(
+    spark: SparkSession,
+    vecs: DataFrame,
+    q: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    res: DataFrame,
+) -> tuple:
+    """The persisted-serving-index arm's driver-side evidence (round 15
+    — closes the last asymmetry between the sparse and dense retrieval
+    stacks): a ``streaming.ann_index`` index is BUILT IN TWO BATCHES in
+    a driver-side tempdir under the real fold protocol (the bm25idx
+    temp-lexicon staging pattern, ``similarity.py`` q_embed_topk), with
+    the entry's own seed quantizer and the memoized PQ codebooks
+    injected so the persisted state is comparable value-for-value, and
+    reduces to ONE literal row —
+
+    - ``n_codes``: distinct vectors in the persisted codes table
+      (DuckDB mirrors it as ``COUNT(embedding)``);
+    - ``k_meas``: the MEASURED uniform per-query result count of the
+      index-served ranking (min == max, else -1) vs the literal TOP_K;
+    - ``annidx_exact_ok``: the index-served ranking is FRAME-EQUAL to
+      the in-session ``ivf_pq_topk`` composition (``res`` — the same
+      frame the -3 arm verifies): exact two-way ``exceptAll`` count 0,
+      so a single diverging score, rank or membership breaks the hash;
+    - ``annidx_replay_ok``: re-folding the LAST batch is a byte-level
+      no-op (row count unchanged) — the max-batch-id replay protocol
+      proven inside the sweep;
+    - ``annidx_cover_ok``: the coverage invariant — totals' summed
+      (n_docs, n_vecs) equal the corpus's (all, non-null) vector counts
+      AND the codes table holds exactly n_vecs distinct vectors (the
+      ``verify_ann_index`` probe, inlined over the vector frame).
+
+    The tempdir is deleted after the row is reduced (every aggregate
+    materializes first); the row itself is memoized per (application,
+    dataset) like the other construction-time gates."""
+    import shutil
+    import tempfile
+
+    from ts_etl_spark.streaming.ann_index import (
+        ANN_TOTALS_SCHEMA,
+        ann_index_paths,
+        ann_topk_from_index,
+        train_ann_model,
+        update_ann_index,
+    )
+
+    d = tempfile.mkdtemp(prefix="tsetl_ann_gate_")
+    try:
+        train_ann_model(spark, vecs, d, cents=cents, codebooks=cb)
+        mx = vecs.agg(F.max("vec_id")).first()[0]
+        split = int(mx) // 2
+        update_ann_index(
+            spark, vecs.filter(F.col("vec_id") <= split), d, 1
+        )
+        update_ann_index(
+            spark, vecs.filter(F.col("vec_id") > split), d, 2
+        )
+        p = ann_index_paths(d)
+        rows_before = spark.read.parquet(p["codes"]).count()
+        # replay of the last folded batch: the protocol must no-op
+        update_ann_index(
+            spark, vecs.filter(F.col("vec_id") > split), d, 2
+        )
+        replay_ok = (
+            spark.read.parquet(p["codes"]).count() == rows_before
+        )
+        served = ann_topk_from_index(spark, d, vecs, q).persist()
+        try:
+            diff = (
+                served.exceptAll(res).count()
+                + res.exceptAll(served).count()
+            )
+            crow = (
+                served.groupBy("q_id")
+                .agg(F.count("*").alias("c"))
+                .agg(
+                    F.min("c").alias("cmin"), F.max("c").alias("cmax")
+                )
+                .first()
+            )
+        finally:
+            served.unpersist()
+        n_codes = (
+            spark.read.parquet(p["codes"])
+            .select("vec_id")
+            .distinct()
+            .count()
+        )
+        tot = (
+            spark.read.schema(ANN_TOTALS_SCHEMA)
+            .parquet(p["totals"])
+            .distinct()
+            .agg(F.sum("n_docs"), F.sum("n_vecs"))
+            .first()
+        )
+        counts = vecs.agg(
+            F.count(F.lit(1)).alias("na"), F.count("v").alias("nn")
+        ).first()
+        cover_ok = (
+            int(tot[0]) == int(counts.na)
+            and int(tot[1]) == int(counts.nn)
+            and n_codes == int(counts.nn)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    k_meas = (
+        int(crow.cmin)
+        if crow.cmin is not None and crow.cmin == crow.cmax
+        else -1
+    )
+    return (n_codes, k_meas, bool(diff == 0), bool(replay_ok), cover_ok)
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1215,19 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside a probed cell), and exact-cosine equality through the
     composition (see ``_ivfpq_gate_row``). The PQ codebooks and
     encoded corpus are memoized ONCE and shared by the -2 and -3
-    arms."""
+    arms.
+
+    The ``q_id = -4`` sentinel row (round 15) gates the PERSISTED
+    serving index (``streaming.ann_index`` — the production deployment
+    shape where codes, norms and the model live as replay-safe ingest
+    state tables instead of session memos): a two-batch index is built
+    in a tempdir under the real fold protocol and the row carries the
+    persisted code count (oracle: COUNT(embedding)), the measured
+    uniform per-query result count vs the literal TOP_K, and three
+    booleans — index-served ranking frame-equal to the in-session
+    composition, replay-fold no-op, and the coverage invariant (see
+    ``_ann_index_gate_row``). The -3 and -4 arms share one memoized
+    ``ivf_pq_topk`` result frame."""
     vecs = _memo(
         spark, sf_dir, "vecs", lambda: _vectors(spark, sf_dir).persist()
     )
@@ -1184,14 +1319,35 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(-2, n_codes, float(m_meas), m_meas, pqr_ok, pqe_ok, pqm_ok)],
         arm_schema,
     )
+    # ONE composed-route ADC query serves both the -3 verification and
+    # the -4 frame-equality reference (round 15); persisted + memoized
+    # like the other construction-time frames (N_QUERIES·TOP_K rows)
+    ivfpq_res = _memo(
+        spark,
+        sf_dir,
+        "ivfpq_res",
+        lambda: ivf_pq_topk(vecs, pq_codes, pq_cb, cents, q).persist(),
+    )
     nq, kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok = _memo(
         spark,
         sf_dir,
         "ivfpq_gate",
-        lambda: _ivfpq_gate_row(vecs, q, cents, seed_topk, pq_cb, pq_codes),
+        lambda: _ivfpq_gate_row(
+            vecs, q, cents, seed_topk, pq_cb, pq_codes, res=ivfpq_res
+        ),
     )
     ivfpq_arm = spark.createDataFrame(
         [(-3, nq, float(kq_meas), kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok)],
+        arm_schema,
+    )
+    n_idx, ki_meas, ai_x_ok, ai_r_ok, ai_c_ok = _memo(
+        spark,
+        sf_dir,
+        "ann_idx_gate",
+        lambda: _ann_index_gate_row(spark, vecs, q, cents, pq_cb, ivfpq_res),
+    )
+    annidx_arm = spark.createDataFrame(
+        [(-4, n_idx, float(ki_meas), ki_meas, ai_x_ok, ai_r_ok, ai_c_ok)],
         arm_schema,
     )
     return (
@@ -1208,6 +1364,7 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pca_arm)
         .unionByName(pq_arm)
         .unionByName(ivfpq_arm)
+        .unionByName(annidx_arm)
     )
 
 
@@ -2333,6 +2490,22 @@ ORACLE = {
                (SELECT COUNT(*) FROM v WHERE vec_id < {N_QUERIES}
                  AND list_sum(list_transform(v, x -> x*x)) > 0
                ) AS neighbor_id,
+               CAST({TOP_K} AS DOUBLE) AS cosine,
+               CAST({TOP_K} AS INT) AS rn,
+               TRUE AS trained_recall_ok,
+               TRUE AS q8_recall_ok,
+               TRUE AS q8_err_ok
+        UNION ALL
+        -- persisted serving-index arm (round 15): the index is built
+        -- in two batches under the real fold protocol and Spark proves
+        -- it frame-equal to the in-session composition, replay-fold
+        -- idempotent, and coverage-complete; the oracle re-derives the
+        -- persisted code count (every non-null embedding encodes
+        -- exactly once) and the literal per-query result count, and
+        -- asserts the three protocol booleans TRUE (no SQL mirror for
+        -- parquet state folds — the trained/q8/pq/ivfpq pattern)
+        SELECT -4 AS q_id,
+               (SELECT COUNT(embedding) FROM embeddings) AS neighbor_id,
                CAST({TOP_K} AS DOUBLE) AS cosine,
                CAST({TOP_K} AS INT) AS rn,
                TRUE AS trained_recall_ok,

@@ -217,8 +217,20 @@ def train_ann_model(
     if codebooks is None:
         codebooks = pq_train(nn, m=m or PQ_M, k=k or PQ_K)
     g = F.lit(gen).cast("int")
-    cent_rows = cents.select(g.alias("gen"), "c_id", "cv", "cn")
-    cb_rows = codebooks.select(g.alias("gen"), "j", "code", "cent")
+    # cast to the declared table schema: injected frames may carry wider
+    # types (the gate's seed centroids derive c_id from a LONG vec_id)
+    cent_rows = cents.select(
+        g.alias("gen"),
+        F.col("c_id").cast("int").alias("c_id"),
+        F.col("cv").cast("array<double>").alias("cv"),
+        F.col("cn").cast("double").alias("cn"),
+    )
+    cb_rows = codebooks.select(
+        g.alias("gen"),
+        F.col("j").cast("int").alias("j"),
+        F.col("code").cast("int").alias("code"),
+        F.col("cent").cast("array<double>").alias("cent"),
+    )
     cent_rows.write.mode("append").parquet(p["cents"])
     cb_rows.write.mode("append").parquet(p["codebooks"])
     dims = cents.agg(

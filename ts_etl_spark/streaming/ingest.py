@@ -925,6 +925,7 @@ def ingest_state_dirs(
     win_index_path: str | None = None,
     sem_index_path: str | None = None,
     bm25_lexicon_path: str | None = None,
+    ann_index_path: str | None = None,
 ) -> list[str]:
     """Every append-accumulating state directory of an ingest deployment
     with the given paths configured — the compaction (and recovery)
@@ -949,6 +950,17 @@ def ingest_state_dirs(
         # the dedup index's, and the attested rewrite preserves rows
         # (the reader's DISTINCT semantics are unaffected)
         dirs.extend(bm25_lexicon_paths(bm25_lexicon_path).values())
+    if ann_index_path is not None:
+        from ts_etl_spark.streaming.ann_index import ann_index_paths
+
+        # everything but qdrift (batch=<id> telemetry — retention, not
+        # compaction, is its story); the cell-partitioned codes table
+        # compacts per cell directory (compact_ingest_state routes it
+        # through compact_bucketed_state_table)
+        p = ann_index_paths(ann_index_path)
+        dirs.extend(
+            p[t] for t in ("cents", "codebooks", "meta", "codes", "totals")
+        )
     return dirs
 
 
@@ -963,6 +975,8 @@ def compact_ingest_state(
     lease_ttl_s: float = INGEST_LEASE_TTL_S,
     bm25_lexicon_path: str | None = None,
     auto_rebuild_bm25: bool = False,
+    ann_index_path: str | None = None,
+    auto_rebuild_ann: bool = False,
 ) -> dict[str, int]:
     """Compact every existing state table of an ingest deployment (the
     maintenance pass a production stream schedules between drains);
@@ -1005,7 +1019,19 @@ def compact_ingest_state(
     Requires ``lease_path``: an unleased probe racing a live drain
     reads the routine fold-before-corpus-append window as drift and a
     rebuild from the pre-append corpus would then permanently drop the
-    in-flight batch (the abandoned-checkpoint case, manufactured)."""
+    in-flight batch (the abandoned-checkpoint case, manufactured).
+
+    ``ann_index_path`` (round 15): the persisted vector serving index
+    compacts alongside — its cell-partitioned codes table per CELL
+    directory (``compact_bucketed_state_table``, the postings shape),
+    the skinny model/totals tables flat — and with ``corpus_path``
+    given the pass also runs its coverage/ghost probe
+    (``verify_ann_index``: index doc count == corpus count AND codes
+    count == recorded encode count). ``auto_rebuild_ann`` mirrors
+    ``auto_rebuild_bm25`` (same held-lease requirement, same ``-1``
+    rebuild marker). When BOTH retrieval stacks drift, the BM25 error
+    raises first and names the ANN drift; fix, re-run, and the ANN
+    probe gets its own raise."""
     _require_success_markers(spark)
     if auto_rebuild_bm25 and lease_path is None:
         raise ValueError(
@@ -1013,16 +1039,28 @@ def compact_ingest_state(
             "probe+rebuild racing a live drain can drop its in-flight "
             "batch from the lexicon (see docstring)"
         )
+    if auto_rebuild_ann and lease_path is None:
+        raise ValueError(
+            "auto_rebuild_ann requires lease_path: an unleased "
+            "probe+rebuild racing a live drain can drop its in-flight "
+            "batch from the serving index (see docstring)"
+        )
     if lease_path is not None:
         acquire_ingest_lease(spark, lease_path, ttl_s=lease_ttl_s)
     out: dict[str, int] = {}
     failures: dict[str, str] = {}
     drift: tuple[int, int] | None = None
+    ann_drift = None
     postings_dir = (
         bm25_lexicon_paths(bm25_lexicon_path)["postings"]
         if bm25_lexicon_path is not None
         else None
     )
+    ann_codes_dir = None
+    if ann_index_path is not None:
+        from ts_etl_spark.streaming.ann_index import ann_index_paths
+
+        ann_codes_dir = ann_index_paths(ann_index_path)["codes"]
 
     def _bucket_heartbeat() -> None:
         # per-bucket refresh for the postings table's sequential swaps.
@@ -1045,7 +1083,7 @@ def compact_ingest_state(
     try:
         for d in ingest_state_dirs(
             corpus_path, dedup_index_path, win_index_path, sem_index_path,
-            bm25_lexicon_path,
+            bm25_lexicon_path, ann_index_path,
         ):
             if lease_path is not None:
                 # heartbeat: each table's rewrite restarts the TTL clock
@@ -1054,7 +1092,24 @@ def compact_ingest_state(
             if not path_exists(spark, d):
                 continue
             try:
-                if d == postings_dir and not _postings_layout_is_flat(
+                if d == ann_codes_dir:
+                    # the ANN codes table is always cell-partitioned —
+                    # compact per cell directory, preserving the
+                    # planning-time probed-cell pruning and the in-cell
+                    # vec_id clustering
+                    out[d] = compact_bucketed_state_table(
+                        spark,
+                        d,
+                        target_file_bytes,
+                        cluster_by="vec_id",
+                        partition_prefix="cell=",
+                        heartbeat=(
+                            _bucket_heartbeat
+                            if lease_path is not None
+                            else None
+                        ),
+                    )
+                elif d == postings_dir and not _postings_layout_is_flat(
                     spark, d
                 ):
                     # the bucketed postings layout compacts PER BUCKET
@@ -1121,6 +1176,42 @@ def compact_ingest_state(
                 out[bm25_lexicon_path] = -1  # the rebuild marker
             if lex_n != corpus_n:
                 drift = (lex_n, corpus_n)
+        if corpus_path is not None and ann_index_path is not None:
+            from ts_etl_spark.streaming.ann_index import (
+                AnnIndexDriftError,
+                ann_index_paths,
+                rebuild_ann_index,
+                verify_ann_index,
+            )
+
+            if path_exists(
+                spark, ann_index_paths(ann_index_path)["totals"]
+            ):
+                if lease_path is not None:
+                    # same TTL-clock restart as the bm25 probe: the
+                    # probe is cheap but an auto rebuild is a full
+                    # corpus re-embed+re-encode
+                    acquire_ingest_lease(
+                        spark, lease_path, ttl_s=lease_ttl_s
+                    )
+                try:
+                    verify_ann_index(spark, corpus_path, ann_index_path)
+                except AnnIndexDriftError as exc:
+                    if auto_rebuild_ann:
+                        # under the SAME held lease — the bm25 race note
+                        if lease_path is not None:
+                            acquire_ingest_lease(
+                                spark, lease_path, ttl_s=lease_ttl_s
+                            )
+                        rebuild_ann_index(
+                            spark, corpus_path, ann_index_path
+                        )
+                        verify_ann_index(
+                            spark, corpus_path, ann_index_path
+                        )
+                        out[ann_index_path] = -1  # the rebuild marker
+                    else:
+                        ann_drift = exc
     finally:
         if lease_path is not None:
             release_ingest_lease(spark, lease_path)
@@ -1144,9 +1235,21 @@ def compact_ingest_state(
                 if drift is not None
                 else ""
             )
+            + (
+                f"; ADDITIONALLY the ANN coverage probe detected drift "
+                f"({ann_drift}) — run ann-rebuild after fixing the above"
+                if ann_drift is not None
+                else ""
+            )
         )
     if drift is not None:
-        raise Bm25LexiconDriftError(bm25_lexicon_path, *drift, compacted=out)
+        # chain the ANN drift (if any) so neither finding is masked
+        raise Bm25LexiconDriftError(
+            bm25_lexicon_path, *drift, compacted=out
+        ) from ann_drift
+    if ann_drift is not None:
+        ann_drift.compacted = dict(out)
+        raise ann_drift
     return out
 
 
@@ -2408,6 +2511,15 @@ class IngestConfig:
       those tables — the shape whose per-batch cost is linear in the
       batch at any corpus size (the corpus TEXT is never re-scanned by
       the dedup layers; empirically flat, tests/test_dedup_index.py).
+    - ``ann_index_path`` (round 15) — maintain the persisted IVF-PQ
+      vector serving index (``streaming.ann_index``: cell-partitioned
+      codes + versioned model + per-batch quantization-drift telemetry;
+      ``ann_topk_from_index`` then serves dense retrieval from the
+      persisted state alone, never re-encoding the corpus). Kept
+      documents embed through the same default-embedder seam the
+      semantic gate uses. Like ``bm25_lexicon_path``, requires an
+      explicit unique ``batch_id`` per batch (replay detection is by
+      batch id).
     - ``lease_path`` (+ ``lease_ttl_s``) — enforce the single-writer
       assumption every piece of ingest state relies on: each batch
       acquires/refreshes the lease and a fresh foreign lease refuses
@@ -2426,6 +2538,7 @@ class IngestConfig:
     sem_threshold: float | None = None
     win_index_path: str | None = None
     dedup_index_path: str | None = None
+    ann_index_path: str | None = None
     lease_path: str | None = None
     lease_ttl_s: float = INGEST_LEASE_TTL_S
 
@@ -2568,14 +2681,19 @@ def ingest_batch(
         # histogram's replay detection is KEYED on the id — two distinct
         # batches sharing one would make the second silently skip
         # (review finding, round 12), so a defaulted id refuses loudly
-        if config.len_hdr_path is not None or config.bm25_lexicon_path is not None:
+        if (
+            config.len_hdr_path is not None
+            or config.bm25_lexicon_path is not None
+            or config.ann_index_path is not None
+        ):
             raise ValueError(
-                "len_hdr_path / bm25_lexicon_path require an explicit, "
-                "unique batch_id per batch: both detect crash replays "
-                "by batch id, so a defaulted id would make every later "
-                "batch look like a replay and be dropped from the "
-                "lexicon/telemetry (run_streaming_ingest passes the "
-                "streaming epoch id automatically)"
+                "len_hdr_path / bm25_lexicon_path / ann_index_path "
+                "require an explicit, unique batch_id per batch: all "
+                "three detect crash replays by batch id, so a defaulted "
+                "id would make every later batch look like a replay and "
+                "be dropped from the index/telemetry "
+                "(run_streaming_ingest passes the streaming epoch id "
+                "automatically)"
             )
         batch_id = 0
     threshold = config.threshold
@@ -2600,7 +2718,7 @@ def ingest_batch(
     # protocol block above)
     for _d in ingest_state_dirs(
         corpus_path, dedup_index_path, win_index_path, sem_index_path,
-        config.bm25_lexicon_path,
+        config.bm25_lexicon_path, config.ann_index_path,
     ):
         recover_state_compaction(spark, _d)
     corpus = _corpus(spark, corpus_path)
@@ -2824,6 +2942,46 @@ def ingest_batch(
             update_bm25_lexicon(
                 spark, kept, config.bm25_lexicon_path, batch_id
             )
+        if config.ann_index_path is not None:
+            # the dense-retrieval twin of the lexicon fold: same
+            # before-the-corpus-append ordering, same max-batch-id
+            # replay detection, same adoption bootstrap on a
+            # pre-existing corpus (embedding is lazy — once adopted the
+            # bootstrap is one existence check per batch)
+            from ts_etl_spark.streaming.ann_index import (
+                ann_index_paths,
+                bootstrap_ann_index,
+                doc_vectors,
+                train_ann_model,
+                update_ann_index,
+            )
+
+            bootstrap_ann_index(
+                spark, doc_vectors(corpus), config.ann_index_path
+            )
+            kept_vecs = doc_vectors(kept)
+            if not path_exists(
+                spark, ann_index_paths(config.ann_index_path)["totals"]
+            ):
+                # FRESH deployment (no pre-existing corpus for the
+                # bootstrap to train on): the first batch with an
+                # embeddable document trains the model; until one
+                # arrives there is nothing to encode and no state to
+                # record — a later replay of such a batch re-skips
+                # identically. Crash between train and fold replays
+                # clean: the committed model is deterministic, so the
+                # retrain call returns the committed generation and the
+                # fold proceeds.
+                if kept_vecs.filter(F.col("v").isNotNull()).first() is None:
+                    kept_vecs = None
+                else:
+                    train_ann_model(
+                        spark, kept_vecs, config.ann_index_path
+                    )
+            if kept_vecs is not None:
+                update_ann_index(
+                    spark, kept_vecs, config.ann_index_path, batch_id
+                )
         origfp_delta = None
         if win_delta is not None:
             # origfp delta = entrant originals ∪ stored (post-gate) text
