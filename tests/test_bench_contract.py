@@ -96,3 +96,21 @@ def test_clear_construction_memos_resolves():
         bench._clear_construction_memos(name)
     with pytest.raises(KeyError):
         bench._clear_construction_memos("not_a_memoized_entry")
+
+
+def test_bench_priors_cover_timed_entries():
+    """bench_priors.json (the round-15 stall-recheck baseline) must
+    only name entries bench actually times — a consolidation rename
+    that misses the priors file would silently disable the recheck for
+    the renamed entry (or KeyError-free no-op on a ghost name)."""
+    import json
+
+    mod = _load_bench()
+    with open(os.path.join(REPO, "bench_priors.json")) as fh:
+        priors = json.load(fh)
+    timed = set(mod.HEADLINE) | set(mod._supplement())
+    ghosts = set(priors) - timed
+    assert not ghosts, f"priors name untimed entries: {sorted(ghosts)}"
+    assert all(
+        isinstance(v, (int, float)) and v > 0 for v in priors.values()
+    )
