@@ -456,6 +456,7 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
         stats_path=str(tmp_path / "stats_a"),
         len_hdr_path=str(tmp_path / "lenhdr_a"),
         bm25_lexicon_path=str(tmp_path / "lex_a"),
+        ann_index_path=str(tmp_path / "ann_a"),
     )
     run_streaming_ingest(
         spark, landing, str(tmp_path / "corpus_a"), str(tmp_path / "ckpt_a"),
@@ -469,6 +470,7 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
         stats_path=str(tmp_path / "stats_b"),
         len_hdr_path=str(tmp_path / "lenhdr_b"),
         bm25_lexicon_path=str(tmp_path / "lex_b"),
+        ann_index_path=str(tmp_path / "ann_b"),
         lease_path=str(tmp_path / "lease_b"),
     )
     crashed = {"done": False}
@@ -565,4 +567,39 @@ def test_stream_killed_mid_drain_restarts_to_identical_corpus(
 
     assert _postings("lex_b") == _postings("lex_a"), (
         "postings index diverged across the crash"
+    )
+    # round 15: the ANN serving index converged too — identical encoded
+    # corpus (distinct of the append-only rows, minus the batch id; the
+    # model is deterministic so identical codes imply identical serving
+    # behavior), plus matching coverage totals
+    from ts_etl_spark.streaming.ann_index import (
+        ANN_TOTALS_SCHEMA,
+        ann_index_paths,
+    )
+
+    def _codes(base_dir):
+        return sorted(
+            (r.vec_id, tuple(r.codes), r.qerr, r.nrm, r.cell)
+            for r in spark.read.parquet(
+                ann_index_paths(str(tmp_path / base_dir))["codes"]
+            )
+            .distinct()
+            .collect()
+        )
+
+    assert _codes("ann_b") == _codes("ann_a"), (
+        "ANN codes diverged across the crash"
+    )
+
+    def _ann_totals(base_dir):
+        return (
+            spark.read.schema(ANN_TOTALS_SCHEMA)
+            .parquet(ann_index_paths(str(tmp_path / base_dir))["totals"])
+            .distinct()
+            .agg(F.sum("n_docs"), F.sum("n_vecs"))
+            .first()
+        )
+
+    assert tuple(_ann_totals("ann_b")) == tuple(_ann_totals("ann_a")), (
+        "ANN coverage totals diverged across the crash"
     )
