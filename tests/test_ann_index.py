@@ -321,6 +321,79 @@ def test_rebuild_refuses_missing_corpus_and_rederives(spark, idx, tmp_path):
     assert verify_ann_index(spark, corpus, idx) == (30, 30)
 
 
+def test_qdrift_retrain_loop_closes(spark, idx, tmp_path):
+    """The drift→retrain loop END TO END, on the real text→embedding
+    path: a shape-shifted batch (single-token "spike" docs, whose
+    hashed-BoW embeddings are one-hot axes instead of the training
+    corpus's spread bags — a vocabulary swap alone does NOT shift a
+    hashed embedding distribution) flags qdrift against the stale
+    generation; the operator remedy ``run_ann_rebuild`` retrains on the
+    CURRENT corpus (spikes included); the next batch from the SAME
+    shifted distribution folds quiet, the coverage probe passes, and
+    serving is frame-exact against an in-session composition over the
+    NEW generation's model."""
+    import random
+
+    from ts_etl_spark.cli import run_ann_rebuild
+    from ts_etl_spark.streaming.ann_index import doc_vectors
+
+    rng = random.Random(5)
+    corpus = str(tmp_path / "corpus")
+    base = _docs(spark, range(40))
+    base.write.mode("append").parquet(corpus)
+    assert bootstrap_ann_index(spark, doc_vectors(base), idx)
+
+    # the shifted distribution: each doc one token repeated — its
+    # embedding is a one-hot; reuse ONE token pool across both shifted
+    # batches (the shift persists, as a real drift does)
+    pool = [f"zq{rng.randrange(10**6)}x" for _ in range(12)]
+
+    def shifted(ids, seed):
+        r = random.Random(seed)
+        rows = [(i, " ".join([r.choice(pool)] * 16)) for i in ids]
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    b1 = shifted(range(100, 115), seed=1)
+    b1.write.mode("append").parquet(corpus)
+    update_ann_index(spark, doc_vectors(b1), idx, 1)
+    p = ann_index_paths(idx)
+
+    def qrow(b):
+        return (
+            spark.read.schema(ANN_QDRIFT_SCHEMA)
+            .parquet(f"{p['qdrift']}/batch={b}")
+            .first()
+        )
+
+    flagged = qrow(1)
+    assert flagged["flagged"] and flagged["gen"] == 0, dict(
+        flagged.asDict()
+    )
+
+    # remedy: retrain on the current corpus (CLI path, shared session)
+    run_ann_rebuild(corpus, idx, spark=spark)
+    assert verify_ann_index(spark, corpus, idx) == (55, 55)
+
+    b2 = shifted(range(200, 215), seed=2)
+    b2.write.mode("append").parquet(corpus)
+    update_ann_index(spark, doc_vectors(b2), idx, 1)
+    quiet = qrow(1)
+    assert not quiet["flagged"], dict(quiet.asDict())
+    assert quiet["mean_rel_err"] < flagged["mean_rel_err"]
+    assert verify_ann_index(spark, corpus, idx) == (70, 70)
+
+    # served results over the retrained generation stay frame-exact
+    # vs the in-session composition on the same model
+    vecs = doc_vectors(spark.read.parquet(corpus)).persist()
+    q = _queries(vecs)
+    served = ann_topk_from_index(spark, idx, vecs, q)
+    _gen, mcents, mcbs, _nc, m = _ann_model(spark, idx)
+    enc = pq_encode(vecs.filter(F.col("v").isNotNull()), mcbs, m=m)
+    expected = ivf_pq_topk(vecs, enc, mcbs, mcents, q)
+    assert _frames_equal(served, expected)
+    vecs.unpersist()
+
+
 # --------------------------------------------------------------------------
 # deployment integration: ingest fold, compact-state probe, drift-report
 # --------------------------------------------------------------------------

@@ -736,6 +736,9 @@ def recover_state_compaction(spark: SparkSession, table_dir: str) -> None:
         names = _read_manifest(spark, manifest)
         if names is not None:
             _apply_compact_manifest(spark, table_dir, names)
+            # same-session cache drop as the commit path: the roll-
+            # forward renamed files under the table
+            spark.catalog.refreshByPath(table_dir)
         # a TORN manifest (None) means the PUT itself crashed, so the
         # swap never started — live is authoritative either way
         delete_dir(spark, staged)
@@ -916,6 +919,14 @@ def _compact_recovered_table(
     _apply_compact_manifest(spark, table_dir, names)
     delete_dir(spark, staged)
     delete_dir(spark, _compact_manifest(table_dir))
+    # the swap replaced files via FS renames, which Spark's session
+    # caches never observe (unlike DataFrame writes): drop any cached
+    # file listing / cached relation over the table so SAME-SESSION
+    # readers re-resolve instead of chasing deleted part files. A
+    # DataFrame object created before the swap still holds its baked
+    # file index — readers re-plan between drains by contract (the
+    # round-15 soak caught exactly that misuse).
+    spark.catalog.refreshByPath(table_dir)
     return n
 
 
