@@ -464,17 +464,18 @@ def test_ann_entry_memoizes_vectors_and_training(spark):
     assert S._IVF_MEMO == first  # same four entries, same objects
     # vecs + trained centroids + the shared brute-force exact frame that
     # feeds both the trained-recall gate and the q8 recall/error gates,
-    # plus the pca/pq/ivfpq gates' literal evidence rows (plain data,
-    # not frames — safe to memoize across clearCache, unlike
-    # checkpointed frames) and the PQ codebooks/codes the -2 and -3
+    # plus the pca/pq/ivfpq/ann-index gates' literal evidence rows
+    # (plain data, not frames — safe to memoize across clearCache,
+    # unlike checkpointed frames), the PQ codebooks/codes the -2 and -3
     # arms share (round 14 — one train + one full-corpus encode per
-    # dataset)
-    assert len(first) == 8
+    # dataset), and the composed-route result frame the -3 and -4 arms
+    # share (round 15 — one routed ADC query per dataset)
+    assert len(first) == 10
     assert {kind for (_, _, kind) in first} == {
         "vecs", "tcents", "exact", "pca_gate", "pq_gate",
-        "pq_cb", "pq_codes", "ivfpq_gate",
+        "pq_cb", "pq_codes", "ivfpq_gate", "ivfpq_res", "ann_idx_gate",
     }
-    for gate in ("pca_gate", "pq_gate", "ivfpq_gate"):
+    for gate in ("pca_gate", "pq_gate", "ivfpq_gate", "ann_idx_gate"):
         assert isinstance(first[next(
             k for k in first if k[2] == gate
         )], tuple)
