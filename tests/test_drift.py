@@ -142,3 +142,73 @@ def test_sided_variant_refuses_null_side_rows(spark):
     )
     with pytest.raises(ValueError, match="side expression is NULL"):
         psi_drift_sided(df, F.col("cur"), "v")
+
+
+def test_hist_variant_exact_histogram_is_bit_identical(spark):
+    """``psi_drift_hist`` fed an EXACT histogram (one row per distinct
+    value with its count) must reproduce ``psi_drift`` bit-for-bit —
+    the algebraic claim that the weighted path changes WHERE the counts
+    come from, not what is computed."""
+    from ts_etl_spark.operators.drift import psi_drift_hist
+
+    o = _orders(spark)
+    base = o.select(F.col("o_totalprice").alias("p"))
+    hist = base.groupBy(F.col("p").cast("double").alias("v")).agg(
+        F.count("*").alias("n")
+    )
+    cur = o.filter("o_orderkey % 3 = 0").select(
+        (F.col("o_totalprice") * 1.4).alias("p")
+    )
+    exact = {r.bucket: r for r in psi_drift(base, cur, "p").collect()}
+    hist_out = {
+        r.bucket: r for r in psi_drift_hist(hist, cur, "p").collect()
+    }
+    assert set(hist_out) == set(exact)
+    for b in exact:
+        assert hist_out[b].share_base == exact[b].share_base
+        assert hist_out[b].share_cur == exact[b].share_cur
+        if exact[b].psi_term is not None:
+            assert hist_out[b].psi_term == exact[b].psi_term
+
+
+def test_hist_variant_hdr_registers_close_and_still_flags(spark):
+    """The production feed: an HDR register table mapped to bucket
+    representatives. In-distribution PSI stays near the exact value
+    (register resolution ≤ 2^-s), and a genuine length shift still
+    lands far past the 0.25 action band."""
+    from ts_etl_spark.operators.drift import psi_drift_hist
+    from ts_etl_spark.operators.sketches import (
+        hdr_lower,
+        hdr_registers,
+        hdr_width,
+    )
+
+    lens = spark.range(5000).select(
+        (100 + (F.col("id") * 37) % 900).cast("long").alias("v")
+    )
+    regs = hdr_registers(lens, "v")
+    hist = regs.select(
+        (
+            hdr_lower(F.col("bucket")).cast("double")
+            + (hdr_width(F.col("bucket")).cast("double") - 1.0) / 2.0
+        ).alias("v"),
+        F.col("n"),
+    )
+
+    def total(out):
+        return [r.psi_term for r in out.collect() if r.bucket == -1][0]
+
+    same = spark.range(1000).select(
+        (100 + (F.col("id") * 53) % 900).cast("long").alias("v")
+    )
+    exact_same = total(psi_drift(lens, same, "v"))
+    hist_same = total(psi_drift_hist(hist, same, "v"))
+    assert abs(hist_same - exact_same) < 0.05
+    assert hist_same < 0.25
+
+    shifted = spark.range(1000).select(
+        (3000 + (F.col("id") * 53) % 900).cast("long").alias("v")
+    )
+    exact_shift = total(psi_drift(lens, shifted, "v"))
+    hist_shift = total(psi_drift_hist(hist, shifted, "v"))
+    assert hist_shift > 0.25 and exact_shift > 0.25

@@ -1385,6 +1385,60 @@ def test_length_quantile_drift_flags_shifted_batch(spark, tmp_path):
     assert spark.read.parquet(f"{lenq}/batch=2").count() == 2
 
 
+def test_psi_baseline_comes_from_hdr_registers(spark, tmp_path):
+    """Round 15 (ablation finding): with ``len_hdr_path`` configured the
+    PSI drift baseline is the persisted HDR register table — O(≤960)
+    rows per batch — not a corpus-linear lens scan. Proven by
+    bit-identical recomputation: the batch's written PSI rows equal
+    ``psi_drift_hist`` over exactly the registers that stood BEFORE the
+    fold (the corpus-so-far histogram), mapped to bucket
+    representatives; the lens-scan value over the same corpus differs
+    at register resolution, so an accidental fallback would not match."""
+    from ts_etl_spark.operators.drift import psi_drift_hist
+    from ts_etl_spark.operators.sketches import hdr_lower, hdr_width
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        _latest_len_hdr,
+        stored_doclen,
+    )
+
+    hdr = str(tmp_path / "lenhdr")
+    drift = str(tmp_path / "drift")
+    corpus_path = str(tmp_path / "corpus")
+    cfg = IngestConfig(len_hdr_path=hdr, drift_path=drift)
+    b1 = spark.createDataFrame(
+        [(i, "alpha beta " * (3 + i % 17) + f"w{i}") for i in range(60)],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, b1, corpus_path, cfg, batch_id=1)
+    regs, _g, _b = _latest_len_hdr(spark, hdr)
+    snapshot = [(float(r.v), int(r.n)) for r in regs.filter("n > 0").select(
+        (
+            hdr_lower(F.col("bucket")).cast("double")
+            + (hdr_width(F.col("bucket")).cast("double") - 1.0) / 2.0
+        ).alias("v"),
+        F.col("n"),
+    ).collect()]
+    b2 = spark.createDataFrame(
+        [(100 + i, "gamma delta " * (2 + i % 23) + f"x{i}") for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, b2, corpus_path, cfg, batch_id=2)
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{drift}/batch=2").collect())
+    )
+    hist = spark.createDataFrame(snapshot, "v DOUBLE, n BIGINT")
+    want = sorted(
+        map(
+            tuple,
+            psi_drift_hist(
+                hist, b2.select(stored_doclen().alias("v")), "v"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_postings_bucket_count_is_persisted_and_enforced(
     spark, tmp_path, monkeypatch
 ):

@@ -138,6 +138,88 @@ def psi_drift(
     return detail.unionByName(total)
 
 
+def weighted_bucket_counts(
+    hist: DataFrame, lo, hi, n_buckets: int
+) -> DataFrame:
+    """``bucket_counts`` when the observations arrive pre-aggregated as
+    a weighted-value histogram ``(v, n)``: the SAME bucket expression
+    (IEEE-identical boundaries), counts summed from the weights. A
+    histogram row whose exact values all equal ``v`` contributes
+    exactly what ``n`` raw rows would — so feeding exact
+    ``(value, count)`` pairs reproduces ``bucket_counts`` bit-for-bit,
+    and feeding bucket-representative values (an HDR register table)
+    is off by at most the registers that straddle a bucket edge."""
+    v = F.col("v").cast("double")
+    b = _bucket_expr(v, lo, hi, n_buckets)
+    return (
+        hist.filter(v.isNotNull() & (F.col("n") > 0))
+        .select(b.alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def psi_drift_hist(
+    base_hist: DataFrame,
+    current: DataFrame,
+    col: str,
+    n_buckets: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """``psi_drift`` with the BASELINE supplied as a weighted-value
+    histogram ``(v DOUBLE, n BIGINT)`` instead of one row per
+    observation — the O(histogram) baseline path: per evaluation the
+    baseline side touches only the histogram's rows (an HDR register
+    table is ≤960), never the population it summarizes. Share and PSI
+    arithmetic are the exact expression shapes of ``psi_drift``, so
+    with an EXACT histogram (every distinct value its own row) the
+    output is bit-identical; with a bucket-resolution histogram the
+    baseline shares carry the sketch's resolution (HDR: register
+    width/lower ≤ 2^-s, values < 2^(s+1) exact) — a monitoring-grade
+    approximation, bounded by edge-straddling registers. The combined
+    range takes the histogram's min/max REPRESENTATIVE values, which
+    sit inside the true extremes by at most one register width."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be at least 2")
+    v = F.col("v").cast("double")
+    lo_hi = (
+        base_hist.filter(F.col("n") > 0)
+        .select(v.alias("v"))
+        .unionByName(current.select(F.col(col).cast("double").alias("v")))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .first()
+    )
+    if lo_hi.lo is None:
+        raise ValueError(
+            f"no non-null values in {col!r} on either side — nothing to bucket"
+        )
+    lo, hi = float(lo_hi.lo), float(lo_hi.hi)
+    spark = base_hist.sparkSession
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    base = _smoothed_shares(
+        weighted_bucket_counts(base_hist, lo, hi, n_buckets),
+        all_buckets, n_buckets, eps, "share_base",
+    )
+    cur = _smoothed_shares(
+        bucket_counts(current, col, lo, hi, n_buckets),
+        all_buckets, n_buckets, eps, "share_cur",
+    )
+    detail = base.join(cur, "bucket").withColumn(
+        "psi_term",
+        (F.col("share_cur") - F.col("share_base"))
+        * F.log(F.col("share_cur") / F.col("share_base")),
+    )
+    total = detail.agg(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("share_base"),
+        F.lit(None).cast("double").alias("share_cur"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return detail.unionByName(total)
+
+
 def psi_drift_sided(
     df: DataFrame,
     side: "F.Column",

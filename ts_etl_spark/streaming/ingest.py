@@ -32,9 +32,10 @@ gate pays a corpus re-scan at scale:
 
 With the dedup index on, the only remaining per-batch corpus touch is
 the id-column-only ghost projection (column-pruned, no text read); the
-drift monitor's baseline comes from the index's materialized lens
-table. Without it, each gate derives its corpus-side state per batch —
-fine for small corpora."""
+drift monitor's baseline comes from the persisted length-HDR registers
+when ``len_hdr_path`` is configured (O(≤960) rows — round 15), else
+the index's materialized lens table. Without any of it, each gate
+derives its corpus-side state per batch — fine for small corpora."""
 
 from __future__ import annotations
 
@@ -51,7 +52,7 @@ from ts_etl_spark.operators.dedup import (
     minhash_bands,
     shingle_sets,
 )
-from ts_etl_spark.operators.drift import psi_drift
+from ts_etl_spark.operators.drift import psi_drift, psi_drift_hist
 from ts_etl_spark.operators.sketches import (
     HDR_PHIS,
     cm_estimate,
@@ -2334,6 +2335,7 @@ def monitor_batch_drift(
     batch_id: int,
     n_buckets: int = 10,
     base_lens: DataFrame | None = None,
+    base_hist: DataFrame | None = None,
 ) -> None:
     """PSI of the batch's document-length distribution against the
     corpus-so-far, appended to a per-batch drift log — the monitoring
@@ -2351,15 +2353,28 @@ def monitor_batch_drift(
     of corpus document lengths to use as the baseline INSTEAD of scanning
     corpus text — ``ingest_batch`` passes the dedup index's ``lens``
     table, making the drift monitor corpus-text-scan-free like every
-    other per-batch consumer."""
+    other per-batch consumer.
+
+    ``base_hist`` (round 15, wins over ``base_lens``): the baseline as a
+    weighted-value histogram ``(v, n)`` — ``ingest_batch`` derives it
+    from the persisted length-HDR registers when ``len_hdr_path`` is
+    configured, so the baseline side is O(≤960 register rows) per batch
+    instead of a corpus-LINEAR lens-table scan (the last corpus-sized
+    per-batch read in the telemetry path). Register-resolution
+    approximation (``psi_drift_hist``); the 0.25 action band is far
+    coarser than the ≤2^-s register width."""
     doclen = stored_doclen().alias("v")
-    base = corpus.select(doclen) if base_lens is None else base_lens
     cur = batch_df.select(doclen)
     if cur.first() is None:  # empty batch: nothing to compare
         return
-    psi_drift(base, cur, "v", n_buckets=n_buckets).write.mode(
-        "overwrite"
-    ).parquet(f"{drift_path}/batch={int(batch_id)}")
+    if base_hist is not None:
+        out = psi_drift_hist(base_hist, cur, "v", n_buckets=n_buckets)
+    else:
+        base = corpus.select(doclen) if base_lens is None else base_lens
+        out = psi_drift(base, cur, "v", n_buckets=n_buckets)
+    out.write.mode("overwrite").parquet(
+        f"{drift_path}/batch={int(batch_id)}"
+    )
 
 
 #: default acceptance band for the per-batch length-quantile shift
@@ -2798,13 +2813,44 @@ def ingest_batch(
         # BEFORE the append (same recacheByPath reasoning as the stats
         # ordering below) — and semantically the baseline must be the
         # corpus as it stood when the batch arrived; the raw batch, since
-        # the question is what LANDED, not what the gates rewrote. With
-        # the dedup index, the baseline comes from the materialized lens
-        # table (anti-joined against the batch ids so a crash-window
-        # replay's ghost rows never contaminate the corpus-so-far
-        # baseline) — no corpus text scan.
-        base_lens = None
-        if dlens is not None:
+        # the question is what LANDED, not what the gates rewrote. The
+        # baseline ladder, cheapest first (round 15): the persisted
+        # length-HDR registers (O(≤960) rows per batch — the ablation
+        # profile found the lens scan was the telemetry path's one
+        # remaining corpus-LINEAR per-batch read), else the dedup
+        # index's lens table (corpus-linear but skinny, no text scan),
+        # else a corpus text scan.
+        base_lens = base_hist = None
+        if config.len_hdr_path is not None:
+            # bootstrapped FIRST so adoption on a pre-existing corpus
+            # gives both drift monitors the full history from batch one
+            bootstrap_length_histogram(spark, corpus, config.len_hdr_path)
+            regs, _g, _b = _latest_len_hdr(spark, config.len_hdr_path)
+            if regs is not None:
+                from ts_etl_spark.operators.sketches import (
+                    hdr_lower,
+                    hdr_width,
+                )
+
+                # register -> representative value: the integer middle
+                # of [lower, lower+width) — exact buckets (width 1)
+                # represent themselves. Ghost-window note: unlike the
+                # lens path's anti-join below, a crash between the
+                # histogram fold and the corpus append leaves THIS
+                # batch's lengths in the baseline during its own replay
+                # only — it biases that one PSI toward similarity and
+                # self-heals when the replayed append commits (the
+                # monitor_length_quantile_drift transient, documented
+                # there).
+                base_hist = regs.filter(F.col("n") > 0).select(
+                    (
+                        hdr_lower(F.col("bucket")).cast("double")
+                        + (hdr_width(F.col("bucket")).cast("double") - 1.0)
+                        / 2.0
+                    ).alias("v"),
+                    F.col("n"),
+                )
+        if base_hist is None and dlens is not None:
             # exclude GHOST rows only (batch ids NOT in the corpus —
             # crash-window leftovers): a re-delivered id that IS
             # committed belongs to the corpus-so-far baseline, exactly
@@ -2817,15 +2863,11 @@ def ingest_batch(
             ).select("v")
         monitor_batch_drift(
             spark, corpus, batch_df, drift_path, batch_id,
-            base_lens=base_lens,
+            base_lens=base_lens, base_hist=base_hist,
         )
         if config.len_hdr_path is not None:
             # the quantile-shift twin of the PSI row set (the consumer
-            # of the HDR length telemetry): baseline = the persisted
-            # corpus-lifetime histogram, bootstrapped here if absent so
-            # adoption on a pre-existing corpus compares against the
-            # full history from the first batch
-            bootstrap_length_histogram(spark, corpus, config.len_hdr_path)
+            # of the HDR length telemetry); histogram bootstrapped above
             monitor_length_quantile_drift(
                 spark, config.len_hdr_path, batch_df, drift_path, batch_id
             )
