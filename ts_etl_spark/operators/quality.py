@@ -27,6 +27,15 @@ Unified schema ``(op, doc_id, n, n2, v, ok)``:
   are exact rationals of counts — value-matched unrounded.
 - ``drift_psi`` rows (one per bucket plus the bucket = -1 total): the PSI
   contribution, rounded to 6 decimals (ln of a share ratio).
+- ``drift_hpsi`` rows (round 15; one per bucket plus the total): the
+  SAME PSI computed through ``psi_drift_hist`` with the baseline side
+  pre-aggregated into an exact weighted-value histogram — the
+  weighted-baseline path ``ingest_batch``'s drift monitor runs against
+  the persisted length-HDR registers. With an exact histogram the arm
+  is bit-identical to ``drift_psi`` BY CONSTRUCTION (same IEEE
+  expression shapes; tests/test_drift.py pins it), so one oracle CTE
+  serves both — and the sweep now gates the production route, not just
+  its unit tests.
 
 Every underlying operator keeps its own exhaustive suite (tests/test_lm,
 test_boilerplate, test_drift); this entry pins the cross-engine answer.
@@ -43,7 +52,7 @@ from ts_etl_spark.operators.classifier import (
     score_hashed_linear,
     score_hashed_linear_sql,
 )
-from ts_etl_spark.operators.drift import psi_drift_sided
+from ts_etl_spark.operators.drift import psi_drift_hist, psi_drift_sided
 from ts_etl_spark.operators.lm import score_documents, train_bigram_lm
 from ts_etl_spark.sources.tables import load_table
 
@@ -155,7 +164,40 @@ def q_corpus_quality_signals(
         F.col("e.v").alias("v"),
         t.alias("ok"),
     )
-    return lm.unionByName(boiler).unionByName(clf).unionByName(drift)
+
+    # the weighted-baseline route (round 15): baseline side collapsed to
+    # an EXACT (length, count) histogram first — the shape the ingest
+    # drift monitor feeds from the persisted HDR registers. Exactness of
+    # the histogram makes this bit-identical to drift_psi (pinned in
+    # tests/test_drift.py), so the oracle reuses the one psi CTE; the
+    # two arms hash-matching EACH OTHER inside the sweep is the gate on
+    # the production path's algebra.
+    even_hist = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.length("text").cast("double").alias("v"))
+        .agg(F.count("*").alias("n"))
+    )
+    hdrift = psi_drift_hist(
+        even_hist,
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            F.length("text").alias("len")
+        ),
+        "len",
+        n_buckets=DRIFT_BUCKETS,
+    ).select(
+        F.lit("drift_hpsi").alias("op"),
+        nb.alias("doc_id"),
+        F.col("bucket").alias("n"),
+        ni.alias("n2"),
+        F.round("psi_term", 6).alias("v"),
+        t.alias("ok"),
+    )
+    return (
+        lm.unionByName(boiler)
+        .unionByName(clf)
+        .unionByName(drift)
+        .unionByName(hdrift)
+    )
 
 
 def _quality_oracle_sql() -> str:
@@ -279,6 +321,15 @@ def _quality_oracle_sql() -> str:
                round(term, 6), TRUE FROM psi
         UNION ALL
         SELECT 'drift_psi', CAST(NULL AS BIGINT), CAST(-1 AS INT),
+               CAST(NULL AS INT), round(SUM(term), 6), TRUE FROM psi
+        UNION ALL
+        -- weighted-baseline arm (round 15): with an EXACT histogram the
+        -- Spark side is bit-identical to drift_psi, so the same CTE is
+        -- the mirror for both
+        SELECT 'drift_hpsi', CAST(NULL AS BIGINT), bucket, CAST(NULL AS INT),
+               round(term, 6), TRUE FROM psi
+        UNION ALL
+        SELECT 'drift_hpsi', CAST(NULL AS BIGINT), CAST(-1 AS INT),
                CAST(NULL AS INT), round(SUM(term), 6), TRUE FROM psi
     """
 
