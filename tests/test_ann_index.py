@@ -394,6 +394,61 @@ def test_qdrift_retrain_loop_closes(spark, idx, tmp_path):
     vecs.unpersist()
 
 
+def test_token_less_corpus_adoption_defers_then_covers(spark, tmp_path):
+    """A pre-existing corpus with documents but no embeddable one must
+    not wedge ingest (review finding, round 15: the bootstrap ran the
+    trainer on an all-NULL frame and crashed BEFORE the corpus append —
+    permanently, since every retry re-entered the same fold). The
+    bootstrap now DEFERS; the first embeddable batch trains and folds
+    the deferred history, so the coverage probe still counts every
+    document — and the bootstrap fold's ``batch=-1`` qdrift dir is a
+    NUMERIC tag to the telemetry readers (the ``isdigit`` misfiling,
+    same review)."""
+    from ts_etl_spark.cli import run_drift_report
+    from ts_etl_spark.streaming.ingest import (
+        IngestConfig,
+        committed_batch_dirs,
+        ingest_batch,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    idx = str(tmp_path / "ann")
+    drift = str(tmp_path / "drift")
+    cfg = IngestConfig(ann_index_path=idx, drift_path=drift)
+    p = ann_index_paths(idx)
+
+    tokenless = spark.createDataFrame(
+        [(i, "?!... --- !!!" + "." * i) for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    ingest_batch(spark, tokenless, corpus_path, cfg, batch_id=1)
+    from ts_etl_spark.fs import path_exists
+
+    # nothing trained, nothing recorded — and crucially, no crash
+    assert not path_exists(spark, p["totals"])
+    assert spark.read.parquet(corpus_path).count() == 6
+
+    embeddable = _docs(spark, range(100, 108))
+    ingest_batch(spark, embeddable, corpus_path, cfg, batch_id=2)
+    # coverage counts the deferred token-less history (6 docs, 0 vecs)
+    assert verify_ann_index(spark, corpus_path, idx) == (14, 14)
+    tot = (
+        spark.read.schema(ANN_TOTALS_SCHEMA)
+        .parquet(p["totals"])
+        .collect()
+    )
+    by_bid = {int(r.batch_id): (int(r.n_docs), int(r.n_vecs)) for r in tot}
+    assert by_bid[ANN_BOOTSTRAP_ID] == (6, 0)
+    assert by_bid[2] == (8, 8)
+
+    # the bootstrap's batch=-1 telemetry dir sorts as a NUMBER
+    tags = [t for t, _ in committed_batch_dirs(spark, p["qdrift"])]
+    assert tags == ["-1", "2"]
+    report = run_drift_report(ann_index_path=idx, spark=spark)
+    assert set(report["ann"]) == {-1, 2}  # int keys, sortable
+    assert sorted(report["ann"]) == [-1, 2]
+
+
 # --------------------------------------------------------------------------
 # deployment integration: ingest fold, compact-state probe, drift-report
 # --------------------------------------------------------------------------

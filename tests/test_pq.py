@@ -139,6 +139,29 @@ def test_qerr_equals_independent_reconstruction_error(spark):
             )
 
 
+def test_pq_encode_bit_deterministic_across_partitionings(spark):
+    """qerr must be BYTE-identical across physical plans (review
+    finding, round 15): the serving index's crash ladder re-appends a
+    replayed batch and relies on the readers' DISTINCT to collapse the
+    whole-row duplicates — an F.sum over the per-subspace d2 summed in
+    shuffle-merge order could differ in the last ulp between attempts,
+    leaving two rows per vector that double-rank in the ADC shortlist.
+    The encode now folds d2 in ascending-j order from one sorted
+    collect, so any partitioning yields the same bits."""
+    rows = _rows(60, seed=8)
+    cb = pq_train(_vec_frame(spark, rows), m=4, k=4, max_iter=5)
+    outs = []
+    for parts in (1, 7, 32):
+        vecs = _vec_frame(spark, rows).repartition(parts)
+        outs.append(
+            sorted(
+                (r["vec_id"], tuple(r["codes"]), r["qerr"])
+                for r in pq_encode(vecs, cb, m=4).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]  # exact, including qerr bits
+
+
 def test_ivf_pq_degrades_to_brute_force_and_respects_routing(spark):
     """The composed IVF-PQ: with EVERY cell probed and a full-corpus
     shortlist it must equal brute_topk exactly (the approximation

@@ -1619,7 +1619,14 @@ def run_drift_report(
     report: dict = {"psi": {}, "lenq": {}, "hh": {}, "ann": {}, "flagged": []}
 
     def _bid(tag: str) -> int | str:
-        return int(tag) if tag.isdigit() else tag
+        # negative ids are real batch tags (the ANN bootstrap folds
+        # under batch=-1), so parse any integer — "-1".isdigit() is
+        # False and a str key would poison sorted(report[...]) with
+        # int/str comparisons (review finding, round 15)
+        try:
+            return int(tag)
+        except ValueError:
+            return tag
 
     def _order(b) -> tuple:
         # non-numeric tags (the rollup) first, numeric ascending — the
@@ -1633,10 +1640,14 @@ def run_drift_report(
         None when nothing is committed."""
         found = committed_batch_dirs(spark, base)
         if last is not None:
-            nums = [b for b in found if b[0].isdigit()]
+            # numeric includes negative ids (the ANN bootstrap's
+            # batch=-1) — same parse as _bid, so --last can bound it
+            nums = [b for b in found if isinstance(_bid(b[0]), int)]
             keep = {t for t, _ in nums[-last:]}
             found = [
-                b for b in found if not b[0].isdigit() or b[0] in keep
+                b
+                for b in found
+                if not isinstance(_bid(b[0]), int) or b[0] in keep
             ]
         if not found:
             return None

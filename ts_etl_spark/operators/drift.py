@@ -88,6 +88,38 @@ def _smoothed_shares(
     )
 
 
+def _psi_assembly(
+    spark, base_counts: DataFrame, cur_counts: DataFrame,
+    n_buckets: int, eps: float,
+) -> DataFrame:
+    """Shares → PSI terms → detail ∪ total, from the two (bucket, n)
+    count frames. THE one copy of the share/PSI arithmetic: every
+    variant (two-frame, sided via its own fused path, weighted-
+    histogram) must produce bit-identical values from identical counts,
+    which only holds while they share this assembly."""
+    all_buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    base = _smoothed_shares(
+        base_counts, all_buckets, n_buckets, eps, "share_base"
+    )
+    cur = _smoothed_shares(
+        cur_counts, all_buckets, n_buckets, eps, "share_cur"
+    )
+    detail = base.join(cur, "bucket").withColumn(
+        "psi_term",
+        (F.col("share_cur") - F.col("share_base"))
+        * F.log(F.col("share_cur") / F.col("share_base")),
+    )
+    total = detail.agg(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("share_base"),
+        F.lit(None).cast("double").alias("share_cur"),
+        F.sum("psi_term").alias("psi_term"),
+    )
+    return detail.unionByName(total)
+
+
 def psi_drift(
     baseline: DataFrame,
     current: DataFrame,
@@ -112,30 +144,12 @@ def psi_drift(
             f"no non-null values in {col!r} on either side — nothing to bucket"
         )
     lo, hi = float(lo_hi.lo), float(lo_hi.hi)
-    spark = baseline.sparkSession
-    all_buckets = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    base = _smoothed_shares(
+    return _psi_assembly(
+        baseline.sparkSession,
         bucket_counts(baseline, col, lo, hi, n_buckets),
-        all_buckets, n_buckets, eps, "share_base",
-    )
-    cur = _smoothed_shares(
         bucket_counts(current, col, lo, hi, n_buckets),
-        all_buckets, n_buckets, eps, "share_cur",
+        n_buckets, eps,
     )
-    detail = base.join(cur, "bucket").withColumn(
-        "psi_term",
-        (F.col("share_cur") - F.col("share_base"))
-        * F.log(F.col("share_cur") / F.col("share_base")),
-    )
-    total = detail.agg(
-        F.lit(-1).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("share_base"),
-        F.lit(None).cast("double").alias("share_cur"),
-        F.sum("psi_term").alias("psi_term"),
-    )
-    return detail.unionByName(total)
 
 
 def weighted_bucket_counts(
@@ -194,30 +208,12 @@ def psi_drift_hist(
             f"no non-null values in {col!r} on either side — nothing to bucket"
         )
     lo, hi = float(lo_hi.lo), float(lo_hi.hi)
-    spark = base_hist.sparkSession
-    all_buckets = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    base = _smoothed_shares(
+    return _psi_assembly(
+        base_hist.sparkSession,
         weighted_bucket_counts(base_hist, lo, hi, n_buckets),
-        all_buckets, n_buckets, eps, "share_base",
-    )
-    cur = _smoothed_shares(
         bucket_counts(current, col, lo, hi, n_buckets),
-        all_buckets, n_buckets, eps, "share_cur",
+        n_buckets, eps,
     )
-    detail = base.join(cur, "bucket").withColumn(
-        "psi_term",
-        (F.col("share_cur") - F.col("share_base"))
-        * F.log(F.col("share_cur") / F.col("share_base")),
-    )
-    total = detail.agg(
-        F.lit(-1).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("share_base"),
-        F.lit(None).cast("double").alias("share_cur"),
-        F.sum("psi_term").alias("psi_term"),
-    )
-    return detail.unionByName(total)
 
 
 def psi_drift_sided(

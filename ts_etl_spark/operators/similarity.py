@@ -1878,14 +1878,33 @@ def pq_encode(
         .groupBy("vec_id", "j")
         .agg(F.min("dc").alias("dc"))
     )
-    return best.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("j", F.col("dc.code").alias("code")))
-            ),
-            lambda s: s["code"],
-        ).alias("codes"),
-        F.sum("dc.d2").alias("qerr"),
+    # one sorted collect serves both outputs; qerr sums the per-subspace
+    # d2 in ASCENDING-j order rather than F.sum's shuffle-merge order —
+    # float addition is order-dependent in the last ulp, and the
+    # serving index's crash ladder needs a replayed encode to re-derive
+    # BYTE-identical rows so the readers' DISTINCT collapses them
+    # (review finding, round 15). The m-element fold lambda runs once
+    # per vector, not per codebook entry — outside the §6 HOF lesson's
+    # m·k hot path.
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "j",
+                F.col("dc.code").alias("code"),
+                F.col("dc.d2").alias("d2"),
+            )
+        )
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(srt.alias("s"))
+        .select(
+            "vec_id",
+            F.transform(F.col("s"), lambda s: s["code"]).alias("codes"),
+            F.aggregate(
+                F.col("s"), F.lit(0.0), lambda a, s: a + s["d2"]
+            ).alias("qerr"),
+        )
     )
 
 

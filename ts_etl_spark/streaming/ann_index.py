@@ -308,6 +308,13 @@ def _append_codes(
     double vectors stay in the encode/assign map-side joins."""
     from ts_etl_spark.operators.similarity import ivf_assign, pq_encode
 
+    # ONE materialization of the (possibly embedder-backed) vector
+    # frame: the rows plan references it through three legs (encode,
+    # assign, norm join) plus the n_docs count below — unpersisted,
+    # each leg re-ran the document embedder per fold, and the adoption
+    # bootstrap paid ~4 full-corpus embeds (review finding, round 15).
+    # Persisted here, not by callers: the fold owns the frame's scope.
+    vecs = vecs.persist()
     nn = vecs.filter(F.col("v").isNotNull())
     enc = pq_encode(nn, codebooks, m=m)
     assigned = ivf_assign(nn, cents, n_assign=1).select("vec_id", "cell")
@@ -351,6 +358,7 @@ def _append_codes(
         ).write.mode("append").parquet(p["totals"])
     finally:
         rows.unpersist()
+        vecs.unpersist()
 
 
 def update_ann_index(
@@ -405,12 +413,28 @@ def bootstrap_ann_index(
     torn bootstrap re-runs and its duplicate rows collapse under the
     readers' DISTINCT. ``ingest_batch`` calls this before every
     per-batch fold (one existence check per batch once adopted).
-    Returns True if a bootstrap fold ran."""
+    Returns True if a bootstrap fold ran.
+
+    A corpus with documents but NO embeddable one (every embedding
+    NULL) cannot train a model: without a committed model the adoption
+    is DEFERRED (return False) rather than crashing the fold with the
+    trainer's empty-input error — which, since the ANN fold runs before
+    the corpus append, would wedge ingest permanently (review finding,
+    round 15). ``ingest_batch`` then trains on the first embeddable
+    BATCH and re-invokes this bootstrap, which proceeds under the
+    now-committed model and folds the whole token-less history so the
+    coverage totals still count every corpus document."""
     p = ann_index_paths(index_path)
     if path_exists(spark, p["totals"]):
         return False
     if vecs.first() is None:
         return False  # fresh deployment — batch folds build the index
+    if (
+        not path_exists(spark, p["meta"])
+        and cents is None
+        and vecs.filter(F.col("v").isNotNull()).first() is None
+    ):
+        return False  # nothing to train on yet — defer adoption
     gen = train_ann_model(
         spark, vecs, index_path, cents=cents, codebooks=codebooks
     )

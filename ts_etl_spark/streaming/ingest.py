@@ -1907,9 +1907,19 @@ def committed_batch_dirs(
     listing discipline for per-batch telemetry readers
     (``heavyhitter_estimate``, the drift-report CLI), extracted in
     round 14 after a third inline copy appeared. Non-numeric tags (the
-    heavy-hitter ``batch=rollup``) sort first, numeric tags ascending."""
+    heavy-hitter ``batch=rollup``) sort first, numeric tags ascending —
+    numeric includes NEGATIVE ids (the ANN bootstrap folds under
+    ``batch=-1``; ``isdigit`` alone misfiled it with the named tags —
+    review finding, round 15)."""
     if not path_exists(spark, base):
         return []
+
+    def _num(tag: str) -> int | None:
+        try:
+            return int(tag)
+        except ValueError:
+            return None
+
     named: list[tuple[str, str]] = []
     nums: list[tuple[str, str]] = []
     for name in list_subdirs(spark, base):
@@ -1918,7 +1928,9 @@ def committed_batch_dirs(
         ):
             continue
         tag = name.split("=", 1)[1]
-        (nums if tag.isdigit() else named).append((tag, f"{base}/{name}"))
+        (named if _num(tag) is None else nums).append(
+            (tag, f"{base}/{name}")
+        )
     return sorted(named) + sorted(nums, key=lambda t: int(t[0]))
 
 
@@ -3009,27 +3021,35 @@ def ingest_batch(
                 update_ann_index,
             )
 
+            corpus_vecs = doc_vectors(corpus)
             bootstrap_ann_index(
-                spark, doc_vectors(corpus), config.ann_index_path
+                spark, corpus_vecs, config.ann_index_path
             )
             kept_vecs = doc_vectors(kept)
             if not path_exists(
                 spark, ann_index_paths(config.ann_index_path)["totals"]
             ):
-                # FRESH deployment (no pre-existing corpus for the
-                # bootstrap to train on): the first batch with an
-                # embeddable document trains the model; until one
-                # arrives there is nothing to encode and no state to
-                # record — a later replay of such a batch re-skips
-                # identically. Crash between train and fold replays
-                # clean: the committed model is deterministic, so the
-                # retrain call returns the committed generation and the
-                # fold proceeds.
+                # No adoptable model yet (fresh deployment, or a
+                # pre-existing corpus with no embeddable document — the
+                # bootstrap DEFERS rather than crash the fold): the
+                # first batch with an embeddable document trains the
+                # model; until one arrives there is nothing to encode
+                # and no state to record — a later replay of such a
+                # batch re-skips identically. Crash between train and
+                # fold replays clean: the committed model is
+                # deterministic, so the retrain call returns the
+                # committed generation and the fold proceeds.
                 if kept_vecs.filter(F.col("v").isNotNull()).first() is None:
                     kept_vecs = None
                 else:
                     train_ann_model(
                         spark, kept_vecs, config.ann_index_path
+                    )
+                    # under the now-committed model, fold any deferred
+                    # token-less history so the coverage totals count
+                    # every corpus document (no-op on an empty corpus)
+                    bootstrap_ann_index(
+                        spark, corpus_vecs, config.ann_index_path
                     )
             if kept_vecs is not None:
                 update_ann_index(
