@@ -88,6 +88,29 @@ def _smoothed_shares(
     )
 
 
+def _ordered_total(detail: DataFrame) -> DataFrame:
+    """The ``bucket = -1`` total row as a DETERMINISTIC left fold of the
+    psi terms in bucket-ascending order. A plain ``F.sum`` combines
+    per-partition partials in physical-layout order, so the same ten
+    terms summed from a parquet-backed frame vs a local relation can
+    differ in the last ulp — which breaks the telemetry path's
+    stored-equals-recomputed bit-identity (the PSI-baseline proof in
+    tests/test_ingest.py). Folding ``array_sort(collect_list(...))``
+    pins one summation order for every physical layout; every variant
+    must build its total through THIS expression so cross-variant
+    bit-identity holds at full precision, not just after rounding."""
+    return detail.agg(
+        F.lit(-1).cast("int").alias("bucket"),
+        F.lit(None).cast("double").alias("share_base"),
+        F.lit(None).cast("double").alias("share_cur"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "psi_term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["psi_term"],
+        ).alias("psi_term"),
+    )
+
+
 def _psi_assembly(
     spark, base_counts: DataFrame, cur_counts: DataFrame,
     n_buckets: int, eps: float,
@@ -111,13 +134,7 @@ def _psi_assembly(
         (F.col("share_cur") - F.col("share_base"))
         * F.log(F.col("share_cur") / F.col("share_base")),
     )
-    total = detail.agg(
-        F.lit(-1).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("share_base"),
-        F.lit(None).cast("double").alias("share_cur"),
-        F.sum("psi_term").alias("psi_term"),
-    )
-    return detail.unionByName(total)
+    return detail.unionByName(_ordered_total(detail))
 
 
 def psi_drift(
@@ -293,10 +310,4 @@ def psi_drift_sided(
         (F.col("share_cur") - F.col("share_base"))
         * F.log(F.col("share_cur") / F.col("share_base")),
     )
-    total = detail.agg(
-        F.lit(-1).cast("int").alias("bucket"),
-        F.lit(None).cast("double").alias("share_base"),
-        F.lit(None).cast("double").alias("share_cur"),
-        F.sum("psi_term").alias("psi_term"),
-    )
-    return detail.unionByName(total)
+    return detail.unionByName(_ordered_total(detail))
