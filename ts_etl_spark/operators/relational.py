@@ -1072,6 +1072,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile + 3×count-distinct aggregate and the register scan per
     referencing union branch."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from ts_etl_spark.operators.sketches import (
         CM_WIDTH,
@@ -1092,19 +1093,35 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     apct = F.percentile_approx(
         "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
     )
-    # TWO single-row jobs on purpose: mixing countDistinct with the
+    # SEPARATE single-row jobs on purpose: mixing countDistinct with the
     # buffer-heavy aggregates is a planner trap — multiple DISTINCT
     # columns force an Expand + a first aggregate GROUPED BY the distinct
     # values, and every one of those ~hundreds-of-thousands of groups
     # allocates the percentile array + three 0.01-rsd HLL++ register
     # blocks (~100 KB each). Measured 185s at sf0.1 combined vs <5s
     # split; the split costs one extra (cheap, column-pruned) scan.
-    brow = li.agg(
+    #
+    # Round 15 (guide §2.6 — overlap independent jobs): the entry's
+    # construction used to run its driver actions back-to-back, so the
+    # wall was the SUM of five independent lineitem passes even though
+    # none of them saturates the cluster alone. They now run from a small
+    # thread pool (actions are thread-safe; job descriptions are
+    # thread-local) and the wall is the slowest pass. The exact-percentile
+    # aggregate is additionally split from the sketch aggregate so the two
+    # heaviest buffers don't serialize behind one job. Values are
+    # unchanged by construction: every aggregate computes independently of
+    # what it used to share a job with (exact percentiles / counts are
+    # order-insensitive, HLL++ register maxes commute, and the GK
+    # percentile_approx values were never exact-matched — they feed
+    # tolerance booleans only).
+    prow_agg = [
         pct.getItem(0).alias("p25"),
         pct.getItem(1).alias("p50"),
         pct.getItem(2).alias("p75"),
         pct.getItem(3).alias("p90"),
         pct.getItem(4).alias("p99"),
+    ]
+    srow_agg = [
         apct.getItem(0).alias("ap25"),
         apct.getItem(1).alias("ap50"),
         apct.getItem(2).alias("ap75"),
@@ -1118,13 +1135,37 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for k in _CM_PROBE_KEYS
         ],
-    ).first()
-    drow = li.agg(
-        F.countDistinct("l_partkey").alias("distinct_parts"),
-        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
-        F.countDistinct("l_orderkey").alias("distinct_orders"),
-    ).first()
-    arow = {**brow.asDict(), **drow.asDict()}
+    ]
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_prow = pool.submit(lambda: li.agg(*prow_agg).first())
+        f_srow = pool.submit(lambda: li.agg(*srow_agg).first())
+        f_drow = pool.submit(
+            lambda: li.agg(
+                F.countDistinct("l_partkey").alias("distinct_parts"),
+                F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+                F.countDistinct("l_orderkey").alias("distinct_orders"),
+            ).first()
+        )
+        f_hll = pool.submit(lambda: hll_registers(li, "l_partkey").collect())
+        f_cm = pool.submit(lambda: cm_registers(li, "l_partkey").collect())
+        f_hdr = pool.submit(
+            lambda: hdr_registers(
+                li.select(
+                    (F.col("l_orderkey") % 2).alias("par"), cents.alias("cents")
+                ),
+                "cents",
+                extra_keys=("par",),
+            ).collect()
+        )
+        arow = {
+            **f_prow.result().asDict(),
+            **f_srow.result().asDict(),
+            **f_drow.result().asDict(),
+        }
+        hll_collected = f_hll.result()
+        cm_collected = f_cm.result()
+        par_regs = f_hdr.result()
 
     def rel_ok(approx, exact, bound):
         return bool(abs(arow[approx] - arow[exact]) <= arow[exact] * bound)
@@ -1161,9 +1202,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
     )
 
-    regs = spark.createDataFrame(
-        hll_registers(li, "l_partkey").collect(), "bucket STRING, rho INT"
-    )
+    regs = spark.createDataFrame(hll_collected, "bucket STRING, rho INT")
     reg_rows = regs.select(
         F.concat(F.lit("hll_"), F.col("bucket")).alias("metric"),
         F.col("rho").cast("double").alias("value"),
@@ -1180,9 +1219,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok"),
     )
 
-    cm = spark.createDataFrame(
-        cm_registers(li, "l_partkey").collect(), "d INT, slot INT, c BIGINT"
-    )
+    cm = spark.createDataFrame(cm_collected, "d INT, slot INT, c BIGINT")
     cm_rows = cm.select(
         F.concat(
             F.lit("cm_"),
@@ -1225,19 +1262,11 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every register row and every quantile estimate hash-matches the
     # oracle, not just a tolerance boolean (see sketches._hdr_index).
     # ONE lineitem scan for the whole arm (round 13 — was three): the
-    # per-parity register table is built in a single pass and the
-    # even/odd/full tables are sliced out of its ≤2×960 collected rows
-    # (counts partition exactly by parity, so full = even + odd is an
-    # identity, not an approximation); the merge-law gate then runs
-    # over local relations.
-    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-    par_regs = hdr_registers(
-        li.select(
-            (F.col("l_orderkey") % 2).alias("par"), cents.alias("cents")
-        ),
-        "cents",
-        extra_keys=("par",),
-    ).collect()
+    # per-parity register table is built in a single pass (collected
+    # concurrently above) and the even/odd/full tables are sliced out of
+    # its ≤2×960 collected rows (counts partition exactly by parity, so
+    # full = even + odd is an identity, not an approximation); the
+    # merge-law gate then runs over local relations.
     halves: dict[int, dict[int, int]] = {0: {}, 1: {}}
     for r in par_regs:
         halves[int(r["par"])][int(r["bucket"])] = int(r["n"])

@@ -1101,38 +1101,47 @@ def _ann_index_gate_row(
         replay_ok = (
             spark.read.parquet(p["codes"]).count() == rows_before
         )
+        # the verification tail overlaps (guide §2.6): the served-query
+        # leg (query + exceptAll pair + per-query counts) and the three
+        # independent count reads run concurrently — same values, the
+        # wall is the slowest leg instead of the sum
+        from concurrent.futures import ThreadPoolExecutor
+
         served = ann_topk_from_index(spark, d, vecs, q).persist()
         try:
-            diff = (
-                served.exceptAll(res).count()
-                + res.exceptAll(served).count()
-            )
-            crow = (
-                served.groupBy("q_id")
-                .agg(F.count("*").alias("c"))
-                .agg(
-                    F.min("c").alias("cmin"), F.max("c").alias("cmax")
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                f_diff = pool.submit(
+                    lambda: served.exceptAll(res).count()
+                    + res.exceptAll(served).count()
                 )
-                .first()
-            )
+                f_crow = pool.submit(
+                    lambda: served.groupBy("q_id")
+                    .agg(F.count("*").alias("c"))
+                    .agg(F.min("c").alias("cmin"), F.max("c").alias("cmax"))
+                    .first()
+                )
+                f_ncodes = pool.submit(
+                    lambda: spark.read.parquet(p["codes"])
+                    .select("vec_id")
+                    .distinct()
+                    .count()
+                )
+                f_tot = pool.submit(
+                    lambda: spark.read.schema(ANN_TOTALS_SCHEMA)
+                    .parquet(p["totals"])
+                    .distinct()
+                    .agg(F.sum("n_docs"), F.sum("n_vecs"))
+                    .first()
+                )
+                counts = vecs.agg(
+                    F.count(F.lit(1)).alias("na"), F.count("v").alias("nn")
+                ).first()
+                diff = f_diff.result()
+                crow = f_crow.result()
+                n_codes = f_ncodes.result()
+                tot = f_tot.result()
         finally:
             served.unpersist()
-        n_codes = (
-            spark.read.parquet(p["codes"])
-            .select("vec_id")
-            .distinct()
-            .count()
-        )
-        tot = (
-            spark.read.schema(ANN_TOTALS_SCHEMA)
-            .parquet(p["totals"])
-            .distinct()
-            .agg(F.sum("n_docs"), F.sum("n_vecs"))
-            .first()
-        )
-        counts = vecs.agg(
-            F.count(F.lit(1)).alias("na"), F.count("v").alias("nn")
-        ).first()
         cover_ok = (
             int(tot[0]) == int(counts.na)
             and int(tot[1]) == int(counts.nn)
@@ -1239,17 +1248,6 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed_topk = ivf_topk(vecs, cents, q, nprobe=IVF_NPROBE)
 
-    tcents = _memo(
-        spark,
-        sf_dir,
-        "tcents",
-        lambda: train_ivf_centroids(
-            vecs, k=IVF_CENTROIDS, seed=IVF_TRAIN_SEED, max_iter=IVF_TRAIN_ITER
-        ),
-    )
-    trained = ivf_topk(vecs, tcents, q, nprobe=IVF_NPROBE).select(
-        "q_id", "neighbor_id"
-    )
     # ONE brute-force pass (the entry's dominant cost) feeds both the
     # trained-recall gate and the q8 gates; memoized + persisted like
     # vecs/tcents — N_QUERIES·TOP_K rows, bounded
@@ -1262,6 +1260,88 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(),
     )
     exact = exact_full.select("q_id", "neighbor_id")
+
+    # Round 15 (guide §2.6 — overlap independent jobs): the cold build
+    # used to run every gate construction back-to-back, so its wall was
+    # the SUM of the chain even though only the PQ ladder orders most of
+    # it. The constructions now run as a small dependency-aware pool:
+    # the trained-quantizer fit and the PCA gate are submitted first
+    # (no ladder dependency at all); the main thread builds the ladder
+    # prefix (codebooks → codes → one materialization of the shared
+    # composed-route frame); then the three gates that only need that
+    # prefix — pq, composed-IVF-PQ, and the persisted-index gate (the
+    # cold build's dominant leg: a real two-batch index fold) — run
+    # concurrently. Warm (memoized) passes are unchanged, and the
+    # concurrent _memo writes never race: every submitted kind is
+    # distinct and each key is written by exactly one thread.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as _pool:
+        f_tcents = _pool.submit(
+            _memo,
+            spark,
+            sf_dir,
+            "tcents",
+            lambda: train_ivf_centroids(
+                vecs, k=IVF_CENTROIDS, seed=IVF_TRAIN_SEED,
+                max_iter=IVF_TRAIN_ITER,
+            ),
+        )
+        f_pca = _pool.submit(
+            _memo, spark, sf_dir, "pca_gate", lambda: _pca_gate_row(vecs)
+        )
+        nn = vecs.filter(F.col("v").isNotNull())
+        pq_cb = _memo(spark, sf_dir, "pq_cb", lambda: pq_train(nn))
+        pq_codes = _memo(
+            spark, sf_dir, "pq_codes", lambda: pq_encode(nn, pq_cb).persist()
+        )
+        # materialize the two shared persisted frames BEFORE the gates
+        # fork: a lazy persist() consumed by concurrent threads computes
+        # once per thread until the blocks land
+        exact_full.count()
+        # ONE composed-route ADC query serves both the -3 verification and
+        # the -4 frame-equality reference (round 15); persisted + memoized
+        # like the other construction-time frames (N_QUERIES·TOP_K rows).
+        # Materialized ONCE here (count of a ≤N_QUERIES·TOP_K frame)
+        # before the two consumer gates race, so neither recomputes it.
+        ivfpq_res = _memo(
+            spark,
+            sf_dir,
+            "ivfpq_res",
+            lambda: (
+                lambda df: (df.count(), df)[1]
+            )(ivf_pq_topk(vecs, pq_codes, pq_cb, cents, q).persist()),
+        )
+        f_pq_gate = _pool.submit(
+            _memo,
+            spark,
+            sf_dir,
+            "pq_gate",
+            lambda: _pq_gate_row(vecs, q, exact_full, pq_cb, pq_codes),
+        )
+        f_ivfpq_gate = _pool.submit(
+            _memo,
+            spark,
+            sf_dir,
+            "ivfpq_gate",
+            lambda: _ivfpq_gate_row(
+                vecs, q, cents, seed_topk, pq_cb, pq_codes, res=ivfpq_res
+            ),
+        )
+        n_idx, ki_meas, ai_x_ok, ai_r_ok, ai_c_ok = _memo(
+            spark,
+            sf_dir,
+            "ann_idx_gate",
+            lambda: _ann_index_gate_row(spark, vecs, q, cents, pq_cb, ivfpq_res),
+        )
+        n_codes, m_meas, pqr_ok, pqe_ok, pqm_ok = f_pq_gate.result()
+        nq, kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok = f_ivfpq_gate.result()
+        tcents = f_tcents.result()
+        n_proj, k_meas, var_ok, ortho_ok, recon_ok = f_pca.result()
+
+    trained = ivf_topk(vecs, tcents, q, nprobe=IVF_NPROBE).select(
+        "q_id", "neighbor_id"
+    )
     hits = trained.join(exact, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
         F.count("*").alias("__nh")
     )
@@ -1297,54 +1377,17 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT, "
         "trained_recall_ok BOOLEAN, q8_recall_ok BOOLEAN, q8_err_ok BOOLEAN"
     )
-    n_proj, k_meas, var_ok, ortho_ok, recon_ok = _memo(
-        spark, sf_dir, "pca_gate", lambda: _pca_gate_row(vecs)
-    )
     pca_arm = spark.createDataFrame(
         [(-1, n_proj, float(k_meas), k_meas, var_ok, ortho_ok, recon_ok)],
         arm_schema,
-    )
-    nn = vecs.filter(F.col("v").isNotNull())
-    pq_cb = _memo(spark, sf_dir, "pq_cb", lambda: pq_train(nn))
-    pq_codes = _memo(
-        spark, sf_dir, "pq_codes", lambda: pq_encode(nn, pq_cb).persist()
-    )
-    n_codes, m_meas, pqr_ok, pqe_ok, pqm_ok = _memo(
-        spark,
-        sf_dir,
-        "pq_gate",
-        lambda: _pq_gate_row(vecs, q, exact_full, pq_cb, pq_codes),
     )
     pq_arm = spark.createDataFrame(
         [(-2, n_codes, float(m_meas), m_meas, pqr_ok, pqe_ok, pqm_ok)],
         arm_schema,
     )
-    # ONE composed-route ADC query serves both the -3 verification and
-    # the -4 frame-equality reference (round 15); persisted + memoized
-    # like the other construction-time frames (N_QUERIES·TOP_K rows)
-    ivfpq_res = _memo(
-        spark,
-        sf_dir,
-        "ivfpq_res",
-        lambda: ivf_pq_topk(vecs, pq_codes, pq_cb, cents, q).persist(),
-    )
-    nq, kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok = _memo(
-        spark,
-        sf_dir,
-        "ivfpq_gate",
-        lambda: _ivfpq_gate_row(
-            vecs, q, cents, seed_topk, pq_cb, pq_codes, res=ivfpq_res
-        ),
-    )
     ivfpq_arm = spark.createDataFrame(
         [(-3, nq, float(kq_meas), kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok)],
         arm_schema,
-    )
-    n_idx, ki_meas, ai_x_ok, ai_r_ok, ai_c_ok = _memo(
-        spark,
-        sf_dir,
-        "ann_idx_gate",
-        lambda: _ann_index_gate_row(spark, vecs, q, cents, pq_cb, ivfpq_res),
     )
     annidx_arm = spark.createDataFrame(
         [(-4, n_idx, float(ki_meas), ki_meas, ai_x_ok, ai_r_ok, ai_c_ok)],

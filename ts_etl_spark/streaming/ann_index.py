@@ -347,10 +347,17 @@ def _append_codes(
             F.avg(F.col("qerr") / (F.col("nrm") * F.col("nrm"))).alias("e")
         ).first()
         mean_rel = float(drift.e) if drift.e is not None else 0.0
+        # repartition(1), NOT coalesce(1), for the one-file telemetry
+        # write: a python-built local relation scans as a pickled RDD
+        # with defaultParallelism partitions, and coalesce(1) replays
+        # every one of them SEQUENTIALLY through a single task's Python
+        # runner (~6 s per write measured at 32 cores); repartition
+        # keeps the parallel scan and shuffles the handful of rows to
+        # one writer (<1 s). Same rows, same single file.
         spark.createDataFrame(
             [(gen, n_vecs, mean_rel, bool(mean_rel > ANN_QDRIFT_THRESHOLD))],
             ANN_QDRIFT_SCHEMA,
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             f"{p['qdrift']}/batch={int(batch_id)}"
         )
         spark.createDataFrame(

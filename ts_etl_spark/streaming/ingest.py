@@ -1424,7 +1424,14 @@ def _prune_telemetry_body(
             )
             rows = merged.collect()  # <= depth x width rows by construction
             staged = _compact_staging(rollup)
-            spark.createDataFrame(rows, CM_SCHEMA).coalesce(1).write.mode(
+            # repartition(1), NOT coalesce(1), on every one-file write of
+            # a python-built local relation: coalesce(1) replays all
+            # defaultParallelism pickled partitions sequentially through
+            # one task's Python runner (~6 s per write measured);
+            # repartition keeps the parallel scan and still lands one
+            # file. Same rows, same layout. (Applies to the four register
+            # /telemetry writes below too.)
+            spark.createDataFrame(rows, CM_SCHEMA).repartition(1).write.mode(
                 "overwrite"
             ).parquet(staged)
             write_text_file(
@@ -1612,7 +1619,7 @@ def update_corpus_stats(
     old, latest = _latest_stats(spark, stats_path)
     merged = batch_regs if old is None else hll_merge(old, batch_regs)
     rows = merged.collect()  # <= 2^p = 256 rows by construction
-    spark.createDataFrame(rows, STATS_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, STATS_SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{stats_path}/v{latest + 1}")
     # keep the immediately-previous generation as the recovery point; prune
@@ -1729,7 +1736,7 @@ def update_length_histogram(
         # rank walk never reaches cum >= 1 on an all-zero table, so
         # corpus_length_quantiles still answers {})
         rows = [(0, 0, int(batch_id))]
-    spark.createDataFrame(rows, LEN_HDR_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, LEN_HDR_SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{hdr_path}/v{latest + 1}")
     # prune: keep the just-committed generation and its base (the
@@ -2446,7 +2453,7 @@ def monitor_length_quantile_drift(
         c, b = corpus_q[phi], batch_q[phi]
         ratio = float(b) / float(max(c, 1))
         rows.append((phi, c, b, ratio, not (lo <= ratio <= hi)))
-    spark.createDataFrame(rows, LEN_DRIFT_SCHEMA).coalesce(1).write.mode(
+    spark.createDataFrame(rows, LEN_DRIFT_SCHEMA).repartition(1).write.mode(
         "overwrite"
     ).parquet(f"{length_drift_path(drift_path)}/batch={int(batch_id)}")
 
