@@ -777,3 +777,26 @@ def test_ann_after_pca_preserves_neighbors_on_lowrank_data(spark):
     reduced = topk(projected.filter(F.col("proj").isNotNull()), "proj")
     recall = len(full & reduced) / len(full)
     assert recall >= 0.9, f"ANN-after-PCA neighbor recall collapsed: {recall}"
+
+
+def test_spread_input_fires_only_on_narrow_scans(spark, sf_smoke):
+    """The single-split ramp (round 15): a scan narrower than the core
+    count is hash-spread so compute-heavy projections parallelize; a
+    scan already at least as wide as defaultParallelism is returned
+    UNTOUCHED (the production no-op guarantee — at scale the condition
+    never fires and published plan shapes are unchanged). Rows are the
+    same multiset either way."""
+    from ts_etl_spark.sources.tables import load_table, spread_input
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_smoke, "documents")
+    assert docs.rdd.getNumPartitions() < par  # the local single-split file
+
+    sp = spread_input(docs, "doc_id")
+    assert sp.rdd.getNumPartitions() == par
+    assert sorted(map(tuple, sp.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+    wide = docs.repartition(par + 1, "doc_id")
+    assert spread_input(wide, "doc_id") is wide

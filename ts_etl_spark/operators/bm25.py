@@ -267,9 +267,13 @@ def q_bm25_scan(spark, sf_dir: str) -> DataFrame:
     entry (the registry is consolidated to 50); correctness is covered
     by tests/test_bm25.py. The delta vs ``bm25_indexed`` is the
     per-query saving the persisted postings index buys."""
-    from ts_etl_spark.operators.relational import load_table
+    from ts_etl_spark.sources.tables import load_table, spread_input
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # single-split ramp (guide §2.5, no-op at scale): the stats pass and
+    # the scoring tokenize otherwise both run on the one scan task
+    docs = spread_input(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "text")
     return bm25_topk(docs)
 
 

@@ -1085,6 +1085,10 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
     )
 
+    # NOT spread_input here (measured): the thread pool below already
+    # runs six passes concurrently, so the single-task scans overlap
+    # each other and saturate the cores; a spread would re-execute its
+    # exchange once per referencing pass (+2s at sf0.1)
     li = load_table(spark, sf_dir, "lineitem")
     pct = F.percentile(
         "l_extendedprice",

@@ -170,6 +170,10 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk_arm = brute_topk(vecs, q).select(
         F.lit("topk").alias("op"), "q_id", "neighbor_id", "cosine", "rn"
     )
+    # NOT spread_input here (measured A/B-neutral): the entry's four
+    # arms execute as one job whose independent stages run concurrently,
+    # so the embdoc/bm25 single-task tokenize stages overlap the topk
+    # arm's parallel stages instead of serializing behind them
     docs = load_table(spark, sf_dir, "documents")
     embdoc_arm = (
         embed_documents(docs)

@@ -14,6 +14,34 @@ from pyspark.sql import functions as F
 from ts_etl_spark.schema import SCALE_TABLES
 
 
+def spread_input(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-spread a narrow scan across the session's cores — ONLY when
+    the scan yields fewer partitions than ``defaultParallelism``.
+
+    The driver's test tables are single-row-group parquet files, so a
+    scan is ONE task no matter the core count and every compute-heavy
+    per-row projection (regex metrics, tokenization, value-buffering
+    percentiles) runs on one core of 32 — guide §2.5's "one huge
+    unsplittable file" case, whose prescription is to repartition right
+    after the read. The guard makes it scale-adaptive: a production
+    table scan has at least as many splits as cores, the condition never
+    fires, and the published shuffle-free plan shapes are unchanged —
+    this is a small-input ramp, not a cluster tuning knob. Apply it ONLY
+    at consumers where downstream per-row compute dominates (text
+    metrics, tokenize/shingle/embed, sketch value buffers); for cheap
+    scan→aggregate paths the extra exchange costs more than the
+    parallelism buys (measured: q6-shape 0.14s → 0.30s), and entries
+    whose plan references the scan from MANY union branches re-execute
+    the exchange per branch (measured: corpus_report 3.4s → 5.9s with a
+    blanket spread at load time — so this is deliberately NOT inside
+    ``load_table``)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table. Plain ``spark.read.parquet`` — predicate pushdown,
     column pruning and partition pruning all reach this scan for free.
