@@ -69,6 +69,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators.bpe import WORD_PAT
 
 K1 = 1.2
@@ -176,7 +177,7 @@ def _bm25_rank(
     sharing the expression tree plus the ordered fold plus the two-phase
     top-k makes that structural rather than a claim to re-verify."""
     spark = tf.sparkSession
-    qdf = spark.createDataFrame(qmap, "q_id long, term string, idf double")
+    qdf = local_rows(spark, qmap, "q_id long, term string, idf double")
     # the tf factor — expression tree pinned to the oracle's (point 4)
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
@@ -237,8 +238,8 @@ def bm25_topk(
     _, avgdl, idfs = stats  # idfs, not idf — don't shadow the helper
     qmap = _live_qmap(queries, idfs)
     if not qmap:
-        return docs.sparkSession.createDataFrame(
-            [], "q_id long, doc_id long, score double, rn int"
+        return local_rows(
+            docs.sparkSession, [], "q_id long, doc_id long, score double, rn int"
         )
     terms = sorted({t for _, t, _ in qmap})
     toks = _tokens(docs, text_col, id_col)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators.urls import (
     PSL_FIXTURE_RULES as _PSL_RULES,
     strip_www_sql as _strip_www_sql,
@@ -210,8 +211,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purl = F.concat(F.lit("https://"), phost, F.lit("/d/"),
                     F.col("doc_id").cast("string"))
-    psl_table = spark.createDataFrame(
-        [(s,) for s in PSL_FIXTURE_RULES], "suffix STRING"
+    psl_table = local_rows(
+        spark, [(s,) for s in PSL_FIXTURE_RULES], "suffix STRING"
     )
     psl_arm = registered_domain_psl(
         docs.select("doc_id", purl.alias("__url")), "__url", psl_table,
@@ -639,7 +640,8 @@ def min_label_components(
         if len(probe) <= small_edges:
             spark = pairs.sparkSession
             labels_map = _local_union_find((r[0], r[1]) for r in probe)
-            local = spark.createDataFrame(
+            local = local_rows(
+                spark,
                 list(labels_map.items()) or [],
                 "node LONG, comp LONG",
             )

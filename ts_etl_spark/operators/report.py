@@ -84,6 +84,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators.datacard import (
     CARD_QUANTILES,
     corpus_data_card,
@@ -267,7 +268,8 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     if attest is None:
         attest = _rewrite_attestation(spark, docs)
         _MAINT_MEMO[memo_key] = attest
-    maint_bools = spark.createDataFrame(
+    maint_bools = local_rows(
+        spark,
         [
             ("maint", None, None, f"{name}_hash_preserved", None, ok)
             for name, ok in attest

@@ -33,6 +33,8 @@ semantics).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from ts_etl_spark.localrel import local_rows
 from pyspark.sql import functions as F
 
 #: register-index bits: 2^8 = 256 registers, standard error 1.04/16 = 6.5%
@@ -219,7 +221,7 @@ def cm_estimate(
     min over the depth rows of the key's cell, absent cells counting 0.
     The keys frame is a local relation and the counter table is ≤
     depth·width rows — broadcast territory on both sides."""
-    kdf = spark.createDataFrame([(str(k),) for k in keys], "key STRING")
+    kdf = local_rows(spark, [(str(k),) for k in keys], "key STRING")
     entries = [
         F.struct(
             F.lit(d).alias("d"),
@@ -466,8 +468,8 @@ def hdr_quantile_estimates(
     )
     total = registers.agg(F.sum("n").alias("total"), F.lit(1).alias("__j"))
     spark = registers.sparkSession
-    phi_df = spark.createDataFrame(
-        [(float(p),) for p in phis], "phi double"
+    phi_df = local_rows(
+        spark, [(float(p),) for p in phis], "phi double"
     ).withColumn("__j", F.lit(1))
     k = F.ceil(F.col("phi") * F.col("total").cast("double")).cast("long")
     phi_rows = phi_df.join(total, "__j").select(

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.sources.tables import load_table, spread_input
 
 # language-ID marker regexes (shared literally with the DuckDB oracle).
@@ -765,7 +766,7 @@ def blocklist_signals(
             frac.cast("double").alias("hit_frac"),
         )
     spark = docs.sparkSession
-    term_df = spark.createDataFrame([(t,) for t in tset], "w STRING")
+    term_df = local_rows(spark, [(t,) for t in tset], "w STRING")
     exploded = docs.select(F.col(id_col), F.explode(toks).alias("w"))
     per_doc = (
         exploded.join(F.broadcast(term_df.withColumn("__hit", F.lit(1))), "w", "left")

@@ -14,6 +14,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.fs import dir_bytes
 
 #: profile: HLL++ relative error (same sketch the approx entries use)
@@ -136,7 +137,7 @@ def profile_table(df: DataFrame) -> DataFrame:
             (c, "min", row[f"__min_{c}"]),
             (c, "max", row[f"__max_{c}"]),
         ]
-    return spark.createDataFrame(out, "column STRING, metric STRING, value STRING")
+    return local_rows(spark, out, "column STRING, metric STRING, value STRING")
 
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_etl_spark.fs import delete_dir, list_subdirs, path_exists
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     canonical_fingerprint,
@@ -146,7 +147,7 @@ SEM_CENTS_SCHEMA = "c_id INT, cv ARRAY<DOUBLE>, cn DOUBLE"
 def _sem_index(spark: SparkSession, path: str) -> DataFrame:
     if path_exists(spark, path):
         return spark.read.schema(SEM_INDEX_SCHEMA).parquet(path)
-    return spark.createDataFrame([], SEM_INDEX_SCHEMA)
+    return local_rows(spark, [], SEM_INDEX_SCHEMA)
 
 
 def semantic_gate(
@@ -283,7 +284,7 @@ ORIG_FP_SCHEMA = "fp STRING"
 def _win_index(spark: SparkSession, path: str) -> DataFrame:
     if path_exists(spark, path):
         return spark.read.schema(WIN_INDEX_SCHEMA).parquet(path)
-    return spark.createDataFrame([], WIN_INDEX_SCHEMA)
+    return local_rows(spark, [], WIN_INDEX_SCHEMA)
 
 
 #: materialized corpus-side relations of ``dedup_incremental`` — the
@@ -467,7 +468,7 @@ def admit_seen_ids(
             "never-attempted id under it. Ingest new high ids normally."
         )
     delta = (
-        spark.createDataFrame([(i,) for i in sorted(set(ids))], DEDUP_SEEN_SCHEMA)
+        local_rows(spark, [(i,) for i in sorted(set(ids))], DEDUP_SEEN_SCHEMA)
         .join(seen, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
@@ -1424,14 +1425,11 @@ def _prune_telemetry_body(
             )
             rows = merged.collect()  # <= depth x width rows by construction
             staged = _compact_staging(rollup)
-            # repartition(1), NOT coalesce(1), on every one-file write of
-            # a python-built local relation: coalesce(1) replays all
-            # defaultParallelism pickled partitions sequentially through
-            # one task's Python runner (~6 s per write measured);
-            # repartition keeps the parallel scan and still lands one
-            # file. Same rows, same layout. (Applies to the four register
-            # /telemetry writes below too.)
-            spark.createDataFrame(rows, CM_SCHEMA).repartition(1).write.mode(
+            # ONE-slice local relation (localrel rationale): the bounded
+            # driver-built rows scan as one task and land as one file —
+            # no repartition(1)/coalesce(1) step at all. (Applies to the
+            # register/telemetry writes below too.)
+            local_rows(spark, rows, CM_SCHEMA).write.mode(
                 "overwrite"
             ).parquet(staged)
             write_text_file(
@@ -1569,7 +1567,7 @@ def _corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
     # report an hdfs:// or s3a:// corpus as absent
     if path_exists(spark, corpus_path):
         return spark.read.schema(DOCS_SCHEMA).parquet(corpus_path)
-    return spark.createDataFrame([], DOCS_SCHEMA)
+    return local_rows(spark, [], DOCS_SCHEMA)
 
 
 def _stats_generations(spark: SparkSession, stats_path: str) -> list[int]:
@@ -1619,7 +1617,7 @@ def update_corpus_stats(
     old, latest = _latest_stats(spark, stats_path)
     merged = batch_regs if old is None else hll_merge(old, batch_regs)
     rows = merged.collect()  # <= 2^p = 256 rows by construction
-    spark.createDataFrame(rows, STATS_SCHEMA).repartition(1).write.mode(
+    local_rows(spark, rows, STATS_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{stats_path}/v{latest + 1}")
     # keep the immediately-previous generation as the recovery point; prune
@@ -1736,7 +1734,7 @@ def update_length_histogram(
         # rank walk never reaches cum >= 1 on an all-zero table, so
         # corpus_length_quantiles still answers {})
         rows = [(0, 0, int(batch_id))]
-    spark.createDataFrame(rows, LEN_HDR_SCHEMA).repartition(1).write.mode(
+    local_rows(spark, rows, LEN_HDR_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{hdr_path}/v{latest + 1}")
     # prune: keep the just-committed generation and its base (the
@@ -2292,8 +2290,8 @@ def bm25_topk_from_index(
     _, avgdl, idfs = bm25_stats_from_lexicon(spark, lexicon_path, queries)
     qmap = _live_qmap(queries, idfs)
     if not qmap:
-        return spark.createDataFrame(
-            [], "q_id long, doc_id long, score double, rn int"
+        return local_rows(
+            spark, [], "q_id long, doc_id long, score double, rn int"
         )
     terms = sorted({t for _, t, _ in qmap})
     buckets = sorted({term_bucket(t) for t in terms})
@@ -2453,7 +2451,7 @@ def monitor_length_quantile_drift(
         c, b = corpus_q[phi], batch_q[phi]
         ratio = float(b) / float(max(c, 1))
         rows.append((phi, c, b, ratio, not (lo <= ratio <= hi)))
-    spark.createDataFrame(rows, LEN_DRIFT_SCHEMA).repartition(1).write.mode(
+    local_rows(spark, rows, LEN_DRIFT_SCHEMA).write.mode(
         "overwrite"
     ).parquet(f"{length_drift_path(drift_path)}/batch={int(batch_id)}")
 
