@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.sources.tables import load_table
 
 N_QUERIES = 10  # query set: vec_id < 10
@@ -209,7 +210,8 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return n_scan, diff == 0
 
     n_scan, idx_equal = _memo(spark, sf_dir, "bm25idx_gate", _bm25idx_gate)
-    bm25idx_arm = spark.createDataFrame(
+    bm25idx_arm = local_rows(
+        spark,
         [("bm25idx", -1, n_scan, 1.0 if idx_equal else 0.0, 1)],
         "op STRING, q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT",
     )
@@ -717,13 +719,49 @@ PCA_MATCH_TOL = 1e-6
 #: seed/iterations), so reuse cannot change results; clearCache() only
 #: drops blocks, the memoized frames recompute lazily.
 _IVF_MEMO: dict = {}
+#: per-key in-flight builds (round 16 — the concurrent gate pool made
+#: ``_memo`` reachable from several threads; a bare check-then-set was
+#: safe only by the call-site convention that no two threads ever share
+#: a key. The lock + pending-future pair makes it safe by construction:
+#: concurrent builders of the SAME key serialize — one builds, the rest
+#: block on its future — while different keys still build concurrently).
+_MEMO_PENDING: dict = {}
+_MEMO_LOCK = None
 
 
 def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
+    global _MEMO_LOCK
+    import threading
+    from concurrent.futures import Future
+
+    if _MEMO_LOCK is None:
+        _MEMO_LOCK = threading.Lock()
     key = (spark.sparkContext.applicationId, sf_dir, kind)
-    if key not in _IVF_MEMO:
-        _IVF_MEMO[key] = build()
-    return _IVF_MEMO[key]
+    while True:
+        with _MEMO_LOCK:
+            if key in _IVF_MEMO:
+                return _IVF_MEMO[key]
+            fut = _MEMO_PENDING.get(key)
+            if fut is None:
+                fut = Future()
+                _MEMO_PENDING[key] = fut
+                break
+        # another thread is building this key — wait for it (its
+        # exception, if any, propagates to every waiter); on success
+        # loop back and read the committed value
+        fut.result()
+    try:
+        val = build()
+    except BaseException as e:
+        with _MEMO_LOCK:
+            _MEMO_PENDING.pop(key, None)
+        fut.set_exception(e)
+        raise
+    with _MEMO_LOCK:
+        _IVF_MEMO[key] = val
+        _MEMO_PENDING.pop(key, None)
+    fut.set_result(val)
+    return val
 
 
 def memoized_frame_ids() -> set[int]:
@@ -1114,16 +1152,12 @@ def _ann_index_gate_row(
         served = ann_topk_from_index(spark, d, vecs, q).persist()
         try:
             with ThreadPoolExecutor(max_workers=4) as pool:
-                f_diff = pool.submit(
-                    lambda: served.exceptAll(res).count()
-                    + res.exceptAll(served).count()
-                )
-                f_crow = pool.submit(
-                    lambda: served.groupBy("q_id")
-                    .agg(F.count("*").alias("c"))
-                    .agg(F.min("c").alias("cmin"), F.max("c").alias("cmax"))
-                    .first()
-                )
+                # the two independent count reads start first; the served
+                # frame is then materialized ONCE on this thread before
+                # the two legs that consume it fork — a lazy persist read
+                # by concurrent threads computes the serving plan once
+                # per thread until the blocks land (the round-15
+                # exact_full/ivfpq_res lesson, closed here too)
                 f_ncodes = pool.submit(
                     lambda: spark.read.parquet(p["codes"])
                     .select("vec_id")
@@ -1135,6 +1169,17 @@ def _ann_index_gate_row(
                     .parquet(p["totals"])
                     .distinct()
                     .agg(F.sum("n_docs"), F.sum("n_vecs"))
+                    .first()
+                )
+                served.count()
+                f_diff = pool.submit(
+                    lambda: served.exceptAll(res).count()
+                    + res.exceptAll(served).count()
+                )
+                f_crow = pool.submit(
+                    lambda: served.groupBy("q_id")
+                    .agg(F.count("*").alias("c"))
+                    .agg(F.min("c").alias("cmin"), F.max("c").alias("cmax"))
                     .first()
                 )
                 counts = vecs.agg(
@@ -1381,19 +1426,23 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT, "
         "trained_recall_ok BOOLEAN, q8_recall_ok BOOLEAN, q8_err_ok BOOLEAN"
     )
-    pca_arm = spark.createDataFrame(
+    pca_arm = local_rows(
+        spark,
         [(-1, n_proj, float(k_meas), k_meas, var_ok, ortho_ok, recon_ok)],
         arm_schema,
     )
-    pq_arm = spark.createDataFrame(
+    pq_arm = local_rows(
+        spark,
         [(-2, n_codes, float(m_meas), m_meas, pqr_ok, pqe_ok, pqm_ok)],
         arm_schema,
     )
-    ivfpq_arm = spark.createDataFrame(
+    ivfpq_arm = local_rows(
+        spark,
         [(-3, nq, float(kq_meas), kq_meas, ivq_r_ok, ivq_s_ok, ivq_e_ok)],
         arm_schema,
     )
-    annidx_arm = spark.createDataFrame(
+    annidx_arm = local_rows(
+        spark,
         [(-4, n_idx, float(ki_meas), ki_meas, ai_x_ok, ai_r_ok, ai_c_ok)],
         arm_schema,
     )
@@ -1455,7 +1504,7 @@ def train_ivf_centroids(
             (i, [float(x) for x in c])
             for i, c in enumerate(model.clusterCenters())
         ]
-    cents = spark.createDataFrame(rows, "c_id INT, cv ARRAY<DOUBLE>")
+    cents = local_rows(spark, rows, "c_id INT, cv ARRAY<DOUBLE>")
     return cents.select("c_id", "cv", norm(F.col("cv")).alias("cn"))
 
 
@@ -1830,8 +1879,8 @@ def pq_train(
                 _lloyd(X[:, j * dsub : (j + 1) * dsub], k, seed + j, max_iter)
             )
         ]
-        return spark.createDataFrame(
-            rows, "j INT, code INT, cent ARRAY<DOUBLE>"
+        return local_rows(
+            spark, rows, "j INT, code INT, cent ARRAY<DOUBLE>"
         )
 
     from concurrent.futures import ThreadPoolExecutor
@@ -1863,7 +1912,7 @@ def pq_train(
     finally:
         train.unpersist()
     rows = [r for part in parts for r in part]
-    return spark.createDataFrame(rows, "j INT, code INT, cent ARRAY<DOUBLE>")
+    return local_rows(spark, rows, "j INT, code INT, cent ARRAY<DOUBLE>")
 
 
 def pq_encode(
@@ -1894,8 +1943,8 @@ def pq_encode(
     an empty result rather than a driver TypeError."""
     first = vecs.filter(F.col(emb_col).isNotNull()).select(emb_col).first()
     if first is None:
-        return vecs.sparkSession.createDataFrame(
-            [], "vec_id LONG, codes ARRAY<INT>, qerr DOUBLE"
+        return local_rows(
+            vecs.sparkSession, [], "vec_id LONG, codes ARRAY<INT>, qerr DOUBLE"
         )
     d = len(first[0])
     dsub = d // m
@@ -1991,8 +2040,8 @@ def _pq_candidates(
     k = 1 + max(c for _, c in cb)
     q_rows = queries.filter(F.col("qn") > 0).collect()
     if not q_rows:
-        return vecs.sparkSession.createDataFrame(
-            [], "q_id LONG, vec_id LONG, adc DOUBLE, cosine DOUBLE"
+        return local_rows(
+            vecs.sparkSession, [], "q_id LONG, vec_id LONG, adc DOUBLE, cosine DOUBLE"
         )
     d = len(q_rows[0]["qv"])
     dsub = d // m
@@ -2014,7 +2063,8 @@ def _pq_candidates(
         ]
         lut_rows.append((qr["q_id"], list(qr["qv"]), float(qr["qn"]), lut))
     spark = vecs.sparkSession
-    luts = spark.createDataFrame(
+    luts = local_rows(
+        spark,
         lut_rows,
         "q_id LONG, qv ARRAY<DOUBLE>, qn DOUBLE, lut ARRAY<ARRAY<DOUBLE>>",
     )

@@ -83,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_etl_spark.fs import delete_dir, path_exists
+from ts_etl_spark.localrel import local_rows
 
 #: the encoded corpus (codes table); ``cell`` is the hive partition
 #: column appended on read (values come from the directory names)
@@ -231,14 +232,33 @@ def train_ann_model(
         F.col("code").cast("int").alias("code"),
         F.col("cent").cast("array<double>").alias("cent"),
     )
-    cent_rows.write.mode("append").parquet(p["cents"])
-    cb_rows.write.mode("append").parquet(p["codebooks"])
-    dims = cents.agg(
-        F.count(F.lit(1)).alias("nc"), F.min(F.size("cv")).alias("d")
-    ).first()
-    mrow = codebooks.agg((F.max("j") + 1).alias("m")).first()
-    meta = spark.createDataFrame(
-        [(gen, int(dims.nc), int(mrow.m), int(dims.d))], ANN_META_SCHEMA
+    # the two model writes and the two dimension aggregates are mutually
+    # independent (guide §2.6 — overlap independent driver actions); all
+    # four complete before meta commits, so the totals-last discipline is
+    # untouched
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_cw = pool.submit(
+            lambda: cent_rows.write.mode("append").parquet(p["cents"])
+        )
+        f_bw = pool.submit(
+            lambda: cb_rows.write.mode("append").parquet(p["codebooks"])
+        )
+        f_dims = pool.submit(
+            lambda: cents.agg(
+                F.count(F.lit(1)).alias("nc"), F.min(F.size("cv")).alias("d")
+            ).first()
+        )
+        f_m = pool.submit(
+            lambda: codebooks.agg((F.max("j") + 1).alias("m")).first()
+        )
+        f_cw.result()
+        f_bw.result()
+        dims = f_dims.result()
+        mrow = f_m.result()
+    meta = local_rows(
+        spark, [(gen, int(dims.nc), int(mrow.m), int(dims.d))], ANN_META_SCHEMA
     )
     # THE commit point for the generation — meta last
     meta.write.mode("append").parquet(p["meta"])
@@ -332,36 +352,57 @@ def _append_codes(
         .localCheckpoint(eager=True)
     )
     try:
-        n_vecs = rows.count()
-        n_docs = vecs.count()
-        (
-            rows.repartition(n_cells, "cell")
-            .sortWithinPartitions("cell", "vec_id")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(p["codes"])
-        )
+        # Round 16 (guide §2.6): the fold's commit-protocol actions over
+        # the checkpointed rows — the codes write, ONE fused stats
+        # aggregate (row count + the qdrift mean in one job; avg skips
+        # the NULLs the old filter dropped, same value), and the n_docs
+        # count — are mutually independent, so they overlap instead of
+        # running back-to-back. All three complete before the qdrift
+        # write starts, so the crash ladder's write ORDER (codes →
+        # qdrift → totals) is exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_stats = pool.submit(
+                lambda: rows.agg(
+                    F.count(F.lit(1)).alias("nv"),
+                    F.avg(
+                        F.when(
+                            F.col("nrm") > 0,
+                            F.col("qerr") / (F.col("nrm") * F.col("nrm")),
+                        )
+                    ).alias("e"),
+                ).first()
+            )
+            f_docs = pool.submit(vecs.count)
+            f_codes = pool.submit(
+                lambda: (
+                    rows.repartition(n_cells, "cell")
+                    .sortWithinPartitions("cell", "vec_id")
+                    .write.partitionBy("cell")
+                    .mode("append")
+                    .parquet(p["codes"])
+                )
+            )
+            stats = f_stats.result()
+            n_docs = f_docs.result()
+            f_codes.result()
+        n_vecs = int(stats.nv)
+        mean_rel = float(stats.e) if stats.e is not None else 0.0
         # telemetry before the presence marker: a crash in between
-        # replays into an overwrite of the same batch=<id> dir
-        drift = rows.filter(F.col("nrm") > 0).agg(
-            F.avg(F.col("qerr") / (F.col("nrm") * F.col("nrm"))).alias("e")
-        ).first()
-        mean_rel = float(drift.e) if drift.e is not None else 0.0
-        # repartition(1), NOT coalesce(1), for the one-file telemetry
-        # write: a python-built local relation scans as a pickled RDD
-        # with defaultParallelism partitions, and coalesce(1) replays
-        # every one of them SEQUENTIALLY through a single task's Python
-        # runner (~6 s per write measured at 32 cores); repartition
-        # keeps the parallel scan and shuffles the handful of rows to
-        # one writer (<1 s). Same rows, same single file.
-        spark.createDataFrame(
+        # replays into an overwrite of the same batch=<id> dir. The
+        # one-row frames are ONE-slice local relations (localrel
+        # rationale): one task scans, one file lands, no
+        # repartition/coalesce step at all.
+        local_rows(
+            spark,
             [(gen, n_vecs, mean_rel, bool(mean_rel > ANN_QDRIFT_THRESHOLD))],
             ANN_QDRIFT_SCHEMA,
-        ).repartition(1).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             f"{p['qdrift']}/batch={int(batch_id)}"
         )
-        spark.createDataFrame(
-            [(n_docs, n_vecs, int(batch_id))], ANN_TOTALS_SCHEMA
+        local_rows(
+            spark, [(n_docs, n_vecs, int(batch_id))], ANN_TOTALS_SCHEMA
         ).write.mode("append").parquet(p["totals"])
     finally:
         rows.unpersist()
@@ -510,8 +551,8 @@ def ann_topk_from_index(
     # PLANNING-TIME partition filters
     probe_rows = probes.collect()
     if not probe_rows:
-        return spark.createDataFrame(
-            [], "q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT"
+        return local_rows(
+            spark, [], "q_id LONG, neighbor_id LONG, cosine DOUBLE, rn INT"
         )
     cells = sorted({int(r["cell"]) for r in probe_rows})
     codes_df = (
@@ -520,7 +561,8 @@ def ann_topk_from_index(
         .filter(F.col("cell").isin(cells))
         .distinct()
     )
-    pairs_df = spark.createDataFrame(
+    pairs_df = local_rows(
+        spark,
         [(int(r["q_id"]), int(r["cell"])) for r in probe_rows],
         "q_id LONG, cell INT",
     )
