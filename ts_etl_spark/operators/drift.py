@@ -23,6 +23,8 @@ the HLL registers. Nothing about the computation holds more than
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from ts_etl_spark.localrel import local_rows
 from pyspark.sql import functions as F
 
 
@@ -106,7 +108,14 @@ def _ordered_total(detail: DataFrame) -> DataFrame:
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("bucket", "psi_term"))),
             F.lit(0.0),
-            lambda acc, s: acc + s["psi_term"],
+            # coalesce each term: F.sum (the pre-fold shape) SKIPPED null
+            # terms, but acc + NULL poisons a fold — with caller-supplied
+            # eps=0 an empty bucket's log(0) term is NULL and the total
+            # would silently become NULL instead of the sum of defined
+            # terms (review finding, round 15). collect_list also drops
+            # null STRUCT elements but not structs with a null field, so
+            # the guard belongs here in the fold.
+            lambda acc, s: acc + F.coalesce(s["psi_term"], F.lit(0.0)),
         ).alias("psi_term"),
     )
 
@@ -289,7 +298,8 @@ def psi_drift_sided(
         )
     counted = {r["bucket"]: (r["n_base"], r["n_cur"]) for r in rows}
     spark = df.sparkSession
-    local = spark.createDataFrame(
+    local = local_rows(
+        spark,
         [
             (i, *counted.get(i, (0, 0)))
             for i in range(n_buckets)

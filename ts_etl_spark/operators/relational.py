@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators import sketches as _sketches
 from ts_etl_spark.sources.tables import load_table
 
@@ -1141,9 +1142,26 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ]
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    # Round 16 (review finding): the exact-percentile/sketch aggregate
+    # split is SIZE-CONDITIONAL, mirroring the spread_input guard. On a
+    # narrow scan (fewer splits than cores — the local test files) the
+    # two passes overlap in the pool and the wall is the slower one; on
+    # a cluster-saturating scan the sum of scans IS the cost, so the two
+    # arms fuse back into ONE aggregate (their pre-split shape — no
+    # countDistinct in it, so the Expand planner trap above does not
+    # apply) and the input is read once. Values are identical either
+    # way: every aggregate computes independently of its job-mates.
+    par = spark.sparkContext.defaultParallelism
+    narrow_scan = li.rdd.getNumPartitions() < par
     with ThreadPoolExecutor(max_workers=6) as pool:
-        f_prow = pool.submit(lambda: li.agg(*prow_agg).first())
-        f_srow = pool.submit(lambda: li.agg(*srow_agg).first())
+        if narrow_scan:
+            f_prow = pool.submit(lambda: li.agg(*prow_agg).first())
+            f_srow = pool.submit(lambda: li.agg(*srow_agg).first())
+        else:
+            f_prow = pool.submit(
+                lambda: li.agg(*prow_agg, *srow_agg).first()
+            )
+            f_srow = f_prow
         f_drow = pool.submit(
             lambda: li.agg(
                 F.countDistinct("l_partkey").alias("distinct_parts"),
@@ -1195,7 +1213,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ado_ok", None, rel_ok("ado", "distinct_orders", 0.05)),
     ]
     schema = "metric STRING, value DOUBLE, ok BOOLEAN"
-    long = spark.createDataFrame(long_rows, schema)
+    long = local_rows(spark, long_rows, schema)
     nd = F.lit(None).cast("double")
 
     deciles = q_ntile_bucketed(spark, sf_dir).select(
@@ -1206,7 +1224,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
     )
 
-    regs = spark.createDataFrame(hll_collected, "bucket STRING, rho INT")
+    regs = local_rows(spark, hll_collected, "bucket STRING, rho INT")
     reg_rows = regs.select(
         F.concat(F.lit("hll_"), F.col("bucket")).alias("metric"),
         F.col("rho").cast("double").alias("value"),
@@ -1223,7 +1241,7 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok"),
     )
 
-    cm = spark.createDataFrame(cm_collected, "d INT, slot INT, c BIGINT")
+    cm = local_rows(spark, cm_collected, "d INT, slot INT, c BIGINT")
     cm_rows = cm.select(
         F.concat(
             F.lit("cm_"),
@@ -1279,8 +1297,8 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b, n in h.items():
             full_counts[b] = full_counts.get(b, 0) + n
     reg_schema = "bucket INT, n BIGINT"
-    hdr_full = spark.createDataFrame(
-        sorted(full_counts.items()), reg_schema
+    hdr_full = local_rows(
+        spark, sorted(full_counts.items()), reg_schema
     )
     hdr_reg_rows = hdr_full.select(
         F.concat(
@@ -1316,8 +1334,8 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the per-parity slices of the fused single scan above (the
     # gate still exercises the REAL hdr_merge operator; only the
     # register derivation is shared)
-    even = spark.createDataFrame(sorted(halves[0].items()), reg_schema)
-    odd = spark.createDataFrame(sorted(halves[1].items()), reg_schema)
+    even = local_rows(spark, sorted(halves[0].items()), reg_schema)
+    odd = local_rows(spark, sorted(halves[1].items()), reg_schema)
     merged = hdr_merge(even, odd)
     mismatches = (
         merged.join(hdr_full.withColumnRenamed("n", "n_full"), "bucket", "full")
@@ -1329,8 +1347,8 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     hdr_merge_row = [("hdr_merge_ok", None, mismatches == 0)]
-    hdr_local = spark.createDataFrame(
-        hdr_est_rows + hdr_ok_rows + hdr_merge_row, schema
+    hdr_local = local_rows(
+        spark, hdr_est_rows + hdr_ok_rows + hdr_merge_row, schema
     )
     return (
         long.unionByName(deciles)
