@@ -66,6 +66,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators.bpe import WORD_PAT, bpe_encode, learn_bpe
 from ts_etl_spark.operators.chunking import chunk_documents
 from ts_etl_spark.operators.packing import pack_sequences
@@ -115,6 +116,71 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = F.lit(None).cast("string")
     nd = F.lit(None).cast("double")
     t = F.lit(True)
+
+    # Round 16 (guide §2.6 — overlap independent driver work): the leak
+    # arms' construction is EAGER (component_safe_splits runs the
+    # small-edges probe — one LSH materialization + the driver-local
+    # union-find, ~1.5 s warm at sf0.1) and entirely independent of the
+    # other arms' plan building and the mix arm's bounded collect (and,
+    # cold, of the learn_bpe pass). It runs on a background thread while
+    # the main thread builds everything else; the futures join before
+    # the final union, so the returned frame is identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _leak_arms():
+        from ts_etl_spark.operators.dedup import minhash_lsh_pairs
+        from ts_etl_spark.pipelines.leakage import (
+            component_safe_splits,
+            split_edge_violations,
+            split_leakage_audit,
+        )
+
+        # one LSH pass feeds the audit AND the component splitter; the
+        # band join is the arm's dominant cost, so share it across
+        # consumers. Repartition first: the local test file is a single
+        # input split and the shingle/signature projection is the
+        # compute-heavy step (the shingle_sets_df rationale — AQE
+        # coalesces this away at real scale)
+        par = spark.sparkContext.defaultParallelism
+        ldocs = docs.repartition(par, "doc_id")
+        near = minhash_lsh_pairs(ldocs).persist()
+        audit = split_leakage_audit(
+            ldocs, weights=SPLIT_WEIGHTS, key_cols=["doc_id"],
+            seed="split", near_pairs=near,
+        )
+        leak = audit.select(
+            F.lit("leak").alias("op"),
+            F.col("id_a").alias("k1"),
+            F.col("id_b").alias("k2"),
+            F.concat_ws("|", "kind", "split_a", "split_b").alias("s"),
+            F.col("jaccard").alias("v"),
+            t.alias("ok"),
+        )
+        safe = component_safe_splits(
+            ldocs, SPLIT_WEIGHTS, seed="split", near_pairs=near
+        )
+        # emptiness via the EDGE-level check, not a second pair-grained
+        # audit: provably equivalent under per-component splits (see
+        # split_edge_violations) and linear in degenerate duplicate
+        # groups where the audit's exact pair join is O(g²)
+        leak_safe = (
+            split_edge_violations(
+                ldocs, safe.select("doc_id", "split"), near_pairs=near
+            )
+            .agg((F.count("*") == 0).alias("__ok"))
+            .select(
+                F.lit("leak_safe").alias("op"),
+                nb.alias("k1"),
+                nb.alias("k2"),
+                ns.alias("s"),
+                nd.alias("v"),
+                F.col("__ok").alias("ok"),
+            )
+        )
+        return leak, leak_safe
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _f_leak = _pool.submit(_leak_arms)
 
     chunks = chunk_documents(docs, CHUNK_CHARS, CHUNK_OVERLAP).select(
         F.lit("chunk").alias("op"),
@@ -236,55 +302,6 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.ok").alias("ok"),
     )
 
-    from ts_etl_spark.operators.dedup import minhash_lsh_pairs
-    from ts_etl_spark.pipelines.leakage import (
-        component_safe_splits,
-        split_edge_violations,
-        split_leakage_audit,
-    )
-
-    # one LSH pass feeds the audit AND the component splitter; the band
-    # join is the arm's dominant cost, so share it across consumers.
-    # Repartition first: the local test file is a single input split and
-    # the shingle/signature projection is the compute-heavy step (the
-    # shingle_sets_df rationale — AQE coalesces this away at real scale)
-    par = spark.sparkContext.defaultParallelism
-    ldocs = docs.repartition(par, "doc_id")
-    near = minhash_lsh_pairs(ldocs).persist()
-    audit = split_leakage_audit(
-        ldocs, weights=SPLIT_WEIGHTS, key_cols=["doc_id"], seed="split",
-        near_pairs=near,
-    )
-    leak = audit.select(
-        F.lit("leak").alias("op"),
-        F.col("id_a").alias("k1"),
-        F.col("id_b").alias("k2"),
-        F.concat_ws("|", "kind", "split_a", "split_b").alias("s"),
-        F.col("jaccard").alias("v"),
-        t.alias("ok"),
-    )
-    safe = component_safe_splits(
-        ldocs, SPLIT_WEIGHTS, seed="split", near_pairs=near
-    )
-    # emptiness via the EDGE-level check, not a second pair-grained
-    # audit: provably equivalent under per-component splits (see
-    # split_edge_violations) and linear in degenerate duplicate groups
-    # where the audit's exact pair join is O(g²)
-    leak_safe = (
-        split_edge_violations(
-            ldocs, safe.select("doc_id", "split"), near_pairs=near
-        )
-        .agg((F.count("*") == 0).alias("__ok"))
-        .select(
-            F.lit("leak_safe").alias("op"),
-            nb.alias("k1"),
-            nb.alias("k2"),
-            ns.alias("s"),
-            nd.alias("v"),
-            F.col("__ok").alias("ok"),
-        )
-    )
-
     from ts_etl_spark.pipelines.sampling import temperature_shares
     from ts_etl_spark.pipelines.shards import assign_shards
 
@@ -327,7 +344,7 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tau in MIX_TAUS
         for lang, share in temperature_shares(counts, tau).items()
     ]
-    mix = spark.createDataFrame(mix_rows, "s STRING, v DOUBLE").select(
+    mix = local_rows(spark, mix_rows, "s STRING, v DOUBLE").select(
         F.lit("mix").alias("op"),
         nb.alias("k1"),
         nb.alias("k2"),
@@ -336,6 +353,10 @@ def q_trainer_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("ok"),
     )
 
+    try:
+        leak, leak_safe = _f_leak.result()
+    finally:
+        _pool.shutdown()
     return (
         chunks.unionByName(splits)
         .unionByName(bpe)
