@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ts_etl_spark.localrel import local_rows
 from ts_etl_spark.operators import sketches as _sketches
-from ts_etl_spark.sources.tables import load_table
+from ts_etl_spark.sources.tables import load_table, spread_input
 
 DEC = T.DecimalType(18, 2)
 
@@ -1153,9 +1153,19 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # way: every aggregate computes independently of its job-mates.
     par = spark.sparkContext.defaultParallelism
     narrow_scan = li.rdd.getNumPartitions() < par
+    # Per-pass spread on the two passes that are both compute-heavy and
+    # narrow-input-bound (A/B at sf0.1, pass alone: cm 2.3-2.5 → 0.6-1.4 s,
+    # exact percentile 1.6-1.9 → 1.4 s; the sketch pass REGRESSED under a
+    # spread — its 4-column exchange costs more than the parallelism buys
+    # — and hll was neutral, so both stay as-is). Project to the one
+    # needed column BEFORE the exchange (guide §2.3) and let spread_input's
+    # guard keep production plans shuffle-free; the pool's other passes
+    # each own a single task, so without this the heavy passes pin one
+    # core each while most of the machine idles.
+    li_price = spread_input(li.select("l_extendedprice"), "l_extendedprice")
     with ThreadPoolExecutor(max_workers=6) as pool:
         if narrow_scan:
-            f_prow = pool.submit(lambda: li.agg(*prow_agg).first())
+            f_prow = pool.submit(lambda: li_price.agg(*prow_agg).first())
             f_srow = pool.submit(lambda: li.agg(*srow_agg).first())
         else:
             f_prow = pool.submit(
@@ -1170,7 +1180,12 @@ def q_quantiles_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()
         )
         f_hll = pool.submit(lambda: hll_registers(li, "l_partkey").collect())
-        f_cm = pool.submit(lambda: cm_registers(li, "l_partkey").collect())
+        f_cm = pool.submit(
+            lambda: cm_registers(
+                spread_input(li.select("l_partkey"), "l_partkey"),
+                "l_partkey",
+            ).collect()
+        )
         f_hdr = pool.submit(
             lambda: hdr_registers(
                 li.select(
