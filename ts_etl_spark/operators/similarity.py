@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_etl_spark.localrel import local_rows
-from ts_etl_spark.sources.tables import load_table
+from ts_etl_spark.sources.tables import load_table, spread_input
 
 N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
@@ -171,13 +171,18 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk_arm = brute_topk(vecs, q).select(
         F.lit("topk").alias("op"), "q_id", "neighbor_id", "cosine", "rn"
     )
-    # NOT spread_input here (measured A/B-neutral): the entry's four
-    # arms execute as one job whose independent stages run concurrently,
-    # so the embdoc/bm25 single-task tokenize stages overlap the topk
-    # arm's parallel stages instead of serializing behind them
     docs = load_table(spark, sf_dir, "documents")
+    # Round 16 re-A/B (the round-15 "stage overlap hides the narrow
+    # scans" reading no longer holds on current numbers): the embdoc
+    # arm ALONE is 3.0-3.3 s — the whole entry's wall — because the
+    # full-corpus embed (tokenize → hash → densify → normalize) runs on
+    # the single-split scan's one task. Spreading JUST this arm's input
+    # (projected to the two columns it needs, guide §2.3/§2.5) cuts the
+    # arm to 0.7-0.8 s and the entry to ~1.3-1.5 s; the bm25 arm's
+    # spread was neutral-to-negative and stays as-is, and the exchange
+    # is guard-gated so production plans are untouched.
     embdoc_arm = (
-        embed_documents(docs)
+        embed_documents(spread_input(docs.select("doc_id", "text"), "doc_id"))
         .filter(F.col("embedding").isNotNull())
         .select("doc_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
