@@ -35,7 +35,7 @@ from ts_etl_spark.operators.urls import (
     strip_www_sql as _strip_www_sql,
     url_host_sql as _url_host_sql,
 )
-from ts_etl_spark.sources.tables import load_table
+from ts_etl_spark.sources.tables import load_table, spread_input
 
 N_MINHASH = 64
 LSH_BANDS = 32
@@ -254,6 +254,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" beta d"), pid,
         ).alias("text"),
     )
+    # Round 16 re-A/B: the paragraph LSH (split → shingle → minhash →
+    # band join → exact verify) on the single-split scan's one task was
+    # alone this entry's wall — 2.8-3.3 s as-is vs 1.2-1.5 s spread,
+    # entry 3.5-4.1 → ~2 s. (The round-15 rejection measured a spread of
+    # the WHOLE entry input, which re-executes the exchange under every
+    # union arm; this one sits under the pnd arm only.) Guard-gated:
+    # production-width scans keep the shuffle-free shape. Pair set and
+    # jaccard are partitioning-independent (deterministic signatures,
+    # exact verify).
+    pnd_docs = spread_input(pnd_docs, "doc_id")
     pnd_arm = paragraph_neardup_pairs(pnd_docs).select(
         F.lit("para_nd").alias("op"),
         F.col("doc_a").alias("doc_id"),
