@@ -93,6 +93,7 @@ def _build_multi_batch(spark, idx, rows, splits=(30, 55)):
         prev = end
 
 
+@pytest.mark.slow
 def test_multi_batch_index_serves_frame_exact(spark, idx):
     rows = _rows(80)
     _build_multi_batch(spark, idx, rows)
@@ -150,6 +151,7 @@ def test_missing_model_and_second_generation_refuse(spark, idx):
         train_ann_model(spark, vecs, idx)
 
 
+@pytest.mark.slow
 def test_empty_and_all_null_batches_record_presence(spark, idx):
     rows = _rows(20)
     assert bootstrap_ann_index(spark, _vec_frame(spark, rows), idx)
@@ -182,6 +184,7 @@ def test_empty_and_all_null_batches_record_presence(spark, idx):
     )
 
 
+@pytest.mark.slow
 def test_probed_cell_pruning_structural_and_behavioral(spark, idx):
     rows = _rows(80)
     _build_multi_batch(spark, idx, rows)
@@ -280,6 +283,7 @@ def test_qdrift_flags_planted_shift_and_stays_quiet(spark, idx):
     assert qd[2]["mean_rel_err"] > ANN_QDRIFT_THRESHOLD
 
 
+@pytest.mark.slow
 def test_per_cell_compaction_preserves_results(spark, idx):
     from ts_etl_spark.streaming.ingest import compact_bucketed_state_table
 
@@ -306,6 +310,7 @@ def test_per_cell_compaction_preserves_results(spark, idx):
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
 
+@pytest.mark.slow
 def test_rebuild_refuses_missing_corpus_and_rederives(spark, idx, tmp_path):
     with pytest.raises(ValueError, match="refusing to delete"):
         rebuild_ann_index(spark, str(tmp_path / "nope"), idx)
@@ -321,6 +326,7 @@ def test_rebuild_refuses_missing_corpus_and_rederives(spark, idx, tmp_path):
     assert verify_ann_index(spark, corpus, idx) == (30, 30)
 
 
+@pytest.mark.slow
 def test_qdrift_retrain_loop_closes(spark, idx, tmp_path):
     """The drift→retrain loop END TO END, on the real text→embedding
     path: a shape-shifted batch (single-token "spike" docs, whose
@@ -394,6 +400,7 @@ def test_qdrift_retrain_loop_closes(spark, idx, tmp_path):
     vecs.unpersist()
 
 
+@pytest.mark.slow
 def test_token_less_corpus_adoption_defers_then_covers(spark, tmp_path):
     """A pre-existing corpus with documents but no embeddable one must
     not wedge ingest (review finding, round 15: the bootstrap ran the
@@ -470,6 +477,7 @@ def _docs(spark, ids, seed=0):
     return spark.createDataFrame(rows, "doc_id LONG, text STRING")
 
 
+@pytest.mark.slow
 def test_ingest_batch_maintains_serving_index(spark, tmp_path):
     """The ann_index_path config: per-batch folds through the embedder
     seam, adoption bootstrap on a pre-existing corpus, coverage probe
@@ -503,6 +511,7 @@ def test_ingest_batch_maintains_serving_index(spark, tmp_path):
     assert _frames_equal(served, expected)
 
 
+@pytest.mark.slow
 def test_compact_state_compacts_and_probes_serving_index(spark, tmp_path):
     """compact-state over a deployment with the ANN index: codes
     compact per cell, model/totals flat, the coverage probe passes
@@ -567,6 +576,7 @@ def test_compact_state_compacts_and_probes_serving_index(spark, tmp_path):
     assert verify_ann_index(spark, corpus_path, idx)
 
 
+@pytest.mark.slow
 def test_drift_report_ann_rows_and_single_job_reads(
     spark, tmp_path, capsys
 ):
@@ -626,6 +636,7 @@ def test_drift_report_ann_rows_and_single_job_reads(
     assert set(report2["ann"]) == {n_batches - 1, n_batches}
 
 
+@pytest.mark.slow
 def test_ann_index_gate_row_on_real_data_and_falsifiable(spark):
     """The q_id = -4 arm's evidence on the real sf0.001 embeddings —
     all booleans TRUE with the registered entry's own seed quantizer —

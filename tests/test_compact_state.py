@@ -73,6 +73,7 @@ def deployment(spark, tmp_path):
     return corpus, idx, win, cfg
 
 
+@pytest.mark.slow
 def test_compaction_preserves_content_and_shrinks_files(
     spark, deployment, tmp_path
 ):
@@ -105,6 +106,7 @@ def test_compaction_preserves_content_and_shrinks_files(
     assert _snapshot(spark, corpus) == before[corpus]
 
 
+@pytest.mark.slow
 def test_attestation_failure_aborts_and_keeps_live(
     spark, deployment, monkeypatch
 ):
@@ -149,6 +151,7 @@ def _stage_and_commit(spark, table_dir, target=128 * 1024 * 1024):
     return staged, manifest, names
 
 
+@pytest.mark.slow
 def test_manifest_rolls_forward_after_commit(spark, deployment):
     """Crash right after the manifest PUT (no file moved yet): recovery
     rolls the swap FORWARD — the live table ends as exactly the staged
@@ -166,6 +169,7 @@ def test_manifest_rolls_forward_after_commit(spark, deployment):
     assert os.path.exists(f"{lens}/_SUCCESS")
 
 
+@pytest.mark.slow
 def test_crash_rollback_discards_stale_staging(spark, deployment):
     """Crash window before the swap (live still present): the staging is
     stale — discarded, live authoritative."""
@@ -181,6 +185,7 @@ def test_crash_rollback_discards_stale_staging(spark, deployment):
     assert _snapshot(spark, fp) == before
 
 
+@pytest.mark.slow
 def test_ingest_batch_recovers_interrupted_compaction(spark, deployment):
     """The per-batch recovery hook: an ingest arriving after a crashed
     committed swap (manifest present, files half-moved, old generation
@@ -203,6 +208,7 @@ def test_ingest_batch_recovers_interrupted_compaction(spark, deployment):
     assert not os.path.exists(_compact_manifest(bands))
 
 
+@pytest.mark.slow
 def test_compact_state_cli_roundtrip(spark, deployment):
     import ts_etl_spark.cli as cli
 
@@ -223,6 +229,7 @@ def test_missing_table_refused_and_absent_paths_skipped(spark, tmp_path):
     ) == {}
 
 
+@pytest.mark.slow
 def test_torn_objectstore_rename_recovers_without_row_loss(spark, deployment):
     """THE object-store crash shape (round-12 fix): a per-file rename on
     S3A is copy+delete, so a crash mid-move leaves the file in BOTH the
@@ -249,6 +256,7 @@ def test_torn_objectstore_rename_recovers_without_row_loss(spark, deployment):
     assert not os.path.exists(staged) and not os.path.exists(manifest)
 
 
+@pytest.mark.slow
 def test_stale_staging_cannot_resurrect_a_deleted_table(spark, deployment):
     """ADVICE round-11 #4: a committed-looking staging dir WITHOUT a
     manifest must never roll forward into a missing live table — an
@@ -279,6 +287,7 @@ def test_sibling_paths_preserve_root_and_relative_forms():
     assert _compact_staging("rel/corpus") == "rel/_compact_corpus"
 
 
+@pytest.mark.slow
 def test_partitioned_layout_refused(spark, deployment, tmp_path):
     """A hive-partitioned table must refuse the round-robin rewrite —
     it would destroy the partition layout readers prune on."""
@@ -290,6 +299,7 @@ def test_partitioned_layout_refused(spark, deployment, tmp_path):
         compact_state_table(spark, part)
 
 
+@pytest.mark.slow
 def test_torn_table_refuses_compaction(spark, deployment):
     """Round-11 review fix: compacting a table WITHOUT its _SUCCESS
     marker would stamp a fresh marker via the staging write and launder
@@ -302,6 +312,7 @@ def test_torn_table_refuses_compaction(spark, deployment):
         compact_state_table(spark, fp)
 
 
+@pytest.mark.slow
 def test_disabled_success_markers_refused(spark, deployment):
     """Round-11 review fix: with marksuccessfuljobs=false the whole
     _SUCCESS-gated state machine (generations, bootstrap commit checks,
@@ -368,6 +379,7 @@ def test_cli_ingest_compact_after(spark, tmp_path):
         assert count_files(spark, d) == 1, d
 
 
+@pytest.mark.slow
 def test_one_torn_table_does_not_block_the_rest(spark, deployment):
     """Round-11 second review pass: compact_ingest_state attempts every
     table and raises ONE summary error at the end — a torn table must
@@ -402,6 +414,7 @@ def test_seen_admit_on_attemptless_index_says_nothing_wedged(spark, tmp_path):
 
 
 @pytest.mark.parametrize("crash_after", [1, 2, 3, 4, 5, 6, 7, 8])
+@pytest.mark.slow
 def test_every_protocol_interruption_point_recovers(
     spark, deployment, crash_after
 ):
@@ -465,6 +478,7 @@ def test_every_protocol_interruption_point_recovers(
     assert _snapshot(spark, lens) == before
 
 
+@pytest.mark.slow
 def test_repeated_cycles_stay_stable(spark, deployment):
     """Compaction is idempotent and composes with further ingests:
     compact -> compact (no-op rewrite) -> ingest -> compact, content
@@ -530,6 +544,7 @@ def telemetry(spark, tmp_path):
     return hh, drift
 
 
+@pytest.mark.slow
 def test_telemetry_retention_bounds_dirs_and_preserves_counts(
     spark, telemetry
 ):
@@ -574,6 +589,7 @@ def test_telemetry_retention_bounds_dirs_and_preserves_counts(
     assert heavyhitter_estimate(spark, hh, keys) == grown
 
 
+@pytest.mark.slow
 def test_telemetry_rollup_crash_matrix(spark, telemetry):
     """Interrupt the rollup at each protocol point; the reader-side
     roll-forward must keep lifetime estimates exact throughout — no
@@ -701,6 +717,7 @@ def test_ingest_and_maintenance_honor_the_lease(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
 
 
+@pytest.mark.slow
 def test_torn_manifest_treated_as_uncommitted(spark, deployment):
     """A manifest whose PUT itself crashed (partial/garbled bytes) proves
     the swap never started: recovery must treat it like no manifest —
@@ -728,6 +745,7 @@ def test_torn_manifest_treated_as_uncommitted(spark, deployment):
     assert 7000 in {r.doc_id for r in spark.read.parquet(corpus).collect()}
 
 
+@pytest.mark.slow
 def test_torn_hh_rollup_manifest_keeps_victims(spark, telemetry):
     from ts_etl_spark.fs import write_text_file
     from ts_etl_spark.streaming.ingest import (

@@ -61,6 +61,7 @@ def _corpus_rows(spark, path):
     )
 
 
+@pytest.mark.slow
 def test_indexed_ingest_equals_unindexed(spark, tmp_path, batches):
     plain = str(tmp_path / "plain")
     indexed = str(tmp_path / "indexed")
@@ -78,6 +79,7 @@ def test_indexed_ingest_equals_unindexed(spark, tmp_path, batches):
     assert kept_ids == {1, 2, 12, 20, 22}, kept_ids
 
 
+@pytest.mark.slow
 def test_index_tables_equal_fresh_derivation(spark, tmp_path, batches):
     """After N batches the three persisted relations must be EXACTLY what
     deriving them from the final corpus text would produce — the index
@@ -167,6 +169,7 @@ def test_completed_batch_replay_is_idempotent(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_crash_window_ghost_replay_converges(spark, tmp_path):
     """Crash AFTER the index deltas, BEFORE the corpus append: the batch's
     ids are ghosts (indexed, uncommitted). The replay must NOT self-drop
@@ -248,6 +251,7 @@ def test_dedup_incremental_corpus_free_with_indexes(spark):
         dedup_incremental(None, batch)
 
 
+@pytest.mark.slow
 def test_indexed_ingest_composes_with_substring_gate(spark, tmp_path):
     """dedup_index + win_index together: the index derives from the
     STORED (post-mask) text, so a later batch's masked duplicate still
@@ -287,6 +291,7 @@ def test_indexed_ingest_composes_with_substring_gate(spark, tmp_path):
     } == {1, 2}
 
 
+@pytest.mark.slow
 def test_recrawl_of_masked_doc_drops_with_both_indexes(spark, tmp_path):
     """Round-10 self-review regression (variable shadowing): with BOTH
     win_index_path and dedup_index_path set, the ORIGINAL-fingerprint
@@ -324,6 +329,7 @@ def test_recrawl_of_masked_doc_drops_with_both_indexes(spark, tmp_path):
     assert not os.path.exists("None_origfp"), "stray cwd artifact recreated"
 
 
+@pytest.mark.slow
 def test_replay_of_batch_with_dropped_lower_id_does_not_wedge(spark, tmp_path):
     """Round-10 self-review regression (out-of-order guard): the guard
     consults the ATTEMPTS listing, not the kept-only fp table. A batch
@@ -354,6 +360,7 @@ def test_replay_of_batch_with_dropped_lower_id_does_not_wedge(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_lens_table_makes_drift_baseline_text_scan_free(spark, tmp_path):
     """The drift monitor with the dedup index on must produce the same
     PSI rows as the corpus-text-scan path (the lens table IS the corpus
@@ -434,6 +441,7 @@ def test_bench_indexed_supplement_matches_plain(spark):
     assert len(_BENCH_INDEX_MEMO) == n_memo
 
 
+@pytest.mark.slow
 def test_legacy_layout_backfills_missing_tables(spark, tmp_path):
     """Layout-upgrade path (round-10 self-review, CONFIRMED pre-fix): an
     index materialized by an older engine (fp/bands/sets only) must not
@@ -461,6 +469,7 @@ def test_legacy_layout_backfills_missing_tables(spark, tmp_path):
     assert set(lens) == {1, 2}
 
 
+@pytest.mark.slow
 def test_low_new_id_raises_even_for_duplicate_text(spark, tmp_path):
     """Deliberate round-10 hardening: the id-ordering contract is about
     IDS, not content — a never-attempted low id raises even when its
@@ -500,6 +509,7 @@ def test_lens_parquet_is_physically_int64(spark, tmp_path):
     assert str(schema.field("v").type) == "int64", schema
 
 
+@pytest.mark.slow
 def test_redelivered_committed_id_keeps_drift_baseline_aligned(spark, tmp_path):
     """A later batch legally re-delivering an already-committed id: the
     lens baseline must still count that doc (it IS in the corpus-so-far),
@@ -532,6 +542,7 @@ def test_redelivered_committed_id_keeps_drift_baseline_aligned(spark, tmp_path):
 
 
 @pytest.mark.parametrize("seed", [211, 223, 227])
+@pytest.mark.slow
 def test_indexed_equals_unindexed_random_batches(spark, tmp_path, seed):
     """Randomized batch-boundary robustness: docs with planted exact and
     near duplicate structure, split at random points into 1-4 batches —
@@ -604,6 +615,7 @@ def test_indexed_dedup_plan_reads_no_text_from_parquet(spark, tmp_path):
     assert "ReadSchema" in plan, "expected at least one parquet scan"
 
 
+@pytest.mark.slow
 def test_all_four_gates_compose_with_dedup_index(spark, tmp_path):
     """The full gate stack with the materialized dedup index on: substring
     gate (text rewrite) → pre-mask exact orig-fp probe → indexed
@@ -787,6 +799,7 @@ def test_seen_admit_unwedges_pre_index_dropped_id(spark, tmp_path, batches):
         admit_seen_ids(spark, idx, [999_999])
 
 
+@pytest.mark.slow
 def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
     """The CLI subcommand drives the same library path (shared session
     injected — the CLI owns its session in production)."""
@@ -806,6 +819,7 @@ def test_seen_admit_cli_roundtrip(spark, tmp_path, batches):
     assert 15 in seen
 
 
+@pytest.mark.slow
 def test_indexed_batch_cost_is_corpus_size_independent(spark, tmp_path):
     """Round-11 (verdict #4): the materialized index's headline claim —
     per-batch ingest cost flat as the corpus grows — measured, not just

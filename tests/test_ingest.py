@@ -239,6 +239,7 @@ def test_ingest_replay_is_idempotent(spark, tmp_path):
     assert (n1, n2) == (2, 2)
 
 
+@pytest.mark.slow
 def test_streamed_corpus_equals_sequential_batches(spark, tmp_path):
     """The streaming wrapper is exactly the sequential application of
     dedup_incremental — no extra or missing rows from micro-batch
@@ -352,6 +353,7 @@ def test_heavyhitter_estimate_skips_torn_batches(spark, tmp_path):
     assert heavyhitter_estimate(spark, hh_path, [fp]) == {fp: 0}
 
 
+@pytest.mark.slow
 def test_cli_ingest_and_sem_train_end_to_end(spark, tmp_path):
     """The full operational story from the CLI layer: sem-train writes a
     centroid table, ingest drains the landing dir through the dedup
@@ -455,6 +457,7 @@ def test_cli_ingest_with_substring_gate(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "win")).count() > 0
 
 
+@pytest.mark.slow
 def test_cli_ingest_with_dedup_index(spark, tmp_path):
     """--dedup-index from the CLI/streaming layer: the four-gate stack
     drains two micro-batches maintaining the materialized corpus-side
@@ -675,6 +678,7 @@ def test_ingest_batch_refuses_defaulted_batch_id_with_len_hdr(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bm25_lexicon_matches_corpus_scan_exactly(spark, tmp_path):
     """After a multi-batch ingest, (N, avgdl, idf) derived from the
     incremental lexicon must equal operators.bm25.bm25_stats recomputed
@@ -761,6 +765,7 @@ def test_bm25_lexicon_replay_and_torn_append_converge(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bm25_lexicon_compacts_under_the_manifest_protocol(spark, tmp_path):
     """compact_ingest_state treats the three lexicon tables as ordinary
     append-accumulated state: the attested rewrite collapses per-batch
@@ -794,6 +799,7 @@ def test_bm25_lexicon_compacts_under_the_manifest_protocol(spark, tmp_path):
     assert bm25_stats_from_lexicon(spark, lex, queries) == before
 
 
+@pytest.mark.slow
 def test_bm25_lexicon_bootstraps_on_adoption(spark, tmp_path):
     """Enabling the lexicon on a deployment with a pre-existing corpus
     must fold the STORED corpus first (reserved bootstrap id), not
@@ -999,6 +1005,7 @@ def test_bm25_postings_torn_append_collapses_on_read(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
     """Round 13 (r12 verdict #2): compact-state probes the lexicon's
     doc count against the corpus row count. A planted ghost batch
@@ -1067,6 +1074,7 @@ def test_bm25_ghost_batch_detected_and_auto_rebuilt(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_failures_do_not_mask_detected_drift(spark, tmp_path):
     """Round 14 (ADVICE): when a per-table compaction fails AND the
     ghost-batch probe detects drift, the failures RuntimeError must
@@ -1128,6 +1136,7 @@ def test_cli_lease_heartbeat_keeps_long_rebuild_held(spark, tmp_path, monkeypatc
     assert not path_exists(spark, lease)
 
 
+@pytest.mark.slow
 def test_postings_bucketed_layout_prunes_at_planning_time(spark, tmp_path):
     """Round 14 (r13 verdict #2): the postings table is hive-partitioned
     by term hash bucket, so a query term maps to ONE ``tbucket=<n>``
@@ -1264,6 +1273,7 @@ def test_rebuilds_and_probe_refuse_missing_corpus_path(spark, tmp_path):
     assert _latest_len_hdr(spark, hdr)[0] is not None
 
 
+@pytest.mark.slow
 def test_len_hdr_bootstraps_on_adoption_and_rebuilds(spark, tmp_path):
     """Round 13 (r12 advice #1): enabling len_hdr_path on a deployment
     with a pre-existing corpus folds the STORED corpus first under the
@@ -1385,6 +1395,7 @@ def test_length_quantile_drift_flags_shifted_batch(spark, tmp_path):
     assert spark.read.parquet(f"{lenq}/batch=2").count() == 2
 
 
+@pytest.mark.slow
 def test_psi_baseline_comes_from_hdr_registers(spark, tmp_path):
     """Round 15 (ablation finding): with ``len_hdr_path`` configured the
     PSI drift baseline is the persisted HDR register table — O(≤960)
@@ -1476,6 +1487,7 @@ def test_postings_bucket_count_is_persisted_and_enforced(
     assert got == want
 
 
+@pytest.mark.slow
 def test_rebuild_clears_stale_compaction_siblings(spark, tmp_path):
     """Round 14 (review): a compaction manifest left by a crash AFTER
     its commit PUT would be rolled FORWARD by the next compact-state
@@ -1548,6 +1560,7 @@ def test_lease_steal_aborts_compaction_pass_loudly(
     assert len(calls) == 4  # the trip really was the in-try bucket beat
 
 
+@pytest.mark.slow
 def test_drift_report_cli_surfaces_flagged_batches(
     spark, tmp_path, capsys, monkeypatch
 ):
@@ -1630,6 +1643,7 @@ def test_drift_report_cli_surfaces_flagged_batches(
     )
 
 
+@pytest.mark.slow
 def test_compact_state_refreshes_lease_per_table(spark, tmp_path, monkeypatch):
     """Round 13 (r12 verdict #7): compact_ingest_state refreshes the
     lease between tables, so a multi-hour pass over many tables never

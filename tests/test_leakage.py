@@ -270,6 +270,7 @@ def test_min_label_components_raises_on_non_convergence(spark):
     labels.unpersist()
 
 
+@pytest.mark.slow
 def test_local_union_find_equals_distributed(spark):
     """The route-by-size fast path: driver-local union-find labels equal
     the distributed Pregel labels on a mixed graph (chain + clique +

@@ -449,6 +449,7 @@ def test_queries_self_heal_non_utc_session(spark):
     assert poisoned == baseline
 
 
+@pytest.mark.slow
 def test_ann_entry_memoizes_vectors_and_training(spark):
     """Building the ann entry twice must not retrain k-means or persist a
     second vector frame: both artifacts memoize per (application,
@@ -663,6 +664,7 @@ def test_round8_operators_plan_shapes(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_two_sf_scaling_ratio_near_linear(spark):
     """Empirical two-N scaling guard (r8 verdict #4 / r9 #2) for the two
     most expensive composed entries: wall time at sf0.1 (10x the

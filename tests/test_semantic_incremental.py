@@ -153,6 +153,7 @@ def test_gate_drops_paraphrase_keeps_novel_and_null(spark, tmp_path, sem_paths):
     assert all(r.cell is not None and r.nrm > 0 for r in delta_rows)
 
 
+@pytest.mark.slow
 def test_ingest_with_semantic_gate_replay_idempotent(spark, tmp_path, sem_paths):
     sem_index_path, cents_path = sem_paths
     corpus_path = str(tmp_path / "corpus")
@@ -170,6 +171,7 @@ def test_ingest_with_semantic_gate_replay_idempotent(spark, tmp_path, sem_paths)
     assert corpus2 == corpus1 and index2 == index1
 
 
+@pytest.mark.slow
 def test_crash_between_index_and_corpus_append_replays_cleanly(
     spark, tmp_path, sem_paths
 ):

@@ -303,6 +303,7 @@ def test_stream_stream_join_equals_batch(spark, tmp_path, events_dir):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join_drops_late_purchase(spark, tmp_path):
     """Bounded join state: once the watermark passes a view's joinable
     horizon its state is evicted, so a late-arriving purchase that would
@@ -415,6 +416,7 @@ def _snap(spark, path):
 
 
 @pytest.mark.parametrize("crash_point", ["mid_batch", "post_commit"])
+@pytest.mark.slow
 def test_stream_killed_mid_drain_restarts_to_identical_corpus(
     spark, tmp_path, monkeypatch, crash_point
 ):

@@ -105,6 +105,7 @@ def test_crash_window_replay_idempotent(spark, tmp_path, corpus_rows):
     assert delta2 == [], "replayed delta no-ops"
 
 
+@pytest.mark.slow
 def test_ingest_all_three_gates_compose(spark, tmp_path):
     """The full gate stack in one ingest flow — substring gate first
     (text rewrite), then fingerprint/MinHash incremental dedup, then the
@@ -223,6 +224,7 @@ def test_long_duplicate_drops_exact_premask(spark, tmp_path):
     assert idx_ids == {1}, "exact-dropped duplicates left no index rows"
 
 
+@pytest.mark.slow
 def test_recrawl_new_id_of_masked_doc_drops(spark, tmp_path):
     """Round-10 regression (r9 ADVICE, medium): a NEW-doc_id re-crawl of a
     document that was MASKED at its own ingest must drop. Pre-fix, the
@@ -262,6 +264,7 @@ def test_recrawl_new_id_of_masked_doc_drops(spark, tmp_path):
     assert 30 not in idx_ids, "pre-dropped re-crawl left winnow index rows"
 
 
+@pytest.mark.slow
 def test_recrawl_of_later_gate_dropped_doc_drops(spark, tmp_path):
     """A document dropped at the MinHash layer is still a gate ENTRANT:
     its original fingerprint is indexed, so a new-id copy of the same
@@ -320,6 +323,7 @@ def test_fp_index_bootstraps_from_preexisting_corpus(spark, tmp_path):
     }, "stored duplicate pre-dropped via bootstrap; novel doc kept"
 
 
+@pytest.mark.slow
 def test_fp_index_crash_window_replay_converges(spark, tmp_path):
     """The fp delta lands strictly AFTER the corpus append. Simulate a
     crash in that window (corpus grown, fp index not) by rolling the fp
@@ -358,6 +362,7 @@ def test_fp_index_crash_window_replay_converges(spark, tmp_path):
     ) == [1, 2], "index did not converge: post-replay re-crawl re-admitted"
 
 
+@pytest.mark.slow
 def test_ingest_batch_with_substring_gate(spark, tmp_path):
     """End-to-end: boilerplate repeated across two ingests is attenuated
     in the second batch's stored documents (module defaults need a >= 32
