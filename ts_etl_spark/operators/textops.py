@@ -306,7 +306,14 @@ def q_text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       join back on doc_id. Those shuffles are the honest cost of a
       big-list blocklist; the PII + inline columns stay map-side
       (plan-asserted)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # Round 16 re-A/B (the r15 neutral reading does not reproduce): the
+    # regex-heavy projection and the blocklist tokenize both ran on the
+    # single-split scan's one task; the guarded spread is pairwise
+    # faster in every interleaved sample (entry 1.0-1.4 → 0.7-1.2 s at
+    # sf0.1). ``pii_blocklist_projection`` itself stays a shuffle-free
+    # map-side pass (plan-asserted) — the one exchange is the
+    # narrow-input ramp, absent at production scan widths.
+    docs = spread_input(load_table(spark, sf_dir, "documents"), "doc_id")
     blb = blocklist_signals(docs, BLOCKLIST_JOIN_TERMS).select(
         "doc_id",
         F.col("n_hits").alias("blb_n_hits"),
@@ -402,8 +409,24 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     bf = bloom_bitmap_df(bench, "g")
+    # Round 16: the corpus leg (96/97 of the gram explode + the bloom
+    # probe) ran on the single-split scan's one task; spreading the
+    # corpus documents behind the guard cuts the entry 2.3-3.1 →
+    # 0.9-1.6 s (interleaved A/B at sf0.1). Filter BEFORE the exchange
+    # (guide §2.3) so bench docs never shuffle; the bench leg's 1/97
+    # explode stays narrow. Gram counts are partitioning-independent.
+    corpus_docs = spread_input(
+        docs.select("doc_id", "text").filter(
+            F.col("doc_id") % CONTAM_BENCH_MOD != 0
+        ),
+        "doc_id",
+    )
     corpus = bloom_probe_cols(
-        grams.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0), bf, "g"
+        corpus_docs.select(
+            "doc_id", F.explode(_word_grams(CONTAM_N)).alias("g")
+        ),
+        bf,
+        "g",
     )
     scored = (
         corpus.join(bench, "g", "left")
