@@ -212,6 +212,14 @@ def test_cli_explain_preserves_application_lifetime_memo(spark):
     from ts_etl_spark.cli import run_explain
     from ts_etl_spark.operators import similarity
 
+    # self-contained: the assertion below is "explain populated the memo
+    # and left its frames persisted", so start from an empty memo — an
+    # earlier test may have populated it and a later global clearCache
+    # dropped those frames' blocks (storageLevel False), which is not
+    # this surface's behavior under test (order-dependence surfaced when
+    # the round-16 slow tier removed the test that happened to repopulate
+    # the memo in between)
+    similarity._IVF_MEMO.clear()
     buf = io.StringIO()
     assert run_explain("embed_neardup_label", SF, spark=spark, out=buf) == 0
     app = spark.sparkContext.applicationId

@@ -731,16 +731,16 @@ _IVF_MEMO: dict = {}
 #: concurrent builders of the SAME key serialize — one builds, the rest
 #: block on its future — while different keys still build concurrently).
 _MEMO_PENDING: dict = {}
-_MEMO_LOCK = None
+# module-level init on purpose: a lazy check-then-create of the lock
+# would itself race (two threads could each build a different lock)
+import threading as _threading  # noqa: E402
+
+_MEMO_LOCK = _threading.Lock()
 
 
 def _memo(spark: SparkSession, sf_dir: str, kind: str, build):
-    global _MEMO_LOCK
-    import threading
     from concurrent.futures import Future
 
-    if _MEMO_LOCK is None:
-        _MEMO_LOCK = threading.Lock()
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     while True:
         with _MEMO_LOCK:
